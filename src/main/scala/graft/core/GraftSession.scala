@@ -1,0 +1,32 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Defaults are chosen for the driver environment (single JVM, `local[32]`,
+  * 128 GiB) but every knob here is what we would also set on a real
+  * multi-executor cluster: AQE on (runtime coalesce + skew-join handling),
+  * shuffle partitions sized to cores rather than the 200 default, UTC
+  * session time zone for oracle parity.
+  */
+object GraftSession {
+
+  def builder(appName: String = "graft", cores: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", math.max(cores, 8).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def local(appName: String = "graft", cores: Int = 32): SparkSession = {
+    val spark = builder(appName, cores).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,26 @@
+package graft.queries
+
+/** The gated-query registry: single source of truth for `SparkEntry.queries`,
+  * `SparkEntry.oracleSql`, and the Bench headline set.
+  */
+object Registry {
+
+  import Relational._
+
+  val all: Seq[Gated] = Seq(
+    Gated("q1_agg",            q1Agg,           Some(q1AggSql)),
+    Gated("q2_topk_revenue",   q2TopkRevenue,   Some(q2TopkRevenueSql)),
+    Gated("q3_nation_revenue", q3NationRevenue, Some(q3NationRevenueSql)),
+    Gated("q4_latest_global",  q4LatestGlobal,  Some(q4LatestGlobalSql)),
+    Gated("q5_anti_join",      q5AntiJoin,      Some(q5AntiJoinSql)),
+    Gated("q6_semi_join",      q6SemiJoin,      Some(q6SemiJoinSql)),
+    Gated("q7_window_latest",  q7WindowLatest,  Some(q7WindowLatestSql)),
+    Gated("q8_rolling_mean",   q8RollingMean,   Some(q8RollingMeanSql)),
+    Gated("q9_date_funcs",     q9DateFuncs,     Some(q9DateFuncsSql)),
+    Gated("q10_filter_project", q10FilterProject, Some(q10FilterProjectSql)),
+    Gated("q11_setops",        q11SetOps,       Some(q11SetOpsSql)),
+    Gated("q12_rollup",        q12Rollup,       Some(q12RollupSql)),
+  )
+
+  def byName(name: String): Gated = all.find(_.name == name).get
+}

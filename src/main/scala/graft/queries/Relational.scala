@@ -1,0 +1,320 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Det, Tables}
+
+/** Relational core: aggregation, joins (inner/left/semi/anti), scalar
+  * subquery, windows, set ops, rollup, date/string functions.
+  *
+  * Semantics derive from the reference pipeline's operator surface
+  * (SURVEY.md §2; citations into /root/reference per query) re-targeted at
+  * the driver corpus. Every query is declarative DataFrame API — Catalyst
+  * does pushdown/pruning/join-selection; at 100 TB the same plans hold
+  * because the dimensions (region/nation/customer-at-0.15%-of-lineitem)
+  * stay broadcastable and fact-side aggregation is partial (map-side).
+  */
+object Relational {
+
+  import Det._
+
+  /** Pricing-summary aggregation (reference A1/A2 family generalized: grouped
+    * sums/avgs/counts over the fact table; filter pushed to parquet scan). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1999-12-31"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumProd(col("l_extendedprice"), lit(1) - col("l_discount")).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Top-10 revenue orders for one market segment (customer ⋈ orders ⋈
+    * lineitem; dimension side broadcast — reference J3 writ large). */
+  def q2TopkRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(dsumProd(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q2TopkRevenueSql: String =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY l_orderkey
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Revenue by nation: the full star join (region ⋈ nation ⋈ customer ⋈
+    * orders ⋈ lineitem). Dimensions broadcast; only the fact shuffles. */
+  def q3NationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsumProd(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q3NationRevenueSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** The reference's analytics query E3 (`DB_manager.py:181-199`) on the
+    * corpus: rows at the *global* max date (scalar subquery — including its
+    * quirk, SURVEY §2.5), LEFT-joined to the dimension, date formatted
+    * dd-MM-yyyy (`TO_CHAR`, `DB_manager.py:184`). */
+  def q4LatestGlobal(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    // max-date as a 1-row broadcast join, not a collected scalar: stays lazy
+    // and distributed (SURVEY §7.4 — avoid collect-based scalar max).
+    val maxD = o.agg(max(col("o_orderdate")).as("o_orderdate"))
+    o.join(broadcast(maxD), Seq("o_orderdate"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .select(
+        date_format(col("o_orderdate"), "dd-MM-yyyy").as("order_date"),
+        col("o_orderkey"), col("o_custkey"), col("c_name"),
+        col("o_totalprice"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q4LatestGlobalSql: String =
+    """SELECT strftime(o_orderdate, '%d-%m-%Y') AS order_date,
+      |  o_orderkey, o_custkey, c_name, o_totalprice, o_orderstatus
+      |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderdate = (SELECT MAX(o_orderdate) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** SCD-0 anti-join (reference J1/J2, `DB_manager.py:140-179`): rows whose
+    * key is absent on the other side — here, customers with no open order. */
+  def q5AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "P")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q5AntiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Semi join (EXISTS): customers having at least one high-value order. */
+  def q6SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 300000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q6SemiJoinSql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer c
+      |WHERE EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Latest-row-per-key window (the improved mode of the reference's E3,
+    * SURVEY §2.5): row_number over (custkey, date desc) with a deterministic
+    * tiebreak. */
+  def q7WindowLatest(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_order_date"),
+        col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q7WindowLatestSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS last_order_date, o_totalprice
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders)
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  /** 30-row rolling mean per key (the reference's vestigial
+    * `stock_30daymean`/`stock_dif_mean`, `API_manager.py:180-181`, made
+    * real): frame `rowsBetween(-29, 0)` with a fully deterministic order. */
+  def q8RollingMean(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+      .rowsBetween(-29, 0)
+    l.select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+        col("l_extendedprice"),
+        (sum(col("l_extendedprice").cast("decimal(18,4)")).over(w).cast("double") /
+          count(lit(1)).over(w)).as("mean_30"),
+        // plain double subtraction: both operands are bit-identical across
+        // engines (exact input, exact-decimal-sum-derived mean), so the
+        // single IEEE subtract is too — no decimal re-round.
+        (col("l_extendedprice") -
+          sum(col("l_extendedprice").cast("decimal(18,4)")).over(w).cast("double") /
+            count(lit(1)).over(w)).as("dif_mean"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q8RollingMeanSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date, l_extendedprice,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+      |    / COUNT(*) OVER w AS mean_30,
+      |  l_extendedprice -
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+      |      / COUNT(*) OVER w AS dif_mean
+      |FROM lineitem
+      |WINDOW w AS (
+      |  PARTITION BY l_suppkey
+      |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |  ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+
+  /** Date/string scalar functions (reference F1-F6): year/month/day
+    * extraction, dd-MM-yyyy formatting, composite key concat
+    * (`API_manager.py:156-162`). */
+  def q9DateFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"),
+        dayofmonth(col("o_orderdate")).cast("long").as("o_day"),
+        date_format(col("o_orderdate"), "dd-MM-yyyy").as("o_date_fmt"),
+        concat(
+          date_format(col("o_orderdate"), "yyyy-MM-dd"), lit("/"),
+          col("o_custkey").cast("string")).as("o_key"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q9DateFuncsSql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
+      |  CAST(day(o_orderdate) AS BIGINT) AS o_day,
+      |  strftime(o_orderdate, '%d-%m-%Y') AS o_date_fmt,
+      |  strftime(o_orderdate, '%Y-%m-%d') || '/' || CAST(o_custkey AS VARCHAR) AS o_key
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Filter + projection (reference P1/P2/P5): equality predicate pushed to
+    * the parquet scan, explicit narrow column list. */
+  def q10FilterProject(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    p.filter(col("p_brand") === "Brand#1" && col("p_size") >= 30)
+      .select(col("p_partkey"), col("p_name"), col("p_size").cast("long").as("p_size"),
+        col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q10FilterProjectSql: String =
+    """SELECT p_partkey, p_name, CAST(p_size AS BIGINT) AS p_size, p_retailprice
+      |FROM part
+      |WHERE p_brand = 'Brand#1' AND p_size >= 30
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Set operations (UNION / INTERSECT / EXCEPT) over key sets. */
+  def q11SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("long").as("nationkey"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_nationkey").cast("long").as("nationkey"))
+    val both    = c.intersect(s).withColumn("which", lit("both"))
+    val custOnly = c.except(s).withColumn("which", lit("customer_only"))
+    val suppOnly = s.except(c).withColumn("which", lit("supplier_only"))
+    both.union(custOnly).union(suppOnly).orderBy(col("which"), col("nationkey"))
+  }
+
+  val q11SetOpsSql: String =
+    """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer),
+      |     s AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier)
+      |SELECT nationkey, 'both' AS which FROM (SELECT * FROM c INTERSECT SELECT * FROM s)
+      |UNION ALL
+      |SELECT nationkey, 'customer_only' AS which FROM (SELECT * FROM c EXCEPT SELECT * FROM s)
+      |UNION ALL
+      |SELECT nationkey, 'supplier_only' AS which FROM (SELECT * FROM s EXCEPT SELECT * FROM c)
+      |ORDER BY which, nationkey""".stripMargin
+
+  /** ROLLUP hierarchy aggregation (status × priority), null grouping levels
+    * made explicit via coalesce for stable cross-engine output. */
+  def q12Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  val q12RollupSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+}
