@@ -1,23 +1,34 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.core.GraftSession
+import graft.queries.Registry
+
+/** Benchmark main: times the headline gated queries on
+  * `SPARK_GRAFT_SF_DIR`, printing one JSON line the driver collects into
+  * `BENCH_r{N}.json`. Each query is fully executed (count over the final
+  * plan); a warm-up pass primes the JVM/codegen so the measured numbers
+  * reflect steady-state execution, not JIT.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local("graft-bench", cpus)
+
+    val headline = Registry.all.filter(_.bench)
+    // warm-up: JIT + codegen cache + parquet footer cache, on the smallest sf
+    headline.foreach { g =>
+      try g.df(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = headline.map { g =>
+      val t0 = System.nanoTime()
+      try { g.df(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      g.name -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -23,6 +23,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the corpus `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4
+      // rejects by default; read as long and convert in Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def local(appName: String = "graft", cores: Int = 32): SparkSession = {
     val spark = builder(appName, cores).getOrCreate()

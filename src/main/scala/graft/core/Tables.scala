@@ -23,7 +23,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = apply(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS): with
+    * `spark.sql.legacy.parquet.nanosAsLong` it surfaces as a long of nanos
+    * since epoch; convert to a µs timestamp via integer division (a double
+    * division would lose precision above 2^53 ns). Truncation toward zero
+    * matches the oracle, which floors ns → µs/s on format/trunc.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    val raw = apply(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -20,6 +20,13 @@ object Registry {
     Gated("q10_filter_project", q10FilterProject, Some(q10FilterProjectSql)),
     Gated("q11_setops",        q11SetOps,       Some(q11SetOpsSql)),
     Gated("q12_rollup",        q12Rollup,       Some(q12RollupSql)),
+    Gated("q13_events_tumbling", Events.q13Tumbling, Some(Events.q13TumblingSql)),
+    Gated("q14_events_json",   Events.q14JsonProps, Some(Events.q14JsonPropsSql)),
+    Gated("q15_sessionize",    Events.q15Sessionize, Some(Events.q15SessionizeSql)),
+    Gated("q16_dedup_exact",   TextQueries.q16DedupExact, Some(TextQueries.q16DedupExactSql)),
+    Gated("q17_token_jaccard", TextQueries.q17TokenJaccard, Some(TextQueries.q17TokenJaccardSql)),
+    Gated("q18_token_stats",   TextQueries.q18TokenStats, Some(TextQueries.q18TokenStatsSql)),
+    Gated("q19_lang_profile",  TextQueries.q19LangProfile, Some(TextQueries.q19LangProfileSql)),
   )
 
   def byName(name: String): Gated = all.find(_.name == name).get
