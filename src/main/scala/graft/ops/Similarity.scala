@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`ArrayType(FloatType)`).
+  *
+  * North-star extension (SURVEY §1.3/§7.3): brute-force cosine top-k as the
+  * exact baseline, and a random-hyperplane LSH variant as the 100 TB scale
+  * path (bucket-join instead of cross-join: candidates shrink from |Q|·|V|
+  * to the bucket collision set; each table is one shuffle on a short
+  * signature key).
+  *
+  * All kernels are higher-order-function expressions (`zip_with` /
+  * `aggregate`) — codegen'd, no UDFs, and the sequential fold order makes
+  * results bit-deterministic across engines.
+  */
+object Similarity {
+
+  /** Dot product of two numeric array columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm of a numeric array column, in double. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(
+      transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity of two numeric array columns, in double. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k cosine neighbors of each query vector.
+    *
+    * @param vectors (id, vec) candidate set — the big side; scanned once
+    * @param queries (qid, qvec) query set — must be small; broadcast
+    *
+    * Plan shape: broadcast-nested-loop of the tiny query side against the
+    * distributed candidate scan, then a per-qid top-k window. At scale the
+    * window shuffles only (qid, id, sim) triples, never the vectors.
+    */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = vectors.crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        cosine(col("vec"), col("qvec")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("id"), col("sim"))
+  }
+
+  /** All pairs (i < j) with cosine above `threshold` — embedding near-dup
+    * detection. O(n²) pairs: correct-but-small-scale baseline; at 100 TB use
+    * [[lshCandidates]] to block first. */
+  def nearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val a = vectors.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = vectors.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("sim"))
+      .filter(col("sim") > threshold)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed: reproducible runs,
+    * identical plans across executors). */
+  private[graft] def planes(nTables: Int, bitsPerTable: Int, dim: Int): Seq[Seq[Array[Double]]] = {
+    val rng = new scala.util.Random(42L)
+    Seq.fill(nTables)(Seq.fill(bitsPerTable)(Array.fill(dim)(rng.nextGaussian())))
+  }
+
+  /** Sign-random-projection signature: one integer per table whose bits are
+    * `sign(vec · plane_b)`. Vectors with high cosine agree on most bits. */
+  private def signature(vec: Column, tablePlanes: Seq[Array[Double]]): Column =
+    tablePlanes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedlit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH candidate pairs: vectors sharing a full signature in any table.
+    * Each table is a shuffle on (table, sig) — no cross join. Returns
+    * distinct (id_a < id_b) candidate pairs with exact cosine attached. */
+  def lshNearDupCandidates(vectors: DataFrame, nTables: Int = 4,
+      bitsPerTable: Int = 12, dim: Int = 64, threshold: Double = 0.0): DataFrame = {
+    val ps = planes(nTables, bitsPerTable, dim)
+    val sigs = ps.zipWithIndex.map { case (tp, t) =>
+      vectors.select(col("id"), col("vec"),
+        lit(t).as("table"), signature(col("vec"), tp).as("sig"))
+    }.reduce(_ union _)
+    val a = sigs.select(col("table"), col("sig"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = sigs.select(col("table"), col("sig"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("table", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("sim"))
+      .filter(col("sim") > threshold)
+  }
+
+  /** Approximate top-k via LSH tables: candidates = vectors sharing any
+    * table signature with the query; exact cosine re-rank within them. */
+  def lshTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+      nTables: Int = 8, bitsPerTable: Int = 8, dim: Int = 64): DataFrame = {
+    val ps = planes(nTables, bitsPerTable, dim)
+    def sigged(df: DataFrame, idc: String, vc: String): DataFrame =
+      ps.zipWithIndex.map { case (tp, t) =>
+        df.select(col(idc), col(vc), lit(t).as("table"), signature(col(vc), tp).as("sig"))
+      }.reduce(_ union _)
+    val cand = sigged(vectors, "id", "vec")
+      .join(broadcast(sigged(queries, "qid", "qvec")), Seq("table", "sig"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), col("vec"), col("qvec"))
+      .distinct()
+      .select(col("qid"), col("id"), cosine(col("vec"), col("qvec")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("id"), col("sim"))
+  }
+}

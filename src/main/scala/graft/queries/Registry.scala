@@ -27,6 +27,10 @@ object Registry {
     Gated("q17_token_jaccard", TextQueries.q17TokenJaccard, Some(TextQueries.q17TokenJaccardSql)),
     Gated("q18_token_stats",   TextQueries.q18TokenStats, Some(TextQueries.q18TokenStatsSql)),
     Gated("q19_lang_profile",  TextQueries.q19LangProfile, Some(TextQueries.q19LangProfileSql)),
+    Gated("q20_embed_topk",    Embeddings.q20EmbedTopK, Some(Embeddings.q20EmbedTopKSql)),
+    Gated("q21_embed_neardup", Embeddings.q21EmbedNearDup, Some(Embeddings.q21EmbedNearDupSql)),
+    Gated("q22_label_centroids", Embeddings.q22LabelCentroids, Some(Embeddings.q22LabelCentroidsSql)),
+    Gated("q23_ann_lsh",       Embeddings.q23AnnLsh, None),
   )
 
   def byName(name: String): Gated = all.find(_.name == name).get
