@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine kernel: known vectors") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), 1.0),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), 0.0),
+      (Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f), -1.0),
+      (Seq(1.0f, 2.0f), Seq(2.0f, 4.0f), 1.0)
+    ).toDF("a", "b", "expected")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("sim"), col("expected")).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  private def planted() = {
+    // 40 random base vectors + near-duplicates of the first 5 (tiny noise)
+    val rng = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val base = (0 until 40).map(i => (i.toLong, vec().toSeq))
+    val dups = (0 until 5).map { i =>
+      (100L + i, base(i)._2.map(x => x + 0.01f * rng.nextGaussian().toFloat))
+    }
+    (base ++ dups).toDF("id", "vec")
+  }
+
+  test("LSH near-dup candidates find planted duplicates (high-sim regime)") {
+    val found = Similarity.lshNearDupCandidates(planted(), nTables = 4,
+        bitsPerTable = 12, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (0 until 5).map(i => (i.toLong, 100L + i)).toSet
+    assert(expected.subsetOf(found), s"missing: ${expected -- found}")
+  }
+
+  test("LSH top-k recall vs brute force on planted duplicates") {
+    val v = planted()
+    val q = v.filter(col("id") < 5).select(col("id").as("qid"), col("vec").as("qvec"))
+    val bf = Similarity.bruteForceTopK(v, q, 1)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(v, q, 1, nTables = 8, bitsPerTable = 8)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    // the planted duplicate is each query's top-1 and must survive LSH
+    assert(bf === (0 until 5).map(i => (i.toLong, 100L + i)).toSet)
+    assert((bf intersect lsh).size >= 4, s"recall too low: $lsh")
+  }
+
+  test("near-dup pairs: threshold filters and i<j ordering") {
+    val pairs = Similarity.nearDupPairs(planted(), 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.length >= 5)
+  }
+}
