@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication for document corpora, exact and near-dup (north-star
+  * extension). Scale notes per operator:
+  *  - exact: one hash-shuffle on the content hash;
+  *  - MinHash LSH: candidates come from equi-joins on (seed, minhash) —
+  *    never a cross join; the shuffle key is a short hash, so skew is
+  *    bounded by true near-dup cluster sizes;
+  *  - SimHash: per-row fingerprint (no shuffle), then a band join;
+  *  - embedding near-dup: see [[Similarity.lshNearDupCandidates]].
+  */
+object Dedup {
+
+  /** Exact dedup: keep the first (min-id) row per distinct content value.
+    * Returns the deduplicated frame. */
+  def exact(df: DataFrame, idCol: String, byCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(byCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature in long format: (id, seed, mh) — one row per seed.
+    * The hash is `min(md5(shingle || '#' || seed))` over the doc's shingle
+    * set: md5-as-hex-string min is a valid uniform min-hash and is
+    * reproducible in any engine with md5 (used by the oracle gate). A
+    * faster Spark-native variant would use xxhash64; the md5 form is kept
+    * as the portable default. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, shingleWidth: Int = 3): DataFrame = {
+    val toks = TextOps.tokenize(col(textCol))
+    val sh = TextOps.shingles(toks, shingleWidth)
+    val seeds = explode(sequence(lit(0), lit(numHashes - 1))).as("seed")
+    df.select(col(idCol).as("id"), sh.as("sh"))
+      .select(col("id"), col("sh"), seeds)
+      .select(col("id"), col("seed"),
+        array_min(transform(col("sh"),
+          s => md5(concat(s, lit("#"), col("seed"))))).as("mh"))
+      .filter(col("mh").isNotNull) // docs shorter than the shingle width
+  }
+
+  /** LSH candidate pairs: docs sharing ≥1 of `numHashes` minhashes, with
+    * the estimated Jaccard = matching-hash fraction. One equi-join on
+    * (seed, mh); only ids and short hashes shuffle. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, shingleWidth: Int = 3): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleWidth)
+    val a = sig.select(col("seed"), col("mh"), col("id").as("id_a"))
+    val b = sig.select(col("seed"), col("mh"), col("id").as("id_b"))
+    a.join(b, Seq("seed", "mh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg((count(lit(1)).cast("double") / numHashes).as("est_jaccard"))
+  }
+
+  /** Near-dup groups from candidate pairs above a threshold: connected
+    * components approximated by min-representative propagation (1 round —
+    * exact for pair-clusters, which dominate dedup workloads; iterate for
+    * chains). Returns (id, rep_id). */
+  def nearDupGroups(candidates: DataFrame, threshold: Double): DataFrame = {
+    val edges = candidates.filter(col("est_jaccard") >= threshold)
+    val rep = edges.groupBy(col("id_b").as("id"))
+      .agg(min(col("id_a")).as("rep_id"))
+    rep
+  }
+
+  /** Exact n-gram Jaccard for a set of candidate pairs (verification pass
+    * after LSH blocking). `pairs` must have (id_a, id_b). */
+  def verifyJaccard(df: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, shingleWidth: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(TextOps.shingles(TextOps.tokenize(col(textCol)), shingleWidth)).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** SimHash fingerprint per document: signature whose bit b is the sign of
+    * Σ_tokens (±1 by bit b of the token hash). Near-dups differ in few
+    * bits; compare with [[hammingDistance]]. Computed via explode + per-bit
+    * conditional sums — distributed, one shuffle on id.
+    *
+    * `bitOf(tok, b)` supplies bit b of the token hash; default is Spark's
+    * codegen'd xxhash64. [[md5NibbleBit]] is the engine-portable variant
+    * (hex-nibble extraction from md5) used by the oracle gate. `bits` ≤ 62
+    * keeps the signature a positive long.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 62,
+      bitOf: (Column, Int) => Column = xxhashBit): DataFrame = {
+    require(bits <= 62)
+    val tok = df.select(col(idCol).as("id"),
+      explode(TextOps.tokenize(col(textCol))).as("tok"))
+    val bitSums = (0 until bits).map { b =>
+      sum(when(bitOf(col("tok"), b) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val sums = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until bits).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    sums.select(col("id"), sig.as("simhash"))
+  }
+
+  def xxhashBit(tok: Column, b: Int): Column =
+    shiftright(xxhash64(tok), b).bitwiseAND(1)
+
+  /** Bit b of a 64-bit-from-md5-hex hash: nibble (b/4+1)-th hex char of
+    * md5(tok), bit (b%4) of its value. `conv(_,16,10)` decodes the digit. */
+  def md5NibbleBit(tok: Column, b: Int): Column =
+    shiftright(conv(substring(md5(tok), b / 4 + 1, 1), 16, 10).cast("long"), b % 4)
+      .bitwiseAND(1)
+
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text primitives for training-data pipelines: tokenization, shingling,
+  * quality scoring, language ID, fingerprinting. Everything is built from
+  * codegen'd expressions (split / higher-order array functions / hash
+  * functions) — no UDFs — so the hot path stays inside whole-stage codegen
+  * and distributes trivially (per-row, no shuffle).
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (the corpus is space-separated; use
+    * [[tokenizeRegex]] for general text). */
+  def tokenize(text: Column): Column = split(text, " ")
+
+  def tokenizeRegex(text: Column): Column =
+    split(lower(text), "[^\\p{L}\\p{N}]+")
+
+  /** Word n-gram shingles: `["a b c", "b c d", ...]`; empty when the doc has
+    * fewer than n tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array())
+
+  // ---- quality scoring ------------------------------------------------
+
+  def tokenCount(toks: Column): Column = size(toks).cast("long")
+
+  def distinctTokenCount(toks: Column): Column =
+    size(array_distinct(toks)).cast("long")
+
+  /** Fraction of tokens that are stopwords — high values ≈ natural prose,
+    * near-zero ≈ tables/boilerplate. */
+  def stopwordRatio(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*))).cast("double") /
+      size(toks)
+
+  /** Mean characters per token (long "words" ≈ URLs, base64, code). */
+  def charsPerToken(text: Column, toks: Column): Column =
+    length(text).cast("double") / size(toks)
+
+  /** Fraction of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^\\p{L}\\p{N} ]", ""))).cast("double") /
+      length(text)
+
+  /** Type-token ratio: distinct/total — degenerate repetition scores low. */
+  def typeTokenRatio(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") / size(toks)
+
+  /** Composite quality score in [0,1]: the usual length/stopword/repetition
+    * heuristics, each clamped to a plausible band. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokenize(text)
+    val lenOk = when(size(toks).between(10, 100000), 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(toks, stopwords).between(0.01, 0.8), 1.0).otherwise(0.0)
+    val ttrOk = when(typeTokenRatio(toks) > 0.05, 1.0).otherwise(0.0)
+    val cptOk = when(charsPerToken(text, toks).between(2.0, 12.0), 1.0).otherwise(0.0)
+    (lenOk + stopOk + ttrOk + cptOk) / 4.0
+  }
+
+  // ---- language ID ----------------------------------------------------
+
+  /** Tiny per-language stopword profiles (top function words). Declaration
+    * order is the tie-break priority, so this is a Seq, not a Map (Scala
+    * HashMaps lose insertion order above 4 entries). */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"))
+
+  /** Stopword-profile language ID: argmax of per-language hit counts with a
+    * fixed priority tie-break (profile declaration order). An n-gram
+    * heuristic, not a model — adequate for routing/filtering at scale. */
+  def langId(text: Column, profiles: Seq[(String, Seq[String])] = langProfiles): Column = {
+    val toks = tokenizeRegex(text)
+    val scores = profiles.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words.map(x => x: Any): _*)))
+    }
+    // argmax via struct ordering: (score, priority) desc, then language
+    val ranked = scores.zipWithIndex.map { case ((lang, s), i) =>
+      struct(s.as("score"), lit(-i).as("prio"), lit(lang).as("lang"))
+    }
+    greatest(ranked: _*).getField("lang")
+  }
+
+  // ---- fingerprinting -------------------------------------------------
+
+  /** Order-sensitive document fingerprint: polynomial rolling hash over the
+    * token stream, kept under 2^31 so the fold never overflows (ANSI mode
+    * would throw). Two docs differing only in token order get different
+    * fingerprints — unlike set-based MinHash. */
+  def fingerprint(toks: Column): Column =
+    aggregate(toks, lit(0L),
+      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), lit(2147483647L)),
+        lit(2147483647L)))
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Dedup, TextOps}
+
+/** Near-dup / fingerprint / language-quality gate queries over `documents`.
+  * The MinHash and SimHash oracles replicate the exact hash construction
+  * (md5-based, engine-portable) in DuckDB SQL — the SQL for SimHash is
+  * generated programmatically, one conditional sum per bit.
+  */
+object DedupQueries {
+
+  /** MinHash-LSH near-dup candidates: 3-word shingles, 8 md5 min-hashes,
+    * pairs sharing ≥1; est_jaccard = matching fraction. */
+  def q24MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q24MinhashLshSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+      |         unnest(string_split(text,' ')) AS tok
+      |  FROM documents),
+      |shingles AS (
+      |  SELECT a.doc_id, a.tok||' '||b.tok||' '||c.tok AS sh
+      |  FROM toks a
+      |  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+      |sig AS (
+      |  SELECT doc_id, seed, MIN(md5(sh||'#'||seed)) AS mh
+      |  FROM shingles CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed) s
+      |  GROUP BY doc_id, seed)
+      |SELECT s1.doc_id AS id_a, s2.doc_id AS id_b, COUNT(*)/8.0 AS est_jaccard
+      |FROM sig s1
+      |JOIN sig s2 ON s1.seed = s2.seed AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id
+      |GROUP BY 1, 2
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** SimHash fingerprints, 60 bits, md5-nibble token hash (portable). */
+  def q25Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text",
+        bits = 60, bitOf = Dedup.md5NibbleBit)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val q25SimhashSql: String = {
+    val bitSums = (0 until 60).map { b =>
+      val p = b / 4 + 1; val w = b % 4
+      s"SUM(CASE WHEN (((strpos('0123456789abcdef', substr(h, $p, 1)) - 1) >> $w) & 1) = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(",\n    ")
+    val sig = (0 until 60).map { b =>
+      s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, md5(t) AS h FROM (
+       |    SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents)),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM tok GROUP BY doc_id)
+       |SELECT doc_id, $sig AS simhash
+       |FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  /** Order-sensitive rolling-hash fingerprint (not SQL-expressible without
+    * recursion — rows-only gate; value correctness unit-tested). */
+  def q26Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"),
+        TextOps.fingerprint(TextOps.tokenize(col("text"))).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID (stopword-profile argmax) + composite quality score. */
+  def q27LangQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val en = TextOps.langProfiles.head._2
+    d.select(col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("pred_lang"),
+        TextOps.qualityScore(col("text"), en).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q27LangQualitySql: String = {
+    val langs = TextOps.langProfiles
+    def score(words: Seq[String]): String = {
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x IN ($list)))"
+    }
+    // argmax with declaration-order tie-break: first lang >= all later ones
+    val preds = langs.zipWithIndex.init.map { case ((lang, _), i) =>
+      val geAll = (i + 1 until langs.size).map(j => s"s$i >= s$j").mkString(" AND ")
+      s"WHEN $geAll THEN '$lang'"
+    }.mkString(" ")
+    val en = langs.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, text,
+       |    ${langs.zipWithIndex.map { case ((_, ws), i) => s"${score(ws)} AS s$i" }.mkString(",\n    ")},
+       |    string_split(text, ' ') AS toks
+       |  FROM documents)
+       |SELECT doc_id, lang,
+       |  CASE $preds ELSE '${langs.last._1}' END AS pred_lang,
+       |  ((CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) +
+       |   (CASE WHEN CAST(len(list_filter(toks, x -> x IN ($en))) AS DOUBLE) / len(toks)
+       |         BETWEEN 0.01 AND 0.8 THEN 1.0 ELSE 0.0 END) +
+       |   (CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.05
+       |         THEN 1.0 ELSE 0.0 END) +
+       |   (CASE WHEN CAST(length(text) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 12.0
+       |         THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+}

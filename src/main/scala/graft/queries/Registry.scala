@@ -31,6 +31,10 @@ object Registry {
     Gated("q21_embed_neardup", Embeddings.q21EmbedNearDup, Some(Embeddings.q21EmbedNearDupSql)),
     Gated("q22_label_centroids", Embeddings.q22LabelCentroids, Some(Embeddings.q22LabelCentroidsSql)),
     Gated("q23_ann_lsh",       Embeddings.q23AnnLsh, None),
+    Gated("q24_minhash_lsh",   DedupQueries.q24MinhashLsh, Some(DedupQueries.q24MinhashLshSql)),
+    Gated("q25_simhash",       DedupQueries.q25Simhash, Some(DedupQueries.q25SimhashSql)),
+    Gated("q26_fingerprint",   DedupQueries.q26Fingerprint, None),
+    Gated("q27_lang_quality",  DedupQueries.q27LangQuality, Some(DedupQueries.q27LangQualitySql)),
   )
 
   def byName(name: String): Gated = all.find(_.name == name).get

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(11)
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+  private def doc(n: Int) = Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+
+  private def corpus() = {
+    val base = (0 until 30).map(i => (i.toLong, doc(60)))
+    // near-dups: copy of doc i with one token appended
+    val dups = (0 until 5).map(i => (100L + i, base(i)._2 + " omega"))
+    // one exact dup
+    (base ++ dups :+ (200L, base(7)._2)).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min-id representative") {
+    val out = Dedup.exact(corpus(), "doc_id", "text")
+    assert(out.count() === 35) // 36 rows - 1 exact dup
+    assert(out.filter(col("doc_id") === 200L).isEmpty)
+    assert(out.filter(col("doc_id") === 7L).count() === 1)
+  }
+
+  test("minhash candidates find planted near-dups with high est_jaccard") {
+    val cand = Dedup.minhashCandidates(corpus(), "doc_id", "text")
+    val hits = cand.filter(col("est_jaccard") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (0 until 5).map(i => (i.toLong, 100L + i)).toSet + ((7L, 200L))
+    assert(expected.subsetOf(hits), s"missing ${expected -- hits}")
+  }
+
+  test("verifyJaccard: exact dup pair has jaccard 1.0, near-dup close to 1") {
+    val pairs = Seq((7L, 200L), (0L, 100L)).toDF("id_a", "id_b")
+    val v = Dedup.verifyJaccard(corpus(), pairs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(v(7L) === 1.0)
+    assert(v(0L) > 0.9)
+  }
+
+  test("simhash: near-dups within small hamming distance, random docs far") {
+    val sig = Dedup.simhash(corpus(), "doc_id", "text")
+    val m = sig.as[(Long, Long)].collect().toMap
+    (0 until 5).foreach { i =>
+      val d = java.lang.Long.bitCount(m(i.toLong) ^ m(100L + i))
+      assert(d <= 6, s"near-dup pair $i hamming $d")
+    }
+    val dRandom = java.lang.Long.bitCount(m(3L) ^ m(9L))
+    assert(dRandom > 6, s"random pair too close: $dRandom")
+  }
+
+  test("nearDupGroups assigns min representative") {
+    val cand = Dedup.minhashCandidates(corpus(), "doc_id", "text")
+    val groups = Dedup.nearDupGroups(cand, 0.9).as[(Long, Long)].collect().toMap
+    assert(groups(200L) === 7L)
+  }
+}

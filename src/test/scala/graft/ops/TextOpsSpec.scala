@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: trigrams, short docs yield empty") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(TextOps.shingles(TextOps.tokenize(col("text")), 3).as("sh"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq.empty)
+  }
+
+  test("langId: classifies real multilingual snippets") {
+    val df = Seq(
+      ("the cat sat on the mat and it is happy", "en"),
+      ("el perro corre por la calle y se va", "es"),
+      ("der Hund und die Katze sind nicht da", "de"),
+      ("le chat et le chien sont pour une maison", "fr")
+    ).toDF("text", "expected")
+    val got = df.select(TextOps.langId(col("text")).as("pred"), col("expected")).collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1), r.toString))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val df = Seq("a b c", "c b a", "a b c").toDF("text")
+      .select(TextOps.fingerprint(TextOps.tokenize(col("text"))).as("fp"))
+    val fps = df.as[Long].collect()
+    assert(fps(0) === fps(2))
+    assert(fps(0) !== fps(1))
+    assert(fps.forall(f => f >= 0 && f < 2147483647L))
+  }
+
+  test("quality score: prose scores higher than degenerate text") {
+    val en = TextOps.langProfiles.head._2
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and runs into the green field again today",
+      "x x x x x x x x x x x x x x x x x x x x",
+      "ab").toDF("text")
+      .select(TextOps.qualityScore(col("text"), en).as("q"))
+    val qs = df.as[Double].collect()
+    assert(qs(0) === 1.0)
+    assert(qs(1) < qs(0)) // repetition: type-token ratio + stopword fail
+    assert(qs(2) <= 0.5)  // too short: length band fails
+  }
+}
