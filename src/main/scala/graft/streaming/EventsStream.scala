@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.warehouse.Scd0
+
+/** Structured Streaming over the `events` stream (SURVEY §2.9): the
+  * reference's incremental contract mapped onto real streaming primitives —
+  * watermarks for late data, event-time windows for aggregation,
+  * `foreachBatch` + SCD-0 merge for the effectively-once idempotent sink,
+  * and `flatMapGroupsWithState` for custom per-key state (the streaming
+  * generalization of the reference's per-ticker watermark file).
+  */
+object EventsStream {
+
+  /** Typed event row for the stateful operator (top-level: encoder
+    * derivation doesn't work for method-local case classes). */
+  case class E(event_id: Long, user_id: Long, value: Double)
+
+  /** Event schema as the file stream source expects it (ts in µs). */
+  val schema: StructType = StructType.fromDDL(
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, " +
+      "value DOUBLE, props STRING")
+
+  /** File-based stream source: picks up parquet files dropped into `dir`.
+    * `maxFilesPerTrigger=1` makes batch boundaries deterministic in tests. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /** Tumbling 1-hour counts per event type with a 2-hour watermark: late
+    * events beyond the watermark are dropped, windows finalize and emit
+    * once (append mode). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Session windows per user (30-minute gap), streaming form of the batch
+    * q15 gate query. */
+  def sessionized(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n_events"), col("session_value"))
+
+  /** Idempotent warehouse sink: every micro-batch goes through the SCD-0
+    * anti-join merge keyed on event_id, so replays/overlaps never double-
+    * insert — the reference's at-least-once + idempotent-sink contract
+    * (`main.py:14-16` + `DB_manager.py:157-177`) in streaming form. */
+  def scd0Sink(events: DataFrame, warehousePath: String,
+      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Scd0.mergeAppend(batch, warehousePath, "event_id"): Unit
+      }
+      .start()
+
+  /** Custom keyed state: running per-user totals emitted on every update —
+    * `flatMapGroupsWithState` with explicit state, the primitive behind
+    * everything the built-in windows can't express. */
+  def runningTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events.selectExpr("event_id", "user_id", "value").as[E]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[E], state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          val batch = rows.toSeq
+          val n = n0 + batch.size
+          val v = v0 + batch.map(_.value).sum
+          state.update((n, v))
+          Iterator((user, n, v))
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
+}
