@@ -29,16 +29,32 @@ object Dedup {
     * reproducible in any engine with md5 (used by the oracle gate). A
     * faster Spark-native variant would use xxhash64; the md5 form is kept
     * as the portable default. */
+  /** Shingles as rows: posexplode tokens, window-lead the next
+    * (width-1) tokens — avoids the interpreted per-element HOF transform
+    * of the array form; one shuffle on id. */
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val parts = col("tok") +: (1 until shingleWidth).map(i => lead(col("tok"), i).over(w))
+    df.select(col(idCol).as("id"),
+        posexplode(TextOps.tokenize(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("sh", when(parts.last.isNotNull, concat_ws(" ", parts: _*)))
+      .filter(col("sh").isNotNull)
+      .select(col("id"), col("sh"))
+  }
+
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, shingleWidth: Int = 3): DataFrame = {
-    val toks = TextOps.tokenize(col(textCol))
-    val sh = TextOps.shingles(toks, shingleWidth)
-    val seeds = explode(sequence(lit(0), lit(numHashes - 1))).as("seed")
-    df.select(col(idCol).as("id"), sh.as("sh"))
-      .select(col("id"), col("sh"), seeds)
-      .select(col("id"), col("seed"),
-        array_min(transform(col("sh"),
-          s => md5(concat(s, lit("#"), col("seed"))))).as("mh"))
+    // shingle rows, then numHashes codegen'd min-aggregates (a per-seed
+    // HOF transform would run interpreted per element — ~10× slower);
+    // map-side partial min keeps the shuffle at numHashes values per doc
+    val rows = shingleRows(df, idCol, textCol, shingleWidth)
+    val aggs = (0 until numHashes).map { s =>
+      min(md5(concat(col("sh"), lit(s"#$s")))).as(s"mh$s")
+    }
+    val wide = rows.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val stack = (0 until numHashes).map(s => s"$s, mh$s").mkString(", ")
+    wide.selectExpr("id", s"stack($numHashes, $stack) AS (seed, mh)")
       .filter(col("mh").isNotNull) // docs shorter than the shingle width
   }
 

@@ -18,17 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two numeric array columns, computed in double. */
+  /** Dot product of two float-array columns, in double: codegen'd native
+    * expression ([[graft.functions.DotProductF]]); same sequential fold as
+    * the HOF form ([[dotHof]]), so results are bit-identical. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dot_f(a, b)
+
+  /** Reference HOF implementation (interpreted; kept for cross-checking the
+    * native kernel in tests). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  /** L2 norm of a numeric array column, in double. */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(
-      transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  /** L2 norm of a float-array column, in double. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity of two numeric array columns, in double. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
@@ -43,10 +47,14 @@ object Similarity {
     * window shuffles only (qid, id, sim) triples, never the vectors.
     */
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val joined = vectors.crossJoin(broadcast(queries))
+    // norms once per vector, not once per pair: cosine = dot/(norm·qnorm)
+    // is the same arithmetic (sqrt of the same sums), just hoisted
+    val v = vectors.withColumn("norm", l2Norm(col("vec")))
+    val q = queries.withColumn("qnorm", l2Norm(col("qvec")))
+    val joined = v.crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"),
-        cosine(col("vec"), col("qvec")).as("sim"))
+        (dot(col("vec"), col("qvec")) / (col("norm") * col("qnorm"))).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -57,23 +65,25 @@ object Similarity {
     * detection. O(n²) pairs: correct-but-small-scale baseline; at 100 TB use
     * [[lshCandidates]] to block first. */
   def nearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
-    val a = vectors.select(col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = vectors.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    val withNorm = vectors.withColumn("norm", l2Norm(col("vec")))
+    val a = withNorm.select(col("id").as("id_a"), col("vec").as("vec_a"), col("norm").as("norm_a"))
+    val b = withNorm.select(col("id").as("id_b"), col("vec").as("vec_b"), col("norm").as("norm_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("sim"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b"))).as("sim"))
       .filter(col("sim") > threshold)
   }
 
   /** Deterministic pseudo-random hyperplanes (fixed seed: reproducible runs,
     * identical plans across executors). */
-  private[graft] def planes(nTables: Int, bitsPerTable: Int, dim: Int): Seq[Seq[Array[Double]]] = {
+  private[graft] def planes(nTables: Int, bitsPerTable: Int, dim: Int): Seq[Seq[Array[Float]]] = {
     val rng = new scala.util.Random(42L)
-    Seq.fill(nTables)(Seq.fill(bitsPerTable)(Array.fill(dim)(rng.nextGaussian())))
+    Seq.fill(nTables)(Seq.fill(bitsPerTable)(Array.fill(dim)(rng.nextGaussian().toFloat)))
   }
 
   /** Sign-random-projection signature: one integer per table whose bits are
     * `sign(vec · plane_b)`. Vectors with high cosine agree on most bits. */
-  private def signature(vec: Column, tablePlanes: Seq[Array[Double]]): Column =
+  private def signature(vec: Column, tablePlanes: Seq[Array[Float]]): Column =
     tablePlanes.zipWithIndex.map { case (p, i) =>
       when(dot(vec, typedlit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ↔ Expression bridge. Spark 4 scopes `ExpressionUtils` (and the
+  * pre-4 `Column(expr)` constructor) to `private[sql]`; custom native
+  * expressions need exactly these two conversions, so this object lives in
+  * the sql package to re-export them — the standard extension-library
+  * pattern.
+  */
+object Bridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -7,6 +7,17 @@ import graft.SparkSpec
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("native dot kernel is bit-identical to the HOF reference") {
+    val v = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("embedding").as("a"))
+    val paired = v.withColumn("b", reverse(col("a")))
+    val diff = paired.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.isEmpty)
+  }
+
   test("cosine kernel: known vectors") {
     val df = Seq(
       (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), 1.0),
