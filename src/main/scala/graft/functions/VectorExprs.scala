@@ -78,5 +78,5 @@ object VectorFunctions {
   /** Register SQL-facing names (`SELECT dot_f(a, b)`). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_f", exprs => DotProductF(exprs(0), exprs(1)), "builtin")
+      "dot_f", exprs => DotProductF(exprs(0), exprs(1)), "scala_udf")
 }

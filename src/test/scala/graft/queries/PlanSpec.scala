@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Physical-plan quality gates: these are the properties that decide
+  * whether the same code survives a 100 TB cluster — filters reaching the
+  * parquet scan, projection pruning the read schema, dimensions broadcast
+  * instead of shuffled, the native kernel staying inside codegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Final physical plan (post-AQE: run the query first). */
+  private def planOf(df: DataFrame): String = {
+    df.count()
+    val qe = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution
+    qe.executedPlan.toString
+  }
+
+  test("q1: shipdate filter is pushed to the parquet scan") {
+    val p = planOf(Relational.q1Agg(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q1: read schema is pruned to the referenced columns") {
+    val p = planOf(Relational.q1Agg(spark, sf))
+    assert(!p.contains("l_partkey"), "scan reads unused column l_partkey")
+    assert(!p.contains("l_suppkey"), "scan reads unused column l_suppkey")
+  }
+
+  test("q3: star-join dimensions broadcast; fact is never shuffled for the join") {
+    val p = planOf(Relational.q3NationRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "dimension join degraded to SMJ")
+  }
+
+  test("q5: SCD-0 anti-join picks a broadcast LeftAnti") {
+    val p = planOf(Relational.q5AntiJoin(spark, sf))
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q10: equality + range predicates both pushed") {
+    val p = planOf(Relational.q10FilterProject(spark, sf))
+    assert(p.contains("EqualTo(p_brand,Brand#1)"), p)
+    assert(p.contains("GreaterThanOrEqual(p_size,30)"), p)
+  }
+
+  test("q20: native dot-product kernel in plan; top-k pushed into WindowGroupLimit") {
+    val p = planOf(Embeddings.q20EmbedTopK(spark, sf))
+    assert(p.contains("dotproductf"), p)
+    // rank<=k is executed as partial+final WindowGroupLimit, so only k rows
+    // per group ever reach the window sort — the property that makes
+    // brute-force top-k viable at scale
+    assert(p.contains("WindowGroupLimit"), p)
+    // norms hoisted: computed in the scan-side Projects, not per pair
+    assert(p.contains("SQRT(dotproductf"), p)
+  }
+
+  test("q14: JSON extraction keeps aggregation partial (map-side combine)") {
+    val p = planOf(Events.q14JsonProps(spark, sf))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+}
