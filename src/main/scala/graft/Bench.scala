@@ -16,14 +16,17 @@ object Bench {
     val spark = GraftSession.local("graft-bench", cpus)
 
     val headline = Registry.all.filter(_.bench)
+    // noop sink: full materialization of every output row — a bare count()
+    // would let Catalyst prune the projections being measured
+    def run(g: graft.queries.Gated, dir: String): Unit =
+      g.df(spark, dir).write.mode("overwrite").format("noop").save()
     // warm-up: JIT + codegen cache + parquet footer cache, on the smallest sf
     headline.foreach { g =>
-      try g.df(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+      try run(g, "/root/testdata/sf0.001") catch { case _: Throwable => () }
     }
     val results = headline.map { g =>
       val t0 = System.nanoTime()
-      try { g.df(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(g, sfDir) catch { case _: Throwable => () }
       g.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join (the generalization of the reference's latest-price lookup,
+  * SURVEY §2.3 note): for each left row, attach the latest right row with
+  * `rightTime <= leftTime` (or `<` when strict) within the same keys.
+  *
+  * Implemented as tag → union → one window pass (`last(..., ignoreNulls)`)
+  * instead of a range join: a single shuffle on the keys, a single sort by
+  * time — the plan scales like any windowed aggregation and never
+  * materializes candidate pairs. (Preference order per SURVEY §7.3: this is
+  * "compose existing ops"; no custom SparkPlan needed.)
+  */
+object AsOf {
+
+  /** @param keys        equality keys present on both sides
+    * @param leftTime    event-time column on `left`
+    * @param rightTime   event-time column on `right`
+    * @param rightTieBreak extra right-side ordering columns to make the
+    *                    chosen row deterministic under time ties
+    * @param strict      false → `rightTime <= leftTime`; true → strict `<`
+    * @return left rows + struct column `asof` with the matched right row
+    *         (null when no prior right row exists)
+    */
+  def joinPrior(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightTieBreak: Seq[String] = Nil,
+      strict: Boolean = false): DataFrame = {
+    val lSchema = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val rSchema = org.apache.spark.sql.types.StructType(right.schema.fields)
+    // side ordering at equal times decides <= vs < : right rows sort before
+    // the left row → visible in the (-∞, -1] frame → inclusive
+    val rOrd = if (strict) 2 else 0
+    // tie-break keeps native column types (a string cast would order
+    // numeric ids lexicographically); struct ordering is field-wise
+    val tieSchema = org.apache.spark.sql.types.StructType(
+      rightTieBreak.map(c => right.schema(c)))
+    val rTie =
+      if (rightTieBreak.isEmpty) lit(0) else struct(rightTieBreak.map(col): _*)
+    val lTie =
+      if (rightTieBreak.isEmpty) lit(0) else lit(null).cast(tieSchema)
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"), lit(rOrd).as("__o"), rTie.as("__tie"),
+        struct(right.columns.map(col): _*).as("__r"),
+        lit(null).cast(lSchema).as("__l")): _*)
+    val lTagged = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("__t"), lit(1).as("__o"), lTie.as("__tie"),
+        lit(null).cast(rSchema).as("__r"),
+        struct(left.columns.map(col): _*).as("__l")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__o"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rTagged.union(lTagged)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__l").isNotNull)
+      .select(col("__l.*"), col("__asof").as("asof"))
+  }
+}

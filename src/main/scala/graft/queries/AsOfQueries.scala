@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.AsOf
+
+/** As-of join gate query: attribute each purchase event to the user's most
+  * recent prior non-purchase event. The oracle replicates the union/window
+  * formulation in a single SQL window pass (deterministic tie-breaks on
+  * (ts, side, event_id)).
+  */
+object AsOfQueries {
+
+  def q31AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val others = e.filter(col("event_type") =!= "purchase")
+      .select("event_id", "user_id", "ts", "event_type")
+    AsOf.joinPrior(purchases, others, Seq("user_id"), "ts", "ts",
+        rightTieBreak = Seq("event_id"))
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("asof.event_id").as("prior_id"),
+        col("asof.event_type").as("prior_type"))
+      .orderBy(col("event_id"))
+  }
+
+  val q31AsofJoinSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, event_type
+      |  FROM events),
+      |m AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+      |      OVER w AS prior_id,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER w AS prior_type
+      |  FROM e
+      |  WINDOW w AS (
+      |    PARTITION BY user_id
+      |    ORDER BY ts,
+      |      CASE WHEN event_type <> 'purchase' THEN 0 ELSE 1 END,
+      |      event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  prior_id, prior_type
+      |FROM m WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+}

@@ -38,6 +38,7 @@ object Registry {
     Gated("q28_cube",          Stats.q28Cube, Some(Stats.q28CubeSql)),
     Gated("q29_distinct_agg",  Stats.q29DistinctAgg, Some(Stats.q29DistinctAggSql)),
     Gated("q30_moments",       Stats.q30Moments, Some(Stats.q30MomentsSql)),
+    Gated("q31_asof_join",     AsOfQueries.q31AsofJoin, Some(AsOfQueries.q31AsofJoinSql)),
   )
 
   def byName(name: String): Gated = all.find(_.name == name).get
