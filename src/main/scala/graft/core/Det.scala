@@ -28,4 +28,20 @@ object Det {
 
   /** Deterministic mean: exact decimal sum, then one double division. */
   def davg(c: Column): Column = sum(c.cast(D)).cast("double") / count(lit(1))
+
+  // Integer-cents variants: ~10× cheaper than decimal aggregation in hot
+  // paths. round(x*100) is exact for 2-decimal inputs; the long sum is
+  // order-independent; the final long→double conversion is one correctly-
+  // rounded IEEE op in any engine. Long overflow at extreme scale would
+  // throw under ANSI mode (never silently corrupt) — use the decimal forms
+  // above when magnitudes approach 2^63/1e4.
+
+  /** Exact cents sum of a 2-decimal double column, as double units. */
+  def centsSum(c: Column): Column =
+    sum(round(c * 100).cast("long")).cast("double") / 100.0
+
+  /** Σ price·(1−discount) with both at 2 decimals: fixed-point 1e-4. */
+  def revenueSum(price: Column, discount: Column): Column =
+    sum(round(price * 100).cast("long") *
+      (lit(100L) - round(discount * 100).cast("long"))).cast("double") / 10000.0
 }

@@ -28,10 +28,11 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).cast("double").as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsumProd(col("l_extendedprice"), lit(1) - col("l_discount")).as("sum_disc_price"),
-        davg(col("l_quantity")).as("avg_qty"),
-        davg(col("l_extendedprice")).as("avg_price"),
+        centsSum(col("l_extendedprice")).as("sum_base_price"),
+        revenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        (sum(col("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double") /
+          (lit(100.0) * count(lit(1)))).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -39,10 +40,10 @@ object Relational {
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+      |  CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_price,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
@@ -58,14 +59,14 @@ object Relational {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"))
-      .agg(dsumProd(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+      .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
 
   val q2TopkRevenueSql: String =
     """SELECT l_orderkey,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -88,14 +89,14 @@ object Relational {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        dsumProd(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"),
+        revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
   }
 
   val q3NationRevenueSql: String =
     """SELECT r_name, n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -201,29 +202,31 @@ object Relational {
     val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
     val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
       .rowsBetween(-29, 0)
+    // exact integer-cents window sums: prices carry 2 decimals, so
+    // round(x*100) is exact; long adds are ~10× cheaper than decimal in
+    // the sliding frame, and the final double ops are engine-identical
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val mean30 = sum(cents).over(w).cast("double") /
+      (lit(100.0) * count(lit(1)).over(w))
     l.select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
         col("l_extendedprice"),
-        (sum(col("l_extendedprice").cast("decimal(18,4)")).over(w).cast("double") /
-          count(lit(1)).over(w)).as("mean_30"),
-        // plain double subtraction: both operands are bit-identical across
-        // engines (exact input, exact-decimal-sum-derived mean), so the
-        // single IEEE subtract is too — no decimal re-round.
-        (col("l_extendedprice") -
-          sum(col("l_extendedprice").cast("decimal(18,4)")).over(w).cast("double") /
-            count(lit(1)).over(w)).as("dif_mean"))
+        mean30.as("mean_30"),
+        // plain double subtraction: both operands bit-identical across
+        // engines, so the single IEEE subtract is too
+        (col("l_extendedprice") - mean30).as("dif_mean"))
       .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
   }
 
   val q8RollingMeanSql: String =
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date, l_extendedprice,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
-      |    / COUNT(*) OVER w AS mean_30,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER w AS DOUBLE)
+      |    / (100.0 * COUNT(*) OVER w) AS mean_30,
       |  l_extendedprice -
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
-      |      / COUNT(*) OVER w AS dif_mean
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER w AS DOUBLE)
+      |      / (100.0 * COUNT(*) OVER w) AS dif_mean
       |FROM lineitem
       |WINDOW w AS (
       |  PARTITION BY l_suppkey
