@@ -1,0 +1,61 @@
+package graft
+
+import graft.etl.{StateStore, Transforms}
+import graft.warehouse.Scd0
+
+/** Property-style invariants (SURVEY §5.2 item 4) over seeded random
+  * inputs: SCD-0 merge idempotence and key uniqueness, watermark
+  * monotonicity, stock_key format round-trip. (Plain seeded sampling — the
+  * scalatest/scalacheck bridge artifact isn't in the offline cache.)
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(42)
+
+  private def randKeys(): List[String] =
+    List.fill(rng.nextInt(20))(rng.nextInt(30).toString)
+
+  test("scd0: merge is idempotent, keys unique, batch fully represented") {
+    (1 to 10).foreach { _ =>
+      val whKeys = randKeys(); val batchKeys = randKeys()
+      val wh = whKeys.distinct.map(k => (k, s"wh-$k")).toDF("k", "v")
+      val batch = batchKeys.map(k => (k, s"b-$k")).toDF("k", "v")
+      val merged = wh.union(Scd0.newRows(batch, wh, "k"))
+      assert(Scd0.newRows(batch, merged, "k").isEmpty)            // idempotent
+      assert(merged.count() === merged.select("k").distinct().count()) // unique
+      val missing = batch.select("k").distinct()
+        .join(merged.select("k"), Seq("k"), "left_anti")
+      assert(missing.isEmpty)                                      // complete
+    }
+  }
+
+  test("state: watermark is monotone under any update sequence") {
+    (1 to 5).foreach { _ =>
+      val updates = List.fill(5)(f"2024-01-${rng.nextInt(28) + 1}%02d")
+      val st = new StateStore(spark, tmpDir("prop-state") + "/s.json")
+      var high = StateStore.Sentinel
+      updates.foreach { d =>
+        st.advance("Stock", "T", d)
+        high = if (d > high) d else high
+        assert(st.watermark("Stock", "T") === high)
+      }
+    }
+  }
+
+  test("stock_key round-trips to (date, ticker) and fits VARCHAR(20)") {
+    (1 to 10).foreach { _ =>
+      val ticker = List.fill(rng.nextInt(6) + 1)(
+        ('A' + rng.nextInt(26)).toChar).mkString
+      val date = f"2024-03-${rng.nextInt(28) + 1}%02d"
+      val raw = Seq((date, 1.0, 2.0, 0.5, 1.5, 1.4, 100L))
+        .toDF("date", "open", "high", "low", "close", "adjusted_close", "volume")
+      val out = Transforms.transformStock(raw, ticker).collect().head
+      val key = out.getAs[String]("stock_key")
+      assert(key === s"$date/$ticker")
+      assert(key.length <= 20)
+      val Array(d2, t2) = key.split("/")
+      assert(d2 === date && t2 === ticker)
+    }
+  }
+}
