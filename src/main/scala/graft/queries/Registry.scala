@@ -39,6 +39,7 @@ object Registry {
     Gated("q29_distinct_agg",  Stats.q29DistinctAgg, Some(Stats.q29DistinctAggSql)),
     Gated("q30_moments",       Stats.q30Moments, Some(Stats.q30MomentsSql)),
     Gated("q31_asof_join",     AsOfQueries.q31AsofJoin, Some(AsOfQueries.q31AsofJoinSql)),
+    Gated("q32_percentiles",   Stats.q32Percentiles, Some(Stats.q32PercentilesSql)),
   )
 
   def byName(name: String): Gated = all.find(_.name == name).get

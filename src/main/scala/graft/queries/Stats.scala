@@ -78,6 +78,32 @@ object Stats {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Exact interpolated percentiles per group (both engines implement the
+    * standard (n−1)·p linear interpolation; inputs are integer-valued
+    * doubles, so results are exact). */
+  def q32Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_quantity, array(0.25, 0.75))").as("iqr_qty"))
+      .select(col("l_returnflag"), col("median_qty"), col("p90_qty"),
+        col("iqr_qty").getItem(0).as("p25_qty"),
+        col("iqr_qty").getItem(1).as("p75_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q32PercentilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  quantile_cont(l_quantity, 0.25) AS p25_qty,
+      |  quantile_cont(l_quantity, 0.75) AS p75_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val q30MomentsSql: String =
     """WITH g AS (
       |  SELECT l_returnflag, COUNT(*) AS n,
