@@ -108,6 +108,87 @@ object Similarity {
       .filter(col("sim") > threshold)
   }
 
+  // ---- IVF (inverted-file) ANN: the partition-pruned scale path --------
+
+  /** Lloyd-refined centroids from a deterministic seed sample. All steps
+    * are DataFrame ops: assignment is an argmin over a broadcast centroid
+    * table (min over (dist, cid) structs — deterministic tie-break), the
+    * update step averages per (cid, dim) via posexplode and rebuilds the
+    * arrays. Returns (cid, cvec: array<float>). */
+  def trainCentroids(vectors: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    // farthest-point init: k driver rounds, each one distributed argmax of
+    // distance-to-nearest-chosen — deterministic and spread across real
+    // clusters (naive lowest-id seeding collapses into one cluster). For
+    // very large k, replace with a sampled init; Lloyd refinement is
+    // unchanged.
+    val spark = vectors.sparkSession
+    def sq(c: Seq[Float]): Double = c.map(x => x.toDouble * x).sum
+    var chosen = Vector(
+      vectors.orderBy(col("id")).limit(1).select(col("vec"))
+        .collect().head.getSeq[Float](0))
+    while (chosen.size < k) {
+      val minDist = chosen.map { c =>
+        dot(col("vec"), col("vec")) -
+          lit(2.0) * dot(col("vec"), typedlit(c)) + lit(sq(c))
+      }.reduce(least(_, _))
+      chosen = chosen :+ vectors
+        .select(col("id"), col("vec"), minDist.as("d"))
+        .orderBy(col("d").desc, col("id")).limit(1)
+        .select(col("vec")).collect().head.getSeq[Float](0)
+    }
+    import spark.implicits._
+    val seed = chosen.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("cid", "cvec")
+    (0 until iters).foldLeft(seed) { (cents, _) =>
+      val assigned = assign(vectors, cents)
+      assigned.join(vectors, "id")
+        .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m").cast("float")).as("cvec"))
+    }
+  }
+
+  /** Nearest-centroid assignment: (id, cid). Centroids broadcast; argmin
+    * via min over (negDot, cid) structs (unit-ish data: max dot ≈ min
+    * distance; deterministic tie-break on cid). */
+  private def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(centroids))
+      .select(col("id"),
+        struct((-dot(col("vec"), col("cvec"))).as("d"), col("cid")).as("dc"))
+      .groupBy(col("id"))
+      .agg(min(col("dc")).getField("cid").as("cid"))
+
+  /** IVF top-k: vectors are bucketed by nearest centroid once (build
+    * side); each query probes its `nprobe` nearest centroids and reranks
+    * exactly inside those buckets only — candidate count drops from |V| to
+    * |V|·nprobe/k, and the bucket join replaces the cross join. */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+      centroids: DataFrame, nprobe: Int = 2): DataFrame = {
+    val buckets = assign(vectors, centroids)
+      .join(vectors, "id")
+      .withColumn("norm", l2Norm(col("vec")))
+    val qAssign = queries.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qvec"),
+        struct((-dot(col("qvec"), col("cvec"))).as("d"), col("cid")).as("dc"))
+    val probeW = Window.partitionBy(col("qid")).orderBy(col("dc"))
+    val probes = qAssign.withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("dc.cid").as("cid"),
+        l2Norm(col("qvec")).as("qnorm"))
+    val cand = buckets.join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        (dot(col("vec"), col("qvec")) / (col("norm") * col("qnorm"))).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("id"), col("sim"))
+  }
+
   /** Approximate top-k via LSH tables: candidates = vectors sharing any
     * table signature with the query; exact cosine re-rank within them. */
   def lshTopK(vectors: DataFrame, queries: DataFrame, k: Int,

@@ -82,6 +82,17 @@ object Embeddings {
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 
+  /** IVF ANN: Lloyd-trained centroids, nprobe-pruned exact rerank (rows-
+    * only gate; recall asserted on clustered fixtures in the test suite). */
+  def q35AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val q = v.filter(col("id") < 3).select(col("id").as("qid"), col("vec").as("qvec"))
+    val cents = Similarity.trainCentroids(v, k = 16, iters = 2)
+    Similarity.ivfTopK(v, q, 10, cents, nprobe = 4)
+      .withColumnRenamed("id", "neighbor_id")
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH (the scale path). Not
     * SQL-expressible — gated by the rows-only check; recall vs the exact
     * baseline is asserted in the test suite. */

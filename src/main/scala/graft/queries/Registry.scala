@@ -40,6 +40,9 @@ object Registry {
     Gated("q30_moments",       Stats.q30Moments, Some(Stats.q30MomentsSql)),
     Gated("q31_asof_join",     AsOfQueries.q31AsofJoin, Some(AsOfQueries.q31AsofJoinSql)),
     Gated("q32_percentiles",   Stats.q32Percentiles, Some(Stats.q32PercentilesSql)),
+    Gated("q33_correlated_agg", Q17.q33SmallQtyRevenue, Some(Q17.q33SmallQtyRevenueSql)),
+    Gated("q34_token_counts",  Q17.q34TokenCounts, Some(Q17.q34TokenCountsSql)),
+    Gated("q35_ann_ivf",       Embeddings.q35AnnIvf, None),
   )
 
   def byName(name: String): Gated = all.find(_.name == name).get

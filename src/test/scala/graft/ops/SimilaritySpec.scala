@@ -60,6 +60,30 @@ class SimilaritySpec extends SparkSpec {
     assert((bf intersect lsh).size >= 4, s"recall too low: $lsh")
   }
 
+  test("IVF: clustered data recalls planted neighbors with pruned probes") {
+    // 4 well-separated clusters of 12 vectors each
+    val rng = new scala.util.Random(3)
+    val centers = Seq.fill(4)(Array.fill(64)(rng.nextGaussian().toFloat * 5))
+    val pts = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 12
+    } yield ((ci * 100 + j).toLong,
+      c.map(x => x + rng.nextGaussian().toFloat * 0.1f).toSeq)
+    val v = pts.toDF("id", "vec")
+    val q = v.filter(col("id") % 100 === 0)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val cents = Similarity.trainCentroids(v, 4, iters = 2)
+    assert(cents.count() === 4)
+    val ivf = Similarity.ivfTopK(v, q, 5, cents, nprobe = 1)
+      .select("qid", "id").as[(Long, Long)].collect()
+    // every neighbor comes from the query's own cluster
+    assert(ivf.nonEmpty && ivf.forall { case (qid, id) => id / 100 == qid / 100 })
+    val bf = Similarity.bruteForceTopK(v, q, 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = ivf.count(bf.contains).toDouble / bf.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("near-dup pairs: threshold filters and i<j ordering") {
     val pairs = Similarity.nearDupPairs(planted(), 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect()
