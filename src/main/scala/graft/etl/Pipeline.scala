@@ -17,16 +17,29 @@ trait QuoteSource {
   def symbols(exchange: String): DataFrame
 }
 
+/** Typed source errors with the reference's user-facing messages
+  * (`API_manager.py:61-65`: "Ticker Not Found." / "Exchange Not Found."). */
+final class TickerNotFound(val ticker: String)
+  extends RuntimeException("Ticker Not Found.")
+final class ExchangeNotFound(val exchange: String)
+  extends RuntimeException("Exchange Not Found.")
+
 /** File-backed source: `dir/eod/<TICKER>.json`, `dir/symbols/<EXCHANGE>.json`. */
 class JsonDirSource(spark: SparkSession, dir: String) extends QuoteSource {
   // multiLine: fixture files are literal API response bodies (JSON arrays)
-  def eod(ticker: String, fromDate: String): DataFrame =
+  def eod(ticker: String, fromDate: String): DataFrame = {
+    if (!new java.io.File(s"$dir/eod/$ticker.json").exists())
+      throw new TickerNotFound(ticker)
     spark.read.schema(Schemas.eodRaw).option("multiLine", true)
       .json(s"$dir/eod/$ticker.json")
       .filter(col("date") >= lit(fromDate)) // source-side pushdown analog
-  def symbols(exchange: String): DataFrame =
+  }
+  def symbols(exchange: String): DataFrame = {
+    if (!new java.io.File(s"$dir/symbols/$exchange.json").exists())
+      throw new ExchangeNotFound(exchange)
     spark.read.schema(Schemas.marketRaw).option("multiLine", true)
       .json(s"$dir/symbols/$exchange.json")
+  }
 }
 
 /** End-to-end pipeline orchestrator (reference `main.py:49-102`):

@@ -68,6 +68,25 @@ object EventsStream {
       }
       .start()
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * view events from the preceding hour. Watermarks on both sides bound
+    * the join state (Spark drops buffered rows older than watermark −
+    * interval), which is what makes a stream-stream join runnable
+    * indefinitely at scale. */
+  def purchaseViewJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    purchases.join(views,
+      expr("""v_user = user_id AND
+              v_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"""))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("v_id"), col("v_ts"))
+  }
+
   /** Custom keyed state: running per-user totals emitted on every update —
     * `flatMapGroupsWithState` with explicit state, the primitive behind
     * everything the built-in windows can't express. */

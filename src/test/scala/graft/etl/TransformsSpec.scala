@@ -45,4 +45,11 @@ class TransformsSpec extends SparkSpec {
     assert(source.eod("AAPL", "2024-06-05").count() === 1)
     assert(source.eod("AAPL", "2024-06-06").isEmpty)
   }
+
+  test("unknown ticker/exchange raise the reference's error messages") {
+    val te = intercept[TickerNotFound](source.eod("NOPE", "1990-01-01"))
+    assert(te.getMessage === "Ticker Not Found.")
+    val ee = intercept[ExchangeNotFound](source.symbols("NYSEX"))
+    assert(ee.getMessage === "Exchange Not Found.")
+  }
 }

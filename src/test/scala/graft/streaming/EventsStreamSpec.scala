@@ -54,6 +54,23 @@ class EventsStreamSpec extends SparkSpec {
     assert(loaded.select("event_id").distinct().count() === n)
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val (dir, batch) = mkSource()
+    val q = EventsStream.purchaseViewJoin(EventsStream.read(spark, dir))
+      .writeStream.format("memory").queryName("pv")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("pv").count()
+    val p = batch.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val v = batch.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val expected = p.join(v,
+      expr("v_user = user_id AND v_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts")).count()
+    assert(got === expected)
+    assert(got > 0)
+  }
+
   test("flatMapGroupsWithState running totals accumulate across batches") {
     val (dir, batch) = mkSource()
     val q = EventsStream.runningTotals(spark, EventsStream.read(spark, dir))
