@@ -115,26 +115,36 @@ object Similarity {
     * table (min over (dist, cid) structs — deterministic tie-break), the
     * update step averages per (cid, dim) via posexplode and rebuilds the
     * arrays. Returns (cid, cvec: array<float>). */
-  def trainCentroids(vectors: DataFrame, k: Int, iters: Int = 2): DataFrame = {
-    // farthest-point init: k driver rounds, each one distributed argmax of
+  def trainCentroids(vectors: DataFrame, k: Int, iters: Int = 2,
+      init: String = "farthest"): DataFrame = {
+    // init = "farthest": k driver rounds, each one distributed argmax of
     // distance-to-nearest-chosen — deterministic and spread across real
-    // clusters (naive lowest-id seeding collapses into one cluster). For
-    // very large k, replace with a sampled init; Lloyd refinement is
-    // unchanged.
+    // clusters (naive lowest-id seeding collapses into one cluster), but
+    // k sequential jobs. init = "sample": one job, deterministic hash-
+    // ordered pseudo-random sample — the right default for large k where
+    // Lloyd refinement does the spreading.
     val spark = vectors.sparkSession
     def sq(c: Seq[Float]): Double = c.map(x => x.toDouble * x).sum
-    var chosen = Vector(
-      vectors.orderBy(col("id")).limit(1).select(col("vec"))
-        .collect().head.getSeq[Float](0))
-    while (chosen.size < k) {
-      val minDist = chosen.map { c =>
-        dot(col("vec"), col("vec")) -
-          lit(2.0) * dot(col("vec"), typedlit(c)) + lit(sq(c))
-      }.reduce(least(_, _))
-      chosen = chosen :+ vectors
-        .select(col("id"), col("vec"), minDist.as("d"))
-        .orderBy(col("d").desc, col("id")).limit(1)
-        .select(col("vec")).collect().head.getSeq[Float](0)
+    val chosen: Vector[Seq[Float]] = init match {
+      case "sample" =>
+        vectors.orderBy(pmod(xxhash64(col("id")), lit(1000003L)), col("id"))
+          .limit(k).select(col("vec"))
+          .collect().map(_.getSeq[Float](0)).toVector
+      case _ =>
+        var acc = Vector(
+          vectors.orderBy(col("id")).limit(1).select(col("vec"))
+            .collect().head.getSeq[Float](0))
+        while (acc.size < k) {
+          val minDist = acc.map { c =>
+            dot(col("vec"), col("vec")) -
+              lit(2.0) * dot(col("vec"), typedlit(c)) + lit(sq(c))
+          }.reduce(least(_, _))
+          acc = acc :+ vectors
+            .select(col("id"), col("vec"), minDist.as("d"))
+            .orderBy(col("d").desc, col("id")).limit(1)
+            .select(col("vec")).collect().head.getSeq[Float](0)
+        }
+        acc
     }
     import spark.implicits._
     val seed = chosen.zipWithIndex

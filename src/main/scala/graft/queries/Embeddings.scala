@@ -87,7 +87,7 @@ object Embeddings {
   def q35AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
     val q = v.filter(col("id") < 3).select(col("id").as("qid"), col("vec").as("qvec"))
-    val cents = Similarity.trainCentroids(v, k = 16, iters = 2)
+    val cents = Similarity.trainCentroids(v, k = 16, iters = 2, init = "sample")
     Similarity.ivfTopK(v, q, 10, cents, nprobe = 4)
       .withColumnRenamed("id", "neighbor_id")
       .orderBy(col("qid"), col("rank"))
