@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Det, Tables}
+
+/** Breadth queries: string-function surface, outer-join histogram (TPC-H
+  * Q13 shape), disjunctive predicate pushdown (Q19 shape), null semantics.
+  */
+object Breadth {
+
+  /** String scalar functions over part names. */
+  def q36StringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    p.select(
+        col("p_partkey"),
+        upper(col("p_name")).as("u"),
+        substring(col("p_name"), 1, 5).as("s5"),
+        length(col("p_name")).cast("long").as("len"),
+        regexp_replace(col("p_name"), "[aeiou]", "*").as("devowel"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_pad"),
+        col("p_name").like("%a%").as("has_a"),
+        reverse(col("p_name")).as("rev"),
+        split_part(col("p_name"), lit("a"), lit(1)).as("before_a"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q36StringFuncsSql: String =
+    """SELECT p_partkey,
+      |  upper(p_name) AS u,
+      |  substr(p_name, 1, 5) AS s5,
+      |  CAST(length(p_name) AS BIGINT) AS len,
+      |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS devowel,
+      |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad,
+      |  p_name LIKE '%a%' AS has_a,
+      |  reverse(p_name) AS rev,
+      |  split_part(p_name, 'a', 1) AS before_a,
+      |  concat_ws('|', p_brand, p_type) AS brand_type
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Customer-order-count distribution (TPC-H Q13 shape): LEFT OUTER join
+    * so zero-order customers appear; COUNT(col) skips their null keys. */
+  def q37Custdist(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q37CustdistSql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Disjunctive join predicate (TPC-H Q19 shape): OR-of-conjunctions over
+    * both sides; Catalyst extracts the common-side filters for pushdown. */
+  def q38Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20)) ||
+        (col("p_size") >= 40 && col("l_quantity") > 30))
+      .agg(
+        Det.revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q38DisjunctiveSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_size >= 40 AND l_quantity > 30)""".stripMargin
+
+  /** Null semantics: nullif-generated nulls, COUNT(col) vs COUNT(*),
+    * null-safe grouping, coalesce, explicit NULLS FIRST ordering (the
+    * engines' defaults differ — Spark NULLS FIRST, DuckDB NULLS LAST). */
+  def q39NullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(nullif(col("o_orderstatus"), lit("P")).as("ns"),
+        col("o_totalprice"))
+      .groupBy(col("ns"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(col("ns")).as("n_nonnull"),
+        coalesce(col("ns"), lit("PENDING")).as("label"),
+        Det.centsSum(col("o_totalprice")).as("total"))
+      .select(col("ns"), col("n_total"), col("n_nonnull"), col("label"), col("total"))
+      .orderBy(col("ns").asc_nulls_first)
+  }
+
+  val q39NullSemanticsSql: String =
+    """SELECT nullif(o_orderstatus, 'P') AS ns,
+      |  COUNT(*) AS n_total,
+      |  COUNT(nullif(o_orderstatus, 'P')) AS n_nonnull,
+      |  coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS label,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+      |FROM orders
+      |GROUP BY nullif(o_orderstatus, 'P')
+      |ORDER BY ns NULLS FIRST""".stripMargin
+}

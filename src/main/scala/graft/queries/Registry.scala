@@ -43,6 +43,10 @@ object Registry {
     Gated("q33_correlated_agg", Q17.q33SmallQtyRevenue, Some(Q17.q33SmallQtyRevenueSql)),
     Gated("q34_token_counts",  Q17.q34TokenCounts, Some(Q17.q34TokenCountsSql)),
     Gated("q35_ann_ivf",       Embeddings.q35AnnIvf, None),
+    Gated("q36_string_funcs",  Breadth.q36StringFuncs, Some(Breadth.q36StringFuncsSql)),
+    Gated("q37_custdist",      Breadth.q37Custdist, Some(Breadth.q37CustdistSql)),
+    Gated("q38_disjunctive",   Breadth.q38Disjunctive, Some(Breadth.q38DisjunctiveSql)),
+    Gated("q39_null_semantics", Breadth.q39NullSemantics, Some(Breadth.q39NullSemanticsSql)),
   )
 
   def byName(name: String): Gated = all.find(_.name == name).get
