@@ -83,10 +83,14 @@ object Relational {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
+    // snowflake-collapse: pre-join the dimension chain into one enriched
+    // customer dim (tiny), so the fact stream crosses ONE broadcast
+    // exchange instead of three sequential ones
+    val dim = c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .join(broadcast(dim), o("o_custkey") === dim("c_custkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),

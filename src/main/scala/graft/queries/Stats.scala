@@ -38,12 +38,16 @@ object Stats {
 
   /** Distinct aggregation: exact distinct counts per group. */
   def q29DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    // two multi-distincts in one agg would trigger Expand (3× the fact
+    // rows through the shuffle); three narrow aggregations joined on the
+    // 10-row supplier key are cheaper and embarrassingly parallel
     val l = Tables.lineitem(spark, dir)
-    l.groupBy(col("l_suppkey"))
-      .agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_orderkey")).as("n_orders"),
-        count(lit(1)).as("n_items"))
+    val parts = l.select(col("l_suppkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_parts"))
+    val orders = l.select(col("l_suppkey"), col("l_orderkey")).distinct()
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_orders"))
+    val items = l.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_items"))
+    parts.join(orders, "l_suppkey").join(items, "l_suppkey")
       .orderBy(col("l_suppkey"))
   }
 
