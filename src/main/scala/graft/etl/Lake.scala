@@ -37,6 +37,31 @@ object Lake {
   def readStocks(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/stocks")
 
+  /** Compaction: rewrite a partitioned dataset to one file per partition
+    * directory (hash-repartition on the partition columns puts each
+    * directory's rows in a single task). The parity layout
+    * (`year/month/day/ticker`) accretes one small file per incremental
+    * append (SURVEY §7.4's small-files risk); periodic compaction restores
+    * scan efficiency without changing the directory contract. Writes to a
+    * temp sibling then swaps, so readers never see a half-compacted tree. */
+  def compact(spark: SparkSession, dir: String, partitionCols: Seq[String]): Unit = {
+    val df = spark.read.parquet(dir)
+    val tmp = dir + ".compacting"
+    df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp)
+    val fs = new java.io.File(dir)
+    val bak = new java.io.File(dir + ".old")
+    if (bak.exists()) delete(bak)
+    fs.renameTo(bak)
+    new java.io.File(tmp).renameTo(fs)
+    delete(bak): Unit
+  }
+
+  private def delete(f: java.io.File): Boolean = {
+    if (f.isDirectory) f.listFiles().foreach(delete)
+    f.delete()
+  }
+
   def readMarkets(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/markets")
 }
