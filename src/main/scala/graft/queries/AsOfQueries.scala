@@ -29,6 +29,41 @@ object AsOfQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Range join: views in the hour preceding each purchase, counted per
+    * purchase (zero-match purchases included via left join of the counts).
+    * Spark side uses the bucketed equi-join ([[graft.ops.RangeJoin]]); the
+    * oracle states the naive range predicate — same result set. */
+  def q40RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id"), col("ts").as("v_ts"))
+    val matches = graft.ops.RangeJoin
+      .intervalJoin(p, v, "user_id", "p_ts", "v_ts", 3600)
+      .groupBy(col("p_id")).agg(count(lit(1)).as("n_views"))
+    p.join(matches, Seq("p_id"), "left")
+      .select(col("p_id"), col("user_id"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"))
+      .orderBy(col("p_id"))
+  }
+
+  val q40RangeJoinSql: String =
+    """WITH p AS (
+      |  SELECT event_id AS p_id, user_id, date_trunc('microseconds', ts) AS p_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT event_id AS v_id, user_id, date_trunc('microseconds', ts) AS v_ts
+      |  FROM events WHERE event_type = 'view'),
+      |m AS (
+      |  SELECT p_id, COUNT(*) AS n_views
+      |  FROM p JOIN v USING (user_id)
+      |  WHERE v_ts >= p_ts - INTERVAL 3600 SECONDS AND v_ts <= p_ts
+      |  GROUP BY p_id)
+      |SELECT p_id, user_id, COALESCE(n_views, 0) AS n_views
+      |FROM p LEFT JOIN m USING (p_id)
+      |ORDER BY p_id""".stripMargin
+
   val q31AsofJoinSql: String =
     """WITH e AS (
       |  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, event_type

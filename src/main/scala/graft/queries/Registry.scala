@@ -47,6 +47,7 @@ object Registry {
     Gated("q37_custdist",      Breadth.q37Custdist, Some(Breadth.q37CustdistSql)),
     Gated("q38_disjunctive",   Breadth.q38Disjunctive, Some(Breadth.q38DisjunctiveSql)),
     Gated("q39_null_semantics", Breadth.q39NullSemantics, Some(Breadth.q39NullSemanticsSql)),
+    Gated("q40_range_join",    AsOfQueries.q40RangeJoin, Some(AsOfQueries.q40RangeJoinSql)),
   )
 
   def byName(name: String): Gated = all.find(_.name == name).get
