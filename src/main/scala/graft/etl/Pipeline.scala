@@ -66,7 +66,8 @@ class Pipeline(
   def runStock(ticker: String): Long = {
     val wm = state.watermark("Stock", ticker)
     val from = java.time.LocalDate.parse(wm).plusDays(1).toString // F4
-    val raw = source.eod(ticker, from)
+    val raw = graft.ops.Validate.requireSchema(
+      source.eod(ticker, from), Schemas.eodRaw) // declared-schema contract (§1.2)
     if (raw.isEmpty) return 0L // S5 empty-result short-circuit: no state move
     val prices = Transforms.transformStock(raw, ticker)
     Lake.writeStocks(prices, lakeRoot)
