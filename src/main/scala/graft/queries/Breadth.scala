@@ -87,6 +87,51 @@ object Breadth {
       |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
       |   OR (p_size >= 40 AND l_quantity > 30)""".stripMargin
 
+  /** Array aggregation: collect + distinct + sort, emitted as a joined
+    * string (array columns don't hash-compare portably across engines). */
+  def q41ArrayAgg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.groupBy(col("l_suppkey"))
+      .agg(
+        array_join(array_sort(array_distinct(collect_list(col("l_returnflag")))), ",")
+          .as("flags"),
+        size(array_distinct(collect_list(col("l_returnflag")))).cast("long")
+          .as("n_flags"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  val q41ArrayAggSql: String =
+    """SELECT l_suppkey,
+      |  array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags,
+      |  CAST(len(list(DISTINCT l_returnflag)) AS BIGINT) AS n_flags
+      |FROM lineitem
+      |GROUP BY l_suppkey
+      |ORDER BY l_suppkey""".stripMargin
+
+  /** Date arithmetic breadth: day diffs, interval add, month boundaries,
+    * ISO day-of-week (the engines' plain dayofweek numberings differ). */
+  def q42DateArith(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(
+        col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("days_since"),
+        date_format(col("o_orderdate") + expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").as("plus30"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("som"),
+        (weekday(col("o_orderdate")) + 1).cast("long").as("dow_iso"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q42DateArithSql: String =
+    """SELECT o_orderkey,
+      |  date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since,
+      |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+      |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS eom,
+      |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS som,
+      |  CAST(isodow(o_orderdate) AS BIGINT) AS dow_iso
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Null semantics: nullif-generated nulls, COUNT(col) vs COUNT(*),
     * null-safe grouping, coalesce, explicit NULLS FIRST ordering (the
     * engines' defaults differ — Spark NULLS FIRST, DuckDB NULLS LAST). */

@@ -48,6 +48,8 @@ object Registry {
     Gated("q38_disjunctive",   Breadth.q38Disjunctive, Some(Breadth.q38DisjunctiveSql)),
     Gated("q39_null_semantics", Breadth.q39NullSemantics, Some(Breadth.q39NullSemanticsSql)),
     Gated("q40_range_join",    AsOfQueries.q40RangeJoin, Some(AsOfQueries.q40RangeJoinSql)),
+    Gated("q41_array_agg",     Breadth.q41ArrayAgg, Some(Breadth.q41ArrayAggSql)),
+    Gated("q42_date_arith",    Breadth.q42DateArith, Some(Breadth.q42DateArithSql)),
   )
 
   def byName(name: String): Gated = all.find(_.name == name).get
