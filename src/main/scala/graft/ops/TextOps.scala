@@ -100,4 +100,14 @@ object TextOps {
     aggregate(toks, lit(0L),
       (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), lit(2147483647L)),
         lit(2147483647L)))
+
+  /** Engine-portable fingerprint variant: token hash from the first 8 hex
+    * chars of md5 (reproducible in any engine — the DuckDB oracle folds
+    * the same nibbles with `list_reduce`), same polynomial combine. */
+  def fingerprintMd5(toks: Column): Column =
+    aggregate(toks, lit(0L),
+      (acc, t) => pmod(
+        acc * lit(1000003L) +
+          pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(2147483647L)),
+        lit(2147483647L)))
 }

@@ -65,14 +65,28 @@ object DedupQueries {
        |FROM sums ORDER BY doc_id""".stripMargin
   }
 
-  /** Order-sensitive rolling-hash fingerprint (not SQL-expressible without
-    * recursion — rows-only gate; value correctness unit-tested). */
+  /** Order-sensitive rolling-hash fingerprint, md5-portable token hash;
+    * the oracle reproduces the fold with nested `list_reduce`. */
   def q26Fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     d.select(col("doc_id"),
-        TextOps.fingerprint(TextOps.tokenize(col("text"))).as("fingerprint"))
+        TextOps.fingerprintMd5(TextOps.tokenize(col("text"))).as("fingerprint"))
       .orderBy(col("doc_id"))
   }
+
+  val q26FingerprintSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    list_transform(string_split(text, ' '),
+      |      t -> list_reduce(list_concat([CAST(0 AS BIGINT)],
+      |             list_transform(generate_series(1, 8),
+      |               i -> CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT))),
+      |           (a, b) -> a * 16 + b) % 2147483647) AS hs
+      |  FROM documents)
+      |SELECT doc_id,
+      |  list_reduce(list_concat([CAST(0 AS BIGINT)], hs),
+      |    (a, b) -> (a * 1000003 + b) % 2147483647) AS fingerprint
+      |FROM h ORDER BY doc_id""".stripMargin
 
   /** Language ID (stopword-profile argmax) + composite quality score. */
   def q27LangQuality(spark: SparkSession, dir: String): DataFrame = {

@@ -33,7 +33,7 @@ object Registry {
     Gated("q23_ann_lsh",       Embeddings.q23AnnLsh, None),
     Gated("q24_minhash_lsh",   DedupQueries.q24MinhashLsh, Some(DedupQueries.q24MinhashLshSql)),
     Gated("q25_simhash",       DedupQueries.q25Simhash, Some(DedupQueries.q25SimhashSql)),
-    Gated("q26_fingerprint",   DedupQueries.q26Fingerprint, None),
+    Gated("q26_fingerprint",   DedupQueries.q26Fingerprint, Some(DedupQueries.q26FingerprintSql)),
     Gated("q27_lang_quality",  DedupQueries.q27LangQuality, Some(DedupQueries.q27LangQualitySql)),
     Gated("q28_cube",          Stats.q28Cube, Some(Stats.q28CubeSql)),
     Gated("q29_distinct_agg",  Stats.q29DistinctAgg, Some(Stats.q29DistinctAggSql)),

@@ -68,6 +68,14 @@ object EventsStream {
       }
       .start()
 
+  /** Streaming exact dedup: at-least-once sources deliver duplicates; this
+    * drops repeats of the same event_id with state bounded by the
+    * watermark (the streaming form of the batch `Dedup.exact`). */
+  def deduped(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-stream interval join: each purchase joined to the same user's
     * view events from the preceding hour. Watermarks on both sides bound
     * the join state (Spark drops buffered rows older than watermark −

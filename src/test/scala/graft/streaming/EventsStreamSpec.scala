@@ -54,6 +54,20 @@ class EventsStreamSpec extends SparkSpec {
     assert(loaded.select("event_id").distinct().count() === n)
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    val (dir, batch) = mkSource()
+    val n = batch.count()
+    batch.limit((n / 3).toInt).coalesce(1)
+      .write.mode("append").parquet(dir) // replay a third of the events
+    val q = EventsStream.deduped(EventsStream.read(spark, dir))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("dedup")
+    assert(got.count() === n)
+    assert(got.select("event_id").distinct().count() === n)
+  }
+
   test("stream-stream interval join matches the batch join") {
     val (dir, batch) = mkSource()
     val q = EventsStream.purchaseViewJoin(EventsStream.read(spark, dir))
