@@ -132,6 +132,60 @@ object Breadth {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Pivot: event counts per user by type, types as columns. The Spark
+    * side uses the real `pivot` operator (with explicit values so the plan
+    * needs no extra distinct pass); the oracle states the equivalent
+    * conditional aggregation. */
+  def q43Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+  }
+
+  val q43PivotSql: String =
+    """SELECT user_id,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Ranking/navigation window-function breadth in one pass: rank,
+    * dense_rank, ntile, lag delta, cume_dist — all under one fully
+    * deterministic ordering. */
+  def q44WindowBreadth(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("gap_to_prev"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("o_orderstatus"), col("rnk"))
+  }
+
+  val q44WindowBreadthSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  CAST(rank() OVER w AS BIGINT) AS rnk,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  o_totalprice - lag(o_totalprice, 1) OVER w AS gap_to_prev,
+      |  cume_dist() OVER w AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |             ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderstatus, rnk""".stripMargin
+
   /** Null semantics: nullif-generated nulls, COUNT(col) vs COUNT(*),
     * null-safe grouping, coalesce, explicit NULLS FIRST ordering (the
     * engines' defaults differ — Spark NULLS FIRST, DuckDB NULLS LAST). */

@@ -50,6 +50,8 @@ object Registry {
     Gated("q40_range_join",    AsOfQueries.q40RangeJoin, Some(AsOfQueries.q40RangeJoinSql)),
     Gated("q41_array_agg",     Breadth.q41ArrayAgg, Some(Breadth.q41ArrayAggSql)),
     Gated("q42_date_arith",    Breadth.q42DateArith, Some(Breadth.q42DateArithSql)),
+    Gated("q43_pivot",         Breadth.q43Pivot, Some(Breadth.q43PivotSql)),
+    Gated("q44_window_breadth", Breadth.q44WindowBreadth, Some(Breadth.q44WindowBreadthSql)),
   )
 
   def byName(name: String): Gated = all.find(_.name == name).get

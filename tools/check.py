@@ -67,9 +67,11 @@ for name, sql in sorted(oracle.items()):
                     i = bad.idxmax()
                     status = "FAIL"
                     detail += f" col {c}: {int(bad.sum())} diffs; first row {i}: exp={ev[i]!r} got={gv[i]!r};"
-        # dtype drift (schema check analog)
+        # dtype drift (schema check analog) — strict: the driver's schema
+        # compare may reject what a value-compare would tolerate
         for c in exp.columns:
             if exp[c].dtype != got[c].dtype:
+                status = "FAIL"
                 detail += f" [dtype {c}: exp={exp[c].dtype} got={got[c].dtype}]"
     print(f"{status} {name} ({len(exp)} rows){': ' + detail if detail else ''}")
     if status != "OK":
