@@ -186,6 +186,42 @@ object Breadth {
       |             ORDER BY o_totalprice DESC, o_orderkey)
       |ORDER BY o_orderstatus, rnk""".stripMargin
 
+  /** Bag-semantics set ops: EXCEPT ALL keeps multiplicity (a key appearing
+    * 3× in customers and 1× in suppliers survives 2×), unlike q11's set
+    * forms. */
+  def q45BagSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("long").as("nationkey"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_nationkey").cast("long").as("nationkey"))
+    c.exceptAll(s)
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q45BagSetOpsSql: String =
+    """SELECT nationkey, COUNT(*) AS multiplicity
+      |FROM (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+      |  EXCEPT ALL
+      |  SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier)
+      |GROUP BY nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  /** Pagination: deterministic ORDER BY + OFFSET/LIMIT page. */
+  def q46Pagination(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(100).limit(50)
+  }
+
+  val q46PaginationSql: String =
+    """SELECT o_orderkey, o_totalprice, o_orderstatus
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 50 OFFSET 100""".stripMargin
+
   /** Null semantics: nullif-generated nulls, COUNT(col) vs COUNT(*),
     * null-safe grouping, coalesce, explicit NULLS FIRST ordering (the
     * engines' defaults differ — Spark NULLS FIRST, DuckDB NULLS LAST). */

@@ -52,6 +52,8 @@ object Registry {
     Gated("q42_date_arith",    Breadth.q42DateArith, Some(Breadth.q42DateArithSql)),
     Gated("q43_pivot",         Breadth.q43Pivot, Some(Breadth.q43PivotSql)),
     Gated("q44_window_breadth", Breadth.q44WindowBreadth, Some(Breadth.q44WindowBreadthSql)),
+    Gated("q45_bag_setops",    Breadth.q45BagSetOps, Some(Breadth.q45BagSetOpsSql)),
+    Gated("q46_pagination",    Breadth.q46Pagination, Some(Breadth.q46PaginationSql)),
   )
 
   def byName(name: String): Gated = all.find(_.name == name).get
