@@ -21,6 +21,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // runtime bloom filters prune the fact side of selective joins
+      // before the shuffle — large win on 100 TB star joins
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // push MIN/MAX/COUNT straight to parquet footers (e.g., the
+      // scalar max-date subquery scans metadata, not data)
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // the corpus `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4
