@@ -22,8 +22,12 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // runtime bloom filters prune the fact side of selective joins
-      // before the shuffle — large win on 100 TB star joins
-      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // before the shuffle — a large win on 100 TB star joins, but the
+      // filter BUILD costs more than it saves below ~10M-row fact sides
+      // (measured +8% on the sf0.1 bench), so off for local; flip on for
+      // cluster deployments
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        sys.env.getOrElse("GRAFT_RUNTIME_BLOOM", "false"))
       // push MIN/MAX/COUNT straight to parquet footers (e.g., the
       // scalar max-date subquery scans metadata, not data)
       .config("spark.sql.parquet.aggregatePushdown", "true")
