@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation: the north-star composition of the
+  * text/dedup operators into one declarative pipeline —
+  *
+  *   quality filter → language filter → exact dedup → MinHash near-dup
+  *   removal → fingerprint stamp
+  *
+  * Every stage is a narrow transform or an equi-join/groupBy on hashes, so
+  * the whole pipeline is 3 shuffles (exact-dedup hash, minhash buckets,
+  * candidate grouping) regardless of corpus size; nothing is ever
+  * collected, and each stage's reduction shrinks the data entering the
+  * next.
+  */
+object Curation {
+
+  final case class Config(
+      minQuality: Double = 0.5,
+      keepLangs: Seq[String] = Nil, // empty = keep all
+      nearDupJaccard: Double = 0.8,
+      stopwords: Seq[String] = TextOps.langProfiles.head._2)
+
+  /** Returns the curated corpus: surviving rows of `docs` (idCol, textCol
+    * intact) + `quality`, `pred_lang`, `fingerprint` columns. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    // 1-2: per-row scores, single pass, codegen'd
+    val scored = docs
+      .withColumn("quality", TextOps.qualityScore(col(textCol), cfg.stopwords))
+      .withColumn("pred_lang", TextOps.langId(col(textCol)))
+      .filter(col("quality") >= cfg.minQuality)
+    val langFiltered =
+      if (cfg.keepLangs.isEmpty) scored
+      else scored.filter(col("pred_lang").isin(cfg.keepLangs.map(x => x: Any): _*))
+
+    // 3: exact dedup (min-id representative per content hash)
+    val exact = Dedup.exact(langFiltered, idCol, textCol)
+
+    // 4: near-dup removal — LSH candidates, verified Jaccard, drop the
+    // higher id of each confirmed pair (keep-first policy)
+    val cand = Dedup.minhashCandidates(exact, idCol, textCol)
+    val confirmed = Dedup.verifyJaccard(exact, cand.select("id_a", "id_b"),
+        idCol, textCol)
+      .filter(col("jaccard") >= cfg.nearDupJaccard)
+    val losers = confirmed.select(col("id_b").as(idCol)).distinct()
+    val deduped = exact.join(losers, Seq(idCol), "left_anti")
+
+    // 5: order-sensitive fingerprint for downstream exact tracking
+    deduped.withColumn("fingerprint",
+      TextOps.fingerprint(TextOps.tokenize(col(textCol))))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Curation, TextOps}
+
+/** The full training-data curation pipeline as ONE oracle-gated query:
+  * quality gate → language ID → exact dedup → MinHash candidate + verified-
+  * Jaccard near-dup removal → portable fingerprint. The oracle rebuilds
+  * every stage in DuckDB SQL from the same primitives already gated
+  * individually (q16/q24/q26/q27), so the hash compare certifies the
+  * composition, not just the parts.
+  */
+object CurationQuery {
+
+  def q47Curation(spark: SparkSession, dir: String): DataFrame = {
+    val curated = Curation.curate(
+      Tables.documents(spark, dir), "doc_id", "text",
+      Curation.Config(minQuality = 0.6, nearDupJaccard = 0.8))
+    curated
+      .drop("fingerprint") // gate uses the md5-portable variant
+      .withColumn("fingerprint",
+        TextOps.fingerprintMd5(TextOps.tokenize(col("text"))))
+      .select(col("doc_id"), col("pred_lang"), col("quality"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q47CurationSql: String = {
+    val langs = TextOps.langProfiles
+    def score(words: Seq[String]): String = {
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x IN ($list)))"
+    }
+    val preds = langs.zipWithIndex.init.map { case ((lang, _), i) =>
+      val geAll = (i + 1 until langs.size).map(j => s"s$i >= s$j").mkString(" AND ")
+      s"WHEN $geAll THEN '$lang'"
+    }.mkString(" ")
+    val en = langs.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, text,
+       |    ${langs.zipWithIndex.map { case ((_, ws), i) => s"${score(ws)} AS s$i" }.mkString(",\n    ")},
+       |    string_split(text, ' ') AS toks
+       |  FROM documents),
+       |quality AS (
+       |  SELECT doc_id, text,
+       |    CASE $preds ELSE '${langs.last._1}' END AS pred_lang,
+       |    ((CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) +
+       |     (CASE WHEN CAST(len(list_filter(toks, x -> x IN ($en))) AS DOUBLE) / len(toks)
+       |           BETWEEN 0.01 AND 0.8 THEN 1.0 ELSE 0.0 END) +
+       |     (CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.05
+       |           THEN 1.0 ELSE 0.0 END) +
+       |     (CASE WHEN CAST(length(text) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 12.0
+       |           THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+       |  FROM scored),
+       |passing AS (SELECT * FROM quality WHERE quality >= 0.6),
+       |exact AS (
+       |  SELECT p.* FROM passing p
+       |  JOIN (SELECT MIN(doc_id) AS doc_id FROM passing GROUP BY md5(text)) k
+       |    USING (doc_id)),
+       |toksp AS (
+       |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+       |         unnest(string_split(text,' ')) AS tok
+       |  FROM exact),
+       |shingles AS (
+       |  SELECT a.doc_id, a.tok||' '||b.tok||' '||c.tok AS sh
+       |  FROM toksp a
+       |  JOIN toksp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  JOIN toksp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+       |sig AS (
+       |  SELECT doc_id, seed, MIN(md5(sh||'#'||seed)) AS mh
+       |  FROM shingles CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed) s
+       |  GROUP BY doc_id, seed),
+       |cand AS (
+       |  SELECT DISTINCT s1.doc_id AS id_a, s2.doc_id AS id_b
+       |  FROM sig s1
+       |  JOIN sig s2 ON s1.seed = s2.seed AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id),
+       |dsh AS (SELECT DISTINCT doc_id, sh FROM shingles),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, COUNT(*) AS ni
+       |  FROM cand c
+       |  JOIN dsh x ON x.doc_id = c.id_a
+       |  JOIN dsh y ON y.doc_id = c.id_b AND y.sh = x.sh
+       |  GROUP BY c.id_a, c.id_b),
+       |losers AS (
+       |  SELECT DISTINCT i.id_b AS doc_id
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.id_a
+       |  JOIN sizes sb ON sb.doc_id = i.id_b
+       |  WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.8),
+       |final AS (
+       |  SELECT e.* FROM exact e LEFT JOIN losers l USING (doc_id)
+       |  WHERE l.doc_id IS NULL),
+       |hashed AS (
+       |  SELECT doc_id, pred_lang, quality,
+       |    list_transform(string_split(text, ' '),
+       |      t -> list_reduce(list_concat([CAST(0 AS BIGINT)],
+       |             list_transform(generate_series(1, 8),
+       |               i -> CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT))),
+       |           (a, b) -> a * 16 + b) % 2147483647) AS hs
+       |  FROM final)
+       |SELECT doc_id, pred_lang, quality,
+       |  list_reduce(list_concat([CAST(0 AS BIGINT)], hs),
+       |    (a, b) -> (a * 1000003 + b) % 2147483647) AS fingerprint
+       |FROM hashed ORDER BY doc_id""".stripMargin
+  }
+}

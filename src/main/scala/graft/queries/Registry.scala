@@ -54,6 +54,7 @@ object Registry {
     Gated("q44_window_breadth", Breadth.q44WindowBreadth, Some(Breadth.q44WindowBreadthSql)),
     Gated("q45_bag_setops",    Breadth.q45BagSetOps, Some(Breadth.q45BagSetOpsSql)),
     Gated("q46_pagination",    Breadth.q46Pagination, Some(Breadth.q46PaginationSql)),
+    Gated("q47_curation",      CurationQuery.q47Curation, Some(CurationQuery.q47CurationSql)),
   )
 
   def byName(name: String): Gated = all.find(_.name == name).get
