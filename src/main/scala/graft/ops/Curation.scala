@@ -52,4 +52,17 @@ object Curation {
     deduped.withColumn("fingerprint",
       TextOps.fingerprint(TextOps.tokenize(col(textCol))))
   }
+
+  /** Embedding-corpus near-dup removal: drop every vector whose cosine to a
+    * lower-id vector exceeds `threshold` (keep-first policy). `exact` uses
+    * all-pairs cosine (correct baseline, used by the oracle gate); pass
+    * `exact = false` for the LSH-blocked candidates at scale. */
+  def curateEmbeddings(vectors: DataFrame, threshold: Double,
+      exact: Boolean = true): DataFrame = {
+    val pairs =
+      if (exact) Similarity.nearDupPairs(vectors, threshold)
+      else Similarity.lshNearDupCandidates(vectors, threshold = threshold)
+    val losers = pairs.select(col("id_b").as("id")).distinct()
+    vectors.join(losers, Seq("id"), "left_anti")
+  }
 }

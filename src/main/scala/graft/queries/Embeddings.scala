@@ -82,6 +82,21 @@ object Embeddings {
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 
+  /** Embedding-corpus curation: remove vectors with cosine > 0.35 to any
+    * lower-id vector (keep-first dedup over q21's pair semantics). */
+  def q48EmbedCuration(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.curateEmbeddings(vectors(spark, dir), 0.35)
+      .select(col("id").as("vec_id"))
+      .orderBy(col("vec_id"))
+
+  val q48EmbedCurationSql: String =
+    """SELECT vec_id FROM embeddings e
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM embeddings d
+      |  WHERE d.vec_id < e.vec_id
+      |    AND list_cosine_similarity(d.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0.35)
+      |ORDER BY vec_id""".stripMargin
+
   /** IVF ANN: Lloyd-trained centroids, nprobe-pruned exact rerank (rows-
     * only gate; recall asserted on clustered fixtures in the test suite). */
   def q35AnnIvf(spark: SparkSession, dir: String): DataFrame = {

@@ -55,6 +55,7 @@ object Registry {
     Gated("q45_bag_setops",    Breadth.q45BagSetOps, Some(Breadth.q45BagSetOpsSql)),
     Gated("q46_pagination",    Breadth.q46Pagination, Some(Breadth.q46PaginationSql)),
     Gated("q47_curation",      CurationQuery.q47Curation, Some(CurationQuery.q47CurationSql)),
+    Gated("q48_embed_curation", Embeddings.q48EmbedCuration, Some(Embeddings.q48EmbedCurationSql)),
   )
 
   def byName(name: String): Gated = all.find(_.name == name).get

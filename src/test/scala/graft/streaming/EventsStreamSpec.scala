@@ -85,6 +85,27 @@ class EventsStreamSpec extends SparkSpec {
     assert(got > 0)
   }
 
+  test("checkpoint resume: restart processes only new files, stays exactly-once") {
+    val (dir, batch) = mkSource()
+    val n = batch.count()
+    val wh = tmpDir("resume-wh") + "/events"
+    val ckpt = tmpDir("resume-ckpt")
+    // run 1: consume the 2 initial files
+    val q1 = EventsStream.scd0Sink(EventsStream.read(spark, dir), wh, ckpt)
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(wh).count() === n)
+    // drop one more file: half replayed rows + genuinely new data absent
+    // from the warehouse is impossible here, so replay the first half —
+    // the restart must skip the already-committed files and the SCD-0
+    // sink must dedup the replayed rows
+    batch.limit((n / 2).toInt).coalesce(1).write.mode("append").parquet(dir)
+    val q2 = EventsStream.scd0Sink(EventsStream.read(spark, dir), wh, ckpt)
+    try { q2.processAllAvailable() } finally q2.stop()
+    val after = spark.read.parquet(wh)
+    assert(after.count() === n)
+    assert(after.select("event_id").distinct().count() === n)
+  }
+
   test("flatMapGroupsWithState running totals accumulate across batches") {
     val (dir, batch) = mkSource()
     val q = EventsStream.runningTotals(spark, EventsStream.read(spark, dir))
