@@ -203,7 +203,10 @@ object Relational {
     * real): frame `rowsBetween(-29, 0)` with a fully deterministic order. */
   def q8RollingMean(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
-    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    // (shipdate, orderkey, linenumber) is NOT unique in the corpus (one
+    // collision at sf0.1); price disambiguates, making the frame total
+    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+      col("l_extendedprice"))
     val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
       .rowsBetween(-29, 0)
     // exact integer-cents window sums: prices carry 2 decimals, so
@@ -220,7 +223,8 @@ object Relational {
         // plain double subtraction: both operands bit-identical across
         // engines, so the single IEEE subtract is too
         (col("l_extendedprice") - mean30).as("dif_mean"))
-      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"))
   }
 
   val q8RollingMeanSql: String =
@@ -234,9 +238,9 @@ object Relational {
       |FROM lineitem
       |WINDOW w AS (
       |  PARTITION BY l_suppkey
-      |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
       |  ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
-      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice""".stripMargin
 
   /** Date/string scalar functions (reference F1-F6): year/month/day
     * extraction, dd-MM-yyyy formatting, composite key concat
