@@ -36,8 +36,12 @@ object Curation {
       if (cfg.keepLangs.isEmpty) scored
       else scored.filter(col("pred_lang").isin(cfg.keepLangs.map(x => x: Any): _*))
 
-    // 3: exact dedup (min-id representative per content hash)
+    // 3: exact dedup (min-id representative per content hash). Cached:
+    // its lineage (scan + scoring + dedup window) feeds three consumers —
+    // candidate generation, Jaccard verification, and the final anti-join
+    // — and would otherwise be recomputed for each.
     val exact = Dedup.exact(langFiltered, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 4: near-dup removal — LSH candidates, verified Jaccard, drop the
     // higher id of each confirmed pair (keep-first policy)
