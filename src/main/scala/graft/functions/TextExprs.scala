@@ -1,0 +1,426 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels behind the native text-hash expressions. Top-level object
+  * ⇒ scalac emits static forwarders, so generated Java can call
+  * `graft.functions.MinHashUtil.compute(...)` directly inside whole-stage
+  * codegen — no interpreted higher-order functions, no row explosion.
+  *
+  * Every kernel is byte-equal to a documented SQL construction (the DuckDB
+  * oracle runs that SQL), so swapping the declarative form for the native
+  * one changes nothing observable but time.
+  */
+object MinHashUtil {
+
+  private val Hex = "0123456789abcdef".toCharArray
+
+  private def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(2 * i) = Hex(b >>> 4)
+      out(2 * i + 1) = Hex(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** MinHash signature: `numHashes` 8-hex-char min-slices over the doc's
+    * `width`-token shingle set; null if the doc has fewer than `width`
+    * tokens (no shingles). Seed `s` reads hex chars [(s%4)*8, (s%4)*8+8)
+    * of md5(shingle || '#'*(s/4)) — byte-equal to the SQL form
+    * `min(substr(md5(sh || repeat('#', s//4)), (s%4)*8+1, 8))` with
+    * tokens = split(text, ' ') and shingle = tok_i||' '||...||tok_{i+w-1}. */
+  def compute(text: UTF8String, width: Int, numHashes: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < width) return null
+    val nDigests = (numHashes + 3) / 4
+    val md = MessageDigest.getInstance("MD5")
+    val mins = new Array[String](numHashes)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + width <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < width) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val baseLen = sb.length()
+      var d = 0
+      while (d < nDigests) {
+        if (d > 0) sb.append('#') // suffix grows: '#'*d
+        val hex = toHex(md.digest(
+          sb.toString.getBytes(StandardCharsets.UTF_8)))
+        var s = d * 4
+        val end = math.min(s + 4, numHashes)
+        while (s < end) {
+          val off = (s % 4) * 8
+          val slice = hex.substring(off, off + 8)
+          if (mins(s) == null || slice.compareTo(mins(s)) < 0) mins(s) = slice
+          s += 1
+        }
+        d += 1
+      }
+      sb.setLength(baseLen)
+      i += 1
+    }
+    new GenericArrayData(mins.map(UTF8String.fromString(_): AnyRef))
+  }
+}
+
+object SimHashUtil {
+
+  /** SimHash fingerprint over whitespace tokens with the md5-nibble bit
+    * source: bit b of token t = bit (b%4) of hex digit (b/4) of md5(t).
+    * Signature bit b is set iff Σ_tokens (±1) > 0. Byte-equal to
+    * [[graft.ops.Dedup.simhash]] with `bitOf = md5NibbleBit` (and to the
+    * generated oracle SQL), computed in one per-row pass. */
+  def compute(text: UTF8String, bits: Int): Long = {
+    val toks = text.toString.split(" ", -1)
+    val md = MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](bits)
+    var i = 0
+    while (i < toks.length) {
+      val digest = md.digest(toks(i).getBytes(StandardCharsets.UTF_8))
+      var b = 0
+      while (b < bits) {
+        val nibble =
+          if (b % 8 < 4) (digest(b / 8) >>> 4) & 0xf
+          else digest(b / 8) & 0xf
+        if (((nibble >>> (b % 4)) & 1) == 1) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (counts(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+}
+
+/** Codegen'd per-row MinHash signature (see [[MinHashUtil.compute]]).
+  * Replaces a 3-stage shuffle chain (posexplode → window-lead shingles →
+  * 8-way min aggregate) with a single projection: at 100 TB the signature
+  * step becomes embarrassingly parallel map work and the first shuffle of
+  * the dedup pipeline is the (seed, mh) candidate join itself. */
+case class MinHashSlicesExpr(child: Expression, shingleWidth: Int,
+    numHashes: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"min_hash_slices expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(t: Any): Any =
+    MinHashUtil.compute(t.asInstanceOf[UTF8String], shingleWidth, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.MinHashUtil.compute(
+         |  $c, $shingleWidth, $numHashes);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSlicesExpr =
+    copy(child = newChild)
+}
+
+/** Codegen'd per-row SimHash (see [[SimHashUtil.compute]]): collapses the
+  * explode + 60-conditional-sum aggregate into map work. */
+case class SimHashMd5Expr(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_md5 expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(t: Any): Any =
+    SimHashUtil.compute(t.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SimHashUtil.compute($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5Expr =
+    copy(child = newChild)
+}
+
+/** Codegen'd composite quality score — byte-equal to the declarative
+  * `TextOps.qualityScoreDeclarative` (four banded 0/1 heuristics averaged;
+  * same IEEE divisions), computed in one token pass instead of four
+  * interpreted higher-order filters. */
+case class TokenQualityExpr(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_quality expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  def compute(text: UTF8String): Double = {
+    val s = text.toString
+    val toks = s.split(" ", -1)
+    val n = toks.length
+    var stop = 0
+    val distinct = new java.util.HashSet[String]()
+    var i = 0
+    while (i < n) {
+      val t = toks(i)
+      if (stopSet.contains(t)) stop += 1
+      distinct.add(t)
+      i += 1
+    }
+    // length() counts codepoints (UTF8String.numChars), not UTF-16 units
+    val chars = s.codePointCount(0, s.length)
+    val lenOk = if (n >= 10 && n <= 100000) 1.0 else 0.0
+    val sr = stop.toDouble / n
+    val stopOk = if (sr >= 0.01 && sr <= 0.8) 1.0 else 0.0
+    val ttrOk = if (distinct.size.toDouble / n > 0.05) 1.0 else 0.0
+    val cpt = chars.toDouble / n
+    val cptOk = if (cpt >= 2.0 && cpt <= 12.0) 1.0 else 0.0
+    (lenOk + stopOk + ttrOk + cptOk) / 4.0
+  }
+
+  override def nullSafeEval(t: Any): Any = compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qualityExpr", this)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenQualityExpr =
+    copy(child = newChild)
+}
+
+/** Codegen'd stopword-profile language ID — same tokenization (lowercase +
+  * `[^\p{L}\p{N}]+` split, both via the same Java regex Spark's `split`
+  * delegates to) and the same first-profile-wins tie-break as the
+  * declarative `TextOps.langIdDeclarative`. */
+case class LangIdExpr(child: Expression, profiles: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+
+  @transient private lazy val sets: Array[(String, java.util.HashSet[String])] =
+    profiles.map { case (lang, ws) =>
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add)
+      (lang, s)
+    }.toArray
+
+  @transient private lazy val splitter =
+    java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]+")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lang_id expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  def compute(text: UTF8String): UTF8String = {
+    // UTF8String.toLowerCase = Spark's lower(): locale-free simple mapping
+    val toks = splitter.split(text.toLowerCase.toString, -1)
+    var bestLang = sets(0)._1
+    var bestScore = -1
+    var p = 0
+    while (p < sets.length) {
+      val (lang, set) = sets(p)
+      var score = 0
+      var i = 0
+      while (i < toks.length) {
+        if (set.contains(toks(i))) score += 1
+        i += 1
+      }
+      if (score > bestScore) { bestScore = score; bestLang = lang }
+      p += 1
+    }
+    UTF8String.fromString(bestLang)
+  }
+
+  override def nullSafeEval(t: Any): Any = compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langIdExpr", this)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}
+
+/** Codegen'd md5-portable rolling fingerprint over a token array — same
+  * fold as `TextOps.fingerprintMd5Declarative`: token hash = first 8 hex
+  * chars of md5 as uint32 mod p, combine = (acc·1000003 + h) mod p,
+  * p = 2^31−1; all values stay < 2^51, so the long arithmetic never
+  * overflows (ANSI-safe). */
+case class FingerprintMd5Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"fingerprint_md5 expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any =
+    FingerprintUtil.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FingerprintUtil.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): FingerprintMd5Expr =
+    copy(child = newChild)
+}
+
+object FingerprintUtil {
+  private val P = 2147483647L
+
+  def compute(toks: ArrayData): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    var acc = 0L
+    var i = 0
+    val n = toks.numElements()
+    while (i < n) {
+      val d = md.digest(toks.getUTF8String(i).getBytes)
+      // first 8 hex chars = first 4 digest bytes as unsigned 32-bit
+      val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % P
+      acc = (acc * 1000003L + h) % P
+      i += 1
+    }
+    acc
+  }
+
+  /** Distinct word-n-gram shingles of a space-tokenized text, first-
+    * occurrence order; empty array (not null) when the doc is shorter than
+    * the shingle width — same contract as
+    * `array_distinct(TextOps.shingles(tokenize(text), n))`. */
+  def distinctShingles(text: UTF8String, width: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < width)
+      return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + width <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < width) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString): Unit
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Codegen'd distinct-shingle-set builder (see
+  * [[FingerprintUtil.distinctShingles]]); feeds the exact-Jaccard verify
+  * join without an interpreted per-element transform. */
+case class DistinctShinglesExpr(child: Expression, width: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"distinct_shingles expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any =
+    FingerprintUtil.distinctShingles(t.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.FingerprintUtil.distinctShingles($c, $width)")
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctShinglesExpr =
+    copy(child = newChild)
+}
+
+object TextFunctions {
+
+  /** Per-row MinHash signature array (numHashes 8-hex-char slices). */
+  def min_hash_slices(text: Column, shingleWidth: Int, numHashes: Int): Column =
+    Bridge.column(MinHashSlicesExpr(Bridge.expression(text), shingleWidth, numHashes))
+
+  /** Per-row md5-nibble SimHash fingerprint. */
+  def simhash_md5(text: Column, bits: Int): Column =
+    Bridge.column(SimHashMd5Expr(Bridge.expression(text), bits))
+
+  /** Per-row composite quality score in [0,1]. */
+  def token_quality(text: Column, stopwords: Seq[String]): Column =
+    Bridge.column(TokenQualityExpr(Bridge.expression(text), stopwords))
+
+  /** Per-row stopword-profile language ID. */
+  def lang_id(text: Column, profiles: Seq[(String, Seq[String])]): Column =
+    Bridge.column(LangIdExpr(Bridge.expression(text), profiles))
+
+  /** Per-row md5-portable rolling fingerprint of a token array. */
+  def fingerprint_md5(toks: Column): Column =
+    Bridge.column(FingerprintMd5Expr(Bridge.expression(toks)))
+
+  /** Per-row distinct shingle set. */
+  def distinct_shingles(text: Column, width: Int): Column =
+    Bridge.column(DistinctShinglesExpr(Bridge.expression(text), width))
+
+  /** Register SQL-facing names. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "min_hash_slices",
+      exprs => MinHashSlicesExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_md5",
+      exprs => SimHashMd5Expr(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      "scala_udf")
+  }
+}

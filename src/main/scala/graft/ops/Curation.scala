@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation: the north-star composition of the
@@ -21,7 +21,9 @@ object Curation {
       minQuality: Double = 0.5,
       keepLangs: Seq[String] = Nil, // empty = keep all
       nearDupJaccard: Double = 0.8,
-      stopwords: Seq[String] = TextOps.langProfiles.head._2)
+      stopwords: Seq[String] = TextOps.langProfiles.head._2,
+      // stamp function over the token array; md5 variant for oracle parity
+      fingerprint: Column => Column = TextOps.fingerprint)
 
   /** Returns the curated corpus: surviving rows of `docs` (idCol, textCol
     * intact) + `quality`, `pred_lang`, `fingerprint` columns. */
@@ -49,12 +51,13 @@ object Curation {
     val confirmed = Dedup.verifyJaccard(exact, cand.select("id_a", "id_b"),
         idCol, textCol)
       .filter(col("jaccard") >= cfg.nearDupJaccard)
-    val losers = confirmed.select(col("id_b").as(idCol)).distinct()
+    // no distinct on losers: left_anti already collapses duplicate keys
+    val losers = confirmed.select(col("id_b").as(idCol))
     val deduped = exact.join(losers, Seq(idCol), "left_anti")
 
     // 5: order-sensitive fingerprint for downstream exact tracking
     deduped.withColumn("fingerprint",
-      TextOps.fingerprint(TextOps.tokenize(col(textCol))))
+      cfg.fingerprint(TextOps.tokenize(col(textCol))))
   }
 
   /** Embedding-corpus near-dup removal: drop every vector whose cosine to a
@@ -66,7 +69,7 @@ object Curation {
     val pairs =
       if (exact) Similarity.nearDupPairs(vectors, threshold)
       else Similarity.lshNearDupCandidates(vectors, threshold = threshold)
-    val losers = pairs.select(col("id_b").as("id")).distinct()
+    val losers = pairs.select(col("id_b").as("id"))
     vectors.join(losers, Seq("id"), "left_anti")
   }
 }

@@ -23,12 +23,6 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signature in long format: (id, seed, mh) — one row per seed.
-    * The hash is `min(md5(shingle || '#' || seed))` over the doc's shingle
-    * set: md5-as-hex-string min is a valid uniform min-hash and is
-    * reproducible in any engine with md5 (used by the oracle gate). A
-    * faster Spark-native variant would use xxhash64; the md5 form is kept
-    * as the portable default. */
   /** Shingles as rows: posexplode tokens, window-lead the next
     * (width-1) tokens — avoids the interpreted per-element HOF transform
     * of the array form; one shuffle on id. */
@@ -43,16 +37,42 @@ object Dedup {
       .select(col("id"), col("sh"))
   }
 
+  /** MinHash signature in long format: (id, seed, mh) — one row per seed.
+    * Seed `s` hashes a shingle to the 8-hex-char (32-bit) slice
+    * `substr(md5(sh || '#'*(s/4)), (s%4)*8+1, 8)`: md5 nibbles are
+    * independently uniform, so the four slices of one digest are four
+    * independent uniform hashes, and `numHashes` seeds cost only
+    * ceil(numHashes/4) md5 calls per shingle (the md5 calls dominated the
+    * round-1 per-seed-md5 form 4×). Hex-string min (fixed width,
+    * lowercase) equals numeric min and is reproducible in any engine with
+    * md5 + substr — which is what the oracle gate does.
+    *
+    * Computed by the native codegen'd [[graft.functions.MinHashSlicesExpr]]:
+    * one projection per row, zero shuffles — the first shuffle of the dedup
+    * pipeline is the candidate join itself. [[minhashSignaturesViaShuffle]]
+    * is the declarative same-result form, kept as the spec cross-check. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 8, shingleWidth: Int = 3): DataFrame = {
-    // shingle rows, then numHashes codegen'd min-aggregates (a per-seed
-    // HOF transform would run interpreted per element — ~10× slower);
-    // map-side partial min keeps the shuffle at numHashes values per doc
+      numHashes: Int = 8, shingleWidth: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.TextFunctions.min_hash_slices(
+          col(textCol), shingleWidth, numHashes).as("mhs"))
+      .select(col("id"), posexplode(col("mhs")).as(Seq("seed", "mh")))
+
+  /** Declarative construction of the same signatures (shingle rows via
+    * window-lead, then numHashes min-aggregates). Slower — a per-doc sort
+    * shuffle plus a groupBy — but independently derived; specs assert it
+    * equals the native path row-for-row. */
+  private[graft] def minhashSignaturesViaShuffle(df: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 8, shingleWidth: Int = 3): DataFrame = {
     val rows = shingleRows(df, idCol, textCol, shingleWidth)
+    val nDigests = (numHashes + 3) / 4
+    val digests = rows.select(col("id") +: (0 until nDigests).map { j =>
+      md5(if (j == 0) col("sh") else concat(col("sh"), lit("#" * j))).as(s"d$j")
+    }: _*)
     val aggs = (0 until numHashes).map { s =>
-      min(md5(concat(col("sh"), lit(s"#$s")))).as(s"mh$s")
+      min(substring(col(s"d${s / 4}"), (s % 4) * 8 + 1, 8)).as(s"mh$s")
     }
-    val wide = rows.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val wide = digests.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
     val stack = (0 until numHashes).map(s => s"$s, mh$s").mkString(", ")
     wide.selectExpr("id", s"stack($numHashes, $stack) AS (seed, mh)")
       .filter(col("mh").isNotNull) // docs shorter than the shingle width
@@ -87,8 +107,10 @@ object Dedup {
     * after LSH blocking). `pairs` must have (id_a, id_b). */
   def verifyJaccard(df: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, shingleWidth: Int = 3): DataFrame = {
+    // shingle sets built by the native codegen'd kernel (one pass per row);
+    // array_intersect/array_union are codegen'd Spark built-ins
     val sh = df.select(col(idCol).as("id"),
-      array_distinct(TextOps.shingles(TextOps.tokenize(col(textCol)), shingleWidth)).as("sh"))
+      graft.functions.TextFunctions.distinct_shingles(col(textCol), shingleWidth).as("sh"))
     pairs
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -120,6 +142,18 @@ object Dedup {
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
     sums.select(col("id"), sig.as("simhash"))
+  }
+
+  /** Native per-row SimHash with the md5-nibble bit source — identical
+    * output to `simhash(df, ..., bitOf = md5NibbleBit)` (spec-asserted),
+    * but a single codegen'd projection instead of explode + 2·bits
+    * conditional sums: zero shuffles, so at scale the fingerprint step is
+    * pure map work. */
+  def simhashMd5(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 62): DataFrame = {
+    require(bits <= 62)
+    df.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.simhash_md5(col(textCol), bits).as("simhash"))
   }
 
   def xxhashBit(tok: Column, b: Int): Column =

@@ -53,8 +53,13 @@ object TextOps {
     size(array_distinct(toks)).cast("double") / size(toks)
 
   /** Composite quality score in [0,1]: the usual length/stopword/repetition
-    * heuristics, each clamped to a plausible band. */
-  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    * heuristics, each clamped to a plausible band. Native codegen'd kernel
+    * ([[graft.functions.TokenQualityExpr]]); [[qualityScoreDeclarative]] is
+    * the independently-derived same-result form, cross-checked in specs. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    graft.functions.TextFunctions.token_quality(text, stopwords)
+
+  private[graft] def qualityScoreDeclarative(text: Column, stopwords: Seq[String]): Column = {
     val toks = tokenize(text)
     val lenOk = when(size(toks).between(10, 100000), 1.0).otherwise(0.0)
     val stopOk = when(stopwordRatio(toks, stopwords).between(0.01, 0.8), 1.0).otherwise(0.0)
@@ -77,8 +82,14 @@ object TextOps {
 
   /** Stopword-profile language ID: argmax of per-language hit counts with a
     * fixed priority tie-break (profile declaration order). An n-gram
-    * heuristic, not a model — adequate for routing/filtering at scale. */
-  def langId(text: Column, profiles: Seq[(String, Seq[String])] = langProfiles): Column = {
+    * heuristic, not a model — adequate for routing/filtering at scale.
+    * Native kernel ([[graft.functions.LangIdExpr]]); [[langIdDeclarative]]
+    * is the cross-checked declarative form. */
+  def langId(text: Column, profiles: Seq[(String, Seq[String])] = langProfiles): Column =
+    graft.functions.TextFunctions.lang_id(text, profiles)
+
+  private[graft] def langIdDeclarative(text: Column,
+      profiles: Seq[(String, Seq[String])] = langProfiles): Column = {
     val toks = tokenizeRegex(text)
     val scores = profiles.map { case (lang, words) =>
       lang -> size(filter(toks, t => t.isin(words.map(x => x: Any): _*)))
@@ -103,8 +114,13 @@ object TextOps {
 
   /** Engine-portable fingerprint variant: token hash from the first 8 hex
     * chars of md5 (reproducible in any engine — the DuckDB oracle folds
-    * the same nibbles with `list_reduce`), same polynomial combine. */
+    * the same nibbles with `list_reduce`), same polynomial combine.
+    * Native kernel ([[graft.functions.FingerprintMd5Expr]]);
+    * [[fingerprintMd5Declarative]] is the cross-checked HOF form. */
   def fingerprintMd5(toks: Column): Column =
+    graft.functions.TextFunctions.fingerprint_md5(toks)
+
+  private[graft] def fingerprintMd5Declarative(toks: Column): Column =
     aggregate(toks, lit(0L),
       (acc, t) => pmod(
         acc * lit(1000003L) +

@@ -18,11 +18,9 @@ object CurationQuery {
   def q47Curation(spark: SparkSession, dir: String): DataFrame = {
     val curated = Curation.curate(
       Tables.documents(spark, dir), "doc_id", "text",
-      Curation.Config(minQuality = 0.6, nearDupJaccard = 0.8))
+      Curation.Config(minQuality = 0.6, nearDupJaccard = 0.8,
+        fingerprint = TextOps.fingerprintMd5)) // md5 = the oracle-portable variant
     curated
-      .drop("fingerprint") // gate uses the md5-portable variant
-      .withColumn("fingerprint",
-        TextOps.fingerprintMd5(TextOps.tokenize(col("text"))))
       .select(col("doc_id"), col("pred_lang"), col("quality"), col("fingerprint"))
       .orderBy(col("doc_id"))
   }
@@ -68,9 +66,13 @@ object CurationQuery {
        |  FROM toksp a
        |  JOIN toksp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
        |  JOIN toksp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+       |shd AS (
+       |  SELECT doc_id, md5(sh) AS d0, md5(sh||'#') AS d1 FROM shingles),
        |sig AS (
-       |  SELECT doc_id, seed, MIN(md5(sh||'#'||seed)) AS mh
-       |  FROM shingles CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed) s
+       |  SELECT doc_id, seed,
+       |    MIN(substr(CASE WHEN seed < 4 THEN d0 ELSE d1 END,
+       |               (seed % 4) * 8 + 1, 8)) AS mh
+       |  FROM shd CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed) s
        |  GROUP BY doc_id, seed),
        |cand AS (
        |  SELECT DISTINCT s1.doc_id AS id_a, s2.doc_id AS id_b

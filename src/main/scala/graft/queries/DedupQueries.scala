@@ -29,9 +29,13 @@ object DedupQueries {
       |  FROM toks a
       |  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
       |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+      |shd AS (
+      |  SELECT doc_id, md5(sh) AS d0, md5(sh||'#') AS d1 FROM shingles),
       |sig AS (
-      |  SELECT doc_id, seed, MIN(md5(sh||'#'||seed)) AS mh
-      |  FROM shingles CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed) s
+      |  SELECT doc_id, seed,
+      |    MIN(substr(CASE WHEN seed < 4 THEN d0 ELSE d1 END,
+      |               (seed % 4) * 8 + 1, 8)) AS mh
+      |  FROM shd CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed) s
       |  GROUP BY doc_id, seed)
       |SELECT s1.doc_id AS id_a, s2.doc_id AS id_b, COUNT(*)/8.0 AS est_jaccard
       |FROM sig s1
@@ -39,10 +43,10 @@ object DedupQueries {
       |GROUP BY 1, 2
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** SimHash fingerprints, 60 bits, md5-nibble token hash (portable). */
+  /** SimHash fingerprints, 60 bits, md5-nibble token hash (portable);
+    * native per-row kernel, declarative form cross-checked in DedupSpec. */
   def q25Simhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text",
-        bits = 60, bitOf = Dedup.md5NibbleBit)
+    Dedup.simhashMd5(Tables.documents(spark, dir), "doc_id", "text", bits = 60)
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 

@@ -54,6 +54,26 @@ class DedupSpec extends SparkSpec {
     assert(dRandom > 6, s"random pair too close: $dRandom")
   }
 
+  test("native minhash kernel equals declarative shuffle form row-for-row") {
+    val c = corpus()
+    val native = Dedup.minhashSignatures(c, "doc_id", "text")
+      .as[(Long, Int, String)].collect().toSet
+    val shuffle = Dedup.minhashSignaturesViaShuffle(c, "doc_id", "text")
+      .as[(Long, Int, String)].collect().toSet
+    assert(native === shuffle)
+    assert(native.nonEmpty)
+  }
+
+  test("native simhash kernel equals declarative md5-nibble form") {
+    val c = corpus()
+    val native = Dedup.simhashMd5(c, "doc_id", "text", bits = 60)
+      .as[(Long, Long)].collect().toMap
+    val decl = Dedup.simhash(c, "doc_id", "text", bits = 60,
+        bitOf = Dedup.md5NibbleBit)
+      .as[(Long, Long)].collect().toMap
+    assert(native === decl)
+  }
+
   test("nearDupGroups assigns min representative") {
     val cand = Dedup.minhashCandidates(corpus(), "doc_id", "text")
     val groups = Dedup.nearDupGroups(cand, 0.9).as[(Long, Long)].collect().toMap

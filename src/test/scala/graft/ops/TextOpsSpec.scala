@@ -35,6 +35,40 @@ class TextOpsSpec extends SparkSpec {
     assert(fps.forall(f => f >= 0 && f < 2147483647L))
   }
 
+  // corpus stressing edge cases: multilingual, repeated/empty tokens,
+  // punctuation, short docs, unicode
+  private def mixedCorpus() = Seq(
+    "the cat sat on the mat and it is happy because the sun is out today",
+    "el perro corre por la calle y se va lejos de la casa grande",
+    "der Hund und die Katze sind nicht da heute",
+    "le chat et le chien sont pour une maison",
+    "的 是 了 在 我 有 和 就 不 人",
+    "x x x x x x x x x x x x x x x x x x x x",
+    "ab", "", "a  b   c", "one-token",
+    "Mixed CASE Tokens With Some Punctuation! And, more. tokens? here"
+  ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("native text kernels equal declarative forms on edge-case corpus") {
+    val c = mixedCorpus()
+    val en = TextOps.langProfiles.head._2
+    val both = c.select(
+      TextOps.qualityScore(col("text"), en).as("qn"),
+      TextOps.qualityScoreDeclarative(col("text"), en).as("qd"),
+      TextOps.langId(col("text")).as("ln"),
+      TextOps.langIdDeclarative(col("text")).as("ld"),
+      TextOps.fingerprintMd5(TextOps.tokenize(col("text"))).as("fn"),
+      TextOps.fingerprintMd5Declarative(TextOps.tokenize(col("text"))).as("fd"),
+      graft.functions.TextFunctions.distinct_shingles(col("text"), 3).as("sn"),
+      array_distinct(TextOps.shingles(TextOps.tokenize(col("text")), 3)).as("sd"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1), "quality")
+      assert(r.getString(2) === r.getString(3), "langId")
+      assert(r.getLong(4) === r.getLong(5), "fingerprint")
+      assert(r.getSeq[String](6) === r.getSeq[String](7), "shingles")
+    }
+  }
+
   test("quality score: prose scores higher than degenerate text") {
     val en = TextOps.langProfiles.head._2
     val df = Seq(
