@@ -60,12 +60,14 @@ object Curation {
       cfg.fingerprint(TextOps.tokenize(col(textCol))))
   }
 
-  /** Embedding-corpus near-dup removal: drop every vector whose cosine to a
-    * lower-id vector exceeds `threshold` (keep-first policy). `exact` uses
-    * all-pairs cosine (correct baseline, used by the oracle gate); pass
-    * `exact = false` for the LSH-blocked candidates at scale. */
+  /** Embedding-corpus near-dup removal: drop every vector whose verified
+    * cosine to a lower-id candidate exceeds `threshold` (keep-first
+    * policy). Default is the LSH-blocked candidate path — equi-join on
+    * md5-portable signatures, the only shape that survives 100 TB; the
+    * oracle gate replicates its signatures exactly. `exact = true` runs
+    * the O(n²) all-pairs baseline (test cross-checks only). */
   def curateEmbeddings(vectors: DataFrame, threshold: Double,
-      exact: Boolean = true): DataFrame = {
+      exact: Boolean = false): DataFrame = {
     val pairs =
       if (exact) Similarity.nearDupPairs(vectors, threshold)
       else Similarity.lshNearDupCandidates(vectors, threshold = threshold)

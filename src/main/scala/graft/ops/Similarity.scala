@@ -74,11 +74,20 @@ object Similarity {
       .filter(col("sim") > threshold)
   }
 
-  /** Deterministic pseudo-random hyperplanes (fixed seed: reproducible runs,
-    * identical plans across executors). */
+  /** Deterministic ±1 hyperplanes derived from md5 — engine-portable, so an
+    * external engine (the DuckDB oracle) can reproduce every signature:
+    * coefficient (t, b, d) is +1 iff the low bit of the first hex digit of
+    * `md5("hp:t:b:d")` is set. Random-sign projections are a standard LSH
+    * family for cosine (agreement probability 1 − θ/π per bit, like
+    * Gaussian hyperplanes), and ±1 coefficients keep every dot product an
+    * exact ± fold of the input floats — no rounding asymmetry between
+    * engines at the sign decision. */
   private[graft] def planes(nTables: Int, bitsPerTable: Int, dim: Int): Seq[Seq[Array[Float]]] = {
-    val rng = new scala.util.Random(42L)
-    Seq.fill(nTables)(Seq.fill(bitsPerTable)(Array.fill(dim)(rng.nextGaussian().toFloat)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(nTables)(t => Seq.tabulate(bitsPerTable)(b => Array.tabulate(dim) { d =>
+      val dg = md.digest(s"hp:$t:$b:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (((dg(0) >> 4) & 1) == 1) 1f else -1f
+    }))
   }
 
   /** Sign-random-projection signature: one integer per table whose bits are
@@ -88,24 +97,40 @@ object Similarity {
       when(dot(vec, typedlit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** LSH candidate pairs: vectors sharing a full signature in any table.
-    * Each table is a shuffle on (table, sig) — no cross join. Returns
-    * distinct (id_a < id_b) candidate pairs with exact cosine attached. */
-  def lshNearDupCandidates(vectors: DataFrame, nTables: Int = 4,
-      bitsPerTable: Int = 12, dim: Int = 64, threshold: Double = 0.0): DataFrame = {
-    val ps = planes(nTables, bitsPerTable, dim)
-    val sigs = ps.zipWithIndex.map { case (tp, t) =>
-      vectors.select(col("id"), col("vec"),
-        lit(t).as("table"), signature(col("vec"), tp).as("sig"))
-    }.reduce(_ union _)
+  /** (idc, vc, table, sig) rows: all `nTables` signatures computed in ONE
+    * scan (array of codegen'd signature expressions, posexploded) — not a
+    * per-table union, which would rescan the input nTables times. */
+  private def withSignatures(df: DataFrame, idc: String, vc: String,
+      ps: Seq[Seq[Array[Float]]]): DataFrame =
+    df.select(col(idc), col(vc),
+      posexplode(array(ps.map(tp => signature(col(vc), tp)): _*)).as(Seq("table", "sig")))
+
+  /** LSH near-dup pairs: vectors sharing a full signature in any table,
+    * with exact cosine verified above `threshold`. Each table is an
+    * equi-join on (table, sig) — never a cross join; cosine is computed
+    * per collision and only (id_a, id_b, sim) survives to the distinct,
+    * so the shuffles carry triples, not vectors.
+    *
+    * Default 16 tables × 6 bits targets the high-sim dedup regime: recall
+    * ≈ 99.97% at cosine 0.9, ≈ 99% at 0.8 (1−(1−p^6)^16, p = 1−θ/π). At
+    * the noise floor (θ → 90°) recall decays — candidates-then-verify is
+    * a blocking scheme, not an exact all-pairs search ([[nearDupPairs]]
+    * stays the exact baseline for tests).
+    *
+    * Sizing at scale: per-table work is Σ_buckets n_b², so `bitsPerTable`
+    * must grow with log₂(n) to keep bucket density (n/2^bits) constant —
+    * the defaults give ~30 rows/bucket at n=2000; use ~25 bits at n=10⁹
+    * and raise `nTables` to hold the recall target. */
+  def lshNearDupCandidates(vectors: DataFrame, nTables: Int = 16,
+      bitsPerTable: Int = 6, dim: Int = 64, threshold: Double = 0.0): DataFrame = {
+    val sigs = withSignatures(vectors, "id", "vec", planes(nTables, bitsPerTable, dim))
     val a = sigs.select(col("table"), col("sig"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = sigs.select(col("table"), col("sig"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("table", "sig"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
-      .distinct()
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("sim"))
       .filter(col("sim") > threshold)
+      .distinct()
   }
 
   // ---- IVF (inverted-file) ANN: the partition-pruned scale path --------
@@ -200,20 +225,18 @@ object Similarity {
   }
 
   /** Approximate top-k via LSH tables: candidates = vectors sharing any
-    * table signature with the query; exact cosine re-rank within them. */
+    * table signature with the query; exact cosine re-rank within them.
+    * Signatures are md5-derived ([[planes]]) so the result is
+    * oracle-reproducible; cosine is computed per collision and distinct
+    * runs on (qid, id, sim) triples, never on vectors. */
   def lshTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-      nTables: Int = 8, bitsPerTable: Int = 8, dim: Int = 64): DataFrame = {
+      nTables: Int = 16, bitsPerTable: Int = 6, dim: Int = 64): DataFrame = {
     val ps = planes(nTables, bitsPerTable, dim)
-    def sigged(df: DataFrame, idc: String, vc: String): DataFrame =
-      ps.zipWithIndex.map { case (tp, t) =>
-        df.select(col(idc), col(vc), lit(t).as("table"), signature(col(vc), tp).as("sig"))
-      }.reduce(_ union _)
-    val cand = sigged(vectors, "id", "vec")
-      .join(broadcast(sigged(queries, "qid", "qvec")), Seq("table", "sig"))
+    val cand = withSignatures(vectors, "id", "vec", ps)
+      .join(broadcast(withSignatures(queries, "qid", "qvec", ps)), Seq("table", "sig"))
       .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"), col("vec"), col("qvec"))
-      .distinct()
       .select(col("qid"), col("id"), cosine(col("vec"), col("qvec")).as("sim"))
+      .distinct()
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -42,18 +42,49 @@ object Embeddings {
       |FROM r WHERE rn <= 10
       |ORDER BY qid, rank""".stripMargin
 
-  /** Embedding near-duplicate pairs: all (i < j) with cosine > 0.35. */
+  /** Shared oracle fragment: md5-derived ±1 hyperplanes and the per-vector
+    * LSH signatures, replicating [[Similarity.planes]] bit-for-bit (same
+    * md5 material, same low-bit-of-first-nibble sign, same index-order
+    * dot-product fold — DuckDB's `list_dot_product` folds sequentially
+    * like the native [[graft.functions.DotProductF]]). */
+  private[graft] def sigCtes(nTables: Int, bits: Int, dim: Int): String =
+    s"""coeff AS (
+       |  SELECT t, b, d,
+       |    CASE WHEN (strpos('0123456789abcdef',
+       |                      substr(md5('hp:'||t||':'||b||':'||d), 1, 1)) - 1) % 2 = 1
+       |         THEN 1.0 ELSE -1.0 END AS c
+       |  FROM range($nTables) r1(t), range($bits) r2(b), range($dim) r3(d)),
+       |planes AS (SELECT t, b, list(c ORDER BY d) AS pv FROM coeff GROUP BY t, b),
+       |sigs AS (
+       |  SELECT e.vec_id AS id, p.t AS tbl,
+       |    CAST(SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pv) >= 0
+       |             THEN (1::BIGINT << p.b) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM embeddings e CROSS JOIN planes p
+       |  GROUP BY e.vec_id, p.t)""".stripMargin
+
+  /** Embedding near-duplicate pairs via LSH blocking + exact-cosine verify
+    * (the scale path: equi-join on (table, signature), never all-pairs).
+    * The oracle replicates the md5-derived signatures, so the approximate
+    * blocking itself is certified, not just the verify arithmetic.
+    * [[Similarity.nearDupPairs]] (exact all-pairs) stays a test-suite
+    * cross-check. */
   def q21EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
-    Similarity.nearDupPairs(v, 0.35)
+    Similarity.lshNearDupCandidates(v, threshold = 0.35)
       .orderBy(col("id_a"), col("id_b"))
   }
 
   val q21EmbedNearDupSql: String =
-    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim
-      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35
+    s"""WITH ${sigCtes(16, 6, 64)},
+      |cand AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig AND a.id < b.id)
+      |SELECT DISTINCT c.id_a, c.id_b,
+      |  list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS sim
+      |FROM cand c
+      |JOIN embeddings ea ON ea.vec_id = c.id_a
+      |JOIN embeddings eb ON eb.vec_id = c.id_b
+      |WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) > 0.35
       |ORDER BY id_a, id_b""".stripMargin
 
   /** Per-label centroids (the IVF building block): posexplode to (label,
@@ -82,19 +113,27 @@ object Embeddings {
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 
-  /** Embedding-corpus curation: remove vectors with cosine > 0.35 to any
-    * lower-id vector (keep-first dedup over q21's pair semantics). */
+  /** Embedding-corpus curation: drop every vector whose verified cosine to
+    * a lower-id LSH-candidate exceeds 0.35 (keep-first dedup over q21's
+    * blocked-pair semantics — same signatures, same verify). */
   def q48EmbedCuration(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Curation.curateEmbeddings(vectors(spark, dir), 0.35)
       .select(col("id").as("vec_id"))
       .orderBy(col("vec_id"))
 
   val q48EmbedCurationSql: String =
-    """SELECT vec_id FROM embeddings e
-      |WHERE NOT EXISTS (
-      |  SELECT 1 FROM embeddings d
-      |  WHERE d.vec_id < e.vec_id
-      |    AND list_cosine_similarity(d.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0.35)
+    s"""WITH ${sigCtes(16, 6, 64)},
+      |cand AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig AND a.id < b.id),
+      |losers AS (
+      |  SELECT DISTINCT c.id_b
+      |  FROM cand c
+      |  JOIN embeddings ea ON ea.vec_id = c.id_a
+      |  JOIN embeddings eb ON eb.vec_id = c.id_b
+      |  WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) > 0.35)
+      |SELECT vec_id FROM embeddings
+      |WHERE vec_id NOT IN (SELECT id_b FROM losers)
       |ORDER BY vec_id""".stripMargin
 
   /** IVF ANN: Lloyd-trained centroids, nprobe-pruned exact rerank (rows-
@@ -108,9 +147,9 @@ object Embeddings {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** Approximate top-k via random-hyperplane LSH (the scale path). Not
-    * SQL-expressible — gated by the rows-only check; recall vs the exact
-    * baseline is asserted in the test suite. */
+  /** Approximate top-k via random-hyperplane LSH (the scale path). The
+    * md5-derived signatures made this oracle-expressible: the SQL rebuilds
+    * the same candidate buckets and re-ranks with exact cosine. */
   def q23AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
     val q = v.filter(col("id") < 3).select(col("id").as("qid"), col("vec").as("qvec"))
@@ -118,4 +157,77 @@ object Embeddings {
       .withColumnRenamed("id", "neighbor_id")
       .orderBy(col("qid"), col("rank"))
   }
+
+  val q23AnnLshSql: String =
+    s"""WITH ${sigCtes(16, 6, 64)},
+      |qsigs AS (SELECT id AS qid, tbl, sig FROM sigs WHERE id < 3),
+      |cand AS (
+      |  SELECT DISTINCT s.id, q.qid
+      |  FROM sigs s JOIN qsigs q ON s.tbl = q.tbl AND s.sig = q.sig
+      |  WHERE s.id <> q.qid),
+      |scored AS (
+      |  SELECT c.qid, c.id,
+      |    list_cosine_similarity(ev.embedding::DOUBLE[], eq.embedding::DOUBLE[]) AS sim
+      |  FROM cand c
+      |  JOIN embeddings ev ON ev.vec_id = c.id
+      |  JOIN embeddings eq ON eq.vec_id = c.qid),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
+      |  FROM scored)
+      |SELECT qid, CAST(rn AS BIGINT) AS rank, id AS neighbor_id, sim
+      |FROM r WHERE rn <= 10
+      |ORDER BY qid, rank""".stripMargin
+
+  /** ANN quality as a gated metric: recall@10 of the LSH top-k (q23)
+    * against the exact top-k (q20), per query vector. Joins the two
+    * pipelines and counts overlap — the oracle recomputes both, so the
+    * recall number itself is certified. */
+  def q49AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val q = v.filter(col("id") < 3).select(col("id").as("qid"), col("vec").as("qvec"))
+    val exact = Similarity.bruteForceTopK(v, q, 10).select(col("qid"), col("id"))
+    val approx = Similarity.lshTopK(v, q, 10).select(col("qid"), col("id"))
+    val overlap = exact.join(approx, Seq("qid", "id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    exact.select(col("qid")).distinct()
+      .join(overlap, Seq("qid"), "left")
+      .select(col("qid"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / 10.0).as("recall_at_10"))
+      .orderBy(col("qid"))
+  }
+
+  val q49AnnRecallSql: String =
+    s"""WITH ${sigCtes(16, 6, 64)},
+      |q AS (
+      |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      |  FROM embeddings WHERE vec_id < 3),
+      |ex AS (
+      |  SELECT qid, vec_id AS id FROM (
+      |    SELECT q.qid, e.vec_id,
+      |      row_number() OVER (PARTITION BY q.qid
+      |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+      |                 e.vec_id) AS rn
+      |    FROM embeddings e, q WHERE e.vec_id <> q.qid)
+      |  WHERE rn <= 10),
+      |qsigs AS (SELECT id AS qid, tbl, sig FROM sigs WHERE id < 3),
+      |cand AS (
+      |  SELECT DISTINCT s.id, qs.qid
+      |  FROM sigs s JOIN qsigs qs ON s.tbl = qs.tbl AND s.sig = qs.sig
+      |  WHERE s.id <> qs.qid),
+      |ap AS (
+      |  SELECT qid, id FROM (
+      |    SELECT c.qid, c.id,
+      |      row_number() OVER (PARTITION BY c.qid
+      |        ORDER BY list_cosine_similarity(ev.embedding::DOUBLE[],
+      |                                        eq.embedding::DOUBLE[]) DESC,
+      |                 c.id) AS rn
+      |    FROM cand c
+      |    JOIN embeddings ev ON ev.vec_id = c.id
+      |    JOIN embeddings eq ON eq.vec_id = c.qid)
+      |  WHERE rn <= 10)
+      |SELECT ex.qid,
+      |  CAST(COUNT(ap.id) AS DOUBLE) / 10.0 AS recall_at_10
+      |FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.id = ex.id
+      |GROUP BY ex.qid
+      |ORDER BY ex.qid""".stripMargin
 }

@@ -30,7 +30,7 @@ object Registry {
     Gated("q20_embed_topk",    Embeddings.q20EmbedTopK, Some(Embeddings.q20EmbedTopKSql)),
     Gated("q21_embed_neardup", Embeddings.q21EmbedNearDup, Some(Embeddings.q21EmbedNearDupSql)),
     Gated("q22_label_centroids", Embeddings.q22LabelCentroids, Some(Embeddings.q22LabelCentroidsSql)),
-    Gated("q23_ann_lsh",       Embeddings.q23AnnLsh, None),
+    Gated("q23_ann_lsh",       Embeddings.q23AnnLsh, Some(Embeddings.q23AnnLshSql)),
     Gated("q24_minhash_lsh",   DedupQueries.q24MinhashLsh, Some(DedupQueries.q24MinhashLshSql)),
     Gated("q25_simhash",       DedupQueries.q25Simhash, Some(DedupQueries.q25SimhashSql)),
     Gated("q26_fingerprint",   DedupQueries.q26Fingerprint, Some(DedupQueries.q26FingerprintSql)),
@@ -56,6 +56,7 @@ object Registry {
     Gated("q46_pagination",    Breadth.q46Pagination, Some(Breadth.q46PaginationSql)),
     Gated("q47_curation",      CurationQuery.q47Curation, Some(CurationQuery.q47CurationSql)),
     Gated("q48_embed_curation", Embeddings.q48EmbedCuration, Some(Embeddings.q48EmbedCurationSql)),
+    Gated("q49_ann_recall",    Embeddings.q49AnnRecall, Some(Embeddings.q49AnnRecallSql)),
   )
 
   def byName(name: String): Gated = all.find(_.name == name).get

@@ -84,6 +84,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("LSH candidates are a sound subset of exact all-pairs (same sims)") {
+    val v = planted()
+    val exact = Similarity.nearDupPairs(v, 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    val lsh = Similarity.lshNearDupCandidates(v, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    // every blocked pair exists in the exact set with a bit-identical sim
+    lsh.foreach { case (a, b, s) =>
+      assert(exact.get((a, b)).contains(s), s"($a,$b,$s) not in exact set")
+    }
+    // the planted high-sim duplicates all survive blocking (design regime)
+    val dupPairs = (0 until 5).map(i => (i.toLong, 100L + i)).toSet
+    val found = lsh.map { case (a, b, _) => (a, b) }.toSet
+    assert(dupPairs.subsetOf(found), s"missing ${dupPairs -- found}")
+  }
+
   test("near-dup pairs: threshold filters and i<j ordering") {
     val pairs = Similarity.nearDupPairs(planted(), 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect()

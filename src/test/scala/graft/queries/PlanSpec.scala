@@ -60,6 +60,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SQRT(dotproductf"), p)
   }
 
+  test("q21/q48: embedding near-dup runs the bucketed LSH join — no nested-loop") {
+    Seq(Embeddings.q21EmbedNearDup(spark, sf),
+        Embeddings.q48EmbedCuration(spark, sf)).foreach { df =>
+      val p = planOf(df)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"cartesian in gated plan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian in gated plan:\n$p")
+    }
+  }
+
   test("q14: JSON extraction keeps aggregation partial (map-side combine)") {
     val p = planOf(Events.q14JsonProps(spark, sf))
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
