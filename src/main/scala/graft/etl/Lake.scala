@@ -45,21 +45,18 @@ object Lake {
     * scan efficiency without changing the directory contract. Writes to a
     * temp sibling then swaps, so readers never see a half-compacted tree. */
   def compact(spark: SparkSession, dir: String, partitionCols: Seq[String]): Unit = {
+    import graft.core.Fs
     val df = spark.read.parquet(dir)
     val tmp = dir + ".compacting"
     df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp)
-    val fs = new java.io.File(dir)
-    val bak = new java.io.File(dir + ".old")
-    if (bak.exists()) delete(bak)
-    fs.renameTo(bak)
-    new java.io.File(tmp).renameTo(fs)
-    delete(bak): Unit
-  }
-
-  private def delete(f: java.io.File): Boolean = {
-    if (f.isDirectory) f.listFiles().foreach(delete)
-    f.delete()
+    // swap through the Hadoop FS API (works on HDFS/S3A/local alike);
+    // readers observe either the old tree or the new one, never a mix
+    val bak = dir + ".old"
+    Fs.delete(spark, bak)
+    Fs.renameOverwrite(spark, dir, bak)
+    Fs.renameOverwrite(spark, tmp, dir)
+    Fs.delete(spark, bak)
   }
 
   def readMarkets(spark: SparkSession, root: String): DataFrame =

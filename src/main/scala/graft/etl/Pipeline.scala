@@ -28,14 +28,14 @@ final class ExchangeNotFound(val exchange: String)
 class JsonDirSource(spark: SparkSession, dir: String) extends QuoteSource {
   // multiLine: fixture files are literal API response bodies (JSON arrays)
   def eod(ticker: String, fromDate: String): DataFrame = {
-    if (!new java.io.File(s"$dir/eod/$ticker.json").exists())
+    if (!graft.core.Fs.exists(spark, s"$dir/eod/$ticker.json"))
       throw new TickerNotFound(ticker)
     spark.read.schema(Schemas.eodRaw).option("multiLine", true)
       .json(s"$dir/eod/$ticker.json")
       .filter(col("date") >= lit(fromDate)) // source-side pushdown analog
   }
   def symbols(exchange: String): DataFrame = {
-    if (!new java.io.File(s"$dir/symbols/$exchange.json").exists())
+    if (!graft.core.Fs.exists(spark, s"$dir/symbols/$exchange.json"))
       throw new ExchangeNotFound(exchange)
     spark.read.schema(Schemas.marketRaw).option("multiLine", true)
       .json(s"$dir/symbols/$exchange.json")

@@ -21,8 +21,7 @@ class StateStore(spark: SparkSession, path: String) {
 
   /** All watermarks; empty DataFrame if the store doesn't exist yet. */
   def load(): DataFrame = {
-    val fs = new java.io.File(path)
-    if (fs.exists()) spark.read.schema(schema).json(path)
+    if (graft.core.Fs.exists(spark, path)) spark.read.schema(schema).json(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(schema))
@@ -43,16 +42,14 @@ class StateStore(spark: SparkSession, path: String) {
     val merged = load().unionByName(updates.selectExpr("kind", "key", "watermark"))
       .groupBy("kind", "key").agg(max("watermark").as("watermark"))
       .collect() // state cardinality = #tracked entities; tiny by contract
-    val tmp = new java.io.File(path + ".tmp")
-    val out = new java.io.PrintWriter(tmp, "UTF-8")
-    try merged.foreach { r =>
-      out.println(
-        s"""{"kind":${jstr(r.getString(0))},"key":${jstr(r.getString(1))},"watermark":${jstr(r.getString(2))}}""")
-    } finally out.close()
-    // atomic swap: state is never observed half-written
-    java.nio.file.Files.move(tmp.toPath, new java.io.File(path).toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val lines = merged.map { r =>
+      s"""{"kind":${jstr(r.getString(0))},"key":${jstr(r.getString(1))},"watermark":${jstr(r.getString(2))}}"""
+    }.mkString("", "\n", "\n")
+    // write-then-atomic-rename through the Hadoop FS API: state is never
+    // observed half-written, on HDFS/S3A/local alike
+    val tmp = path + ".tmp"
+    graft.core.Fs.writeString(spark, tmp, lines)
+    graft.core.Fs.renameOverwrite(spark, tmp, path)
   }
 
   def advance(kind: String, key: String, watermark: String): Unit = {
@@ -61,10 +58,8 @@ class StateStore(spark: SparkSession, path: String) {
   }
 
   /** Reset (reference `reboot.py:21-24` / `API_manager.py:211-222`). */
-  def reset(): Unit = {
-    val f = new java.io.File(path)
-    if (f.exists()) f.delete(): Unit
-  }
+  def reset(): Unit =
+    graft.core.Fs.delete(spark, path)
 }
 
 object StateStore {

@@ -42,7 +42,7 @@ object Scd0 {
     df.write.mode(SaveMode.Overwrite).parquet(stagePath)
 
   private def existingOrEmpty(spark: SparkSession, path: String, like: DataFrame): DataFrame =
-    if (new java.io.File(path).exists())
+    if (graft.core.Fs.exists(spark, path))
       spark.read.parquet(path)
     else like.filter(lit(false))
 }
