@@ -25,20 +25,32 @@ object Bench {
       try run(g, "/root/testdata/sf0.001") catch { case _: Throwable => () }
     }
     // two timed passes, report per-query min: steady-state execution time
-    // (single-pass numbers carry ±50% JIT/GC noise in one JVM)
-    def timeOnce(g: graft.queries.Gated): Double = {
+    // (single-pass numbers carry ±50% JIT/GC noise in one JVM). A query
+    // that throws is recorded as an error and EXCLUDED from the total —
+    // it must never bench as ~0s and silently inflate the round.
+    def timeOnce(g: graft.queries.Gated): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try run(g, sfDir) catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        run(g, sfDir)
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
     }
     val pass1 = headline.map(g => g.name -> timeOnce(g)).toMap
     val results = headline.map { g =>
-      g.name -> math.min(pass1(g.name), timeOnce(g))
+      g.name -> (for (a <- pass1(g.name); b <- timeOnce(g)) yield math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.collect { case (k, Right(v)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, Left(e)) => "\"" + k + "\":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    if (results.exists(_._2.isLeft)) System.err.println(
+      "BENCH ERRORS: " + results.collect { case (k, Left(e)) => s"$k -> $e" }.mkString("; "))
     spark.stop()
   }
 }

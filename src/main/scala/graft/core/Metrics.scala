@@ -2,64 +2,82 @@ package graft.core
 
 import scala.collection.concurrent.TrieMap
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.QueryExecution
-import org.apache.spark.sql.util.QueryExecutionListener
+import org.apache.spark.sql.execution.ui.{SparkListenerSQLExecutionEnd, SparkListenerSQLExecutionStart}
 
 /** Observability (reference §2.11: row-count logs per load,
-  * `DB_manager.py:125,136`): a `QueryExecutionListener` capturing per-action
-  * execution metrics — rows output, files/bytes read, duration — keyed by
-  * an action name the caller scopes with [[Metrics.named]]. Engine-native
-  * replacement for the reference's print statements; in production these
-  * feed structured logs/dashboards.
+  * `DB_manager.py:125,136`): a listener capturing per-action execution
+  * metrics — rows output, files/bytes read, duration — keyed by an action
+  * name the caller scopes with [[Metrics#named]]. Engine-native replacement
+  * for the reference's print statements; in production these feed
+  * structured logs/dashboards.
+  *
+  * Attribution rides on job tags, not shared mutable state: [[named]] tags
+  * the calling thread, the tag is captured into every
+  * `SparkListenerSQLExecutionStart` submitted from that thread, and the
+  * matching `SparkListenerSQLExecutionEnd` (same executionId, carries the
+  * `QueryExecution` and duration) resolves the scope. Concurrent named
+  * scopes on different threads therefore cannot cross-attribute — the
+  * weakness of the previous single `@volatile var` scheme, which pinned one
+  * global "current" name.
   */
-final class Metrics extends QueryExecutionListener {
+final class Metrics(spark: SparkSession) extends SparkListener {
 
   final case class Snapshot(name: String, durationMs: Long, rowsOut: Long,
       filesRead: Long, bytesRead: Long)
 
   private val captured = TrieMap.empty[String, Snapshot]
-  @volatile private var current = "unnamed"
+  private val scopeByExec = TrieMap.empty[Long, String]
+  private val TagPrefix = "graft.metrics:"
 
-  /** Scope the next action(s) under `name`. Listener delivery is async, so
-    * the scope stays active until its snapshot lands (bounded wait) —
-    * without this, fast actions would be attributed to the default scope. */
+  override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
+    case s: SparkListenerSQLExecutionStart =>
+      s.jobTags.find(_.startsWith(TagPrefix)).foreach { t =>
+        scopeByExec.put(s.executionId, t.stripPrefix(TagPrefix)): Unit
+      }
+    case e: SparkListenerSQLExecutionEnd =>
+      // the bus is ordered, so the Start mapping exists by now
+      import org.apache.spark.sql.graft.Bridge
+      val name = scopeByExec.remove(e.executionId).getOrElse("unnamed")
+      val qe = Bridge.endQe(e)
+      if (!Bridge.endFailed(e) && qe != null) {
+        val m = qe.executedPlan.collectLeaves().flatMap(_.metrics.toSeq)
+        def sumOf(key: String) = m.collect {
+          case (k, v) if k == key => v.value
+        }.sum
+        val rows = qe.executedPlan.metrics.get("numOutputRows").map(_.value)
+          .getOrElse(sumOf("numOutputRows"))
+        captured.put(name, Snapshot(name, Bridge.endDurationNs(e) / 1000000L, rows,
+          sumOf("numFiles"), sumOf("filesSize"))): Unit
+      }
+    case _ => ()
+  }
+
+  /** Scope the action(s) in `f` under `name`. Listener delivery is async,
+    * so a bounded wait keeps the contract that the snapshot is queryable
+    * on return; attribution itself never depends on the wait. */
   def named[T](name: String)(f: => T): T = {
-    current = name
+    val tag = TagPrefix + name
+    spark.sparkContext.addJobTag(tag)
     try f
     finally {
+      spark.sparkContext.removeJobTag(tag)
       val deadline = System.currentTimeMillis() + 5000
       while (!captured.contains(name) && System.currentTimeMillis() < deadline)
         Thread.sleep(10)
-      current = "unnamed"
     }
   }
 
   def apply(name: String): Option[Snapshot] = captured.get(name)
   def all: Map[String, Snapshot] = captured.toMap
-
-  override def onSuccess(funcName: String, qe: QueryExecution,
-      durationNs: Long): Unit = {
-    val m = qe.executedPlan.collectLeaves()
-      .flatMap(_.metrics.toSeq)
-    def sumOf(key: String) = m.collect {
-      case (k, v) if k == key => v.value
-    }.sum
-    val rows = qe.executedPlan.metrics.get("numOutputRows").map(_.value)
-      .getOrElse(sumOf("numOutputRows"))
-    captured.put(current, Snapshot(current, durationNs / 1000000L, rows,
-      sumOf("numFiles"), sumOf("filesSize"))): Unit
-  }
-
-  override def onFailure(funcName: String, qe: QueryExecution,
-      exception: Exception): Unit = ()
 }
 
 object Metrics {
   /** Install a listener on the session; returns the handle to query. */
   def install(spark: SparkSession): Metrics = {
-    val m = new Metrics
-    spark.listenerManager.register(m)
+    val m = new Metrics(spark)
+    spark.sparkContext.addSparkListener(m)
     m
   }
 }

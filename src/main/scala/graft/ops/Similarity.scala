@@ -135,41 +135,28 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN: the partition-pruned scale path --------
 
-  /** Lloyd-refined centroids from a deterministic seed sample. All steps
-    * are DataFrame ops: assignment is an argmin over a broadcast centroid
+  /** Lloyd-refined centroids from a deterministic init. All steps are
+    * DataFrame ops: assignment is an argmin over a broadcast centroid
     * table (min over (dist, cid) structs — deterministic tie-break), the
     * update step averages per (cid, dim) via posexplode and rebuilds the
-    * arrays. Returns (cid, cvec: array<float>). */
+    * arrays. Returns (cid, cvec: array<float>).
+    *
+    * init = "parallel" (default): k-means‖; ceil(log₂ k) (≤5) distributed
+    * rounds, each ONE Spark job ending in a bounded ≤2k-row collect —
+    * driver work no longer scales with k the way the former per-centroid
+    * farthest-point loop did (k sequential jobs). init = "sample": one
+    * job, deterministic hash-ordered pseudo-random sample — the right
+    * choice for k ≳ 4096, where the ‖-init's O(k·candidates) driver-side
+    * reduction would dominate. */
   def trainCentroids(vectors: DataFrame, k: Int, iters: Int = 2,
-      init: String = "farthest"): DataFrame = {
-    // init = "farthest": k driver rounds, each one distributed argmax of
-    // distance-to-nearest-chosen — deterministic and spread across real
-    // clusters (naive lowest-id seeding collapses into one cluster), but
-    // k sequential jobs. init = "sample": one job, deterministic hash-
-    // ordered pseudo-random sample — the right default for large k where
-    // Lloyd refinement does the spreading.
+      init: String = "parallel"): DataFrame = {
     val spark = vectors.sparkSession
-    def sq(c: Seq[Float]): Double = c.map(x => x.toDouble * x).sum
     val chosen: Vector[Seq[Float]] = init match {
       case "sample" =>
         vectors.orderBy(pmod(xxhash64(col("id")), lit(1000003L)), col("id"))
           .limit(k).select(col("vec"))
           .collect().map(_.getSeq[Float](0)).toVector
-      case _ =>
-        var acc = Vector(
-          vectors.orderBy(col("id")).limit(1).select(col("vec"))
-            .collect().head.getSeq[Float](0))
-        while (acc.size < k) {
-          val minDist = acc.map { c =>
-            dot(col("vec"), col("vec")) -
-              lit(2.0) * dot(col("vec"), typedlit(c)) + lit(sq(c))
-          }.reduce(least(_, _))
-          acc = acc :+ vectors
-            .select(col("id"), col("vec"), minDist.as("d"))
-            .orderBy(col("d").desc, col("id")).limit(1)
-            .select(col("vec")).collect().head.getSeq[Float](0)
-        }
-        acc
+      case _ => parallelInit(vectors, k)
     }
     import spark.implicits._
     val seed = chosen.zipWithIndex
@@ -185,6 +172,78 @@ object Similarity {
           array_sort(collect_list(struct(col("dim"), col("m")))),
           x => x.getField("m").cast("float")).as("cvec"))
     }
+  }
+
+  /** k-means‖ seeding (Bahmani et al., VLDB'12, public algorithm):
+    * ceil(log₂ k) rounds of distance-weighted oversampling (ℓ = 2k per
+    * round, A-Res weighted reservoir keys from a salted hash — fully
+    * deterministic), then a deterministic weighted farthest-point
+    * reduction of the ~ℓ·rounds candidates to k on the driver. Every
+    * round is one distributed pass; no per-centroid jobs. */
+  private def parallelInit(vectors: DataFrame, k: Int): Vector[Seq[Float]] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    if (k <= 1)
+      return Vector(vectors.orderBy(col("id")).limit(1)
+        .select(col("vec")).collect().head.getSeq[Float](0))
+    val l = 2 * k
+    val rounds = math.min(5, 32 - Integer.numberOfLeadingZeros(k - 1)) // ceil(log2 k)
+    var chosen: Vector[Seq[Float]] = Vector(
+      vectors.orderBy(col("id")).limit(1)
+        .select(col("vec")).collect().head.getSeq[Float](0))
+    for (r <- 1 to rounds) {
+      val cents = chosen.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("cid", "cvec")
+      val d2 = vectors.crossJoin(broadcast(cents))
+        .select(col("id"), col("vec"),
+          (dot(col("vec"), col("vec")) - lit(2.0) * dot(col("vec"), col("cvec")) +
+            dot(col("cvec"), col("cvec"))).as("dd"))
+        .groupBy(col("id"))
+        .agg(min(col("dd")).as("d2"), first(col("vec")).as("vec"))
+      // A-Res weighted sampling: top-ℓ by ln(u)/weight with u hashed from
+      // (id, round) — selection probability ∝ d², reproducible everywhere
+      val u = (pmod(xxhash64(col("id"), lit(r)), lit(1000000007L)).cast("double") + lit(1.0)) /
+        lit(1000000009.0)
+      val sampled = d2.filter(col("d2") > 1e-12)
+        .select(col("id"), col("vec"), (log(u) / col("d2")).as("key"))
+        .orderBy(col("key").desc, col("id")).limit(l)
+        .select(col("vec")).collect().map(_.getSeq[Float](0))
+      chosen = chosen ++ sampled
+    }
+    // weight candidates by the number of points they attract, then reduce
+    // deterministically: heaviest first, then argmax weight·dist²-to-chosen
+    val candDf = chosen.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("cid", "cvec")
+    val weights = assign(vectors, candDf).groupBy(col("cid")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cands = chosen.map(_.toArray).toArray
+    val w = Array.tabulate(cands.length)(i => weights.getOrElse(i.toLong, 0L).toDouble)
+    def dist2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+      }
+      s
+    }
+    val picked = scala.collection.mutable.ArrayBuffer(
+      w.indices.minBy(i => (-w(i), i)))
+    val minD2 = Array.tabulate(cands.length)(i => dist2(cands(i), cands(picked.head)))
+    while (picked.size < k && picked.size < cands.length) {
+      val next = minD2.indices.minBy(i => (-w(i) * minD2(i), i))
+      if (w(next) * minD2(next) <= 0) {
+        // remaining candidates are duplicates of picked ones — stop early
+        picked ++= minD2.indices.filterNot(picked.contains).take(k - picked.size)
+      } else {
+        picked += next
+        var i = 0
+        while (i < cands.length) {
+          val d = dist2(cands(i), cands(next))
+          if (d < minD2(i)) minD2(i) = d
+          i += 1
+        }
+      }
+    }
+    picked.map(i => cands(i).toSeq).toVector
   }
 
   /** Nearest-centroid assignment: (id, cid). Centroids broadcast; argmin

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's one analytical query (E3, `DB_manager.py:181-199`):
@@ -45,8 +45,17 @@ object LastPrice {
       .select(outCols: _*)
   }
 
+  /** Execute [[sqlText]] with the ticker BOUND as a named parameter —
+    * Spark substitutes it as a typed literal during parsing, so the value
+    * can never terminate the string and rewrite the query. This is the fix
+    * SURVEY F10 demands for the reference's injection-prone f-string
+    * (`DB_manager.py:196`: `f"... S.ticker = '{ticker}'"`). Requires
+    * `stock_prices` / `markets` registered (temp view or catalog). */
+  def sqlParity(spark: SparkSession, ticker: String): DataFrame =
+    spark.sql(sqlText, Map("ticker" -> ticker))
+
   /** The SQL form, verbatim shape of `DB_manager.py:182-196`, for
-    * `spark.sql` once `stock_prices`/`markets` are registered. */
+    * [[sqlParity]] once `stock_prices`/`markets` are registered. */
   def sqlText: String =
     """SELECT date_format(S.stock_date, 'dd-MM-yyyy') AS price_date,
       |  S.stock_ticker, M.market_companyname, S.stock_close,

@@ -1,37 +1,30 @@
 package graft.tools
 
-import org.apache.spark.sql.functions._
-import graft.core.{GraftSession, Tables}
-import graft.ops._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
+import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+import org.apache.spark.sql.util.QueryExecutionListener
+import graft.core.GraftSession
 
-/** Ad-hoc stage profiler (dev tool, not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local("scratch", 32)
-    val dir = "/root/testdata/sf0.1"
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"STAGE $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.mode("overwrite").format("noop").save()
-
-    val docs = Tables.documents(spark, dir)
-    noop(docs) // warm scan
-    val exact = Dedup.exact(docs, "doc_id", "text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("exact+cache build")(noop(exact))
-    time("cache re-read")(noop(exact))
-    val sigs = Dedup.minhashSignatures(exact, "doc_id", "text")
-    time("sigs only")(noop(sigs))
-    time("sigs only again")(noop(sigs))
-    val cand = Dedup.minhashCandidates(exact, "doc_id", "text")
-    time("cand (sigs+join+groupBy)")(noop(cand))
-    val sh = exact.select(col("doc_id").as("id"),
-      graft.functions.TextFunctions.distinct_shingles(col("text"), 3).as("sh"))
-    time("shingle sets only")(noop(sh))
-    val confirmed = Dedup.verifyJaccard(exact, cand.select("id_a", "id_b"), "doc_id", "text")
-    time("verifyJaccard")(noop(confirmed))
+    val spark = GraftSession.local("scratch", 4)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
+        case s: SparkListenerSQLExecutionStart =>
+          println(s"SQLSTART execId=${s.executionId} tags=${s.jobTags}")
+        case _ => ()
+      }
+    })
+    spark.listenerManager.register(new QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        println(s"QEL onSuccess qe.id=${qe.id} func=$f")
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    })
+    spark.sparkContext.addJobTag("graft.metrics:mytag")
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .write.mode("overwrite").format("noop").save()
+    spark.sparkContext.removeJobTag("graft.metrics:mytag")
+    Thread.sleep(3000)
     spark.stop()
   }
 }

@@ -12,4 +12,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object Bridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `SparkListenerSQLExecutionEnd` carries the QueryExecution, duration
+    * and failure of the finished action in `private[sql]` vars — exactly
+    * what an executionId-keyed metrics listener needs. */
+  def endQe(e: execution.ui.SparkListenerSQLExecutionEnd): execution.QueryExecution = e.qe
+  def endDurationNs(e: execution.ui.SparkListenerSQLExecutionEnd): Long = e.duration
+  def endFailed(e: execution.ui.SparkListenerSQLExecutionEnd): Boolean =
+    e.executionFailure.isDefined || e.errorMessage.exists(_.nonEmpty)
 }

@@ -20,4 +20,28 @@ class MetricsSpec extends SparkSpec {
     assert(snap.get.bytesRead > 0)
     assert(snap.get.durationMs >= 0)
   }
+
+  test("concurrent named scopes attribute to the right names") {
+    val m = Metrics.install(spark)
+    val sf = "/root/testdata/sf0.001"
+    def run(name: String, table: String): Thread = {
+      val t = new Thread(() =>
+        m.named(name) {
+          spark.read.parquet(s"$sf/$table.parquet")
+            .write.mode("overwrite").format("noop").save()
+        })
+      t.start(); t
+    }
+    // two actions racing on different threads under different scopes —
+    // the round-1 single-current-scope scheme cross-attributed these
+    val threads = Seq(run("scope_nation", "nation"), run("scope_region", "region"))
+    threads.foreach(_.join(30000))
+    val deadline = System.currentTimeMillis() + 10000
+    while ((m("scope_nation").isEmpty || m("scope_region").isEmpty) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(m("scope_nation").isDefined && m("scope_region").isDefined, m.all.keySet)
+    // nation (25 rows) and region (5 rows) are distinguishable by rowsOut
+    assert(m("scope_nation").get.rowsOut === 25)
+    assert(m("scope_region").get.rowsOut === 5)
+  }
 }

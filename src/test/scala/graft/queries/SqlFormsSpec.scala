@@ -55,4 +55,41 @@ class SqlFormsSpec extends SparkSpec {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin)
   }
+
+  private def registerPriceViews(): Unit = {
+    import spark.implicits._
+    Seq(
+      ("AAPL-1", "AAPL", java.sql.Date.valueOf("2024-01-02"), 185.5),
+      ("AAPL-2", "AAPL", java.sql.Date.valueOf("2024-01-03"), 186.1),
+      ("MSFT-1", "MSFT", java.sql.Date.valueOf("2024-01-02"), 370.0)
+    ).toDF("stock_key", "stock_ticker", "stock_date", "stock_close")
+      .createOrReplaceTempView("stock_prices")
+    Seq(
+      ("AAPL", "Apple Inc", "NASDAQ", "US0378331005"),
+      ("MSFT", "Microsoft", "NASDAQ", "US5949181045")
+    ).toDF("market_stockid", "market_companyname", "market_exchange", "market_stockisin")
+      .createOrReplaceTempView("markets")
+  }
+
+  test("F10: named-param execution equals the DataFrame parity form (golden row)") {
+    registerPriceViews()
+    val viaParam = LastPrice.sqlParity(spark, "AAPL")
+    val viaDf = LastPrice.parity(
+      spark.table("stock_prices"), spark.table("markets"), "AAPL")
+    assert(viaParam.columns.toSeq === viaDf.columns.toSeq)
+    assert(viaParam.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaParam).isEmpty)
+    val row = viaParam.collect().toSeq
+    assert(row.map(_.getString(0)) === Seq("03-01-2024")) // global max date
+    assert(row.map(_.getDouble(3)) === Seq(186.1))
+    // reference quirk preserved: MSFT didn't trade on the global max date
+    assert(LastPrice.sqlParity(spark, "MSFT").isEmpty)
+  }
+
+  test("F10: a hostile ticker value stays a literal — no injection") {
+    registerPriceViews()
+    // under the reference's f-string this input rewrites the predicate to
+    // TRUE and leaks every row; under named binding it's just a non-match
+    val hostile = LastPrice.sqlParity(spark, "AAPL' OR '1'='1")
+    assert(hostile.isEmpty)
+  }
 }
