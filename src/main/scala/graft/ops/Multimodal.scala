@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, plus decode / feature-extract /
   * frame-sample plumbing.
   *
-  * The container has no codec libraries, so the actual decode is a
-  * DETERMINISTIC STUB ([[StubDecoder]]) — a real deployment swaps in a
-  * JNI/ffmpeg-backed [[MediaDecoder]] without touching the Spark plumbing,
-  * which is the real thing being engineered here:
+  * Two REAL pure-JVM decoders ship here — [[BmpDecoder]] (24-bit BMP byte
+  * parsing) and [[WavDecoder]] (PCM16 RIFF chunk walk); formats needing
+  * native codec libraries (JPEG/H.264/...) plug in as further
+  * [[MediaDecoder]] implementations without touching the Spark plumbing,
+  * which is engineered for scale:
   *  - binary payloads stay in `binary` columns (Tungsten off-heap, never
   *    interpreted by Catalyst);
   *  - decode runs in `mapPartitions` so the decoder is initialized once per
@@ -38,18 +39,173 @@ object Multimodal {
     def frames(row: MediaRow): Iterator[Frame]
   }
 
-  /** STUB: stands in for a real codec. Emits one deterministic pseudo-frame
-    * per second of duration, whose "pixels" are a keyed hash expansion of
-    * the payload — stable across runs/executors, so tests can assert exact
-    * results. Swap for an ffmpeg-backed decoder in production. */
-  final class StubDecoder extends MediaDecoder {
+  /** Uncompressed 24-bit BMP codec — pure JVM byte parsing, no codec
+    * libraries. Pixel payloads are top-down RGB triplets at the API
+    * boundary; the file format's bottom-up, BGR, 4-byte-row-padded layout
+    * is handled inside encode/decode, so `decode(encode(px)) == px`
+    * exactly (spec-asserted, including non-aligned widths). */
+  object Bmp {
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def rdLe32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    private def rdLe16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    /** Encode top-down RGB triplets (3 bytes/pixel) as a 24-bit BMP. */
+    def encode(width: Int, height: Int, rgbTopDown: Array[Byte]): Array[Byte] = {
+      require(rgbTopDown.length == width * height * 3, "pixel buffer size")
+      val rowBytes = width * 3
+      val stride = (rowBytes + 3) & ~3 // rows padded to 4-byte boundaries
+      val dataSize = stride * height
+      val out = new Array[Byte](54 + dataSize)
+      out(0) = 'B'; out(1) = 'M'
+      le32(54 + dataSize).copyToArray(out, 2)
+      le32(54).copyToArray(out, 10) // pixel data offset
+      le32(40).copyToArray(out, 14) // BITMAPINFOHEADER size
+      le32(width).copyToArray(out, 18)
+      le32(height).copyToArray(out, 22) // positive = bottom-up storage
+      out(26) = 1 // planes
+      out(28) = 24 // bits per pixel
+      le32(dataSize).copyToArray(out, 34)
+      var y = 0
+      while (y < height) {
+        val src = y * rowBytes
+        val dst = 54 + (height - 1 - y) * stride // flip to bottom-up
+        var x = 0
+        while (x < width) {
+          // RGB → BGR
+          out(dst + x * 3) = rgbTopDown(src + x * 3 + 2)
+          out(dst + x * 3 + 1) = rgbTopDown(src + x * 3 + 1)
+          out(dst + x * 3 + 2) = rgbTopDown(src + x * 3)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Parse a 24-bit uncompressed BMP into (width, height, top-down RGB).
+      * Handles bottom-up (positive height) and top-down (negative height)
+      * files and row padding; rejects other depths/compressions. */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+        "not a BMP payload")
+      val dataOff = rdLe32(bytes, 10)
+      val width = rdLe32(bytes, 18)
+      val rawHeight = rdLe32(bytes, 22)
+      val bpp = rdLe16(bytes, 28)
+      val compression = rdLe32(bytes, 30)
+      require(bpp == 24, s"unsupported bit depth $bpp (24-bit only)")
+      require(compression == 0, s"unsupported compression $compression")
+      val bottomUp = rawHeight > 0
+      val height = math.abs(rawHeight)
+      val rowBytes = width * 3
+      val stride = (rowBytes + 3) & ~3
+      val out = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        val srcRow = if (bottomUp) height - 1 - y else y
+        val src = dataOff + srcRow * stride
+        val dst = y * rowBytes
+        var x = 0
+        while (x < width) {
+          // BGR → RGB
+          out(dst + x * 3) = bytes(src + x * 3 + 2)
+          out(dst + x * 3 + 1) = bytes(src + x * 3 + 1)
+          out(dst + x * 3 + 2) = bytes(src + x * 3)
+          x += 1
+        }
+        y += 1
+      }
+      (width, height, out)
+    }
+  }
+
+  /** Real image decoder: parses the BMP payload bytes (ignoring the row's
+    * claimed metadata — the file is the truth) and emits one frame of
+    * top-down RGB pixels. */
+  final class BmpDecoder extends MediaDecoder {
     override def frames(row: MediaRow): Iterator[Frame] = {
-      val n = math.max(1, (row.duration_ms / 1000).toInt)
-      val seed = java.util.Arrays.hashCode(row.bytes)
-      (0 until n).iterator.map { i =>
-        val rng = new scala.util.Random(seed.toLong * 31 + i)
-        val px = Array.fill(64)(rng.nextInt(256).toByte)
-        Frame(row.media_id, i, row.width, row.height, px)
+      val (w, h, px) = Bmp.decode(row.bytes)
+      Iterator.single(Frame(row.media_id, 0, w, h, px))
+    }
+  }
+
+  /** PCM16 WAV codec — RIFF/fmt/data chunk walk, pure JVM. */
+  object Wav {
+    /** Encode interleaved 16-bit samples as a canonical PCM WAV. */
+    def encode(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+      val dataSize = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(channels.toShort).putInt(sampleRate)
+        .putInt(sampleRate * channels * 2) // byte rate
+        .putShort((channels * 2).toShort) // block align
+        .putShort(16) // bits per sample
+        .put("data".getBytes("US-ASCII")).putInt(dataSize)
+      samples.foreach(s => bb.putShort(s): Unit)
+      bb.array()
+    }
+
+    /** Parse a PCM16 WAV into (sampleRate, channels, samples). Walks the
+      * chunk list (fmt may be followed by LIST/fact chunks before data). */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 44, "truncated WAV")
+      val riff = new Array[Byte](4); bb.get(riff)
+      require(new String(riff, "US-ASCII") == "RIFF", "not a RIFF payload")
+      bb.getInt() // riff size
+      val wave = new Array[Byte](4); bb.get(wave)
+      require(new String(wave, "US-ASCII") == "WAVE", "not a WAVE payload")
+      var sampleRate = -1; var channels = -1
+      var samples: Array[Short] = null
+      while (bb.remaining() >= 8 && samples == null) {
+        val tag = new Array[Byte](4); bb.get(tag)
+        val size = bb.getInt()
+        new String(tag, "US-ASCII") match {
+          case "fmt " =>
+            val fmt = bb.getShort(); channels = bb.getShort()
+            sampleRate = bb.getInt()
+            require(fmt == 1, s"unsupported WAV format code $fmt (PCM only)")
+            bb.position(bb.position() + size - 8) // skip rest of fmt chunk
+          case "data" =>
+            require(channels > 0, "data chunk before fmt")
+            samples = new Array[Short](size / 2)
+            var i = 0
+            while (i < samples.length) { samples(i) = bb.getShort(); i += 1 }
+          case _ =>
+            bb.position(bb.position() + size + (size & 1)) // chunks pad to even
+        }
+      }
+      require(samples != null, "no data chunk")
+      (sampleRate, channels, samples)
+    }
+  }
+
+  /** Real audio decoder: parses PCM16 WAV bytes and emits one frame per
+    * `windowMs` of audio — Frame.width carries channels, Frame.height the
+    * sample rate, pixels the window's little-endian PCM bytes. */
+  final class WavDecoder(windowMs: Int = 1000) extends MediaDecoder {
+    override def frames(row: MediaRow): Iterator[Frame] = {
+      val (rate, channels, samples) = Wav.decode(row.bytes)
+      val perWindow = math.max(1, rate * channels * windowMs / 1000)
+      samples.grouped(perWindow).zipWithIndex.map { case (win, i) =>
+        val bytes = new Array[Byte](win.length * 2)
+        var j = 0
+        while (j < win.length) {
+          bytes(2 * j) = (win(j) & 0xff).toByte
+          bytes(2 * j + 1) = ((win(j) >> 8) & 0xff).toByte
+          j += 1
+        }
+        Frame(row.media_id, i, channels, rate, bytes)
       }
     }
   }

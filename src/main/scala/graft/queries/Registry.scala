@@ -57,6 +57,7 @@ object Registry {
     Gated("q47_curation",      CurationQuery.q47Curation, Some(CurationQuery.q47CurationSql)),
     Gated("q48_embed_curation", Embeddings.q48EmbedCuration, Some(Embeddings.q48EmbedCurationSql)),
     Gated("q49_ann_recall",    Embeddings.q49AnnRecall, Some(Embeddings.q49AnnRecallSql)),
+    Gated("q50_media_features", MediaQuery.q50MediaFeatures, Some(MediaQuery.q50MediaFeaturesSql)),
   )
 
   def byName(name: String): Gated = all.find(_.name == name).get

@@ -5,6 +5,22 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.ops.Multimodal._
 
+/** Test-only stand-in codec: emits one deterministic pseudo-frame per
+  * second of claimed duration — lets the sampling/feature plumbing be
+  * exercised on fake payloads of any "kind". Real byte parsing is covered
+  * by [[Multimodal.BmpDecoder]]/[[Multimodal.WavDecoder]] below. */
+final class StubDecoder extends Multimodal.MediaDecoder {
+  override def frames(row: Multimodal.MediaRow): Iterator[Multimodal.Frame] = {
+    val n = math.max(1, (row.duration_ms / 1000).toInt)
+    val seed = java.util.Arrays.hashCode(row.bytes)
+    (0 until n).iterator.map { i =>
+      val rng = new scala.util.Random(seed.toLong * 31 + i)
+      val px = Array.fill(64)(rng.nextInt(256).toByte)
+      Multimodal.Frame(row.media_id, i, row.width, row.height, px)
+    }
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
   implicit val s: org.apache.spark.sql.SparkSession = spark
@@ -47,6 +63,49 @@ class MultimodalSpec extends SparkSpec {
     val q = feats.limit(1).select(col("id").as("qid"), col("vec").as("qvec"))
     val topk = Similarity.bruteForceTopK(feats, q, 3)
     assert(topk.count() === 3)
+  }
+
+  test("BMP: encode/decode round-trips exactly, including padded rows") {
+    val rng = new scala.util.Random(5)
+    for ((w, h) <- Seq((8, 8), (3, 2), (5, 4), (1, 1))) { // 3,5: stride padding
+      val px = Array.fill(w * h * 3)(rng.nextInt(256).toByte)
+      val (dw, dh, out) = Bmp.decode(Bmp.encode(w, h, px))
+      assert((dw, dh) === ((w, h)))
+      assert(out.toSeq === px.toSeq, s"pixels differ at ${w}x$h")
+    }
+  }
+
+  test("BMP decoder rejects non-BMP and unsupported depths") {
+    intercept[IllegalArgumentException](Bmp.decode(Array[Byte](1, 2, 3)))
+    val bad = Bmp.encode(2, 2, new Array[Byte](12)); bad(28) = 8 // claim 8bpp
+    intercept[IllegalArgumentException](Bmp.decode(bad))
+  }
+
+  test("WAV: encode/decode round-trips; decoder windows real PCM audio") {
+    val rng = new scala.util.Random(6)
+    val samples = Array.fill(44100 * 2 + 5000)(rng.nextInt(65536).toShort) // ~2.1s mono
+    val bytes = Wav.encode(44100, 1, samples)
+    val (rate, ch, back) = Wav.decode(bytes)
+    assert(rate === 44100 && ch === 1)
+    assert(back.toSeq === samples.toSeq)
+    val rows = Seq(MediaRow(7L, "audio", "wav", bytes, 0, 0, 2113)).toDS()
+    val frames = decodeFrames(rows, new WavDecoder(1000)).collect().sortBy(_.frame_no)
+    assert(frames.length === 3) // 1s + 1s + tail
+    assert(frames.map(_.pixels.length).sum === samples.length * 2)
+    assert(frames.forall(f => f.width === 1 && f.height === 44100))
+  }
+
+  test("BMP decoder through the Spark plumbing: parsed pixels, real sizes") {
+    val img = Array.tabulate(8 * 8 * 3)(i => (i % 251).toByte)
+    val rows = Seq(
+      MediaRow(1L, "image", "bmp", Bmp.encode(8, 8, img), 0, 0, 0),
+      MediaRow(2L, "image", "bmp", Bmp.encode(3, 2, img.take(18)), 0, 0, 0)
+    ).toDS()
+    val frames = decodeFrames(rows, new BmpDecoder).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(frames(1L).width === 8 && frames(1L).height === 8)
+    assert(frames(1L).pixels.toSeq === img.toSeq)
+    assert(frames(2L).width === 3 && frames(2L).pixels.toSeq === img.take(18).toSeq)
   }
 
   test("resizeMeta: downscale only, aspect preserved") {
