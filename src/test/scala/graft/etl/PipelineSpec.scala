@@ -39,6 +39,24 @@ class PipelineSpec extends SparkSpec {
     assert(p.warehouseStocks().count() === 3)
   }
 
+  test("market extraction is FULL every run; its watermark is informational only") {
+    // Pins the SURVEY §7.4 decision on the reference's latent state bug:
+    // `__readState`'s Market branch re-reads a consumed file handle
+    // (API_manager.py:88), so its market watermark ALWAYS falls to the
+    // backfill sentinel — accidentally implementing main.py:23's stated
+    // intent ("LA EXTRACCION DE LOS MERCADOS ES FULL"). We implement the
+    // intent deliberately: state never filters the market extract, and the
+    // SCD-0 merge absorbs the full replay.
+    val p = mkPipeline()
+    assert(p.runMarket("NASDAQ") === 2)
+    val wmAfterFirst = p.state.watermark("Market", "NASDAQ")
+    assert(wmAfterFirst !== StateStore.Sentinel) // advanced (informational)
+    // watermark present, yet the next run still extracts the full set —
+    // 0 inserted proves the rows were re-extracted and deduped, not skipped
+    assert(p.runMarket("NASDAQ") === 0L)
+    assert(p.warehouseMarkets().count() === 2)
+  }
+
   test("replay after state reset is deduped by the anti-join (effectively-once)") {
     val p = mkPipeline()
     p.runStock("AAPL")
