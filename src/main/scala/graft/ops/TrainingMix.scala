@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Training-mix construction operators (north-star extension): the steps
+  * between "curated corpus" and "batches on the trainer" —
+  *
+  *  - [[stratifiedSample]]: deterministic per-stratum Bernoulli sampling
+  *    (language/source/quality mixes). No count pass, no shuffle: each row
+  *    decides for itself from an md5-derived uniform, so the same command
+  *    cuts the same mix on any cluster size — and the oracle can replay it.
+  *  - [[packSequences]]: greedy contiguous packing of documents into
+  *    fixed-token-budget training sequences, sharded so the running sum is
+  *    a per-shard window (never a single global sort at 100 TB).
+  *  - [[contamination]]: benchmark-overlap detection — distinct word
+  *    n-grams of each corpus doc joined against the benchmark's n-gram
+  *    set; one equi-join on the shingle, count per doc.
+  */
+object TrainingMix {
+
+  /** Value of the first 8 hex chars of md5(s) as a long in [0, 2³²) —
+    * a uniform engine-portable hash (same construction the MinHash and
+    * sampling oracles replay in SQL). */
+  private[graft] def hex8(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Keep each row iff hash(id) < rate(stratum)·2³² — deterministic
+    * Bernoulli sampling per stratum, exact integer compare (no float
+    * edge). Unknown strata fall back to `defaultRate`. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    def threshold(rate: Double): Long = (rate * 4294967296.0).toLong
+    val thr = rates.foldLeft(lit(threshold(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit(threshold(rate))).otherwise(acc)
+    }
+    df.filter(hex8(concat(col(idCol).cast("string"), lit("#smp"))) < thr)
+  }
+
+  /** Assign each document a (shard, seq) training-sequence slot: documents
+    * are hash-sharded, then packed in id order into sequences holding
+    * `budgetTokens` tokens (a doc straddling the boundary stays in the
+    * earlier sequence — greedy contiguous packing). The running sum is a
+    * window per shard, so no global sort exists at any scale; `shards`
+    * controls the parallelism of the packing itself.
+    *
+    * Output: (id, tokens, shard, seq, tok_start — offset of the doc's
+    * first token within its shard's stream). */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = size(TextOps.tokenize(col(textCol))).cast("long")
+    val shard = pmod(hex8(concat(col(idCol).cast("string"), lit("#shard"))), lit(shards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol).as("id"), toks.as("tokens"), shard.as("shard"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .select(col("id"), col("tokens"), col("shard"),
+        expr(s"(cum - tokens) div $budgetTokens").as("seq"),
+        (col("cum") - col("tokens")).as("tok_start"))
+  }
+
+  /** Corpus docs sharing ≥1 distinct word `n`-gram with the benchmark set:
+    * (id, n_shared). Shingle sets come from the native codegen'd kernel;
+    * the join key is the shingle itself — one shuffle, then a per-doc
+    * count. Docs with zero overlap don't appear (inner join). */
+  def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    def shingleRows(df: DataFrame) = df.select(col(idCol).as("id"),
+      explode(graft.functions.TextFunctions.distinct_shingles(col(textCol), n)).as("sh"))
+    val benchSet = shingleRows(bench).select(col("sh")).distinct()
+    shingleRows(corpus).join(benchSet, Seq("sh"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.TrainingMix
+
+/** Training-mix gate queries over `documents`: deterministic stratified
+  * sampling, sequence packing, benchmark contamination. Every oracle
+  * replays the md5-derived randomness exactly (same first-8-hex-chars
+  * uniform used by the MinHash/LSH gates).
+  */
+object MixQueries {
+
+  /** SQL for the value of the first 8 hex chars of md5(`e`) as BIGINT. */
+  private def hex8Sql(e: String): String =
+    "(" + (1 to 8).map { i =>
+      s"CAST(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - i))}"
+    }.mkString(" + ") + ")"
+
+  private val langRates = Map("en" -> 0.5, "es" -> 0.25, "zh" -> 0.75)
+  private val defaultRate = 0.1
+
+  /** Deterministic language-stratified sample of the corpus. */
+  def q51StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    TrainingMix.stratifiedSample(Tables.documents(spark, dir),
+        "doc_id", "lang", langRates, defaultRate)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val q51StratifiedSampleSql: String = {
+    val thr = (r: Double) => (r * 4294967296.0).toLong
+    val cases = langRates.map { case (l, r) => s"WHEN '$l' THEN ${thr(r)}" }.mkString(" ")
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ${hex8Sql("doc_id::VARCHAR || '#smp'")} <
+       |  CASE lang $cases ELSE ${thr(defaultRate)} END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Greedy sharded sequence packing at a 1024-token budget. */
+  def q52PackSequences(spark: SparkSession, dir: String): DataFrame =
+    TrainingMix.packSequences(Tables.documents(spark, dir),
+        "doc_id", "text", budgetTokens = 1024L, shards = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val q52PackSequencesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+       |    ${hex8Sql("doc_id::VARCHAR || '#shard'")} % 8 AS shard
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, tokens, shard,
+       |    CAST(SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM t)
+       |SELECT doc_id, tokens, shard,
+       |  (cum - tokens) // 1024 AS seq, cum - tokens AS tok_start
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Benchmark contamination: corpus docs (id ≥ 50) sharing ≥1 distinct
+    * 5-gram with the benchmark slice (id < 50), with the shared count. */
+  def q53Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TrainingMix.contamination(
+        docs.filter(col("doc_id") >= 50),
+        docs.filter(col("doc_id") < 50),
+        "doc_id", "text", n = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val q53ContaminationSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+      |         unnest(string_split(text,' ')) AS tok
+      |  FROM documents),
+      |led AS (
+      |  SELECT doc_id, tok,
+      |    lead(tok,1) OVER w AS l1, lead(tok,2) OVER w AS l2,
+      |    lead(tok,3) OVER w AS l3, lead(tok,4) OVER w AS l4
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, tok||' '||l1||' '||l2||' '||l3||' '||l4 AS sh
+      |  FROM led WHERE l4 IS NOT NULL),
+      |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 50)
+      |SELECT s.doc_id, COUNT(*) AS n_shared
+      |FROM sh s JOIN bench USING (sh)
+      |WHERE s.doc_id >= 50
+      |GROUP BY s.doc_id
+      |ORDER BY doc_id""".stripMargin
+}

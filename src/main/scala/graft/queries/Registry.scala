@@ -58,6 +58,9 @@ object Registry {
     Gated("q48_embed_curation", Embeddings.q48EmbedCuration, Some(Embeddings.q48EmbedCurationSql)),
     Gated("q49_ann_recall",    Embeddings.q49AnnRecall, Some(Embeddings.q49AnnRecallSql)),
     Gated("q50_media_features", MediaQuery.q50MediaFeatures, Some(MediaQuery.q50MediaFeaturesSql)),
+    Gated("q51_stratified_sample", MixQueries.q51StratifiedSample, Some(MixQueries.q51StratifiedSampleSql)),
+    Gated("q52_pack_sequences", MixQueries.q52PackSequences, Some(MixQueries.q52PackSequencesSql)),
+    Gated("q53_contamination", MixQueries.q53Contamination, Some(MixQueries.q53ContaminationSql)),
   )
 
   def byName(name: String): Gated = all.find(_.name == name).get

@@ -1,30 +1,24 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
-import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
-import org.apache.spark.sql.util.QueryExecutionListener
-import graft.core.GraftSession
+import org.apache.spark.sql.functions._
+import graft.core.{GraftSession, Tables}
+import graft.queries.CurationQuery
 
+/** Ad-hoc stage profiler (dev tool, not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local("scratch", 4)
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
-        case s: SparkListenerSQLExecutionStart =>
-          println(s"SQLSTART execId=${s.executionId} tags=${s.jobTags}")
-        case _ => ()
-      }
-    })
-    spark.listenerManager.register(new QueryExecutionListener {
-      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
-        println(s"QEL onSuccess qe.id=${qe.id} func=$f")
-      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
-    })
-    spark.sparkContext.addJobTag("graft.metrics:mytag")
-    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
-      .write.mode("overwrite").format("noop").save()
-    spark.sparkContext.removeJobTag("graft.metrics:mytag")
-    Thread.sleep(3000)
+    val spark = GraftSession.local("scratch", 32)
+    val dir = "/root/testdata/sf0.1"
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"STAGE $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    noop(Tables.documents(spark, dir))
+    time("q47 cold")(noop(CurationQuery.q47Curation(spark, dir)))
+    time("q47 warm")(noop(CurationQuery.q47Curation(spark, dir)))
+    time("q47 warm2")(noop(CurationQuery.q47Curation(spark, dir)))
     spark.stop()
   }
 }

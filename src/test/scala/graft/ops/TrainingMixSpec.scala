@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TrainingMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus() = (0 until 2000).map { i =>
+    val lang = Seq("en", "es", "de")(i % 3)
+    (i.toLong, lang, s"tok$i word${i % 7} text sample number $i end")
+  }.toDF("doc_id", "lang", "text")
+
+  test("stratified sampling hits the per-stratum rates and is deterministic") {
+    val rates = Map("en" -> 0.5, "es" -> 0.1)
+    val s1 = TrainingMix.stratifiedSample(corpus(), "doc_id", "lang", rates, 0.9)
+    val s2 = TrainingMix.stratifiedSample(corpus(), "doc_id", "lang", rates, 0.9)
+    assert(s1.select("doc_id").as[Long].collect().toSet ===
+      s2.select("doc_id").as[Long].collect().toSet) // deterministic
+    val byLang = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // ~667 docs per stratum; Bernoulli(1/3·2000, p) stays well within ±0.1
+    assert(math.abs(byLang("en") / 667.0 - 0.5) < 0.1, byLang)
+    assert(byLang("es") / 667.0 < 0.2, byLang)
+    assert(math.abs(byLang("de") / 667.0 - 0.9) < 0.1, byLang) // default rate
+  }
+
+  test("sequence packing: budget respected at starts, offsets contiguous per shard") {
+    val packed = TrainingMix.packSequences(corpus(), "doc_id", "text",
+      budgetTokens = 50L, shards = 4).collect()
+    assert(packed.length === 2000)
+    val byShard = packed.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.keySet.subsetOf((0L until 4L).toSet))
+    byShard.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("id"))
+      // offsets are the running sum of preceding docs' tokens
+      var cum = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("tok_start") === cum)
+        // a doc's sequence is where its first token lands
+        assert(r.getAs[Long]("seq") === cum / 50L)
+        cum += r.getAs[Long]("tokens")
+      }
+    }
+  }
+
+  test("contamination: planted benchmark overlap found, clean docs absent") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "prefix alpha beta gamma delta epsilon suffix tail"), // shares 5-grams
+      (101L, "completely different words with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val hits = TrainingMix.contamination(corpus, bench, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(hits.contains(100L) && hits(100L) >= 1)
+    assert(!hits.contains(101L))
+  }
+}
