@@ -153,7 +153,11 @@ object Similarity {
     val spark = vectors.sparkSession
     val chosen: Vector[Seq[Float]] = init match {
       case "sample" =>
-        vectors.orderBy(pmod(xxhash64(col("id")), lit(1000003L)), col("id"))
+        // md5-ordered pseudo-random sample — engine-portable (the IVF
+        // oracle replays the same ordering), deterministic at any
+        // parallelism
+        vectors
+          .orderBy(TrainingMix.hex8(concat(col("id").cast("string"), lit("#ivf"))), col("id"))
           .limit(k).select(col("vec"))
           .collect().map(_.getSeq[Float](0)).toVector
       case _ => parallelInit(vectors, k)
@@ -163,10 +167,15 @@ object Similarity {
       .map { case (v, i) => (i.toLong, v) }.toDF("cid", "cvec")
     (0 until iters).foldLeft(seed) { (cents, _) =>
       val assigned = assign(vectors, cents)
+      // mean per (cid, dim) with an ORDER-FREE exact sum: values rounded
+      // to 6 decimals and summed as DECIMAL, so the result is identical
+      // under any partitioning/ordering — and in any engine (same trick
+      // as the q22 centroid gate); one cast back to float at the end
       assigned.join(vectors, "id")
         .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "v")))
         .groupBy(col("cid"), col("dim"))
-        .agg(avg(col("v").cast("double")).as("m"))
+        .agg((sum(round(col("v").cast("double"), 6).cast("decimal(18,6)"))
+          .cast("double") / count(lit(1))).as("m"))
         .groupBy(col("cid"))
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("m")))),

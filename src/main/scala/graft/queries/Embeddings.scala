@@ -136,8 +136,11 @@ object Embeddings {
       |WHERE vec_id NOT IN (SELECT id_b FROM losers)
       |ORDER BY vec_id""".stripMargin
 
-  /** IVF ANN: Lloyd-trained centroids, nprobe-pruned exact rerank (rows-
-    * only gate; recall asserted on clustered fixtures in the test suite). */
+  /** IVF ANN: Lloyd-trained centroids, nprobe-pruned exact rerank. Fully
+    * oracle-certified: the sample init is md5-ordered and the Lloyd update
+    * uses order-free decimal sums, so the DuckDB oracle replays the entire
+    * training (two unrolled iterations) plus the probe-pruned search
+    * bit-for-bit. */
   def q35AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
     val q = v.filter(col("id") < 3).select(col("id").as("qid"), col("vec").as("qvec"))
@@ -145,6 +148,74 @@ object Embeddings {
     Similarity.ivfTopK(v, q, 10, cents, nprobe = 4)
       .withColumnRenamed("id", "neighbor_id")
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** SQL for the value of the first 8 hex chars of md5(`e`) as BIGINT
+    * (mirrors [[graft.ops.TrainingMix.hex8]]). */
+  private def hex8Sql(e: String): String =
+    "(" + (1 to 8).map { i =>
+      s"CAST(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - i))}"
+    }.mkString(" + ") + ")"
+
+  /** One unrolled Lloyd iteration: nearest-centroid assignment (argmin of
+    * −dot with cid tie-break, the same ordering Spark's min-over-struct
+    * produces), then per-(cid, dim) means over 6-decimal DECIMAL sums —
+    * order-free, so bit-identical across engines — cast through REAL to
+    * mirror Spark's float centroid storage. */
+  private def lloydCtes(i: Int, prev: String): String =
+    s"""asg$i AS (
+       |  SELECT id, cid FROM (
+       |    SELECT e.vec_id AS id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY -list_dot_product(e.embedding::DOUBLE[], c.cvec), c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN $prev c)
+       |  WHERE rn = 1),
+       |upd$i AS (
+       |  SELECT a.cid, CAST(generate_subscripts(e.embedding, 1) - 1 AS BIGINT) AS dim,
+       |    CAST(round(CAST(unnest(e.embedding) AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+       |  FROM asg$i a JOIN embeddings e ON e.vec_id = a.id),
+       |c$i AS (
+       |  SELECT cid, list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY dim) AS cvec FROM (
+       |    SELECT cid, dim, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m
+       |    FROM upd$i GROUP BY cid, dim) GROUP BY cid)""".stripMargin
+
+  val q35AnnIvfSql: String = {
+    val seedOrder = s"${hex8Sql("vec_id::VARCHAR || '#ivf'")}, vec_id"
+    s"""WITH seed AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY $seedOrder) - 1 AS BIGINT) AS cid,
+       |    embedding::DOUBLE[] AS cvec
+       |  FROM embeddings
+       |  ORDER BY $seedOrder LIMIT 16),
+       |${lloydCtes(1, "seed")},
+       |${lloydCtes(2, "c1")},
+       |asg3 AS (
+       |  SELECT id, cid FROM (
+       |    SELECT e.vec_id AS id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY -list_dot_product(e.embedding::DOUBLE[], c.cvec), c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c)
+       |  WHERE rn = 1),
+       |buckets AS (
+       |  SELECT a.id, a.cid, e.embedding::DOUBLE[] AS vec,
+       |    sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS norm
+       |  FROM asg3 a JOIN embeddings e ON e.vec_id = a.id),
+       |probes AS (
+       |  SELECT qid, qvec, cid, sqrt(list_dot_product(qvec, qvec)) AS qnorm FROM (
+       |    SELECT e.vec_id AS qid, e.embedding::DOUBLE[] AS qvec, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY -list_dot_product(e.embedding::DOUBLE[], c.cvec), c.cid) AS pr
+       |    FROM embeddings e CROSS JOIN c2 c WHERE e.vec_id < 3)
+       |  WHERE pr <= 4),
+       |cand AS (
+       |  SELECT p.qid, b.id,
+       |    list_dot_product(b.vec, p.qvec) / (b.norm * p.qnorm) AS sim
+       |  FROM buckets b JOIN probes p USING (cid) WHERE b.id <> p.qid),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
+       |  FROM cand)
+       |SELECT qid, CAST(rn AS BIGINT) AS rank, id AS neighbor_id, sim
+       |FROM r WHERE rn <= 10
+       |ORDER BY qid, rank""".stripMargin
   }
 
   /** Approximate top-k via random-hyperplane LSH (the scale path). The

@@ -42,7 +42,7 @@ object Registry {
     Gated("q32_percentiles",   Stats.q32Percentiles, Some(Stats.q32PercentilesSql)),
     Gated("q33_correlated_agg", Q17.q33SmallQtyRevenue, Some(Q17.q33SmallQtyRevenueSql)),
     Gated("q34_token_counts",  Q17.q34TokenCounts, Some(Q17.q34TokenCountsSql)),
-    Gated("q35_ann_ivf",       Embeddings.q35AnnIvf, None),
+    Gated("q35_ann_ivf",       Embeddings.q35AnnIvf, Some(Embeddings.q35AnnIvfSql)),
     Gated("q36_string_funcs",  Breadth.q36StringFuncs, Some(Breadth.q36StringFuncsSql)),
     Gated("q37_custdist",      Breadth.q37Custdist, Some(Breadth.q37CustdistSql)),
     Gated("q38_disjunctive",   Breadth.q38Disjunctive, Some(Breadth.q38DisjunctiveSql)),
