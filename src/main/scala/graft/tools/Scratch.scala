@@ -2,27 +2,18 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 import graft.core.{GraftSession, Tables}
-import graft.ops._
 
-/** Ad-hoc stage profiler / dump tool (dev only). */
+/** Ad-hoc plan dump (dev only). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("scratch", 8)
-    val dir = "/root/testdata/sf0.01"
-    val v = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    // seed order (first 16 by md5 ordering)
-    v.orderBy(TrainingMix.hex8(concat(col("id").cast("string"), lit("#ivf"))), col("id"))
-      .limit(16).select(col("id"))
-      .write.mode("overwrite").parquet("/tmp/ivf_seed_ids")
-    val cents = Similarity.trainCentroids(v, 16, 2, "sample")
-    cents.select(col("cid"), col("cvec").cast("array<double>"))
-      .write.mode("overwrite").parquet("/tmp/ivf_cents")
-    val q = v.filter(col("id") < 3).select(col("id").as("qid"), col("vec").as("qvec"))
-    Similarity.ivfTopK(v, q, 10, cents, nprobe = 4)
-      .withColumnRenamed("id", "neighbor_id")
-      .orderBy(col("qid"), col("rank"))
-      .write.mode("overwrite").parquet("/tmp/ivf_q35")
+    val df = graft.queries.Embeddings.q21EmbedNearDup(spark, "/root/testdata/sf0.001")
+    df.write.mode("overwrite").format("noop").save()
+    val qe = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution
+    val plan = qe.executedPlan.toString
+    println("EXCHANGES: " + "Exchange".r.findAllIn(plan).length)
+    println("REUSED: " + "ReusedExchange|TableCacheQueryStage|reuse".r.findAllIn(plan).length)
+    plan.linesIterator.filter(l => l.contains("Exchange") || l.contains("Join") || l.contains("Generate") || l.contains("HashAggregate") || l.contains("Sort ") || l.contains("Scan ")).take(40).foreach(l => println("P: " + l.trim.take(150)))
     spark.stop()
   }
 }

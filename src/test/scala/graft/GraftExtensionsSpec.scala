@@ -18,7 +18,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r === 11.0)
   }
 
-  test("extensions class registers the dot_f builder") {
+  test("text kernels are callable from SQL via temp-function registration") {
+    val spark = GraftSession.local("graft-ext-test", 2)
+    graft.functions.TextFunctions.register(spark)
+    val mh = spark.sql(
+      "SELECT min_hash_slices('a b c d e', 3, 8) AS s").collect().head.getSeq[String](0)
+    assert(mh.length === 8 && mh.forall(_.length == 8))
+    val sh = spark.sql("SELECT simhash_md5('a b c', 60) AS s").collect().head.getLong(0)
+    assert(sh >= 0L)
+  }
+
+  test("extensions class registers all native function builders") {
     // getOrCreate would reuse the shared test session (extensions only
     // apply to fresh sessions), so exercise the injection hook directly
     val ext = new org.apache.spark.sql.SparkSessionExtensions
