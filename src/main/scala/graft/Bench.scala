@@ -42,7 +42,14 @@ object Bench {
     val results = headline.map { g =>
       g.name -> (for (a <- pass1(g.name); b <- timeOnce(g)) yield math.min(a, b))
     }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // full JSON string escape — exception messages carry newlines, and a
+    // control char would split the single machine-readable bench line
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.collect { case (k, Right(v)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(e)) => "\"" + k + "\":" + jstr(e) }

@@ -14,30 +14,17 @@ import graft.ops.TextOps
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def intArg(e: Expression): Int =
-    e.eval().asInstanceOf[Number].intValue()
-
   override def apply(ext: SparkSessionExtensions): Unit = {
-    def inject(name: String, clazz: Class[_],
-        builder: Seq[Expression] => Expression): Unit =
+    def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(clazz.getName, name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
-    inject("dot_f", classOf[DotProductF],
-      es => DotProductF(es(0), es(1)))
-    inject("min_hash_slices", classOf[MinHashSlicesExpr],
-      es => MinHashSlicesExpr(es(0), intArg(es(1)), intArg(es(2))))
-    inject("simhash_md5", classOf[SimHashMd5Expr],
-      es => SimHashMd5Expr(es(0), intArg(es(1))))
-    inject("token_quality", classOf[TokenQualityExpr],
-      // SQL form uses the default English stopword profile
-      es => TokenQualityExpr(es(0), TextOps.langProfiles.head._2))
-    inject("lang_id", classOf[LangIdExpr],
-      es => LangIdExpr(es(0), TextOps.langProfiles))
-    inject("fingerprint_md5", classOf[FingerprintMd5Expr],
-      es => FingerprintMd5Expr(es(0)))
-    inject("distinct_shingles", classOf[DistinctShinglesExpr],
-      es => DistinctShinglesExpr(es(0), intArg(es(1))))
+    inject("dot_f", es => DotProductF(es(0), es(1)))
+    // one builder table shared with TextFunctions.register — the live-
+    // session and session-build registration paths cannot drift
+    graft.functions.TextFunctions.sqlBuilders.foreach {
+      case (name, builder) => inject(name, builder)
+    }
   }
 }

@@ -28,6 +28,7 @@ final class Metrics(spark: SparkSession) extends SparkListener {
       filesRead: Long, bytesRead: Long)
 
   private val captured = TrieMap.empty[String, Snapshot]
+  private val seq = TrieMap.empty[String, Long] // bumps on every capture
   private val scopeByExec = TrieMap.empty[Long, String]
   private val TagPrefix = "graft.metrics:"
 
@@ -49,22 +50,27 @@ final class Metrics(spark: SparkSession) extends SparkListener {
         val rows = qe.executedPlan.metrics.get("numOutputRows").map(_.value)
           .getOrElse(sumOf("numOutputRows"))
         captured.put(name, Snapshot(name, Bridge.endDurationNs(e) / 1000000L, rows,
-          sumOf("numFiles"), sumOf("filesSize"))): Unit
+          sumOf("numFiles"), sumOf("filesSize")))
+        seq.updateWith(name)(v => Some(v.getOrElse(0L) + 1L)): Unit
       }
     case _ => ()
   }
 
   /** Scope the action(s) in `f` under `name`. Listener delivery is async,
     * so a bounded wait keeps the contract that the snapshot is queryable
-    * on return; attribution itself never depends on the wait. */
+    * on return; the wait watches a per-name capture COUNTER, not mere
+    * presence — a reused scope name must not satisfy the wait with the
+    * previous run's stale snapshot. Attribution itself never depends on
+    * the wait. */
   def named[T](name: String)(f: => T): T = {
     val tag = TagPrefix + name
+    val before = seq.getOrElse(name, 0L)
     spark.sparkContext.addJobTag(tag)
     try f
     finally {
       spark.sparkContext.removeJobTag(tag)
       val deadline = System.currentTimeMillis() + 5000
-      while (!captured.contains(name) && System.currentTimeMillis() < deadline)
+      while (seq.getOrElse(name, 0L) == before && System.currentTimeMillis() < deadline)
         Thread.sleep(10)
     }
   }

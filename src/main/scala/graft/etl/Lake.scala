@@ -46,13 +46,22 @@ object Lake {
     * temp sibling then swaps, so readers never see a half-compacted tree. */
   def compact(spark: SparkSession, dir: String, partitionCols: Seq[String]): Unit = {
     import graft.core.Fs
+    val bak = dir + ".old"
+    // crash recovery: a previous compact that died between its two renames
+    // left the data parked at `.old` with no live dir — restore it first
+    if (!Fs.exists(spark, dir) && Fs.exists(spark, bak))
+      Fs.renameOverwrite(spark, bak, dir)
     val df = spark.read.parquet(dir)
     val tmp = dir + ".compacting"
     df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp)
-    // swap through the Hadoop FS API (works on HDFS/S3A/local alike);
-    // readers observe either the old tree or the new one, never a mix
-    val bak = dir + ".old"
+    // swap through the Hadoop FS API (works on HDFS/S3A/local alike).
+    // Readers never see a half-compacted MIX, but there IS a brief window
+    // between the two renames where `dir` is absent (and on S3A, where
+    // rename is copy+delete, the window is proportional to table size) —
+    // concurrent readers must retry, and a crash inside the window is
+    // healed by the recovery above. True atomic publish needs a metadata
+    // pointer (table format / metastore), out of scope for a lake dir.
     Fs.delete(spark, bak)
     Fs.renameOverwrite(spark, dir, bak)
     Fs.renameOverwrite(spark, tmp, dir)

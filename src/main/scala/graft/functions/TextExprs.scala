@@ -411,16 +411,26 @@ object TextFunctions {
   def distinct_shingles(text: Column, width: Int): Column =
     Bridge.column(DistinctShinglesExpr(Bridge.expression(text), width))
 
-  /** Register SQL-facing names. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "min_hash_slices",
-      exprs => MinHashSlicesExpr(exprs(0),
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_md5",
-      exprs => SimHashMd5Expr(exprs(0), exprs(1).eval().asInstanceOf[Int]),
-      "scala_udf")
+  /** The SQL-facing builder table — single source of truth shared by
+    * [[register]] (temp functions on a live session) and
+    * [[graft.GraftExtensions]] (session-build injection), so the two
+    * registration paths can never drift. */
+  private[graft] val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = {
+    def intArg(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
+    Seq(
+      "min_hash_slices" -> (es => MinHashSlicesExpr(es(0), intArg(es(1)), intArg(es(2)))),
+      "simhash_md5" -> (es => SimHashMd5Expr(es(0), intArg(es(1)))),
+      // SQL forms use the default English stopword profile / profile table
+      "token_quality" -> (es => TokenQualityExpr(es(0), graft.ops.TextOps.langProfiles.head._2)),
+      "lang_id" -> (es => LangIdExpr(es(0), graft.ops.TextOps.langProfiles)),
+      "fingerprint_md5" -> (es => FingerprintMd5Expr(es(0))),
+      "distinct_shingles" -> (es => DistinctShinglesExpr(es(0), intArg(es(1)))))
   }
+
+  /** Register SQL-facing names on a live session. */
+  def register(spark: SparkSession): Unit =
+    sqlBuilders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
 }

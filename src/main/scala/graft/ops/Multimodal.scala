@@ -102,8 +102,15 @@ object Multimodal {
       require(compression == 0, s"unsupported compression $compression")
       val bottomUp = rawHeight > 0
       val height = math.abs(rawHeight)
+      // bounds-check the header against the payload BEFORE any allocation:
+      // corrupt/truncated files must reject cleanly, not OOM or crash a
+      // task mid-corpus
+      require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
+        s"implausible dimensions ${width}x$rawHeight")
       val rowBytes = width * 3
       val stride = (rowBytes + 3) & ~3
+      require(dataOff >= 54 && dataOff.toLong + stride.toLong * height <= bytes.length,
+        s"pixel data (offset $dataOff, ${stride}x$height) exceeds payload ${bytes.length}")
       val out = new Array[Byte](width * height * 3)
       var y = 0
       while (y < height) {
@@ -174,8 +181,12 @@ object Multimodal {
           case "fmt " =>
             val fmt = bb.getShort(); channels = bb.getShort()
             sampleRate = bb.getInt()
+            bb.getInt() // byte rate
+            bb.getShort() // block align
+            val bits = bb.getShort()
             require(fmt == 1, s"unsupported WAV format code $fmt (PCM only)")
-            bb.position(bb.position() + size - 8) // skip rest of fmt chunk
+            require(bits == 16, s"unsupported bit depth $bits (PCM16 only)")
+            bb.position(bb.position() + size - 16) // skip any fmt extension
           case "data" =>
             require(channels > 0, "data chunk before fmt")
             samples = new Array[Short](size / 2)
@@ -196,7 +207,10 @@ object Multimodal {
   final class WavDecoder(windowMs: Int = 1000) extends MediaDecoder {
     override def frames(row: MediaRow): Iterator[Frame] = {
       val (rate, channels, samples) = Wav.decode(row.bytes)
-      val perWindow = math.max(1, rate * channels * windowMs / 1000)
+      // multiple of channels: a window boundary must never split one
+      // multi-channel sample frame (would misalign L/R forever after)
+      val raw = math.max(channels, rate * channels * windowMs / 1000)
+      val perWindow = raw - raw % channels
       samples.grouped(perWindow).zipWithIndex.map { case (win, i) =>
         val bytes = new Array[Byte](win.length * 2)
         var j = 0

@@ -160,7 +160,10 @@ object Similarity {
           .orderBy(TrainingMix.hex8(concat(col("id").cast("string"), lit("#ivf"))), col("id"))
           .limit(k).select(col("vec"))
           .collect().map(_.getSeq[Float](0)).toVector
-      case _ => parallelInit(vectors, k)
+      case "parallel" => parallelInit(vectors, k)
+      case other => throw new IllegalArgumentException(
+        s"unknown init '$other' (expected 'parallel' or 'sample'; " +
+          "the former 'farthest' init was replaced by 'parallel')")
     }
     import spark.implicits._
     val seed = chosen.zipWithIndex

@@ -44,4 +44,16 @@ class MetricsSpec extends SparkSpec {
     assert(m("scope_nation").get.rowsOut === 25)
     assert(m("scope_region").get.rowsOut === 5)
   }
+
+  test("reused scope name waits for the NEW snapshot, not the stale one") {
+    val m = Metrics.install(spark)
+    val sf = "/root/testdata/sf0.001"
+    def load(table: String): Unit = m.named("reused") {
+      spark.read.parquet(s"$sf/$table.parquet")
+        .write.mode("overwrite").format("noop").save()
+    }
+    load("nation") // 25 rows
+    load("region") // 5 rows — a stale-presence wait would still show 25
+    assert(m("reused").get.rowsOut === 5)
+  }
 }

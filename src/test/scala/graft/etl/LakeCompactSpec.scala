@@ -32,4 +32,19 @@ class LakeCompactSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".compacting").exists())
     assert(!new java.io.File(dir + ".old").exists())
   }
+
+  test("compact heals a crash that left data parked at .old") {
+    val root = tmpDir("lakecrash")
+    val dir = s"$root/stocks"
+    val df = Seq((2024, 6, 1, "T0", 1.0)).toDF("y", "m", "d", "ticker", "close")
+    df.write.partitionBy("y", "m").parquet(dir)
+    val before = spark.read.parquet(dir).collect().toSet
+    // simulate dying between compact's two renames: dir moved to .old,
+    // replacement never landed
+    graft.core.Fs.renameOverwrite(spark, dir, dir + ".old")
+    assert(!new java.io.File(dir).exists())
+    Lake.compact(spark, dir, Seq("y", "m"))
+    assert(spark.read.parquet(dir).collect().toSet === before)
+    assert(!new java.io.File(dir + ".old").exists())
+  }
 }

@@ -81,6 +81,36 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Bmp.decode(bad))
   }
 
+  test("BMP decoder rejects corrupt headers cleanly (no crash, no huge alloc)") {
+    val ok = Bmp.encode(4, 4, new Array[Byte](48))
+    val truncated = ok.take(ok.length - 8) // data shorter than header claims
+    intercept[IllegalArgumentException](Bmp.decode(truncated))
+    val hugeWidth = ok.clone()
+    hugeWidth(18) = -1; hugeWidth(19) = -1; hugeWidth(20) = -1; hugeWidth(21) = 0x7f
+    intercept[IllegalArgumentException](Bmp.decode(hugeWidth))
+  }
+
+  test("WAV decoder rejects non-16-bit PCM instead of mis-decoding") {
+    val bytes = Wav.encode(8000, 1, Array.fill(100)(1.toShort))
+    bytes(34) = 8 // claim 8 bits per sample
+    intercept[IllegalArgumentException](Wav.decode(bytes))
+  }
+
+  test("WAV windows never split a stereo sample frame") {
+    // 22050 Hz stereo, 750ms window -> raw 33075 samples, odd: must round
+    // down to a multiple of 2
+    val samples = Array.tabulate(22050 * 2)(i => (if (i % 2 == 0) 1 else -1).toShort)
+    val rows = Seq(MediaRow(9L, "audio", "wav",
+      Wav.encode(22050, 2, samples), 0, 0, 1000)).toDS()
+    val frames = decodeFrames(rows, new WavDecoder(750)).collect()
+    frames.foreach { f =>
+      assert(f.pixels.length % 4 === 0) // whole stereo frames (2ch x 2B)
+      // every L sample is +1: first short of each pair
+      val first = (f.pixels(0) & 0xff) | (f.pixels(1) << 8)
+      assert(first === 1, "channel alignment lost")
+    }
+  }
+
   test("WAV: encode/decode round-trips; decoder windows real PCM audio") {
     val rng = new scala.util.Random(6)
     val samples = Array.fill(44100 * 2 + 5000)(rng.nextInt(65536).toShort) // ~2.1s mono
