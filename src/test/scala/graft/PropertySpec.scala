@@ -43,6 +43,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("minhash native kernel equals declarative form on random corpora") {
+    import org.apache.spark.sql.functions.col
+    (1 to 3).foreach { round =>
+      val vocab = Vector.fill(8)("w" + rng.nextInt(1000))
+      val docs = (0 until 40).map { i =>
+        // lengths straddle the shingle width, incl. empty and 1-2 tokens
+        val n = rng.nextInt(12)
+        (i.toLong, Vector.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val native = graft.ops.Dedup.minhashSignatures(docs, "doc_id", "text")
+        .as[(Long, Int, String)].collect().toSet
+      val decl = graft.ops.Dedup.minhashSignaturesViaShuffle(docs, "doc_id", "text")
+        .as[(Long, Int, String)].collect().toSet
+      assert(native === decl, s"round $round")
+      // docs with >= 3 tokens contribute exactly 8 seed rows
+      val expectDocs = docs.filter(
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), " ")) >= 3)
+        .count()
+      assert(native.size === expectDocs * 8)
+    }
+  }
+
+  test("BMP round-trips random pixels at random dimensions") {
+    (1 to 12).foreach { _ =>
+      val w = rng.nextInt(9) + 1
+      val h = rng.nextInt(9) + 1
+      val px = Array.fill(w * h * 3)(rng.nextInt(256).toByte)
+      val (dw, dh, out) = graft.ops.Multimodal.Bmp.decode(
+        graft.ops.Multimodal.Bmp.encode(w, h, px))
+      assert((dw, dh) === ((w, h)))
+      assert(out.toSeq === px.toSeq)
+    }
+  }
+
+  test("stratified sampling is a pure per-row predicate: subset-stable") {
+    val rows = (0 until 300).map(i => (i.toLong, Seq("a", "b")(i % 2))).toDF("id", "s")
+    val rates = Map("a" -> 0.4)
+    val full = graft.ops.TrainingMix.stratifiedSample(rows, "id", "s", rates, 0.7)
+      .select("id").as[Long].collect().toSet
+    // sampling any subset yields exactly the intersection — proves the
+    // decision depends only on the row, never on the dataset (the property
+    // that makes it reproducible at any scale/partitioning)
+    val subset = rows.filter(org.apache.spark.sql.functions.col("id") < 100)
+    val sampled = graft.ops.TrainingMix.stratifiedSample(subset, "id", "s", rates, 0.7)
+      .select("id").as[Long].collect().toSet
+    assert(sampled === full.filter(_ < 100))
+  }
+
   test("stock_key round-trips to (date, ticker) and fits VARCHAR(20)") {
     (1 to 10).foreach { _ =>
       val ticker = List.fill(rng.nextInt(6) + 1)(

@@ -69,6 +69,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q24: native minhash leaves no pre-join shuffle — no Window, no explode-sort") {
+    val p = planOf(DedupQueries.q24MinhashLsh(spark, sf))
+    // the round-1 form needed posexplode + a per-doc Window sort before
+    // signatures existed; the native kernel must keep signature generation
+    // a pure projection so the FIRST exchange is the candidate join itself
+    assert(!p.contains("Window"), s"window shuffle before candidate join:\n$p")
+    assert(p.contains("minhashslices") || p.contains("MinHashSlices"), p)
+  }
+
+  test("q51: sampling reads only the referenced columns") {
+    val p = planOf(MixQueries.q51StratifiedSample(spark, sf))
+    assert(!p.contains("text"), "scan reads unused column text")
+  }
+
   test("q14: JSON extraction keeps aggregation partial (map-side combine)") {
     val p = planOf(Events.q14JsonProps(spark, sf))
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
