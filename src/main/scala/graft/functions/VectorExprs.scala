@@ -69,11 +69,95 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static kernel behind [[LshSignaturesExpr]]: all `nTables` sign-random-
+  * projection signatures of a vector in one pass. The ±1 hyperplanes are
+  * md5-derived exactly like [[graft.ops.Similarity.planes]] (same strings,
+  * same low-bit-of-first-nibble sign) and cached per configuration; each
+  * signature bit is the sign of a sequential index-order double fold —
+  * bit-identical to [[DotProductF]] over the same plane, which is what the
+  * DuckDB oracles replay.
+  *
+  * Exists because the equivalent expression tree (nTables × bits CASE
+  * WHENs over dot products) exceeds whole-stage-codegen limits and falls
+  * back to interpreted eval — measured ~0.6 ms/row at 16×9×64 vs ~6 µs
+  * here. */
+object LshSigUtil {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Float]]]()
+
+  private def planesFor(nTables: Int, bits: Int, dim: Int): Array[Array[Float]] =
+    cache.computeIfAbsent((nTables, bits, dim), { _ =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(nTables * bits) { tb =>
+        val t = tb / bits
+        val b = tb % bits
+        Array.tabulate(dim) { d =>
+          val dg = md.digest(s"hp:$t:$b:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          if (((dg(0) >> 4) & 1) == 1) 1f else -1f
+        }
+      }
+    })
+
+  def compute(vec: ArrayData, nTables: Int, bits: Int, dim: Int): ArrayData = {
+    val ps = planesFor(nTables, bits, dim)
+    val n = math.min(dim, vec.numElements())
+    val out = new Array[Any](nTables)
+    var t = 0
+    while (t < nTables) {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        val plane = ps(t * bits + b)
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          s += vec.getFloat(i).toDouble * plane(i).toDouble
+          i += 1
+        }
+        if (s >= 0) sig |= 1L << b
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Codegen'd all-tables LSH signature array (see [[LshSigUtil.compute]]). */
+case class LshSignaturesExpr(child: Expression, nTables: Int, bits: Int,
+    dim: Int) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_signatures expects array<float>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    LshSigUtil.compute(v.asInstanceOf[ArrayData], nTables, bits, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.LshSigUtil.compute($c, $nTables, $bits, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshSignaturesExpr =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Codegen'd float-array dot product in double. */
   def dot_f(a: Column, b: Column): Column =
     Bridge.column(DotProductF(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd all-tables LSH signature array. */
+  def lsh_signatures(vec: Column, nTables: Int, bits: Int, dim: Int): Column =
+    Bridge.column(LshSignaturesExpr(Bridge.expression(vec), nTables, bits, dim))
 
   /** Register SQL-facing names (`SELECT dot_f(a, b)`). */
   def register(spark: SparkSession): Unit =

@@ -62,16 +62,30 @@ object Curation {
 
   /** Embedding-corpus near-dup removal: drop every vector whose verified
     * cosine to a lower-id candidate exceeds `threshold` (keep-first
-    * policy). Default is the LSH-blocked candidate path — equi-join on
-    * md5-portable signatures, the only shape that survives 100 TB; the
-    * oracle gate replicates its signatures exactly. `exact = true` runs
-    * the O(n²) all-pairs baseline (test cross-checks only). */
+    * policy).
+    *
+    * `method`:
+    *  - `"lsh"` (default, the gated path): LSH-blocked candidate pairs +
+    *    exact verify — equi-join on md5-portable signatures; the oracle
+    *    gate replicates its signatures exactly.
+    *  - `"lsh-minrep"`: bucket-min verification
+    *    ([[Similarity.lshNearDupLosersMinRep]]) — the cluster-heavy-corpus
+    *    shape, O(c·nTables) per duplicate cluster instead of O(c²) pair
+    *    enumeration.
+    *  - `"exact"`: O(n²) all-pairs baseline (test cross-checks only). */
   def curateEmbeddings(vectors: DataFrame, threshold: Double,
-      exact: Boolean = false): DataFrame = {
-    val pairs =
-      if (exact) Similarity.nearDupPairs(vectors, threshold)
-      else Similarity.lshNearDupCandidates(vectors, threshold = threshold)
-    val losers = pairs.select(col("id_b").as("id"))
+      method: String = "lsh"): DataFrame = {
+    val losers = method match {
+      case "exact" =>
+        Similarity.nearDupPairs(vectors, threshold).select(col("id_b").as("id"))
+      case "lsh" =>
+        Similarity.lshNearDupCandidates(vectors, threshold = threshold)
+          .select(col("id_b").as("id"))
+      case "lsh-minrep" =>
+        Similarity.lshNearDupLosersMinRep(vectors, threshold = threshold)
+      case other => throw new IllegalArgumentException(
+        s"unknown method '$other' (expected 'lsh', 'lsh-minrep', or 'exact')")
+    }
     vectors.join(losers, Seq("id"), "left_anti")
   }
 }

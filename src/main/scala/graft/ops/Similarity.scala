@@ -90,20 +90,25 @@ object Similarity {
     }))
   }
 
-  /** Sign-random-projection signature: one integer per table whose bits are
-    * `sign(vec · plane_b)`. Vectors with high cosine agree on most bits. */
-  private def signature(vec: Column, tablePlanes: Seq[Array[Float]]): Column =
+  /** Sign-random-projection signature: one integer per table whose bits
+    * are `sign(vec · plane_b)`. Declarative form — used only as the spec
+    * cross-check of the native kernel ([[graft.functions.LshSigUtil]]):
+    * at production table counts the expression tree falls out of
+    * whole-stage codegen and runs interpreted, ~100× slower. */
+  private[graft] def signature(vec: Column, tablePlanes: Seq[Array[Float]]): Column =
     tablePlanes.zipWithIndex.map { case (p, i) =>
       when(dot(vec, typedlit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** (idc, vc, table, sig) rows: all `nTables` signatures computed in ONE
-    * scan (array of codegen'd signature expressions, posexploded) — not a
-    * per-table union, which would rescan the input nTables times. */
+  /** (idc, vc, table, sig) rows: all `nTables` signatures computed by the
+    * native kernel in ONE scan, posexploded — not a per-table union (which
+    * would rescan the input nTables times), not an expression tree (which
+    * would fall out of codegen). */
   private def withSignatures(df: DataFrame, idc: String, vc: String,
-      ps: Seq[Seq[Array[Float]]]): DataFrame =
+      nTables: Int, bitsPerTable: Int, dim: Int): DataFrame =
     df.select(col(idc), col(vc),
-      posexplode(array(ps.map(tp => signature(col(vc), tp)): _*)).as(Seq("table", "sig")))
+      posexplode(graft.functions.VectorFunctions.lsh_signatures(
+        col(vc), nTables, bitsPerTable, dim)).as(Seq("table", "sig")))
 
   /** LSH near-dup pairs: vectors sharing a full signature in any table,
     * with exact cosine verified above `threshold`. Each table is an
@@ -123,13 +128,49 @@ object Similarity {
     * and raise `nTables` to hold the recall target. */
   def lshNearDupCandidates(vectors: DataFrame, nTables: Int = 16,
       bitsPerTable: Int = 6, dim: Int = 64, threshold: Double = 0.0): DataFrame = {
-    val sigs = withSignatures(vectors, "id", "vec", planes(nTables, bitsPerTable, dim))
-    val a = sigs.select(col("table"), col("sig"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = sigs.select(col("table"), col("sig"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("table", "sig"))
+    val sigs = withSignatures(vectors, "id", "vec", nTables, bitsPerTable, dim)
+    // candidate pairs DISTINCT first, verify after: near-dup corpora are
+    // clustered, so a pair collides in up to nTables buckets — verifying
+    // per collision multiplies the cosine work nTables× (measured 28s vs
+    // 3s at 20k clustered vectors). The distinct shuffles bare (id_a,
+    // id_b) longs; vectors join back once per unique pair.
+    val a = sigs.select(col("table"), col("sig"), col("id").as("id_a"))
+    val b = sigs.select(col("table"), col("sig"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("table", "sig"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(vectors.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(vectors.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("sim"))
       .filter(col("sim") > threshold)
+  }
+
+  /** Loser ids for keep-first near-dup dedup at bucket granularity: each
+    * vector is verified only against the MIN-id member of each bucket it
+    * lands in (≤ nTables comparisons per vector), never pair-exhaustively.
+    * In a tight duplicate cluster the min member verifies against all
+    * others, so per-cluster work drops from O(c²) to O(c·nTables) — at
+    * 20k clustered vectors that is ~300k cosines instead of ~4M pairs
+    * (the pair-enumeration op [[lshNearDupCandidates]] is output-bound
+    * there by the 4M-pair answer itself). Slightly conservative: a vector
+    * is dropped only when it matches a bucket-min — the standard
+    * large-scale keep-first practice. */
+  def lshNearDupLosersMinRep(vectors: DataFrame, nTables: Int = 16,
+      bitsPerTable: Int = 6, dim: Int = 64, threshold: Double = 0.0): DataFrame = {
+    val sigs = withSignatures(vectors, "id", "vec", nTables, bitsPerTable, dim)
+      .select(col("table"), col("sig"), col("id")) // window shuffles no vectors
+    val w = Window.partitionBy(col("table"), col("sig"))
+    val cand = sigs.withColumn("min_id", min(col("id")).over(w))
+      .filter(col("id") =!= col("min_id"))
+      .select(col("id"), col("min_id"))
+      .distinct()
+    cand
+      .join(vectors.select(col("id"), col("vec")), Seq("id"))
+      .join(vectors.select(col("id").as("min_id"), col("vec").as("min_vec")), Seq("min_id"))
+      .filter(cosine(col("vec"), col("min_vec")) > threshold)
+      .select(col("id"))
       .distinct()
   }
 
@@ -168,7 +209,7 @@ object Similarity {
     import spark.implicits._
     val seed = chosen.zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("cid", "cvec")
-    (0 until iters).foldLeft(seed) { (cents, _) =>
+    val trained = (0 until iters).foldLeft(seed) { (cents, _) =>
       val assigned = assign(vectors, cents)
       // mean per (cid, dim) with an ORDER-FREE exact sum: values rounded
       // to 6 decimals and summed as DECIMAL, so the result is identical
@@ -184,6 +225,15 @@ object Similarity {
           array_sort(collect_list(struct(col("dim"), col("m")))),
           x => x.getField("m").cast("float")).as("cvec"))
     }
+    // MATERIALIZE: the centroid table is k rows (driver-bounded by
+    // design — k·dim floats), but its lineage is `iters` shuffling Lloyd
+    // passes over the full corpus. Consumers reference centroids several
+    // times (bucket assignment + query probes), and a lazy result would
+    // re-run the whole training once per reference (measured 12× at 20k
+    // vectors / k=64). Collect-and-recreate pins the values.
+    val rows = trained.select(col("cid"), col("cvec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    rows.toSeq.toDF("cid", "cvec")
   }
 
   /** k-means‖ seeding (Bahmani et al., VLDB'12, public algorithm):
@@ -302,14 +352,20 @@ object Similarity {
     * runs on (qid, id, sim) triples, never on vectors. */
   def lshTopK(vectors: DataFrame, queries: DataFrame, k: Int,
       nTables: Int = 16, bitsPerTable: Int = 6, dim: Int = 64): DataFrame = {
-    val ps = planes(nTables, bitsPerTable, dim)
-    val cand = withSignatures(vectors, "id", "vec", ps)
-      .join(broadcast(withSignatures(queries, "qid", "qvec", ps)), Seq("table", "sig"))
+    // distinct (qid, id) before the exact cosine — same collision-
+    // multiplicity argument as [[lshNearDupCandidates]]
+    val cand = withSignatures(vectors.select("id", "vec"), "id", "vec", nTables, bitsPerTable, dim)
+      .join(broadcast(withSignatures(queries, "qid", "qvec", nTables, bitsPerTable, dim)),
+        Seq("table", "sig"))
       .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"), cosine(col("vec"), col("qvec")).as("sim"))
+      .select(col("qid"), col("id"))
       .distinct()
+    val scored = cand
+      .join(vectors.select(col("id"), col("vec")), Seq("id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("id"), cosine(col("vec"), col("qvec")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
-    cand.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("id"), col("sim"))
   }

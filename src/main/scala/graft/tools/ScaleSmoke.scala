@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftSession
+import graft.ops._
+
+/** Scale smoke (dev tool): synthesizes a corpus ~10-40× the sf0.1 gate
+  * tables into /tmp and drives the heavy operators end-to-end, printing
+  * per-stage wall times. Catches super-linear blowups (candidate
+  * explosions, state growth, driver collects) that the small-SF gates
+  * can't see. Not part of the test suite — run with
+  * `sbt "runMain graft.tools.ScaleSmoke [nDocs] [nVecs]"`.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(50000)
+    val nVecs = args.drop(1).headOption.map(_.toInt).getOrElse(20000)
+    val spark = GraftSession.local("graft-scale-smoke", 32)
+    import spark.implicits._
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"SMOKE $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.mode(SaveMode.Overwrite).format("noop").save()
+
+    // ---- documents: zipfian-ish vocab, 5% exact dups, 5% near-dups ----
+    val docsPath = "/tmp/graft_scale/docs"
+    time(s"gen $nDocs docs") {
+      spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 60).map(i =>
+          concat(lit("w"), pmod(xxhash64(col("id") * 1000 + i), lit(5000)))): _*).as("text"))
+        .withColumn("text", when(pmod(col("doc_id"), lit(20)) === 7,
+            concat_ws(" ", (0 until 60).map(i => concat(lit("w"),
+              pmod(xxhash64((col("doc_id") - (col("doc_id") % 20)) * 1000 + i), lit(5000)))): _*))
+          .otherwise(col("text")))
+        .write.mode(SaveMode.Overwrite).parquet(docsPath)
+    }
+    val docs = spark.read.parquet(docsPath)
+    time("exact dedup")(noop(Dedup.exact(docs, "doc_id", "text")))
+    time("minhash candidates")(noop(Dedup.minhashCandidates(docs, "doc_id", "text")))
+    time("simhash")(noop(Dedup.simhashMd5(docs, "doc_id", "text", 60)))
+    time("full curation")(noop(Curation.curate(docs, "doc_id", "text")))
+    time("pack sequences")(noop(TrainingMix.packSequences(docs, "doc_id", "text", 4096L, 64)))
+    time("stratified sample")(noop(TrainingMix.stratifiedSample(
+      docs.withColumn("s", pmod(col("doc_id"), lit(5)).cast("string")),
+      "doc_id", "s", Map("0" -> 0.5), 0.2)))
+
+    // ---- embeddings: 64-dim, clustered; 5% planted near-identical ----
+    val vecsPath = "/tmp/graft_scale/vecs"
+    time(s"gen $nVecs vecs") {
+      spark.range(nVecs).select(col("id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          (pmod(xxhash64(pmod(col("id"), lit(50)) * 100 + d), lit(1000)).cast("double") / 500.0 - 1.0 +
+            pmod(xxhash64(col("id") * 64 + d), lit(100)).cast("double") / 500.0)
+            .cast("float")).as("vec"))
+        .write.mode(SaveMode.Overwrite).parquet(vecsPath)
+    }
+    val vecs = spark.read.parquet(vecsPath)
+    // bucket density rule: bits ≈ log2(n / targetBucketRows)
+    val bits = math.max(6, (math.log(nVecs / 30.0) / math.log(2)).round.toInt)
+    time(s"lsh near-dup pairs (16x$bits)")(noop(
+      Similarity.lshNearDupCandidates(vecs, nTables = 16, bitsPerTable = bits, threshold = 0.9)))
+    time(s"lsh min-rep dedup (16x$bits)")(noop(
+      Similarity.lshNearDupLosersMinRep(vecs, nTables = 16, bitsPerTable = bits, threshold = 0.9)))
+    val cents = time("ivf train k=64")(
+      Similarity.trainCentroids(vecs, 64, iters = 2, init = "sample"))
+    val queries = vecs.filter(col("id") < 16).select(col("id").as("qid"), col("vec").as("qvec"))
+    time("ivf topk nprobe=4")(noop(Similarity.ivfTopK(vecs, queries, 10, cents, nprobe = 4)))
+    time("brute topk (baseline)")(noop(Similarity.bruteForceTopK(vecs, queries, 10)))
+    spark.stop()
+  }
+}

@@ -84,6 +84,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("native LSH signature kernel equals the declarative expression form") {
+    val v = planted()
+    val (t, b, d) = (16, 6, 64)
+    val ps = Similarity.planes(t, b, d)
+    val decl = v.select(col("id") +: (0 until t).map(i =>
+      Similarity.signature(col("vec"), ps(i)).as(s"s$i")): _*)
+    val native = v.select(col("id"),
+      graft.functions.VectorFunctions.lsh_signatures(col("vec"), t, b, d).as("sigs"))
+    val joined = decl.join(native, "id").collect()
+    joined.foreach { r =>
+      val sigs = r.getSeq[Long](r.fieldIndex("sigs"))
+      (0 until t).foreach { i =>
+        assert(r.getLong(r.fieldIndex(s"s$i")) === sigs(i), s"table $i")
+      }
+    }
+    assert(joined.length === 45)
+  }
+
   test("LSH candidates are a sound subset of exact all-pairs (same sims)") {
     val v = planted()
     val exact = Similarity.nearDupPairs(v, 0.5)
@@ -99,6 +117,19 @@ class SimilaritySpec extends SparkSpec {
     val dupPairs = (0 until 5).map(i => (i.toLong, 100L + i)).toSet
     val found = lsh.map { case (a, b, _) => (a, b) }.toSet
     assert(dupPairs.subsetOf(found), s"missing ${dupPairs -- found}")
+  }
+
+  test("min-rep keep-first dedup equals pair-exhaustive dedup on planted dups") {
+    val v = planted()
+    val viaPairs = graft.ops.Curation.curateEmbeddings(v, 0.9, method = "lsh")
+      .select("id").as[Long].collect().toSet
+    val viaMinRep = graft.ops.Curation.curateEmbeddings(v, 0.9, method = "lsh-minrep")
+      .select("id").as[Long].collect().toSet
+    // dup clusters here are (base_i, dup_i) stars around the min id, where
+    // bucket-min verification is exhaustive — the two strategies agree
+    assert(viaMinRep === viaPairs)
+    assert((0 until 5).forall(i => !viaMinRep.contains(100L + i))) // dups dropped
+    assert((0 until 40).forall(i => viaMinRep.contains(i.toLong))) // bases kept
   }
 
   test("near-dup pairs: threshold filters and i<j ordering") {
