@@ -149,6 +149,80 @@ case class LshSignaturesExpr(child: Expression, nTables: Int, bits: Int,
     copy(child = newChild)
 }
 
+/** Static kernel behind [[NearestCentroidsExpr]]: cids of the `n` nearest
+  * centroids (max dot; tie-break lower position, with positions sorted by
+  * cid) from a row-constant centroid matrix. Selection order equals
+  * ordering by (−dot, cid) ascending — exactly the struct-min /
+  * row_number ordering the declarative form and the DuckDB oracle use. */
+object CentroidUtil {
+
+  def nearest(vec: ArrayData, cents: Array[Array[Float]], ids: Array[Long],
+      n: Int): ArrayData = {
+    val k = cents.length
+    val d = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cv = cents(c)
+      val m = math.min(vec.numElements(), cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < m) {
+        s += vec.getFloat(i).toDouble * cv(i).toDouble
+        i += 1
+      }
+      d(c) = -s
+      c += 1
+    }
+    val take = math.min(n, k)
+    val out = new Array[Any](take)
+    val used = new Array[Boolean](k)
+    var r = 0
+    while (r < take) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < k) {
+        if (!used(j) && d(j) < bestD) { bestD = d(j); best = j }
+        j += 1
+      }
+      used(best) = true
+      out(r) = ids(best)
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Codegen'd top-n nearest-centroid cids (see [[CentroidUtil]]). The
+  * centroid matrix is a plan-time constant (k rows, driver-bounded by
+  * design) — this replaces a vectors×centroids cross join + min-struct
+  * aggregation with a single projection: no row explosion, no shuffle. */
+case class NearestCentroidsExpr(child: Expression, cents: Array[Array[Float]],
+    ids: Array[Long], n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroids expects array<float>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  def compute(v: ArrayData): ArrayData = CentroidUtil.nearest(v, cents, ids, n)
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroids", this)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsExpr =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Codegen'd float-array dot product in double. */
@@ -158,6 +232,11 @@ object VectorFunctions {
   /** Codegen'd all-tables LSH signature array. */
   def lsh_signatures(vec: Column, nTables: Int, bits: Int, dim: Int): Column =
     Bridge.column(LshSignaturesExpr(Bridge.expression(vec), nTables, bits, dim))
+
+  /** Codegen'd top-n nearest-centroid cids over a constant matrix. */
+  def nearest_centroids(vec: Column, cents: Array[Array[Float]],
+      ids: Array[Long], n: Int): Column =
+    Bridge.column(NearestCentroidsExpr(Bridge.expression(vec), cents, ids, n))
 
   /** Register SQL-facing names (`SELECT dot_f(a, b)`). */
   def register(spark: SparkSession): Unit =

@@ -207,15 +207,22 @@ object Similarity {
           "the former 'farthest' init was replaced by 'parallel')")
     }
     import spark.implicits._
-    val seed = chosen.zipWithIndex
-      .map { case (v, i) => (i.toLong, v) }.toDF("cid", "cvec")
-    val trained = (0 until iters).foldLeft(seed) { (cents, _) =>
-      val assigned = assign(vectors, cents)
+    // centroids live on the driver between iterations (k rows, k·dim
+    // floats — driver-bounded by design): each Lloyd pass is then ONE
+    // distributed job whose assignment is a native projection against the
+    // constant centroid matrix — no vectors×centroids row explosion, no
+    // extra shuffle — and the returned table is already materialized, so
+    // consumers never re-run training through a lazy lineage (measured
+    // 12× recompute at 20k vectors / k=64 before).
+    var cents: Vector[(Long, Seq[Float])] =
+      chosen.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    (0 until iters).foreach { _ =>
+      val assigned = assignByMatrix(vectors, cents)
       // mean per (cid, dim) with an ORDER-FREE exact sum: values rounded
       // to 6 decimals and summed as DECIMAL, so the result is identical
       // under any partitioning/ordering — and in any engine (same trick
       // as the q22 centroid gate); one cast back to float at the end
-      assigned.join(vectors, "id")
+      cents = assigned.join(vectors, "id")
         .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "v")))
         .groupBy(col("cid"), col("dim"))
         .agg((sum(round(col("v").cast("double"), 6).cast("decimal(18,6)"))
@@ -224,16 +231,24 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("m")))),
           x => x.getField("m").cast("float")).as("cvec"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1).toVector
     }
-    // MATERIALIZE: the centroid table is k rows (driver-bounded by
-    // design — k·dim floats), but its lineage is `iters` shuffling Lloyd
-    // passes over the full corpus. Consumers reference centroids several
-    // times (bucket assignment + query probes), and a lazy result would
-    // re-run the whole training once per reference (measured 12× at 20k
-    // vectors / k=64). Collect-and-recreate pins the values.
-    val rows = trained.select(col("cid"), col("cvec"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-    rows.toSeq.toDF("cid", "cvec")
+    cents.toDF("cid", "cvec")
+  }
+
+  /** Native nearest-centroid assignment: (id, cid) via a single projection
+    * against the driver-held centroid matrix (sorted by cid, so the
+    * kernel's position tie-break equals the (−dot, cid) struct-min
+    * ordering of [[assign]], which specs cross-check). */
+  private def assignByMatrix(vectors: DataFrame,
+      cents: Seq[(Long, Seq[Float])]): DataFrame = {
+    val sorted = cents.sortBy(_._1)
+    val matrix = sorted.map(_._2.toArray).toArray
+    val ids = sorted.map(_._1).toArray
+    vectors.select(col("id"),
+      graft.functions.VectorFunctions.nearest_centroids(col("vec"), matrix, ids, 1)
+        .getItem(0).as("cid"))
   }
 
   /** k-means‖ seeding (Bahmani et al., VLDB'12, public algorithm):
@@ -274,9 +289,9 @@ object Similarity {
     }
     // weight candidates by the number of points they attract, then reduce
     // deterministically: heaviest first, then argmax weight·dist²-to-chosen
-    val candDf = chosen.zipWithIndex.map { case (v, i) => (i.toLong, v) }
-      .toDF("cid", "cvec")
-    val weights = assign(vectors, candDf).groupBy(col("cid")).count()
+    val weights = assignByMatrix(vectors,
+        chosen.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+      .groupBy(col("cid")).count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val cands = chosen.map(_.toArray).toArray
     val w = Array.tabulate(cands.length)(i => weights.getOrElse(i.toLong, 0L).toDouble)
@@ -308,10 +323,11 @@ object Similarity {
     picked.map(i => cands(i).toSeq).toVector
   }
 
-  /** Nearest-centroid assignment: (id, cid). Centroids broadcast; argmin
-    * via min over (negDot, cid) structs (unit-ish data: max dot ≈ min
-    * distance; deterministic tie-break on cid). */
-  private def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+  /** Declarative nearest-centroid assignment: cross join + argmin via min
+    * over (negDot, cid) structs. Kept as the spec cross-check of
+    * [[assignByMatrix]] — the cross join materializes |V|·k rows, which
+    * the native projection avoids entirely. */
+  private[graft] def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
     vectors.crossJoin(broadcast(centroids))
       .select(col("id"),
         struct((-dot(col("vec"), col("cvec"))).as("d"), col("cid")).as("dc"))
@@ -321,20 +337,23 @@ object Similarity {
   /** IVF top-k: vectors are bucketed by nearest centroid once (build
     * side); each query probes its `nprobe` nearest centroids and reranks
     * exactly inside those buckets only — candidate count drops from |V| to
-    * |V|·nprobe/k, and the bucket join replaces the cross join. */
+    * |V|·nprobe/k, and the bucket join replaces the cross join. Both
+    * assignments run as native projections against the (k-row,
+    * driver-bounded) centroid matrix. */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
       centroids: DataFrame, nprobe: Int = 2): DataFrame = {
-    val buckets = assign(vectors, centroids)
-      .join(vectors, "id")
-      .withColumn("norm", l2Norm(col("vec")))
-    val qAssign = queries.crossJoin(broadcast(centroids))
-      .select(col("qid"), col("qvec"),
-        struct((-dot(col("qvec"), col("cvec"))).as("d"), col("cid")).as("dc"))
-    val probeW = Window.partitionBy(col("qid")).orderBy(col("dc"))
-    val probes = qAssign.withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nprobe)
-      .select(col("qid"), col("qvec"), col("dc.cid").as("cid"),
-        l2Norm(col("qvec")).as("qnorm"))
+    val cents = centroids.select(col("cid"), col("cvec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val matrix = cents.map(_._2.toArray)
+    val ids = cents.map(_._1)
+    val buckets = vectors.select(col("id"), col("vec"),
+      l2Norm(col("vec")).as("norm"),
+      graft.functions.VectorFunctions.nearest_centroids(col("vec"), matrix, ids, 1)
+        .getItem(0).as("cid"))
+    val probes = queries.select(col("qid"), col("qvec"),
+        l2Norm(col("qvec")).as("qnorm"),
+        explode(graft.functions.VectorFunctions.nearest_centroids(
+          col("qvec"), matrix, ids, nprobe)).as("cid"))
     val cand = buckets.join(broadcast(probes), Seq("cid"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"),

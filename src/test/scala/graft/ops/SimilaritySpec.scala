@@ -119,6 +119,22 @@ class SimilaritySpec extends SparkSpec {
     assert(dupPairs.subsetOf(found), s"missing ${dupPairs -- found}")
   }
 
+  test("native centroid assignment equals declarative struct-min assignment") {
+    val v = planted()
+    val cents = v.filter(col("id") < 8)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val decl = Similarity.assign(v, cents)
+      .as[(Long, Long)].collect().toMap
+    val centSeq = cents.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val matrix = centSeq.sortBy(_._1).map(_._2.toArray).toArray
+    val ids = centSeq.sortBy(_._1).map(_._1).toArray
+    val native = v.select(col("id"),
+        graft.functions.VectorFunctions.nearest_centroids(col("vec"), matrix, ids, 1)
+          .getItem(0).as("cid"))
+      .as[(Long, Long)].collect().toMap
+    assert(native === decl)
+  }
+
   test("min-rep keep-first dedup equals pair-exhaustive dedup on planted dups") {
     val v = planted()
     val viaPairs = graft.ops.Curation.curateEmbeddings(v, 0.9, method = "lsh")
