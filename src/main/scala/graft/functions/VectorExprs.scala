@@ -178,11 +178,15 @@ object CentroidUtil {
     val used = new Array[Boolean](k)
     var r = 0
     while (r < take) {
+      // seed with the first unused index: a vector with NaN components
+      // makes every distance NaN (all comparisons false) and must still
+      // assign to the lowest-cid centroid — the declarative struct-min
+      // does the same (NaN sorts last) — rather than crash on best = -1
       var best = -1
       var bestD = Double.MaxValue
       var j = 0
       while (j < k) {
-        if (!used(j) && d(j) < bestD) { bestD = d(j); best = j }
+        if (!used(j) && (best == -1 || d(j) < bestD)) { bestD = d(j); best = j }
         j += 1
       }
       used(best) = true

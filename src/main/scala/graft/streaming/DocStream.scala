@@ -53,6 +53,10 @@ object DocStream {
       prefixBits: Int = 12, maxHamming: Int = 3, maxSeen: Int = 1024): DataFrame = {
     import spark.implicits._
     val typed = docs
+      // null text/ts can't be fingerprinted or watermarked — dropping them
+      // here keeps the long-running query alive (a null simhash would fail
+      // Doc's non-nullable Long on deserialization and kill the stream)
+      .filter(col("text").isNotNull && col("ts").isNotNull)
       .withColumn("simhash", graft.functions.TextFunctions.simhash_md5(col("text"), bits))
       .withColumn("bucket", shiftright(col("simhash"), bits - prefixBits))
       .withWatermark("ts", "2 hours")
@@ -66,7 +70,8 @@ object DocStream {
             Iterator.empty
           } else {
             var seen = state.getOption.getOrElse(Nil)
-            val out = rows.toSeq.sortBy(_.doc_id).flatMap { d =>
+            val batch = rows.toSeq.sortBy(_.doc_id)
+            val out = batch.flatMap { d =>
               val dup = seen.exists(s =>
                 java.lang.Long.bitCount(s ^ d.simhash) <= maxHamming)
               if (dup) None
@@ -76,9 +81,12 @@ object DocStream {
               }
             }
             state.update(seen)
-            // expire the bucket 2h (event time) after the current watermark
-            state.setTimeoutTimestamp(
-              state.getCurrentWatermarkMs() + 2L * 3600 * 1000)
+            // expire 2h of EVENT time after this bucket's latest doc (not
+            // after the pre-batch watermark, which is 0 on the first batch
+            // and would expire everything as soon as it first advances)
+            val latest = math.max(state.getCurrentWatermarkMs(),
+              batch.map(_.ts.getTime).max)
+            state.setTimeoutTimestamp(latest + 2L * 3600 * 1000)
             out.iterator
           }
       }

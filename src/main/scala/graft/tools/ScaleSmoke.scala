@@ -26,16 +26,21 @@ object ScaleSmoke {
     def noop(df: DataFrame): Unit =
       df.write.mode(SaveMode.Overwrite).format("noop").save()
 
-    // ---- documents: zipfian-ish vocab, 5% exact dups, 5% near-dups ----
+    // ---- documents: 5% exact dups (%20==7) + 5% true near-dups
+    // (%20==13: cluster-base text with one token appended — Jaccard ≈
+    // 0.95, shingle sets high-but-not-identical) ----
     val docsPath = "/tmp/graft_scale/docs"
     time(s"gen $nDocs docs") {
-      spark.range(nDocs).select(col("id").as("doc_id"),
+      def baseText(idCol: org.apache.spark.sql.Column) =
         concat_ws(" ", (0 until 60).map(i =>
-          concat(lit("w"), pmod(xxhash64(col("id") * 1000 + i), lit(5000)))): _*).as("text"))
-        .withColumn("text", when(pmod(col("doc_id"), lit(20)) === 7,
-            concat_ws(" ", (0 until 60).map(i => concat(lit("w"),
-              pmod(xxhash64((col("doc_id") - (col("doc_id") % 20)) * 1000 + i), lit(5000)))): _*))
-          .otherwise(col("text")))
+          concat(lit("w"), pmod(xxhash64(idCol * 1000 + i), lit(5000)))): _*)
+      val clusterBase = col("doc_id") - (col("doc_id") % 20)
+      spark.range(nDocs).select(col("id").as("doc_id"))
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(20)) === 7, baseText(clusterBase))
+            .when(pmod(col("doc_id"), lit(20)) === 13,
+              concat(baseText(clusterBase), lit(" extraTok")))
+            .otherwise(baseText(col("doc_id"))))
         .write.mode(SaveMode.Overwrite).parquet(docsPath)
     }
     val docs = spark.read.parquet(docsPath)

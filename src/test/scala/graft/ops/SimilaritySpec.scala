@@ -135,6 +135,20 @@ class SimilaritySpec extends SparkSpec {
     assert(native === decl)
   }
 
+  test("native centroid assignment tolerates NaN vectors (lowest cid, no crash)") {
+    val v = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(Float.NaN, 1f, 0f, 0f)) // bad upstream embedding
+    ).toDF("id", "vec")
+    val matrix = Array(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
+    val got = v.select(col("id"),
+        graft.functions.VectorFunctions.nearest_centroids(col("vec"), matrix, Array(10L, 20L), 1)
+          .getItem(0).as("cid"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) === 10L)
+    assert(got(2L) === 10L) // all-NaN distances: lowest cid, like struct-min
+  }
+
   test("min-rep keep-first dedup equals pair-exhaustive dedup on planted dups") {
     val v = planted()
     val viaPairs = graft.ops.Curation.curateEmbeddings(v, 0.9, method = "lsh")

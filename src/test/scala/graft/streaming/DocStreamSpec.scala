@@ -35,6 +35,11 @@ class DocStreamSpec extends SparkSpec {
     // file 1: first 10 originals + the in-batch near-dup of doc 0
     (base.take(10) :+ inBatchDup).toDF("doc_id", "ts", "text")
       .coalesce(1).write.mode("overwrite").parquet(dir)
+    // FileStreamSource orders pending files by modification time; pin
+    // file 1 strictly earlier so batch order can't flip on an mtime tie
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    val t0 = System.currentTimeMillis() - 60000
+    parts.foreach(f => assert(f.setLastModified(t0)))
     // file 2: remaining originals + cross-batch near-dup + exact dup
     (base.drop(10) :+ crossBatchDup :+ exactDup).toDF("doc_id", "ts", "text")
       .coalesce(1).write.mode("append").parquet(dir)
@@ -53,6 +58,35 @@ class DocStreamSpec extends SparkSpec {
     // every original is either kept or (rarely) a random near-collision;
     // all planted originals must survive at hamming > 3 from each other
     assert(originals.subsetOf(kept), s"originals dropped: ${originals -- kept}")
+  }
+
+  test("bucket state survives an idle micro-batch (timeout is event-time, not epoch)") {
+    // 3 batches: originals / unrelated traffic (advances the watermark —
+    // the round-2 bug purged idle buckets here because their timeout was
+    // pinned to the pre-batch watermark = epoch) / a near-dup of batch 1
+    // only ~25 min of event time later, which must still be dropped
+    val dir = tmpDir("docs-ttl")
+    def write(rows: Seq[(Long, Timestamp, String)], mtime: Long): Unit = {
+      val before = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).toSet
+      rows.toDF("doc_id", "ts", "text")
+        .coalesce(1).write.mode("append").parquet(dir)
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !before.contains(f))
+        .foreach(f => assert(f.setLastModified(mtime)))
+    }
+    val t0 = System.currentTimeMillis() - 180000
+    val original = (1L, ts(0), doc(40))
+    write(Seq(original), t0)
+    write((50 until 60).map(i => (i.toLong, ts(20), doc(40))), t0 + 60000)
+    write(Seq((900L, ts(25), original._3.split(" ").reverse.mkString(" "))), t0 + 120000)
+    val q = DocStream.nearDupFiltered(spark, DocStream.read(spark, dir))
+      .writeStream.format("memory").queryName("ttl")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("ttl").select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L))
+    assert(!kept.contains(900L), "near-dup emitted: batch-1 state was purged early")
   }
 
   test("streaming exact dedup drops only identical content") {
