@@ -227,11 +227,68 @@ case class NearestCentroidsExpr(child: Expression, cents: Array[Array[Float]],
     copy(child = newChild)
 }
 
+/** Codegen'd integer-array dot product in long — the kernel of the
+  * quantized similarity path. Integer sums are EXACT and order-free, so
+  * results are trivially identical across engines (no float-fold-order
+  * contract needed, unlike [[DotProductF]]). */
+case class DotProductI(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_i expects (array<int>, array<int>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += x.getInt(i).toLong * y.getInt(i).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductI =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
 
   /** Codegen'd float-array dot product in double. */
   def dot_f(a: Column, b: Column): Column =
     Bridge.column(DotProductF(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd int-array dot product in long (exact, order-free). */
+  def dot_i(a: Column, b: Column): Column =
+    Bridge.column(DotProductI(Bridge.expression(a), Bridge.expression(b)))
 
   /** Codegen'd all-tables LSH signature array. */
   def lsh_signatures(vec: Column, nTables: Int, bits: Int, dim: Int): Column =

@@ -267,6 +267,43 @@ object Embeddings {
       .orderBy(col("qid"))
   }
 
+  /** Exact top-10 by int8-quantized cosine ([[graft.ops.Quantize]]): the
+    * quarter-bandwidth similarity path. Every dot is an order-free long
+    * sum, so the oracle replays the whole pipeline without any
+    * float-fold-order contract. */
+  def q54QuantizedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val q = v.filter(col("id") < 3).select(col("id").as("qid"), col("vec").as("qvec"))
+    graft.ops.Quantize.bruteForceTopKQ(v, q, 10)
+      .withColumnRenamed("id", "neighbor_id")
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q54QuantizedTopKSql: String =
+    """WITH q0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q1 AS (
+      |  SELECT vec_id, v,
+      |    127.0 / greatest(list_max(list_transform(v, y -> abs(y))), 1e-30) AS s
+      |  FROM q0),
+      |qz AS (
+      |  SELECT vec_id,
+      |    list_transform(v, x -> CAST(floor(x * s + 0.5) AS BIGINT)) AS q
+      |  FROM q1),
+      |qn AS (
+      |  SELECT vec_id, q, sqrt(list_dot_product(q::DOUBLE[], q::DOUBLE[])) AS n
+      |  FROM qz),
+      |scored AS (
+      |  SELECT b.vec_id AS qid, a.vec_id AS id,
+      |    list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) / (a.n * b.n) AS sim
+      |  FROM qn a CROSS JOIN qn b
+      |  WHERE b.vec_id < 3 AND a.vec_id <> b.vec_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
+      |  FROM scored)
+      |SELECT qid, CAST(rn AS BIGINT) AS rank, id AS neighbor_id, sim
+      |FROM r WHERE rn <= 10
+      |ORDER BY qid, rank""".stripMargin
+
   val q49AnnRecallSql: String =
     s"""WITH ${sigCtes(16, 6, 64)},
       |q AS (

@@ -61,6 +61,7 @@ object Registry {
     Gated("q51_stratified_sample", MixQueries.q51StratifiedSample, Some(MixQueries.q51StratifiedSampleSql)),
     Gated("q52_pack_sequences", MixQueries.q52PackSequences, Some(MixQueries.q52PackSequencesSql)),
     Gated("q53_contamination", MixQueries.q53Contamination, Some(MixQueries.q53ContaminationSql)),
+    Gated("q54_quantized_topk", Embeddings.q54QuantizedTopK, Some(Embeddings.q54QuantizedTopKSql)),
   )
 
   def byName(name: String): Gated = all.find(_.name == name).get

@@ -162,6 +162,25 @@ class SimilaritySpec extends SparkSpec {
     assert((0 until 40).forall(i => viaMinRep.contains(i.toLong))) // bases kept
   }
 
+  test("int8 quantization: round-trip error bounded, quantized top-1 recalls planted dup") {
+    val v = planted()
+    val qz = graft.ops.Quantize.quantize(v, "vec").collect()
+    qz.foreach { r =>
+      val vec = r.getSeq[Float](r.fieldIndex("vec"))
+      val s = r.getDouble(r.fieldIndex("qscale"))
+      val q = r.getSeq[Int](r.fieldIndex("qvec"))
+      assert(q.forall(x => x >= -127 && x <= 127))
+      vec.zip(q).foreach { case (x, xq) =>
+        assert(math.abs(x - xq / s) <= 0.5 / s + 1e-9, s"dequant error at scale $s")
+      }
+    }
+    // planted near-identical dup must survive quantization as the top-1
+    val q = v.filter(col("id") < 5).select(col("id").as("qid"), col("vec").as("qvec"))
+    val top1 = graft.ops.Quantize.bruteForceTopKQ(v, q, 1)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(top1 === (0 until 5).map(i => (i.toLong, 100L + i)).toSet)
+  }
+
   test("near-dup pairs: threshold filters and i<j ordering") {
     val pairs = Similarity.nearDupPairs(planted(), 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect()
