@@ -16,8 +16,20 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: keep the first (min-id) row per distinct content value.
-    * Returns the deduplicated frame. */
+    * One `min_by` aggregation on the content hash — partially aggregable,
+    * so duplicate rows collapse map-side BEFORE the shuffle and no
+    * per-hash sort runs (the row_number-window form shuffles every row
+    * and sorts each hash group). [[exactViaWindow]] is the cross-checked
+    * declarative alternative. */
   def exact(df: DataFrame, idCol: String, byCol: String): DataFrame = {
+    val cols = df.columns
+    df.groupBy(md5(col(byCol)).as("__h"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__r"))
+      .select(cols.map(c => col(s"__r.`$c`").as(c)): _*)
+  }
+
+  /** Window-based form of [[exact]] (same result; spec cross-check). */
+  private[graft] def exactViaWindow(df: DataFrame, idCol: String, byCol: String): DataFrame = {
     val w = Window.partitionBy(md5(col(byCol))).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

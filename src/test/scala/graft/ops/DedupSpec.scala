@@ -25,6 +25,14 @@ class DedupSpec extends SparkSpec {
     assert(out.count() === 35) // 36 rows - 1 exact dup
     assert(out.filter(col("doc_id") === 200L).isEmpty)
     assert(out.filter(col("doc_id") === 7L).count() === 1)
+    assert(out.columns.toSeq === corpus().columns.toSeq) // schema preserved
+  }
+
+  test("min_by exact dedup equals the window form row-for-row") {
+    val c = corpus()
+    val a = Dedup.exact(c, "doc_id", "text").as[(Long, String)].collect().toSet
+    val b = Dedup.exactViaWindow(c, "doc_id", "text").as[(Long, String)].collect().toSet
+    assert(a === b)
   }
 
   test("minhash candidates find planted near-dups with high est_jaccard") {
