@@ -15,24 +15,29 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: keep the first (min-id) row per distinct content value.
-    * One `min_by` aggregation on the content hash — partially aggregable,
-    * so duplicate rows collapse map-side BEFORE the shuffle and no
-    * per-hash sort runs (the row_number-window form shuffles every row
-    * and sorts each hash group). [[exactViaWindow]] is the cross-checked
-    * declarative alternative. */
+  /** Exact dedup: keep the first (min-id) row per distinct content value:
+    * one hash shuffle + per-hash sort (row_number window).
+    *
+    * Deliberately NOT `min_by(struct(row), id)`: a struct holding string
+    * columns can't live in a fixed-width HashAggregate buffer, so Spark
+    * plans ObjectHashAggregate whose sort-based fallback (default 128
+    * distinct keys per partition) degenerates to the same sort PLUS
+    * object-buffer overhead — measured 3× slower than the window at 50k
+    * docs ([[exactViaMinBy]] kept as the cross-checked alternative; it IS
+    * the right shape when the payload is narrow fixed-width columns). */
   def exact(df: DataFrame, idCol: String, byCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(byCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** min_by form of [[exact]] (same result; spec cross-check; preferable
+    * only for narrow fixed-width rows — see [[exact]]'s scaladoc). */
+  private[graft] def exactViaMinBy(df: DataFrame, idCol: String, byCol: String): DataFrame = {
     val cols = df.columns
     df.groupBy(md5(col(byCol)).as("__h"))
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__r"))
       .select(cols.map(c => col(s"__r.`$c`").as(c)): _*)
-  }
-
-  /** Window-based form of [[exact]] (same result; spec cross-check). */
-  private[graft] def exactViaWindow(df: DataFrame, idCol: String, byCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(byCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** Shingles as rows: posexplode tokens, window-lead the next

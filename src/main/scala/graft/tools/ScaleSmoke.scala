@@ -53,6 +53,25 @@ object ScaleSmoke {
       docs.withColumn("s", pmod(col("doc_id"), lit(5)).cast("string")),
       "doc_id", "s", Map("0" -> 0.5), 0.2)))
 
+    // streaming near-dup dedup over the same corpus: 4 micro-batches,
+    // event-time-bounded bucket state; prints rows kept (dups dropped)
+    time("streaming near-dup dedup") {
+      val streamDir = "/tmp/graft_scale/docs_stream"
+      graft.core.Fs.delete(spark, streamDir)
+      docs.select(col("doc_id"),
+          (lit(java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime / 1000)
+            + pmod(col("doc_id"), lit(3600))).cast("timestamp").as("ts"),
+          col("text"))
+        .repartition(4)
+        .write.mode(SaveMode.Overwrite).parquet(streamDir)
+      val q = graft.streaming.DocStream.nearDupFiltered(spark,
+          graft.streaming.DocStream.read(spark, streamDir))
+        .writeStream.format("noop")
+        .option("checkpointLocation", "/tmp/graft_scale/ckpt_" + System.nanoTime())
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
     // ---- embeddings: 64-dim, clustered; 5% planted near-identical ----
     val vecsPath = "/tmp/graft_scale/vecs"
     time(s"gen $nVecs vecs") {

@@ -31,7 +31,7 @@ class DedupSpec extends SparkSpec {
   test("min_by exact dedup equals the window form row-for-row") {
     val c = corpus()
     val a = Dedup.exact(c, "doc_id", "text").as[(Long, String)].collect().toSet
-    val b = Dedup.exactViaWindow(c, "doc_id", "text").as[(Long, String)].collect().toSet
+    val b = Dedup.exactViaMinBy(c, "doc_id", "text").as[(Long, String)].collect().toSet
     assert(a === b)
   }
 
