@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     inject("dot_f", es => DotProductF(es(0), es(1)))
+    inject("dot_i", es => graft.functions.DotProductI(es(0), es(1)))
     // one builder table shared with TextFunctions.register — the live-
     // session and session-build registration paths cannot drift
     graft.functions.TextFunctions.sqlBuilders.foreach {

@@ -62,6 +62,7 @@ object Registry {
     Gated("q52_pack_sequences", MixQueries.q52PackSequences, Some(MixQueries.q52PackSequencesSql)),
     Gated("q53_contamination", MixQueries.q53Contamination, Some(MixQueries.q53ContaminationSql)),
     Gated("q54_quantized_topk", Embeddings.q54QuantizedTopK, Some(Embeddings.q54QuantizedTopKSql)),
+    Gated("q55_grouping_sets", Stats.q55GroupingSets, Some(Stats.q55GroupingSetsSql)),
   )
 
   def byName(name: String): Gated = all.find(_.name == name).get

@@ -27,6 +27,35 @@ object Stats {
       .orderBy(col("status"), col("priority"))
   }
 
+  /** Explicit GROUPING SETS — asymmetric aggregation levels a rollup/cube
+    * can't express: (status, priority), (status), (priority-only), plus
+    * the grand total. Dataset.groupingSets (Spark 4 API), same Expand
+    * machinery as q12/q28. */
+  def q55GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double").as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  val q55GroupingSetsSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
   val q28CubeSql: String =
     """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
       |  COALESCE(o_orderpriority, 'ALL') AS priority,
