@@ -28,14 +28,17 @@ final class Metrics(spark: SparkSession) extends SparkListener {
       filesRead: Long, bytesRead: Long)
 
   private val captured = TrieMap.empty[String, Snapshot]
-  private val seq = TrieMap.empty[String, Long] // bumps on every capture
+  private val seq = TrieMap.empty[String, Long] // bumps on every execution end
+  private val startSeq = TrieMap.empty[String, Long] // bumps on every start
   private val scopeByExec = TrieMap.empty[Long, String]
   private val TagPrefix = "graft.metrics:"
 
   override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
     case s: SparkListenerSQLExecutionStart =>
       s.jobTags.find(_.startsWith(TagPrefix)).foreach { t =>
-        scopeByExec.put(s.executionId, t.stripPrefix(TagPrefix)): Unit
+        val name = t.stripPrefix(TagPrefix)
+        scopeByExec.put(s.executionId, name): Unit
+        startSeq.updateWith(name)(v => Some(v.getOrElse(0L) + 1L)): Unit
       }
     case e: SparkListenerSQLExecutionEnd =>
       // the bus is ordered, so the Start mapping exists by now
@@ -51,8 +54,10 @@ final class Metrics(spark: SparkSession) extends SparkListener {
           .getOrElse(sumOf("numOutputRows"))
         captured.put(name, Snapshot(name, Bridge.endDurationNs(e) / 1000000L, rows,
           sumOf("numFiles"), sumOf("filesSize")))
-        seq.updateWith(name)(v => Some(v.getOrElse(0L) + 1L)): Unit
       }
+      // bump even on failure: [[named]]'s bounded wait must exit promptly
+      // when the scoped action errors, not burn the full deadline
+      seq.updateWith(name)(v => Some(v.getOrElse(0L) + 1L)): Unit
     case _ => ()
   }
 
@@ -61,17 +66,27 @@ final class Metrics(spark: SparkSession) extends SparkListener {
     * on return; the wait watches a per-name capture COUNTER, not mere
     * presence — a reused scope name must not satisfy the wait with the
     * previous run's stale snapshot. Attribution itself never depends on
-    * the wait. */
+    * the wait. The wait is skipped when `f` throws (the caller is on the
+    * error path; a failed execution end still bumps the counter), and
+    * capped at a short grace window when no SQL execution was submitted
+    * at all — a driver-only action must not burn the full deadline. */
   def named[T](name: String)(f: => T): T = {
     val tag = TagPrefix + name
     val before = seq.getOrElse(name, 0L)
+    val beforeStart = startSeq.getOrElse(name, 0L)
     spark.sparkContext.addJobTag(tag)
-    try f
+    var ok = false
+    try { val r = f; ok = true; r }
     finally {
       spark.sparkContext.removeJobTag(tag)
-      val deadline = System.currentTimeMillis() + 5000
-      while (seq.getOrElse(name, 0L) == before && System.currentTimeMillis() < deadline)
-        Thread.sleep(10)
+      if (ok) {
+        val now = System.currentTimeMillis()
+        val hard = now + 5000 // execution seen: wait for its End
+        val soft = now + 300 // none seen: grace for an in-flight Start only
+        def deadline = if (startSeq.getOrElse(name, 0L) != beforeStart) hard else soft
+        while (seq.getOrElse(name, 0L) == before && System.currentTimeMillis() < deadline)
+          Thread.sleep(10)
+      }
     }
   }
 

@@ -301,11 +301,20 @@ case class FingerprintMd5Expr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
+  // a null ELEMENT yields a null result (the declarative fold propagates
+  // null through md5/arithmetic), so the result is nullable even when the
+  // child column itself is not
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any): Any =
     FingerprintUtil.compute(a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.FingerprintUtil.compute($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long ${ev.value}_r = graft.functions.FingerprintUtil.compute($c);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): FingerprintMd5Expr =
     copy(child = newChild)
@@ -314,13 +323,18 @@ case class FingerprintMd5Expr(child: Expression) extends UnaryExpression {
 object FingerprintUtil {
   private val P = 2147483647L
 
-  def compute(toks: ArrayData): Long = {
+  /** Null on a null array element — matches the declarative HOF fold,
+    * where md5(null) poisons the accumulator to null (the input type
+    * admits containsNull, so SQL users can feed such arrays). */
+  def compute(toks: ArrayData): java.lang.Long = {
     val md = MessageDigest.getInstance("MD5")
     var acc = 0L
     var i = 0
     val n = toks.numElements()
     while (i < n) {
-      val d = md.digest(toks.getUTF8String(i).getBytes)
+      val t = toks.getUTF8String(i)
+      if (t == null) return null
+      val d = md.digest(t.getBytes)
       // first 8 hex chars = first 4 digest bytes as unsigned 32-bit
       val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % P

@@ -178,15 +178,21 @@ object CentroidUtil {
     val used = new Array[Boolean](k)
     var r = 0
     while (r < take) {
-      // seed with the first unused index: a vector with NaN components
-      // makes every distance NaN (all comparisons false) and must still
-      // assign to the lowest-cid centroid — the declarative struct-min
-      // does the same (NaN sorts last) — rather than crash on best = -1
+      // NaN-aware selection matching the declarative struct-min's total
+      // order, where NaN sorts LAST (greater than +Infinity): a finite
+      // candidate always beats a NaN one — whichever position the NaN
+      // sits at — and an all-NaN row (vector with NaN components) still
+      // assigns to the lowest-cid centroid via the first-seen seed
       var best = -1
-      var bestD = Double.MaxValue
+      var bestD = 0.0
       var j = 0
       while (j < k) {
-        if (!used(j) && (best == -1 || d(j) < bestD)) { bestD = d(j); best = j }
+        if (!used(j)) {
+          val dj = d(j)
+          if (best == -1 || (!dj.isNaN && (bestD.isNaN || dj < bestD))) {
+            bestD = dj; best = j
+          }
+        }
         j += 1
       }
       used(best) = true

@@ -177,8 +177,15 @@ object Multimodal {
       while (bb.remaining() >= 8 && samples == null) {
         val tag = new Array[Byte](4); bb.get(tag)
         val size = bb.getInt()
+        // chunk sizes are untrusted input: reject before allocating or
+        // repositioning (a signed-overflowed or oversized size must fail
+        // as "corrupt payload", not NegativeArraySize/OOM) — same
+        // reject-before-allocate rule as Bmp.decode
+        require(size >= 0 && size <= bb.remaining(),
+          s"corrupt WAV chunk: size $size exceeds ${bb.remaining()} remaining bytes")
         new String(tag, "US-ASCII") match {
           case "fmt " =>
+            require(size >= 16, s"corrupt WAV fmt chunk: size $size < 16")
             val fmt = bb.getShort(); channels = bb.getShort()
             sampleRate = bb.getInt()
             bb.getInt() // byte rate
@@ -193,7 +200,8 @@ object Multimodal {
             var i = 0
             while (i < samples.length) { samples(i) = bb.getShort(); i += 1 }
           case _ =>
-            bb.position(bb.position() + size + (size & 1)) // chunks pad to even
+            val skip = size + (size & 1) // chunks pad to even
+            bb.position(math.min(bb.position() + skip, bb.limit()))
         }
       }
       require(samples != null, "no data chunk")

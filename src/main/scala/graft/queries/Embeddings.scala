@@ -67,7 +67,16 @@ object Embeddings {
     * The oracle replicates the md5-derived signatures, so the approximate
     * blocking itself is certified, not just the verify arithmetic.
     * [[Similarity.nearDupPairs]] (exact all-pairs) stays a test-suite
-    * cross-check. */
+    * cross-check.
+    *
+    * SEMANTICS NOTE (changed in round 2, applies to q48 too): this gate is
+    * now approximate-by-design — LSH blocking at threshold 0.35 sits well
+    * below the high-similarity regime the 16×6 table defaults target, so
+    * pairs the blocking misses are absent from BOTH engines (the oracle
+    * replays the same blocking; recall vs exact all-pairs is ~0.65 on this
+    * corpus, measured in SimilaritySpec). The gate certifies determinism
+    * of the blocked pipeline, not full recall; the exact all-pairs form
+    * remains available as [[Similarity.nearDupPairs]]. */
   def q21EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
     Similarity.lshNearDupCandidates(v, threshold = 0.35)

@@ -45,6 +45,25 @@ class MetricsSpec extends SparkSpec {
     assert(m("scope_region").get.rowsOut === 5)
   }
 
+  test("failing scoped action returns promptly, not after the full deadline") {
+    val m = Metrics.install(spark)
+    val t0 = System.currentTimeMillis()
+    intercept[RuntimeException] {
+      m.named("boom")(throw new RuntimeException("driver-side failure"))
+    }
+    // no SQL execution was submitted: the wait must be the short grace
+    // window, not the 5s hard deadline
+    assert(System.currentTimeMillis() - t0 < 2500)
+  }
+
+  test("driver-only scoped action (no SQL execution) returns promptly") {
+    val m = Metrics.install(spark)
+    val t0 = System.currentTimeMillis()
+    val r = m.named("pure")(21 * 2)
+    assert(r === 42)
+    assert(System.currentTimeMillis() - t0 < 2500)
+  }
+
   test("reused scope name waits for the NEW snapshot, not the stale one") {
     val m = Metrics.install(spark)
     val sf = "/root/testdata/sf0.001"

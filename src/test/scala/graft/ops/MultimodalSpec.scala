@@ -96,6 +96,17 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Wav.decode(bytes))
   }
 
+  test("WAV decoder rejects corrupt chunk sizes (no crash, no huge alloc)") {
+    // data-chunk size field at offset 40 for a minimal fmt+data layout
+    val ok = Wav.encode(8000, 1, Array.fill(100)(1.toShort))
+    val negSize = ok.clone() // size >= 2^31 reads back as negative int
+    negSize(40) = -1; negSize(41) = -1; negSize(42) = -1; negSize(43) = -1
+    intercept[IllegalArgumentException](Wav.decode(negSize))
+    val oversize = ok.clone() // claims more data than the payload carries
+    oversize(40) = 0; oversize(41) = 0; oversize(42) = 1; oversize(43) = 0
+    intercept[IllegalArgumentException](Wav.decode(oversize))
+  }
+
   test("WAV windows never split a stereo sample frame") {
     // 22050 Hz stereo, 750ms window -> raw 33075 samples, odd: must round
     // down to a multiple of 2

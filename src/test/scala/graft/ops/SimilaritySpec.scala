@@ -149,6 +149,19 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2L) === 10L) // all-NaN distances: lowest cid, like struct-min
   }
 
+  test("NaN CENTROID never beats a finite one, regardless of position") {
+    // the NaN sits in the centroid matrix (bad training artifact), not the
+    // vector: only that one distance is NaN, and struct-min sorts NaN last
+    // — so the finite centroid must win even from position 1
+    val v = Seq((1L, Seq(0f, 1f, 0f, 0f))).toDF("id", "vec")
+    val matrix = Array(Array(Float.NaN, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
+    val got = v.select(
+        graft.functions.VectorFunctions.nearest_centroids(col("vec"), matrix, Array(10L, 20L), 2)
+          .as("cids"))
+      .as[Seq[Long]].collect().head
+    assert(got === Seq(20L, 10L)) // finite first, NaN centroid last
+  }
+
   test("min-rep keep-first dedup equals pair-exhaustive dedup on planted dups") {
     val v = planted()
     val viaPairs = graft.ops.Curation.curateEmbeddings(v, 0.9, method = "lsh")

@@ -69,6 +69,18 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("fingerprint of an array with a null element is null (both forms)") {
+    // checkInputDataTypes admits containsNull arrays, so SQL users can
+    // feed one — the native kernel must propagate null like the
+    // declarative HOF fold, not NPE on the executor
+    val arr = Seq(Tuple1(Seq[String]("a", null, "b"))).toDF("toks")
+    val r = arr.select(
+      TextOps.fingerprintMd5(col("toks")).as("fn"),
+      TextOps.fingerprintMd5Declarative(col("toks")).as("fd")).collect().head
+    assert(r.isNullAt(0), "native")
+    assert(r.isNullAt(1), "declarative")
+  }
+
   test("quality score: prose scores higher than degenerate text") {
     val en = TextOps.langProfiles.head._2
     val df = Seq(
