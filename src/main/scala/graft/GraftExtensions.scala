@@ -27,5 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.TextFunctions.sqlBuilders.foreach {
       case (name, builder) => inject(name, builder)
     }
+    // whole-operator extension: the native as-of join's planner strategy
+    // (logical node graft.plans.AsOfJoinPlan → merge-based AsOfJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -17,6 +17,8 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // native functions + the as-of join planner strategy, SQL-visible
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", math.max(cores, 8).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -59,4 +59,44 @@ object AsOf {
       .filter(col("__l").isNotNull)
       .select(col("__l.*"), col("__asof").as("asof"))
   }
+
+  /** [[joinPrior]] semantics through the whole-operator extension stack
+    * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]], SURVEY
+    * §7.3 tier (c)): each side shuffles once with only its own columns and
+    * a per-partition forward merge attaches the match — no union padding,
+    * no window buffer. Registered via [[graft.GraftExtensions]]; this entry
+    * point also self-registers the strategy on the live session so any
+    * session can call it. */
+  def joinPriorNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightTieBreak: Seq[String] = Nil,
+      strict: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val spark = left.sparkSession
+    Bridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    val lPlan = Bridge.analyzed(left)
+    val rPlan0 = Bridge.analyzed(right)
+    // self-join safety: when both frames derive from the same source their
+    // attribute ids collide (the ambiguity the analyzer resolves for
+    // built-in joins) — re-alias the right side with fresh ids first
+    val rPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).isEmpty) rPlan0
+      else Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$name' not found in [${plan.output.map(_.name).mkString(", ")}]"))
+    val asofOut = AttributeReference("asof",
+      StructType(rPlan.output.map(a => StructField(a.name, a.dataType, a.nullable))),
+      nullable = true)()
+    Bridge.ofRows(spark, graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, leftTime), attr(rPlan, rightTime),
+      rightTieBreak.map(attr(rPlan, _)), strict, asofOut))
+  }
 }

@@ -13,21 +13,36 @@ import graft.ops.AsOf
   */
 object AsOfQueries {
 
-  def q31AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+  private def asofShape(spark: SparkSession, dir: String, native: Boolean): DataFrame = {
     val e = Tables.events(spark, dir)
     val purchases = e.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts")
     val others = e.filter(col("event_type") =!= "purchase")
       .select("event_id", "user_id", "ts", "event_type")
-    AsOf.joinPrior(purchases, others, Seq("user_id"), "ts", "ts",
-        rightTieBreak = Seq("event_id"))
-      .select(
+    val joined =
+      if (native)
+        AsOf.joinPriorNative(purchases, others, Seq("user_id"), "ts", "ts",
+          rightTieBreak = Seq("event_id"))
+      else
+        AsOf.joinPrior(purchases, others, Seq("user_id"), "ts", "ts",
+          rightTieBreak = Seq("event_id"))
+    joined.select(
         col("event_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
         col("asof.event_id").as("prior_id"),
         col("asof.event_type").as("prior_type"))
       .orderBy(col("event_id"))
   }
+
+  def q31AsofJoin(spark: SparkSession, dir: String): DataFrame =
+    asofShape(spark, dir, native = false)
+
+  /** Same query through the whole-operator extension stack
+    * ([[graft.plans.AsOfJoinPlan]] → merge-based `AsOfJoinExec`): the
+    * oracle is q31's — the custom physical operator must reproduce the
+    * union/window formulation's rows exactly. */
+  def q56AsofNative(spark: SparkSession, dir: String): DataFrame =
+    asofShape(spark, dir, native = true)
 
   /** Range join: views in the hour preceding each purchase, counted per
     * purchase (zero-match purchases included via left join of the counts).

@@ -13,6 +13,26 @@ object Bridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Build a DataFrame from a custom logical plan (`Dataset.ofRows` is
+    * `private[sql]`) — the construction path for whole-operator extension
+    * nodes like [[graft.plans.AsOfJoinPlan]]. */
+  def ofRows(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a frame (children for custom nodes). */
+  def analyzed(df: DataFrame): catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Idempotently register an extra planner strategy on a live session —
+    * the runtime fallback for sessions built without
+    * `withExtensions(new GraftExtensions)`. */
+  def addStrategy(spark: SparkSession, s: execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(s))
+      exp.extraStrategies = exp.extraStrategies :+ s
+  }
+
   /** `SparkListenerSQLExecutionEnd` carries the QueryExecution, duration
     * and failure of the finished action in `private[sql]` vars — exactly
     * what an executionId-keyed metrics listener needs. */

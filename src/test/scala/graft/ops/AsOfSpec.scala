@@ -56,4 +56,70 @@ class AsOfSpec extends SparkSpec {
       .as[(Long, Option[Long])].collect().toMap
     assert(out(11L) === Some(5L))
   }
+
+  // ---- native (custom LogicalPlan + SparkStrategy + SparkPlan) path ----
+
+  private def bothForms(strict: Boolean) = {
+    def run(f: Boolean) =
+      (if (f) AsOf.joinPriorNative(trades, quotes, Seq("key"), "tts", "qts",
+          rightTieBreak = Seq("qid"), strict = strict)
+       else AsOf.joinPrior(trades, quotes, Seq("key"), "tts", "qts",
+          rightTieBreak = Seq("qid"), strict = strict))
+        .select(col("tid"), col("asof.qid").as("qid"), col("asof.px").as("px"))
+        .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+    (run(true), run(false))
+  }
+
+  test("native as-of join equals the window form (inclusive and strict)") {
+    val (nInc, wInc) = bothForms(strict = false)
+    assert(nInc === wInc)
+    val (nStr, wStr) = bothForms(strict = true)
+    assert(nStr === wStr)
+  }
+
+  test("native as-of join equals the window form on the events corpus") {
+    val e = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val others = e.filter(col("event_type") =!= "purchase")
+      .select("event_id", "user_id", "ts", "event_type")
+    def run(native: Boolean) =
+      (if (native) AsOf.joinPriorNative(purchases, others, Seq("user_id"),
+          "ts", "ts", rightTieBreak = Seq("event_id"))
+       else AsOf.joinPrior(purchases, others, Seq("user_id"),
+          "ts", "ts", rightTieBreak = Seq("event_id")))
+        .select(col("event_id"), col("asof.event_id").as("prior_id"),
+          col("asof.event_type").as("prior_type"))
+        .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    val n = run(true)
+    assert(n.nonEmpty)
+    assert(n === run(false))
+  }
+
+  test("native as-of join handles empty right side and null times") {
+    val noQuotes = quotes.filter(col("qid") < 0)
+    val out = AsOf.joinPriorNative(trades, noQuotes, Seq("key"), "tts", "qts")
+      .select(col("tid"), col("asof.qid").as("qid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out.size === 5 && out.values.forall(_.isEmpty))
+    // null right time sorts first (nulls-first) -> eligible for every left
+    // row of its key; matches the window form
+    val nullQuote = Seq((9L, "A", Option.empty[Timestamp], 1.0))
+      .toDF("qid", "key", "qts", "px")
+    def run(native: Boolean) =
+      (if (native) AsOf.joinPriorNative(trades, nullQuote, Seq("key"), "tts", "qts")
+       else AsOf.joinPrior(trades, nullQuote, Seq("key"), "tts", "qts"))
+        .select(col("tid"), col("asof.qid").as("qid"))
+        .as[(Long, Option[Long])].collect().toMap
+    val n = run(true)
+    assert(n(12L) === Some(9L)) // even the pre-open trade sees the null-ts row
+    assert(n === run(false))
+  }
+
+  test("native as-of plan: AsOfJoinExec with per-side shuffles, no union") {
+    val df = AsOf.joinPriorNative(trades, quotes, Seq("key"), "tts", "qts")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("AsOfJoin"), physical) // nodeName drops Exec
+    assert(!physical.contains("Union"), physical)
+  }
 }
