@@ -46,10 +46,14 @@ object Curation {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 4: near-dup removal — LSH candidates, verified Jaccard, drop the
-    // higher id of each confirmed pair (keep-first policy)
+    // higher id of each confirmed pair (keep-first policy). Candidates are
+    // persisted: verifyJaccard consumes them twice (the candidate-doc
+    // semi-join that prunes shingling, and the pair joins themselves) and
+    // the pair set is tiny next to its signature-join lineage.
     val cand = Dedup.minhashCandidates(exact, idCol, textCol)
-    val confirmed = Dedup.verifyJaccard(exact, cand.select("id_a", "id_b"),
-        idCol, textCol)
+      .select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val confirmed = Dedup.verifyJaccard(exact, cand, idCol, textCol)
       .filter(col("jaccard") >= cfg.nearDupJaccard)
     // no distinct on losers: left_anti already collapses duplicate keys
     val losers = confirmed.select(col("id_b").as(idCol))

@@ -124,9 +124,18 @@ object Dedup {
     * after LSH blocking). `pairs` must have (id_a, id_b). */
   def verifyJaccard(df: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, shingleWidth: Int = 3): DataFrame = {
+    // shingle only the docs that appear in a candidate pair: after LSH
+    // blocking, candidates are a small fraction of the corpus, so the
+    // semi-join (broadcast of the tiny id set) prunes the shingling work
+    // to the candidates — at scale this is the difference between
+    // re-shingling 100 TB and re-shingling the near-dup fringe
+    val candIds = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val candDocs = df.select(col(idCol).as("id"), col(textCol))
+      .join(candIds, Seq("id"), "left_semi")
     // shingle sets built by the native codegen'd kernel (one pass per row);
     // array_intersect/array_union are codegen'd Spark built-ins
-    val sh = df.select(col(idCol).as("id"),
+    val sh = candDocs.select(col("id"),
       graft.functions.TextFunctions.distinct_shingles(col(textCol), shingleWidth).as("sh"))
     pairs
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
