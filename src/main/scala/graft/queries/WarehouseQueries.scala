@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.warehouse.Scd2
+
+/** Warehouse-semantics gates: SCD2 history + point-in-time, and
+  * sketch-accuracy bounds.
+  */
+object WarehouseQueries {
+
+  private val D1 = "1997-01-01"
+  private val D2 = "1999-01-01"
+  private val D3 = "2001-01-01"
+  private val Pit = "2000-06-15"
+
+  /** Per-customer order count as of (strictly before) `d` — the evolving
+    * "dimension value" the SCD2 history versions. */
+  private def snapshot(spark: SparkSession, dir: String, d: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate").cast("date") < to_date(lit(d)))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  /** SCD2 gate: init at D1, merge snapshots at D2 and D3, read the history
+    * as of a date between D2 and D3. The oracle derives the same rows
+    * independently from first principles: the valid version at Pit is the
+    * D2 snapshot value, with `valid_from` = D1 when the value was already
+    * the same at D1 (merge kept the open row) else D2 — certifying both
+    * [[Scd2.merge]]'s keep/close/new-version split and [[Scd2.asOf]]'s
+    * interval predicate against an engine that never ran the merge. */
+  def q57Scd2Pit(spark: SparkSession, dir: String): DataFrame = {
+    val h0 = Scd2.init(snapshot(spark, dir, D1), D1)
+    val h1 = Scd2.merge(h0, snapshot(spark, dir, D2), "o_custkey", D2)
+    val h2 = Scd2.merge(h1, snapshot(spark, dir, D3), "o_custkey", D3)
+    Scd2.asOf(h2, Pit)
+      .select(col("o_custkey").as("custkey"), col("n_orders"),
+        col("valid_from"))
+      .orderBy(col("custkey"))
+  }
+
+  val q57Scd2PitSql: String =
+    s"""WITH s1 AS (
+      |  SELECT o_custkey, COUNT(*) AS n FROM orders
+      |  WHERE o_orderdate < DATE '$D1' GROUP BY 1),
+      |s2 AS (
+      |  SELECT o_custkey, COUNT(*) AS n FROM orders
+      |  WHERE o_orderdate < DATE '$D2' GROUP BY 1)
+      |SELECT s2.o_custkey AS custkey, s2.n AS n_orders,
+      |  CASE WHEN s1.n IS NOT NULL AND s1.n = s2.n
+      |       THEN '$D1' ELSE '$D2' END AS valid_from
+      |FROM s2 LEFT JOIN s1 ON s1.o_custkey = s2.o_custkey
+      |ORDER BY custkey""".stripMargin
+
+  /** Sketch-accuracy gate: HLL++ approximate distinct customers per order
+    * priority, asserted within 3× the configured relative error of the
+    * exact count — emitted as a boolean the oracle states as TRUE next to
+    * the exact count it recomputes. HLL registers merge by bitwise max
+    * (commutative, associative), so the approximate value is
+    * deterministic for a given dataset regardless of partition or merge
+    * order — gate-safe where a GK-quantile sketch would not be. */
+  def q58ApproxBounds(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_exact"),
+        approx_count_distinct(col("o_custkey"), 0.05).as("__approx"))
+      .select(col("o_orderpriority"), col("n_exact"),
+        (abs(col("__approx") - col("n_exact")).cast("double") /
+          col("n_exact") <= 0.15).as("hll_ok"))
+      .orderBy(col("o_orderpriority"))
+
+  val q58ApproxBoundsSql: String =
+    """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact,
+      |  TRUE AS hll_ok
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+}
