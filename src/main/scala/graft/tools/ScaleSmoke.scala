@@ -72,6 +72,30 @@ object ScaleSmoke {
       try q.processAllAvailable() finally q.stop()
     }
 
+    // as-of join at scale: purchases against 9× the prior events, both
+    // forms — the native merge exec must beat (or match) the union/window
+    // form while producing identical results
+    time("asof window form") {
+      val n = nDocs
+      val ev = spark.range(n).select(
+        col("id").as("event_id"), pmod(col("id"), lit(n / 50)).as("user_id"),
+        (lit(1700000000L) + pmod(xxhash64(col("id")), lit(86400 * 30))).cast("timestamp").as("ts"),
+        pmod(col("id"), lit(10)).as("kind"))
+      val l = ev.filter(col("kind") === 0).drop("kind")
+      val r = ev.filter(col("kind") =!= 0)
+      noop(AsOf.joinPrior(l, r, Seq("user_id"), "ts", "ts", Seq("event_id")))
+    }
+    time("asof native exec") {
+      val n = nDocs
+      val ev = spark.range(n).select(
+        col("id").as("event_id"), pmod(col("id"), lit(n / 50)).as("user_id"),
+        (lit(1700000000L) + pmod(xxhash64(col("id")), lit(86400 * 30))).cast("timestamp").as("ts"),
+        pmod(col("id"), lit(10)).as("kind"))
+      val l = ev.filter(col("kind") === 0).drop("kind")
+      val r = ev.filter(col("kind") =!= 0)
+      noop(AsOf.joinPriorNative(l, r, Seq("user_id"), "ts", "ts", Seq("event_id")))
+    }
+
     // ---- embeddings: 64-dim, clustered; 5% planted near-identical ----
     val vecsPath = "/tmp/graft_scale/vecs"
     time(s"gen $nVecs vecs") {
