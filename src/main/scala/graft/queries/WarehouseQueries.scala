@@ -32,8 +32,16 @@ object WarehouseQueries {
     * [[Scd2.merge]]'s keep/close/new-version split and [[Scd2.asOf]]'s
     * interval predicate against an engine that never ran the merge. */
   def q57Scd2Pit(spark: SparkSession, dir: String): DataFrame = {
-    val h0 = Scd2.init(snapshot(spark, dir, D1), D1)
-    val h1 = Scd2.merge(h0, snapshot(spark, dir, D2), "o_custkey", D2)
+    // persist each history generation: merge consumes its input history in
+    // four branches (still-open / closed / changed-key joins), so an
+    // unpersisted chain re-evaluates the previous generation's whole
+    // lineage per branch — with k merges that is 4^k scans of the base
+    // snapshots. In production the history is a TABLE between loads
+    // (write/read breaks the lineage the same way); persist is the
+    // in-session equivalent.
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val h0 = Scd2.init(snapshot(spark, dir, D1), D1).persist(mem)
+    val h1 = Scd2.merge(h0, snapshot(spark, dir, D2), "o_custkey", D2).persist(mem)
     val h2 = Scd2.merge(h1, snapshot(spark, dir, D3), "o_custkey", D3)
     Scd2.asOf(h2, Pit)
       .select(col("o_custkey").as("custkey"), col("n_orders"),
