@@ -87,4 +87,14 @@ class PlanSpec extends SparkSpec {
     val p = planOf(Events.q14JsonProps(spark, sf))
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
   }
+
+  test("q56: native as-of join — merge exec, one exchange per side, no union") {
+    val p = planOf(AsOfQueries.q56AsofNative(spark, sf))
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("Union"), s"native as-of must not union the sides:\n$p")
+    // each side shuffles once on the keys; the window form's single wide
+    // union exchange is exactly what this operator exists to avoid
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$p")
+  }
 }
