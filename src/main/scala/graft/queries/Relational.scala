@@ -215,7 +215,18 @@ object Relational {
     val cents = round(col("l_extendedprice") * 100).cast("long")
     val mean30 = sum(cents).over(w).cast("double") /
       (lit(100.0) * count(lit(1)).over(w))
-    l.select(
+    // one exchange + one sort serve BOTH the window and the global output
+    // order: range-partitioning on the supplier alone clusters each
+    // supplier into one partition (satisfies the window's
+    // ClusteredDistribution) while remaining a prefix of the output
+    // ordering (satisfies the final sort's OrderedDistribution), and the
+    // within-partition sort is exactly the window's required ordering —
+    // so Catalyst elides the second exchange AND the second sort the
+    // hash-partition form needs
+    l.repartitionByRange(col("l_suppkey"))
+      .sortWithinPartitions(col("l_suppkey"), col("l_shipdate"),
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
         col("l_extendedprice"),

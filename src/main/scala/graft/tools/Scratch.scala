@@ -13,12 +13,14 @@ object Scratch {
       val t0 = System.nanoTime(); f
       println(f"STAGE $name%-34s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    def run(q: String): Unit =
-      graft.queries.Registry.byName(q).df(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-    run("q57_scd2_pit"); run("q58_approx_bounds")
-    t("q57 warm")(run("q57_scd2_pit"))
-    t("q58 warm")(run("q58_approx_bounds"))
+    val df = graft.queries.Relational.q8RollingMean(spark, dir)
+    df.write.format("noop").mode("overwrite").save() // warm
+    t("q8 warm 1")(df.write.format("noop").mode("overwrite").save())
+    t("q8 warm 2")(graft.queries.Relational.q8RollingMean(spark, dir)
+      .write.format("noop").mode("overwrite").save())
+    val p = df.queryExecution.executedPlan.toString
+    println("EXCHANGES " + "Exchange".r.findAllIn(p).length +
+      " SORTS " + "Sort ".r.findAllIn(p).length)
     spark.stop()
   }
 }
