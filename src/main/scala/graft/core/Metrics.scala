@@ -82,7 +82,12 @@ final class Metrics(spark: SparkSession) extends SparkListener {
       if (ok) {
         val now = System.currentTimeMillis()
         val hard = now + 5000 // execution seen: wait for its End
-        val soft = now + 300 // none seen: grace for an in-flight Start only
+        // none seen: grace for an in-flight Start only. Sized to survive a
+        // busy listener bus (the deadline re-checks every tick, so a Start
+        // that lands inside the grace window upgrades the wait to `hard`);
+        // a bus lagging beyond this loses the snapshot — the bounded-wait
+        // contract, traded against stalling every driver-only scope
+        val soft = now + 1000
         def deadline = if (startSeq.getOrElse(name, 0L) != beforeStart) hard else soft
         while (seq.getOrElse(name, 0L) == before && System.currentTimeMillis() < deadline)
           Thread.sleep(10)

@@ -75,6 +75,9 @@ object AsOf {
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.graft.Bridge
     import org.apache.spark.sql.types.{StructField, StructType}
+    require(keys.nonEmpty,
+      "as-of join requires at least one equality key (a keyless as-of is " +
+        "a global ordered merge — sort both sides and use joinPrior)")
     val spark = left.sparkSession
     Bridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
     val lPlan = Bridge.analyzed(left)
@@ -86,10 +89,24 @@ object AsOf {
       if (lPlan.outputSet.intersect(rPlan0.outputSet).isEmpty) rPlan0
       else Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-        name: String) =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column '$name' not found in [${plan.output.map(_.name).mkString(", ")}]"))
+        name: String) = plan.output.filter(_.name == name) match {
+      case Seq(a) => a
+      case Seq() => throw new IllegalArgumentException(
+        s"column '$name' not found in [${plan.output.map(_.name).mkString(", ")}]")
+      case _ => throw new IllegalArgumentException(
+        s"column '$name' is ambiguous (appears more than once)")
+    }
+    // the exec compares rows with orderings built from the LEFT types — a
+    // type mismatch would compare raw encodings (int vs long layouts,
+    // date-days vs timestamp-micros) and silently mis-join
+    keys.foreach { k =>
+      val (l, r) = (attr(lPlan, k), attr(rPlan, k))
+      require(l.dataType == r.dataType,
+        s"as-of key '$k' type mismatch: ${l.dataType.simpleString} vs ${r.dataType.simpleString}")
+    }
+    require(attr(lPlan, leftTime).dataType == attr(rPlan, rightTime).dataType,
+      s"as-of time type mismatch: ${attr(lPlan, leftTime).dataType.simpleString} " +
+        s"vs ${attr(rPlan, rightTime).dataType.simpleString}")
     val asofOut = AttributeReference("asof",
       StructType(rPlan.output.map(a => StructField(a.name, a.dataType, a.nullable))),
       nullable = true)()

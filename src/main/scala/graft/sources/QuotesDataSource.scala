@@ -124,7 +124,11 @@ final class QuotesScan(dir: String, pushed: Array[Filter],
         val set = vs.map(String.valueOf).toSet
         (t: String) => set.contains(t)
     }.getOrElse((_: String) => true)
-    fs.globStatus(new Path(s"$dir/eod/*.json")).toSeq
+    // globStatus returns null (not empty) when the parent dir is missing
+    val listed = Option(fs.globStatus(new Path(s"$dir/eod/*.json")))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-quotes: no eod/ directory under $dir"))
+    listed.toSeq
       .map(_.getPath)
       .map(p => QuoteFilePartition(p.toString, p.getName.stripSuffix(".json")))
       .filter(p => keep(p.ticker))
@@ -155,16 +159,18 @@ final class QuotesPartitionReader(part: QuoteFilePartition,
     conf: SerializableConfiguration, pushed: Array[Filter],
     required: StructType) extends PartitionReader[InternalRow] {
 
-  private val dateOk: String => Boolean = {
-    val preds = pushed.collect {
-      case EqualTo("date", v) => (d: String) => d == String.valueOf(v)
-      case GreaterThan("date", v) => (d: String) => d > String.valueOf(v)
-      case GreaterThanOrEqual("date", v) => (d: String) => d >= String.valueOf(v)
-      case LessThan("date", v) => (d: String) => d < String.valueOf(v)
-      case LessThanOrEqual("date", v) => (d: String) => d <= String.valueOf(v)
-    }
-    d => preds.forall(_(d))
+  private val datePreds = pushed.collect {
+    case EqualTo("date", v) => (d: String) => d == String.valueOf(v)
+    case GreaterThan("date", v) => (d: String) => d > String.valueOf(v)
+    case GreaterThanOrEqual("date", v) => (d: String) => d >= String.valueOf(v)
+    case LessThan("date", v) => (d: String) => d < String.valueOf(v)
+    case LessThanOrEqual("date", v) => (d: String) => d <= String.valueOf(v)
   }
+
+  /** SQL comparison semantics: a null date fails every predicate but
+    * passes an unfiltered scan (the schema declares date nullable). */
+  private def dateOk(d: String): Boolean =
+    if (d == null) datePreds.isEmpty else datePreds.forall(_(d))
 
   private val rows: Iterator[InternalRow] = {
     val fs = new Path(part.path).getFileSystem(conf.value)
@@ -172,7 +178,7 @@ final class QuotesPartitionReader(part: QuoteFilePartition,
     val tree = try new ObjectMapper().readTree(in) finally in.close()
     val fields = required.fieldNames
     tree.elements().asScala
-      .filter(n => n.hasNonNull("date") && dateOk(n.get("date").asText()))
+      .filter(n => dateOk(if (n.hasNonNull("date")) n.get("date").asText() else null))
       .map { n =>
         val vals = fields.map {
           case "ticker" => UTF8String.fromString(part.ticker)
