@@ -22,6 +22,14 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", math.max(cores, 8).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE coalescing is byte-based; the text/dedup kernels are
+      // compute-bound (md5 per shingle), so the default 1 MiB floor
+      // collapses their few-MB shuffles to 1-3 partitions and serializes
+      // the expensive map work AFTER the shuffle (and any persist() then
+      // caches that serial layout). A 64 KiB floor keeps parallelism-first
+      // coalescing at ~core count for small-byte/high-CPU stages; at
+      // cluster scale shuffles are GBs and the floor never binds.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // runtime bloom filters prune the fact side of selective joins
       // before the shuffle — a large win on 100 TB star joins, but the
