@@ -29,9 +29,17 @@ object Scd2 {
     *    gain a new open version;
     *  - brand-new keys gain their first open version;
     *  - a re-applied identical batch is a no-op (idempotent).
+    *
+    * ONE full-outer join on the key decides every branch; each joined row
+    * then emits 0-2 history rows (kept/closed open row, new version) via a
+    * single explode. The open history and the batch each shuffle exactly
+    * once — the earlier formulation re-joined the same two frames five
+    * times (changed/new/still-open/closed/new-version), i.e. 5× the
+    * shuffle reads of the open set at 100 TB for identical semantics.
     */
   def merge(history: DataFrame, updates: DataFrame, key: String,
       effectiveDate: String): DataFrame = {
+    val cols = history.columns.toSeq
     val payload = updates.columns.filter(_ != key).toSeq
     val open = history.filter(col("is_current"))
     val closed = history.filter(!col("is_current"))
@@ -39,27 +47,36 @@ object Scd2 {
     // value fingerprint over payload columns (null-safe, order-fixed)
     def fp(df: DataFrame) = md5(to_json(struct(payload.sorted.map(col): _*)))
 
-    val openFp = open.withColumn("__fp", fp(open))
-    val updFp = updates.withColumn("__fp", fp(updates))
+    val o = open.select(col(key).as("__k"),
+      struct(cols.map(col): _*).as("__o"), fp(open).as("__ofp"))
+    val u = updates.select(col(key).as("__k"),
+      struct(updates.columns.map(col): _*).as("__u"), fp(updates).as("__ufp"))
 
-    val changedKeys = updFp.alias("u")
-      .join(openFp.alias("o"), Seq(key))
-      .filter(col("u.__fp") =!= col("o.__fp"))
-      .select(col(key))
-    val newKeys = updFp.join(openFp.select(key), Seq(key), "left_anti").select(col(key))
+    val unchanged = col("__ofp") === col("__ufp")
+    // emitted rows, all in the history schema/column order
+    val keepOpen = col("__o")
+    val closeOpen = struct(cols.map {
+      case "valid_to" => lit(effectiveDate).as("valid_to")
+      case "is_current" => lit(false).as("is_current")
+      case c => col(s"__o.`$c`").as(c)
+    }: _*)
+    val newVersion = struct(cols.map {
+      case "valid_from" => lit(effectiveDate).as("valid_from")
+      case "valid_to" => lit(null).cast("string").as("valid_to")
+      case "is_current" => lit(true).as("is_current")
+      case c => col(s"__u.`$c`").as(c)
+    }: _*)
 
-    val stillOpen = openFp.join(changedKeys, Seq(key), "left_anti").drop("__fp")
-    val nowClosed = openFp.join(changedKeys, Seq(key)).drop("__fp")
-      .withColumn("valid_to", lit(effectiveDate))
-      .withColumn("is_current", lit(false))
-    val newVersions = updFp
-      .join(changedKeys.union(newKeys).distinct(), Seq(key))
-      .drop("__fp")
-      .withColumn("valid_from", lit(effectiveDate))
-      .withColumn("valid_to", lit(null).cast("string"))
-      .withColumn("is_current", lit(true))
+    val merged = o.join(u, Seq("__k"), "full_outer")
+      .select(explode(array(
+        when(col("__u").isNull || unchanged, keepOpen), // open row survives
+        when(col("__o").isNotNull && col("__u").isNotNull && !unchanged, closeOpen),
+        when(col("__o").isNull || (col("__u").isNotNull && !unchanged), newVersion)
+      )).as("__row"))
+      .filter(col("__row").isNotNull)
+      .select(cols.map(c => col(s"__row.`$c`").as(c)): _*)
 
-    closed.unionByName(stillOpen).unionByName(nowClosed).unionByName(newVersions)
+    closed.unionByName(merged)
   }
 
   /** Point-in-time view: the version of each key valid on `date`. */
