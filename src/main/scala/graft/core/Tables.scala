@@ -38,4 +38,18 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Rebalance a frame whose upstream has (far) fewer partitions than the
+    * cluster has cores, so a compute-bound kernel downstream (md5-per-
+    * shingle, per-row text scoring) is not serialized by the source split
+    * count. Parquet can only split at row-group boundaries, so a
+    * single-row-group file — the corpus here, and any small dimension
+    * snapshot at scale — scans as ONE task no matter how many cores exist.
+    * The exchange moves each row once; when the scan already has at least
+    * half a task per core (every real 100 TB table) this is the identity
+    * and adds nothing to the plan. */
+  def spread(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= cores) df.repartition(cores) else df
+  }
 }

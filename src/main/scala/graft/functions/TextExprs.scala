@@ -372,6 +372,65 @@ object FingerprintUtil {
     while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
     new GenericArrayData(out)
   }
+
+  /** [[distinctShingles]] with each shingle collapsed to its 64-bit XXH64
+    * hash. Set cardinalities (and so Jaccard over the sets) are preserved
+    * up to hash collisions — ~n²/2⁶⁵ per corpus, vanishing against any
+    * practical tolerance — while `array_intersect`/`array_union` downstream
+    * hash and compare 8-byte longs instead of multi-word strings, and the
+    * shuffled arrays shrink ~5×. The verification pass of near-dup dedup is
+    * exactly this set arithmetic over candidate pairs, so at 100 TB the
+    * saving is the dominant term of the verify stage. */
+  def distinctShingleHashes(text: UTF8String, width: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < width)
+      return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + width <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < width) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val u = UTF8String.fromString(sb.toString)
+      seen.add(org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)): Unit
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Codegen'd hashed-shingle-set builder ([[FingerprintUtil.distinctShingleHashes]]):
+  * the compute kernel of the exact-Jaccard verify pass. */
+case class ShingleHashesExpr(child: Expression, width: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any =
+    FingerprintUtil.distinctShingleHashes(t.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.FingerprintUtil.distinctShingleHashes($c, $width)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
 }
 
 /** Codegen'd distinct-shingle-set builder (see

@@ -17,7 +17,9 @@ object CurationQuery {
 
   def q47Curation(spark: SparkSession, dir: String): DataFrame = {
     val curated = Curation.curate(
-      Tables.documents(spark, dir), "doc_id", "text",
+      // spread: scoring + language-ID + the dedup hash all run before the
+      // first shuffle; a single-row-group corpus would compute them serially
+      Tables.spread(Tables.documents(spark, dir)), "doc_id", "text",
       Curation.Config(minQuality = 0.6, nearDupJaccard = 0.8,
         fingerprint = TextOps.fingerprintMd5)) // md5 = the oracle-portable variant
     curated

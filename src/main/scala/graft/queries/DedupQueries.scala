@@ -16,7 +16,11 @@ object DedupQueries {
   /** MinHash-LSH near-dup candidates: 3-word shingles, 8 md5 min-hashes,
     * pairs sharing ≥1; est_jaccard = matching fraction. */
   def q24MinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidates(Tables.documents(spark, dir), "doc_id", "text")
+    // spread: the signature kernel (2 md5/shingle) is compute-bound and
+    // runs pre-shuffle — without it a single-row-group corpus scans (and
+    // hashes) in one task
+    Dedup.minhashCandidates(Tables.spread(Tables.documents(spark, dir)),
+        "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
 
   val q24MinhashLshSql: String =
