@@ -30,5 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: the native as-of join's planner strategy
     // (logical node graft.plans.AsOfJoinPlan → merge-based AsOfJoinExec)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // ... and its pure-SQL surface: FROM graft_asof('l','r','keys','lt','rt')
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_asof"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_asof"),
+      graft.ops.AsOf.tableFunctionBuilder))
   }
 }

@@ -5,8 +5,9 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
@@ -458,6 +459,100 @@ case class DistinctShinglesExpr(child: Expression, width: Int)
     copy(child = newChild)
 }
 
+object RepetitionUtil {
+
+  /** Gopher-style repetition statistics over whitespace tokens, one pass:
+    *  - `top_bigram_frac`: occurrences of the most frequent token bigram /
+    *    total bigrams (null when the doc has < 2 tokens);
+    *  - `dup_trigram_frac`: fraction of trigram occurrences that are
+    *    repeats of an earlier trigram, i.e. (total − distinct) / total
+    *    (null when < 3 tokens);
+    *  - `max_run`: longest run of identical consecutive tokens (≥ 1).
+    * All three derive from integer counts with a single final division, so
+    * any engine computing the same counts produces bit-identical doubles —
+    * which is what the q59 oracle does. */
+  def compute(text: UTF8String): InternalRow = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    val sb = new java.lang.StringBuilder()
+
+    var topFrac: Any = null
+    val nb = n - 1
+    if (nb > 0) {
+      val counts = new java.util.HashMap[String, Integer]()
+      var best = 0
+      var i = 0
+      while (i < nb) {
+        sb.setLength(0)
+        sb.append(toks(i)).append(' ').append(toks(i + 1))
+        val k = sb.toString
+        val c = counts.getOrDefault(k, 0) + 1
+        counts.put(k, c)
+        if (c > best) best = c
+        i += 1
+      }
+      topFrac = best.toDouble / nb
+    }
+
+    var dupFrac: Any = null
+    val nt = n - 2
+    if (nt > 0) {
+      val seen = new java.util.HashSet[String]()
+      var i = 0
+      while (i < nt) {
+        sb.setLength(0)
+        sb.append(toks(i)).append(' ').append(toks(i + 1)).append(' ')
+          .append(toks(i + 2))
+        seen.add(sb.toString): Unit
+        i += 1
+      }
+      dupFrac = (nt - seen.size).toDouble / nt
+    }
+
+    var maxRun = 1L
+    var run = 1L
+    var i = 1
+    while (i < n) {
+      if (toks(i) == toks(i - 1)) { run += 1; if (run > maxRun) maxRun = run }
+      else run = 1
+      i += 1
+    }
+
+    new GenericInternalRow(Array[Any](topFrac, dupFrac, maxRun))
+  }
+}
+
+/** Codegen'd per-row repetition statistics ([[RepetitionUtil.compute]]) —
+  * the repetition leg of Gopher-style quality filtering, as a single
+  * projection (no explode, no shuffle: at 100 TB the filter is pure map
+  * work). The q59 oracle rebuilds all three statistics relationally
+  * (unnest + group for the bigram mode, list_distinct for trigrams, a
+  * gaps-and-islands window for runs) and must hash-match. */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("top_bigram_frac",
+      org.apache.spark.sql.types.DoubleType, nullable = true),
+    org.apache.spark.sql.types.StructField("dup_trigram_frac",
+      org.apache.spark.sql.types.DoubleType, nullable = true),
+    org.apache.spark.sql.types.StructField("max_run", LongType, nullable = false)))
+
+  override def nullSafeEval(t: Any): Any =
+    RepetitionUtil.compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepetitionUtil.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+}
+
 object TextFunctions {
 
   /** Per-row MinHash signature array (numHashes 8-hex-char slices). */
@@ -484,6 +579,11 @@ object TextFunctions {
   def distinct_shingles(text: Column, width: Int): Column =
     Bridge.column(DistinctShinglesExpr(Bridge.expression(text), width))
 
+  /** Per-row repetition statistics struct (top-bigram fraction, duplicate-
+    * trigram fraction, longest identical-token run). */
+  def repetition_stats(text: Column): Column =
+    Bridge.column(RepetitionStatsExpr(Bridge.expression(text)))
+
   /** The SQL-facing builder table — single source of truth shared by
     * [[register]] (temp functions on a live session) and
     * [[graft.GraftExtensions]] (session-build injection), so the two
@@ -497,7 +597,8 @@ object TextFunctions {
       "token_quality" -> (es => TokenQualityExpr(es(0), graft.ops.TextOps.langProfiles.head._2)),
       "lang_id" -> (es => LangIdExpr(es(0), graft.ops.TextOps.langProfiles)),
       "fingerprint_md5" -> (es => FingerprintMd5Expr(es(0))),
-      "distinct_shingles" -> (es => DistinctShinglesExpr(es(0), intArg(es(1)))))
+      "distinct_shingles" -> (es => DistinctShinglesExpr(es(0), intArg(es(1)))),
+      "repetition_stats" -> (es => RepetitionStatsExpr(es(0))))
   }
 
   /** Register SQL-facing names on a live session. */

@@ -60,6 +60,45 @@ object AsOf {
       .select(col("__l.*"), col("__asof").as("asof"))
   }
 
+  /** SQL table-function surface for the native as-of join, registered as
+    * `graft_asof` by [[graft.GraftExtensions]] (via
+    * `SparkSessionExtensions.injectTableFunction`):
+    *
+    * {{{ SELECT * FROM graft_asof('left_view', 'right_view',
+    *                              'k1,k2', 'left_ts', 'right_ts'
+    *                              [, 'tie1,tie2' [, strict]]) }}}
+    *
+    * Arguments are string literals naming catalog/temp-view relations and
+    * columns; the builder runs during analysis, resolves both relations
+    * through the session catalog, and emits the same resolved
+    * [[graft.plans.AsOfJoinPlan]] as [[joinPriorNative]] — pure-SQL users
+    * get the whole-operator extension without touching the DataFrame API. */
+  private[graft] val tableFunctionBuilder:
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = { es =>
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.graft.Bridge
+    require(es.length >= 5 && es.length <= 7,
+      "usage: graft_asof(left, right, keys_csv, left_time, right_time" +
+        "[, tie_csv[, strict]])")
+    def str(i: Int): String = es(i).eval() match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_asof: argument ${i + 1} must be a string literal, got $other")
+    }
+    def csv(i: Int): Seq[String] =
+      str(i).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val spark = SparkSession.active
+    val strict = es.length == 7 && (es(6).eval() match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_asof: strict must be a boolean literal, got $other")
+    })
+    Bridge.analyzed(joinPriorNative(
+      spark.table(str(0)), spark.table(str(1)), csv(2), str(3), str(4),
+      if (es.length >= 6) csv(5) else Nil, strict))
+  }
+
   /** [[joinPrior]] semantics through the whole-operator extension stack
     * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]], SURVEY
     * §7.3 tier (c)): each side shuffles once with only its own columns and

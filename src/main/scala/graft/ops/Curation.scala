@@ -38,21 +38,29 @@ object Curation {
       if (cfg.keepLangs.isEmpty) scored
       else scored.filter(col("pred_lang").isin(cfg.keepLangs.map(x => x: Any): _*))
 
-    // 3: exact dedup (min-id representative per content hash). Cached:
-    // its lineage (scan + scoring + dedup window) feeds three consumers —
-    // candidate generation, Jaccard verification, and the final anti-join
-    // — and would otherwise be recomputed for each.
+    // 3: exact dedup (min-id representative per content hash). Cached AND
+    // eagerly materialized: its lineage (scan + scoring + dedup window)
+    // feeds SIX downstream stages — both sides of the signature self-join,
+    // the verify semi-join, both verify pair-join sides, and the final
+    // anti-join. A lazy persist would let those stages launch concurrently
+    // against a not-yet-populated cache and EACH recompute the full lineage
+    // (measured: ~70 s of duplicated CPU at sf0.1 — more than the whole
+    // query). The count() barrier builds the cache once; every consumer
+    // then reads columnar batches.
     val exact = Dedup.exact(langFiltered, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    exact.count()
 
     // 4: near-dup removal — LSH candidates, verified Jaccard, drop the
     // higher id of each confirmed pair (keep-first policy). Candidates are
     // persisted: verifyJaccard consumes them twice (the candidate-doc
     // semi-join that prunes shingling, and the pair joins themselves) and
-    // the pair set is tiny next to its signature-join lineage.
+    // the pair set is tiny next to its signature-join lineage. Same eager
+    // barrier: its two consumers launch as concurrent join stages.
     val cand = Dedup.minhashCandidates(exact, idCol, textCol)
       .select("id_a", "id_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count()
     val confirmed = Dedup.verifyJaccard(exact, cand, idCol, textCol)
       .filter(col("jaccard") >= cfg.nearDupJaccard)
     // no distinct on losers: left_anti already collapses duplicate keys

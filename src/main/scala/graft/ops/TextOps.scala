@@ -101,6 +101,46 @@ object TextOps {
     greatest(ranked: _*).getField("lang")
   }
 
+  // ---- repetition / novelty -------------------------------------------
+
+  /** Gopher-style repetition statistics struct (top-bigram fraction,
+    * duplicate-trigram fraction, longest identical-token run) — native
+    * one-pass kernel ([[graft.functions.RepetitionStatsExpr]]); the
+    * relational same-result construction lives in the spec cross-check
+    * and the q59 oracle. */
+  def repetitionStats(text: Column): Column =
+    graft.functions.TextFunctions.repetition_stats(text)
+
+  /** Corpus-frequency novelty: per-document statistics of the document
+    * frequency (number of docs containing the token) of its distinct
+    * tokens — `n_distinct`, `mean_df`, `max_df`, and the hapax count
+    * (tokens appearing in exactly one document). Rare-token-rich documents
+    * (low mean_df, high hapax) are the novel tail a training mix wants to
+    * keep; boilerplate scores high mean_df.
+    *
+    * Two shuffles at any scale: (doc, tok) → groupBy tok builds the
+    * document-frequency table (vocabulary-sized — Zipf-bounded, orders of
+    * magnitude smaller than the corpus), then the tok-keyed join back is
+    * co-partitioned with it (the exchange on tok is shared), and one final
+    * groupBy doc. Head tokens ("the") are the skew risk; AQE skew-join
+    * splitting bounds them. */
+  def tokenNovelty(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(tokenize(col(textCol)))).as("tok"))
+    // (id, tok) pairs are distinct by construction → count(*) = doc freq
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    toks.join(dfreq, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum(col("df")).as("df_sum"),
+        max(col("df")).as("max_df"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("id"), col("n_distinct"),
+        (col("df_sum").cast("double") / col("n_distinct")).as("mean_df"),
+        col("max_df"), col("n_hapax"))
+  }
+
   // ---- fingerprinting -------------------------------------------------
 
   /** Order-sensitive document fingerprint: polynomial rolling hash over the

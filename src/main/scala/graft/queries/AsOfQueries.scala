@@ -44,6 +44,28 @@ object AsOfQueries {
   def q56AsofNative(spark: SparkSession, dir: String): DataFrame =
     asofShape(spark, dir, native = true)
 
+  /** Same as-of query again, but phrased entirely in SQL through the
+    * `graft_asof` table function ([[graft.ops.AsOf.tableFunctionBuilder]],
+    * injected by [[graft.GraftExtensions]]): proves the whole-operator
+    * extension is reachable from pure SQL, and the oracle (q31's) proves
+    * the SQL path returns the identical rows. */
+  def q61AsofTvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+      .createOrReplaceTempView("g_asof_purchases")
+    e.filter(col("event_type") =!= "purchase")
+      .select("event_id", "user_id", "ts", "event_type")
+      .createOrReplaceTempView("g_asof_others")
+    spark.sql(
+      """SELECT event_id, user_id,
+        |  date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_s,
+        |  asof.event_id AS prior_id, asof.event_type AS prior_type
+        |FROM graft_asof('g_asof_purchases', 'g_asof_others',
+        |                'user_id', 'ts', 'ts', 'event_id')
+        |ORDER BY event_id""".stripMargin)
+  }
+
   /** Range join: views in the hour preceding each purchase, counted per
     * purchase (zero-match purchases included via left join of the counts).
     * Spark side uses the bucketed equi-join ([[graft.ops.RangeJoin]]); the

@@ -121,4 +121,80 @@ object TextQueries {
       |FROM documents
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
+
+  /** Gopher-style repetition filter statistics, per document: fraction of
+    * bigram occurrences taken by the most frequent bigram, fraction of
+    * duplicate trigram occurrences, and the longest identical-token run —
+    * one codegen'd projection ([[graft.ops.TextOps.repetitionStats]]). The
+    * oracle rebuilds each statistic relationally (unnest + group / window),
+    * certifying the one-pass kernel against an independent derivation. */
+  def q59Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"),
+        graft.ops.TextOps.repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"),
+        col("r.top_bigram_frac").as("top_bigram_frac"),
+        col("r.dup_trigram_frac").as("dup_trigram_frac"),
+        col("r.max_run").as("max_run"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q59RepetitionSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      |  FROM t WHERE len(toks) >= 2),
+      |topb AS (
+      |  SELECT doc_id, MAX(c) AS maxc, SUM(c) AS nb FROM (
+      |    SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg)
+      |  GROUP BY doc_id),
+      |tg AS (
+      |  SELECT doc_id,
+      |    len(toks) - 2 AS nt,
+      |    len(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS dt
+      |  FROM t WHERE len(toks) >= 3),
+      |runs AS (
+      |  SELECT doc_id, MAX(rl) AS max_run FROM (
+      |    SELECT doc_id, COUNT(*) AS rl FROM (
+      |      SELECT doc_id, tok, pos,
+      |        pos - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS g
+      |      FROM (SELECT doc_id, unnest(toks) AS tok,
+      |              generate_subscripts(toks, 1) AS pos FROM t))
+      |    GROUP BY doc_id, tok, g)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(topb.maxc AS DOUBLE) / topb.nb AS top_bigram_frac,
+      |  CAST(tg.nt - tg.dt AS DOUBLE) / tg.nt AS dup_trigram_frac,
+      |  CAST(runs.max_run AS BIGINT) AS max_run
+      |FROM documents d
+      |LEFT JOIN topb ON topb.doc_id = d.doc_id
+      |LEFT JOIN tg ON tg.doc_id = d.doc_id
+      |LEFT JOIN runs ON runs.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Corpus-frequency token novelty ([[graft.ops.TextOps.tokenNovelty]]):
+    * the two-pass document-frequency pipeline (build the vocabulary DF
+    * table, join it back, aggregate per doc). */
+  def q60TokenNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    graft.ops.TextOps.tokenNovelty(d, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val q60TokenNoveltySql: String =
+    """WITH dt AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents),
+      |dfreq AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok)
+      |SELECT doc_id,
+      |  COUNT(*) AS n_distinct,
+      |  CAST(SUM(df) AS DOUBLE) / COUNT(*) AS mean_df,
+      |  CAST(MAX(df) AS BIGINT) AS max_df,
+      |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      |FROM dt JOIN dfreq USING (tok)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 }

@@ -122,4 +122,36 @@ class AsOfSpec extends SparkSpec {
     assert(physical.contains("AsOfJoin"), physical) // nodeName drops Exec
     assert(!physical.contains("Union"), physical)
   }
+
+  // ---- SQL table-function surface (graft_asof) ----
+
+  test("graft_asof TVF equals the DataFrame-native form") {
+    trades.createOrReplaceTempView("asof_tvf_trades")
+    quotes.createOrReplaceTempView("asof_tvf_quotes")
+    val sql = spark.sql(
+      """SELECT tid, asof.qid AS qid
+        |FROM graft_asof('asof_tvf_trades', 'asof_tvf_quotes',
+        |                'key', 'tts', 'qts', 'qid')""".stripMargin)
+      .as[(Long, Option[Long])].collect().toMap
+    val api = AsOf.joinPriorNative(trades, quotes, Seq("key"), "tts", "qts",
+        rightTieBreak = Seq("qid"))
+      .select(col("tid"), col("asof.qid").as("qid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(sql === api)
+    // strict variant via the 7th boolean-literal argument
+    val strict = spark.sql(
+      """SELECT tid, asof.qid AS qid
+        |FROM graft_asof('asof_tvf_trades', 'asof_tvf_quotes',
+        |                'key', 'tts', 'qts', 'qid', true)""".stripMargin)
+      .as[(Long, Option[Long])].collect().toMap
+    assert(strict(11L) === Some(1L)) // 10:05 quote excluded under strict <
+  }
+
+  test("graft_asof TVF rejects bad arity and non-literal args") {
+    trades.createOrReplaceTempView("asof_tvf_trades")
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_asof('asof_tvf_trades')").collect())
+    assert(e.getMessage.contains("graft_asof") || e.getMessage.contains("usage"),
+      e.getMessage)
+  }
 }

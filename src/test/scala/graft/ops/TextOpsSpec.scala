@@ -93,4 +93,89 @@ class TextOpsSpec extends SparkSpec {
     assert(qs(1) < qs(0)) // repetition: type-token ratio + stopword fail
     assert(qs(2) <= 0.5)  // too short: length band fails
   }
+
+  test("repetition stats: kernel equals relational derivation on edge corpus") {
+    import org.apache.spark.sql.expressions.Window
+    val c = mixedCorpus()
+    val native = c.select(col("doc_id"),
+      TextOps.repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"), col("r.top_bigram_frac"),
+        col("r.dup_trigram_frac"), col("r.max_run"))
+    // independent relational derivation: explode + window-lead n-grams,
+    // group for the bigram mode, distinct for trigrams, gaps-and-islands
+    // for runs — the same construction the q59 oracle uses in DuckDB
+    val toks = c.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = toks
+      .withColumn("nx", lead(col("tok"), 1).over(w))
+      .filter(col("nx").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("nx")).as("bg"))
+    val topb = bi.groupBy(col("doc_id"), col("bg")).count()
+      .groupBy(col("doc_id"))
+      .agg((max(col("count")).cast("double") / sum(col("count"))).as("tf"))
+    val tri = toks
+      .withColumn("n1", lead(col("tok"), 1).over(w))
+      .withColumn("n2", lead(col("tok"), 2).over(w))
+      .filter(col("n2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("n1"), col("n2")).as("tg"))
+    val dup = tri.groupBy(col("doc_id"))
+      .agg(((count(lit(1)) - countDistinct(col("tg"))).cast("double") /
+        count(lit(1))).as("df"))
+    val runs = toks
+      .withColumn("g", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id"), col("tok")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("tok"), col("g")).count()
+      .groupBy(col("doc_id")).agg(max(col("count")).as("mr"))
+    val expected = c.select(col("doc_id"))
+      .join(topb, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .join(runs, Seq("doc_id"), "left")
+    val n = native.orderBy(col("doc_id")).collect()
+    val e = expected.orderBy(col("doc_id")).collect()
+    assert(n.length === e.length)
+    n.zip(e).foreach { case (a, b) =>
+      assert(a.isNullAt(1) === b.isNullAt(1), s"null tf ${a.getLong(0)}")
+      if (!a.isNullAt(1)) assert(a.getDouble(1) === b.getDouble(1), s"tf ${a.getLong(0)}")
+      assert(a.isNullAt(2) === b.isNullAt(2), s"null df ${a.getLong(0)}")
+      if (!a.isNullAt(2)) assert(a.getDouble(2) === b.getDouble(2), s"df ${a.getLong(0)}")
+      assert(a.getLong(3) === b.getLong(3), s"run ${a.getLong(0)}")
+    }
+  }
+
+  test("repetition stats: hand-checked values") {
+    val r = Seq((1L, "a b a b a"), (2L, "x x x y"), (3L, "solo"))
+      .toDF("doc_id", "text")
+      .select(TextOps.repetitionStats(col("text")).as("r"))
+      .select(col("r.top_bigram_frac"), col("r.dup_trigram_frac"), col("r.max_run"))
+      .collect()
+    // "a b a b a": bigrams [ab, ba, ab, ba] → top 2/4; trigrams
+    // [aba, bab, aba] → dup (3-2)/3; runs all 1
+    assert(r(0).getDouble(0) === 0.5)
+    assert(r(0).getDouble(1) === 1.0 / 3.0)
+    assert(r(0).getLong(2) === 1L)
+    // "x x x y": bigrams [xx, xx, xy] → 2/3; trigrams [xxx, xxy] → 0; run 3
+    assert(r(1).getDouble(0) === 2.0 / 3.0)
+    assert(r(1).getDouble(1) === 0.0)
+    assert(r(1).getLong(2) === 3L)
+    // single token: no n-grams → nulls, run 1
+    assert(r(2).isNullAt(0) && r(2).isNullAt(1))
+    assert(r(2).getLong(2) === 1L)
+  }
+
+  test("token novelty: document-frequency stats on a hand corpus") {
+    val d = Seq((0L, "a b c"), (1L, "a b"), (2L, "a x"))
+      .toDF("doc_id", "text")
+    val got = TextOps.tokenNovelty(d, "doc_id", "text")
+      .orderBy(col("id")).collect()
+    // df: a→3 b→2 c→1 x→1
+    assert(got(0).getLong(1) === 3L)          // n_distinct
+    assert(got(0).getDouble(2) === 2.0)       // (3+2+1)/3
+    assert(got(0).getLong(3) === 3L)          // max_df
+    assert(got(0).getLong(4) === 1L)          // hapax: c
+    assert(got(1).getDouble(2) === 2.5)       // (3+2)/2
+    assert(got(1).getLong(4) === 0L)
+    assert(got(2).getDouble(2) === 2.0)       // (3+1)/2
+    assert(got(2).getLong(4) === 1L)          // x
+  }
 }
