@@ -120,6 +120,54 @@ object Dedup {
     rep
   }
 
+  /** Full connected components over a candidate-pair edge list (the exact
+    * generalization of [[nearDupGroups]]'s one-round approximation):
+    * returns (id, rep) with rep = the component's minimum id, for every id
+    * appearing in an edge.
+    *
+    * Iterative min-label propagation: each round is one equi-join of the
+    * (symmetrized) edges with the current labels plus a groupBy-min —
+    * narrow (id, id) pairs only, partitioned by vertex id. Rounds needed =
+    * the graph diameter; near-dup components are near-cliques (every
+    * member collides with most others in some LSH band), so 2-3 rounds
+    * close them at any corpus size. Each generation is persisted and its
+    * predecessor unpersisted — without the cap the loop's lineage grows a
+    * join-tree per round (the SCD2-merge lesson). The loop exits on a
+    * zero-changes round; `maxIter` bounds adversarial chain graphs, where
+    * a path-doubling variant (propagate rep-of-rep) would be the upgrade.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("rep"))
+      .persist(lvl)
+    // unpersist must target the exact persisted plan — a projection over it
+    // (labels after drop) would not sameResult-match the cache entry
+    var cachedGen = labels
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("rep")).as("nrep"))
+      val next = labels.withColumnRenamed("rep", "old")
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("old"), coalesce(col("nrep"), col("old"))).as("rep"),
+          col("old"))
+        .persist(lvl)
+      changed = next.filter(col("rep") =!= col("old")).count()
+      cachedGen.unpersist()
+      cachedGen = next
+      labels = next.drop("old")
+      iter += 1
+    }
+    labels
+  }
+
   /** Exact n-gram Jaccard for a set of candidate pairs (verification pass
     * after LSH blocking). `pairs` must have (id_a, id_b). */
   def verifyJaccard(df: DataFrame, pairs: DataFrame, idCol: String,

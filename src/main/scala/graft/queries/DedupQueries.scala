@@ -134,4 +134,57 @@ object DedupQueries {
        |         THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
        |FROM scored ORDER BY doc_id""".stripMargin
   }
+
+  /** Full connected components over the MinHash candidate graph
+    * (est_jaccard ≥ 0.5): every doc in a qualifying pair labeled with its
+    * component's min id — [[Dedup.connectedComponents]]'s iterative
+    * min-label propagation, judged against a `WITH RECURSIVE` transitive-
+    * closure oracle (an INDEPENDENT algorithm: BFS reachability fixpoint
+    * vs distributed label propagation — both must land on the same
+    * partition of the graph). */
+  def q62DedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val cand = Dedup.minhashCandidates(
+        Tables.spread(Tables.documents(spark, dir)), "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    Dedup.connectedComponents(cand)
+      .select(col("id").as("doc_id"), col("rep").as("rep_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q62DedupGroupsSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+      |         unnest(string_split(text,' ')) AS tok
+      |  FROM documents),
+      |shingles AS (
+      |  SELECT a.doc_id, a.tok||' '||b.tok||' '||c.tok AS sh
+      |  FROM toks a
+      |  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+      |shd AS (
+      |  SELECT doc_id, md5(sh) AS d0, md5(sh||'#') AS d1 FROM shingles),
+      |sig AS (
+      |  SELECT doc_id, seed,
+      |    MIN(substr(CASE WHEN seed < 4 THEN d0 ELSE d1 END,
+      |               (seed % 4) * 8 + 1, 8)) AS mh
+      |  FROM shd CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed) s
+      |  GROUP BY doc_id, seed),
+      |cand AS (
+      |  SELECT s1.doc_id AS id_a, s2.doc_id AS id_b
+      |  FROM sig s1
+      |  JOIN sig s2 ON s1.seed = s2.seed AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) / 8.0 >= 0.5),
+      |sym AS (
+      |  SELECT id_a AS src, id_b AS dst FROM cand
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM cand),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT src, src FROM sym
+      |  UNION
+      |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id)
+      |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS rep_id
+      |FROM reach GROUP BY id
+      |ORDER BY doc_id""".stripMargin
 }

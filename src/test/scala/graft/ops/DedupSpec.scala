@@ -87,4 +87,25 @@ class DedupSpec extends SparkSpec {
     val groups = Dedup.nearDupGroups(cand, 0.9).as[(Long, Long)].collect().toMap
     assert(groups(200L) === 7L)
   }
+
+  test("connectedComponents: chains, separate components, fixpoint") {
+    // component A: a 5-node PATH (diameter 4 — forces several propagation
+    // rounds, the case nearDupGroups' single round cannot close);
+    // component B: a triangle; C: a lone edge
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), // path
+      (20L, 21L), (21L, 22L), (20L, 22L),             // triangle
+      (31L, 30L)                                      // edge (reversed ids)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L))
+    // maxIter short-circuits before convergence: path end keeps a stale rep
+    val capped = Dedup.connectedComponents(edges, maxIter = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(capped(11L) === 10L)
+    assert(capped(14L) === 13L) // one round only reaches the neighbor
+  }
 }
