@@ -53,6 +53,18 @@ object ScaleSmoke {
       docs.withColumn("s", pmod(col("doc_id"), lit(5)).cast("string")),
       "doc_id", "s", Map("0" -> 0.5), 0.2)))
 
+    time("repetition stats")(noop(docs.select(col("doc_id"),
+      TextOps.repetitionStats(col("text")).as("r")).select(col("doc_id"), col("r.*"))))
+    time("token novelty")(noop(TextOps.tokenNovelty(docs, "doc_id", "text")))
+    time("connected components") {
+      // candidate graph of the planted clusters: components are ~2-node
+      // (the %20==7 exact dup collapses in signatures with its base);
+      // verifies rounds stay O(diameter), not O(n)
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5).select("id_a", "id_b")
+      noop(Dedup.connectedComponents(cand))
+    }
+
     // streaming near-dup dedup over the same corpus: 4 micro-batches,
     // event-time-bounded bucket state; prints rows kept (dups dropped)
     time("streaming near-dup dedup") {
