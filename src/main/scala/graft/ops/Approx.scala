@@ -27,4 +27,24 @@ object Approx {
         count(lit(1)).as("n"),
         distinctCount(col(valueCol)).as("approx_distinct"),
         percentiles(col(valueCol), Seq(0.5, 0.9)).as("approx_p50_p90"))
+
+  /** Misra-Gries heavy hitters over a string Dataset: at most `k` summary
+    * entries regardless of stream length, with the DETERMINISTIC theorem
+    * bounds (no randomness, unlike HLL/GK):
+    *   - never overcounts: est(t) ≤ true(t);
+    *   - undercounts by at most N/(k+1) — merges included (Agarwal et
+    *     al., "Mergeable Summaries": the merge that sums two summaries
+    *     then subtracts the (k+1)-th largest count keeps the combined
+    *     error additive under any merge tree, which is exactly what a
+    *     partial-aggregate shuffle does);
+    *   - hence every token with true(t) > N/(k+1) is present.
+    * The q63 gate checks those three facts against exact counts — the
+    * bound is a theorem, so the gate is exact, not probabilistic.
+    *
+    * Returns the ≤ k (token, est) entries. Constant executor memory per
+    * partial; the driver sees only the k-entry summary — the 100 TB
+    * shape for "top sources/domains/tokens" dashboards where an exact
+    * groupBy would shuffle the full vocabulary. */
+  def heavyHitters(items: org.apache.spark.sql.Dataset[String], k: Int): Map[String, Long] =
+    items.select(new graft.functions.MisraGriesAgg(k).toColumn).head()
 }

@@ -84,4 +84,43 @@ object WarehouseQueries {
     """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact,
       |  TRUE AS hll_ok
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Misra-Gries heavy hitters over the document token stream, k = 30 —
+    * one LESS than the corpus vocabulary (31), so counter eviction and
+    * the lossy partial-merge path genuinely run. The gate checks the
+    * sketch's deterministic THEOREM (not a probabilistic bound, so exact
+    * even though the summary's contents depend on partial-aggregation
+    * order): every token with true count > N/(k+1) must be present, never
+    * overcounted, and undercounted by at most N/(k+1). The oracle states
+    * those facts as TRUE literals over the exact counts. */
+  def q63HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 30
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val total = toks.count()
+    val bound = total / (k + 1).toDouble
+    // sketch result: ≤ k entries to the driver — sketch output is
+    // driver-sized by design; re-broadcast as a tiny lookup side
+    val mg = graft.ops.Approx.heavyHitters(toks.select(col("tok")).as[String], k)
+    val mgDf = mg.toSeq.toDF("tok", "est")
+    toks.groupBy(col("tok")).agg(count(lit(1)).as("n_true"))
+      .filter(col("n_true") > lit(bound))
+      .join(broadcast(mgDf), Seq("tok"), "left")
+      .select(col("tok"), col("n_true"),
+        col("est").isNotNull.as("found"),
+        (col("est").isNotNull && col("est") <= col("n_true") &&
+          (col("n_true") - col("est")) <= lit(bound)).as("bounded"))
+      .orderBy(col("tok"))
+  }
+
+  val q63HeavyHittersSql: String =
+    """WITH t AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tot AS (SELECT COUNT(*) AS total FROM t),
+      |c AS (SELECT tok, COUNT(*) AS n_true FROM t GROUP BY tok)
+      |SELECT tok, n_true, TRUE AS found, TRUE AS bounded
+      |FROM c, tot
+      |WHERE n_true > total / 31.0
+      |ORDER BY tok""".stripMargin
 }

@@ -34,4 +34,33 @@ class ApproxSpec extends SparkSpec {
     assert(p.length === 3)
     p.foreach { r => assert(r.getLong(1) > 0 && r.getLong(2) > 0) }
   }
+
+  test("Misra-Gries: exact when vocabulary fits, theorem bounds when not") {
+    import spark.implicits._
+    // zipf-ish stream: item i appears 1000/i times, i = 1..40
+    val stream = (1 to 40).flatMap(i => Seq.fill(1000 / i)(s"it$i"))
+    val n = stream.size.toLong
+    val exact = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    // shuffled + repartitioned: the merge path runs across 8 partials
+    val ds = new scala.util.Random(7).shuffle(stream).toDS().repartition(8)
+
+    // capacity ≥ vocabulary → the sketch IS the exact histogram
+    val full = Approx.heavyHitters(ds, k = 64)
+    assert(full === exact)
+
+    // capacity 10 < 40: ≤ k entries; never overcounts; undercount ≤
+    // N/(k+1); every item above that threshold present — regardless of
+    // partition/merge order (deterministic theorem, not luck)
+    val k = 10
+    val mg = Approx.heavyHitters(ds, k)
+    val bound = n.toDouble / (k + 1)
+    assert(mg.size <= k)
+    mg.foreach { case (t, est) =>
+      assert(est <= exact(t), s"$t overcounted: $est > ${exact(t)}")
+      assert(exact(t) - est <= bound, s"$t undercut past the bound")
+    }
+    exact.filter(_._2 > bound).keys.foreach { t =>
+      assert(mg.contains(t), s"heavy item $t missing (bound $bound)")
+    }
+  }
 }
