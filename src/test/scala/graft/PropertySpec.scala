@@ -107,4 +107,44 @@ class PropertySpec extends SparkSpec {
       assert(d2 === date && t2 === ticker)
     }
   }
+
+  test("repetition stats: range/consistency invariants on random docs") {
+    import org.apache.spark.sql.functions._
+    (1 to 3).foreach { round =>
+      val vocab = Vector.fill(4)("w" + rng.nextInt(100)) // tiny vocab → repeats
+      val docs = (0 until 60).map { i =>
+        val n = rng.nextInt(15) + 1
+        (i.toLong, Vector.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = docs.select(
+          size(split(col("text"), " ")).as("n"),
+          graft.ops.TextOps.repetitionStats(col("text")).as("r"))
+        .select(col("n"), col("r.top_bigram_frac"), col("r.dup_trigram_frac"),
+          col("r.max_run"))
+        .collect()
+      got.foreach { r =>
+        val n = r.getInt(0)
+        if (n < 2) assert(r.isNullAt(1)) else {
+          val tf = r.getDouble(1)
+          // the mode occupies between 1/(n-1) and all bigram slots
+          assert(tf >= 1.0 / (n - 1) - 1e-12 && tf <= 1.0, s"tf=$tf n=$n")
+        }
+        if (n < 3) assert(r.isNullAt(2)) else {
+          val df = r.getDouble(2)
+          assert(df >= 0.0 && df < 1.0, s"df=$df n=$n") // ≥1 distinct trigram
+        }
+        val run = r.getLong(3)
+        assert(run >= 1 && run <= n, s"run=$run n=$n")
+      }
+      // token-level bijective renaming leaves every statistic unchanged
+      val renamed = docs.withColumn("text",
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(lit("x"), t))))
+      val a = docs.select(graft.ops.TextOps.repetitionStats(col("text")).as("r"))
+        .collect().toSeq
+      val b = renamed.select(graft.ops.TextOps.repetitionStats(col("text")).as("r"))
+        .collect().toSeq
+      assert(a === b, s"round $round: stats not invariant under renaming")
+    }
+  }
 }
