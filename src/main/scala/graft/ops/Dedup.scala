@@ -137,10 +137,15 @@ object Dedup {
     * a path-doubling variant (propagate rep-of-rep) would be the upgrade.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the edge list is consumed by EVERY propagation round — persisted and
+    // materialized once, or each round re-runs the (possibly expensive)
+    // candidate-generation lineage upstream of it
     val sym = edges
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      .persist(lvl)
+    sym.count()
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("rep"))
       .persist(lvl)
@@ -165,6 +170,10 @@ object Dedup {
       labels = next.drop("old")
       iter += 1
     }
+    // the final generation's cache was populated by its changed-count
+    // action, so the edge cache can go; labels stays persisted for the
+    // caller (its lineage no longer re-runs candidate generation)
+    sym.unpersist()
     labels
   }
 
