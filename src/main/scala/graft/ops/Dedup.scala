@@ -125,18 +125,28 @@ object Dedup {
     * returns (id, rep) with rep = the component's minimum id, for every id
     * appearing in an edge.
     *
-    * Iterative min-label propagation: each round is one equi-join of the
-    * (symmetrized) edges with the current labels plus a groupBy-min —
-    * narrow (id, id) pairs only, partitioned by vertex id. Rounds needed =
-    * the graph diameter; near-dup components are near-cliques (every
-    * member collides with most others in some LSH band), so 2-3 rounds
-    * close them at any corpus size. Each generation is persisted and its
-    * predecessor unpersisted — without the cap the loop's lineage grows a
-    * join-tree per round (the SCD2-merge lesson). The loop exits on a
-    * zero-changes round; `maxIter` bounds adversarial chain graphs, where
-    * a path-doubling variant (propagate rep-of-rep) would be the upgrade.
+    * Iterative min-label propagation WITH pointer jumping: each round is
+    * (a) one equi-join of the symmetrized edges with the current labels
+    * plus a groupBy-min (the 1-hop spread), then (b) a rep-of-rep lookup
+    * against the same labels (the jump) — narrow (id, id) pairs only,
+    * partitioned by vertex id. The jump roughly halves every label's
+    * distance to its component minimum, so rounds = O(log diameter): a
+    * 64-vertex chain closes in ~7 rounds where plain propagation needs
+    * 63 (spec-pinned). Near-dup components are near-cliques and close in
+    * 2-3 rounds either way; the log bound is what survives adversarial
+    * chains at 100 TB. Each generation is eagerly localCheckpoint'ed —
+    * lineage TRUNCATION, not just caching, because the plan tree itself
+    * triples per round (see the in-body comment). The loop exits on a
+    * zero-changes round; `maxIter` is the safety bound.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      doubling: Boolean = true): DataFrame =
+    ccWithRounds(edges, maxIter, doubling)._1
+
+  /** [[connectedComponents]] + the number of rounds run (spec evidence for
+    * the pointer-jumping convergence bound). */
+  private[graft] def ccWithRounds(edges: DataFrame, maxIter: Int = 20,
+      doubling: Boolean = true): (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // the edge list is consumed by EVERY propagation round — persisted and
     // materialized once, or each round re-runs the (possibly expensive)
@@ -146,12 +156,16 @@ object Dedup {
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(lvl)
     sym.count()
+    // each generation goes through an EAGER localCheckpoint, not persist:
+    // generation n+1's plan references generation n three times (1-hop
+    // join, self for the change test, jump join), so the LOGICAL plan tree
+    // grows 3^rounds — caching dedups execution but the plan object alone
+    // OOMs the driver past ~10 rounds. The checkpoint flattens each
+    // generation to a LogicalRDD (blocks held on executors; swap in
+    // reliable checkpoint() for fault-tolerant clusters).
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("rep"))
-      .persist(lvl)
-    // unpersist must target the exact persisted plan — a projection over it
-    // (labels after drop) would not sameResult-match the cache entry
-    var cachedGen = labels
+      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -159,22 +173,28 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("rep")).as("nrep"))
-      val next = labels.withColumnRenamed("rep", "old")
+      val hop = labels.withColumnRenamed("rep", "old")
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("old"), coalesce(col("nrep"), col("old"))).as("rep"),
+        .select(col("id"),
+          least(col("old"), coalesce(col("nrep"), col("old"))).as("rep1"),
           col("old"))
-        .persist(lvl)
+      val stepped =
+        if (!doubling) hop.select(col("id"), col("rep1").as("rep"), col("old"))
+        else hop
+          // pointer jump: follow the chosen rep to ITS previous-round rep —
+          // min(rep1, rep(rep1)) at least halves the remaining path length
+          .join(labels.select(col("id").as("rep1"), col("rep").as("rep2")),
+            Seq("rep1"), "left")
+          .select(col("id"),
+            least(col("rep1"), coalesce(col("rep2"), col("rep1"))).as("rep"),
+            col("old"))
+      val next = stepped.localCheckpoint(true)
       changed = next.filter(col("rep") =!= col("old")).count()
-      cachedGen.unpersist()
-      cachedGen = next
       labels = next.drop("old")
       iter += 1
     }
-    // the final generation's cache was populated by its changed-count
-    // action, so the edge cache can go; labels stays persisted for the
-    // caller (its lineage no longer re-runs candidate generation)
     sym.unpersist()
-    labels
+    (labels, iter)
   }
 
   /** Exact n-gram Jaccard for a set of candidate pairs (verification pass

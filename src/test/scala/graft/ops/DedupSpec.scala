@@ -108,4 +108,19 @@ class DedupSpec extends SparkSpec {
     assert(capped(11L) === 10L)
     assert(capped(14L) === 13L) // one round only reaches the neighbor
   }
+
+  test("pointer jumping closes a 64-chain in O(log n) rounds") {
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.ccWithRounds(chain, maxIter = 15)
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length === 64 && got.forall(_._2 === 0L))
+    // distance to the minimum at least halves per round (+1 hop), plus the
+    // zero-changes confirmation round: ~log2(63) + slack, nowhere near 63
+    assert(rounds <= 10, s"doubling took $rounds rounds")
+    // plain propagation moves the label one hop per round: provably NOT
+    // converged within the same budget
+    val (lin, linRounds) = Dedup.ccWithRounds(chain, maxIter = 10, doubling = false)
+    assert(linRounds === 10)
+    assert(lin.as[(Long, Long)].collect().exists(_._2 !== 0L))
+  }
 }
