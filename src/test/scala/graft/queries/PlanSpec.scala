@@ -97,4 +97,26 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$p")
   }
+
+  test("q59: repetition stats is one codegen'd projection — no shuffle before the sort") {
+    val p = planOf(TextQueries.q59Repetition(spark, sf))
+    assert(p.contains("repetitionstats") || p.contains("RepetitionStats"), p)
+    // per-row kernel: the ONLY exchange is the final ORDER BY's range
+    // partitioning — no explode, no window, no aggregation
+    assert(!p.contains("Window") && !p.contains("Generate"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row stats must not hash-shuffle:\n$p")
+  }
+
+  test("q61: the SQL table function plans the same native as-of exec") {
+    val p = planOf(AsOfQueries.q61AsofTvf(spark, sf))
+    assert(p.contains("AsOfJoin"), s"TVF must reach AsOfJoinExec:\n$p")
+    assert(!p.contains("Union"), p)
+  }
+
+  test("q62: component propagation joins are broadcast or hash — never nested-loop") {
+    val p = planOf(DedupQueries.q62DedupGroups(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"nested-loop in the component loop:\n$p")
+  }
 }
