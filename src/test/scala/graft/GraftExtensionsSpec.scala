@@ -26,6 +26,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(mh.length === 8 && mh.forall(_.length == 8))
     val sh = spark.sql("SELECT simhash_md5('a b c', 60) AS s").collect().head.getLong(0)
     assert(sh >= 0L)
+    val rep = spark.sql(
+      "SELECT repetition_stats('a b a b a').max_run AS r").collect().head.getLong(0)
+    assert(rep === 1L)
   }
 
   test("extensions class registers all native function builders") {
