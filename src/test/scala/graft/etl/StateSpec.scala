@@ -28,4 +28,20 @@ class StateSpec extends SparkSpec {
     st.reset()
     assert(st.watermark("Stock", "AAPL") === StateStore.Sentinel)
   }
+
+  test("Market branch reads stored state back (reference bug NOT reproduced)") {
+    // The reference's __readState Market branch re-reads a consumed file
+    // handle (API_manager.py:88), so a stored Market date ALWAYS fell to
+    // the sentinel there. SURVEY §7.4 pins the intended semantic instead:
+    // the stored value round-trips (markets dates are informational —
+    // main.py:23 — and the extraction is a full refresh regardless of what
+    // the watermark says, see Pipeline.runMarket). This test encodes that
+    // decision so a future refactor can't silently re-introduce the bug
+    // OR start gating the refresh on it.
+    val p = tmpDir("state") + "/state.json"
+    val st = new StateStore(spark, p)
+    st.advance("Market", "NASDAQ", "2024-06-04")
+    val st2 = new StateStore(spark, p) // fresh handle, re-read from disk
+    assert(st2.watermark("Market", "NASDAQ") === "2024-06-04")
+  }
 }
