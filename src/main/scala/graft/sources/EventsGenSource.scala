@@ -143,9 +143,17 @@ final case class EventsGenOffset(n: Long) extends Offset {
   * restart-correct paced source must take this interface; the engine never
   * calls the no-arg form once it is implemented). */
 final class EventsGenStream(cfg: EventsGenConfig) extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+  /** Under Trigger.AvailableNow the engine would otherwise snapshot ONE
+    * `latestOffset` poll and stop after a single paced batch. Implementing
+    * this interface tells it to keep polling batches until the source
+    * stops advancing — our endpoint is already fixed (`total_rows`), so
+    * there is nothing to prepare. */
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
   private def n(o: Offset): Long = o match {
     case EventsGenOffset(v) => v

@@ -80,6 +80,24 @@ class EventsGenSourceSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("Trigger.AvailableNow drains exactly total_rows and terminates") {
+    // the production batch-drain mode: the engine wraps the paced source,
+    // snapshots availability, runs it down in micro-batches, then STOPS on
+    // its own (no processAllAvailable/stop choreography)
+    val q = spark.readStream
+      .format("graft-events-gen")
+      .option("rows_per_batch", 400).option("total_rows", 1200)
+      .load()
+      .writeStream
+      .format("memory").queryName("egen_avail")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
+    val got = spark.table("egen_avail")
+    assert(got.count() === 1200)
+    assert(got.select(countDistinct(col("event_id"))).head.getLong(0) === 1200)
+  }
+
   test("stream supports event-time windowed aggregation with a watermark") {
     val agg = spark.readStream
       .format("graft-events-gen")
