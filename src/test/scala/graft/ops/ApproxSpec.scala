@@ -63,4 +63,23 @@ class ApproxSpec extends SparkSpec {
       assert(mg.contains(t), s"heavy item $t missing (bound $bound)")
     }
   }
+
+  test("Misra-Gries composes per group via groupByKey") {
+    import spark.implicits._
+    // two groups with different dominant items; k=2 per group
+    val rows = (Seq.fill(60)(("g1", "a")) ++ Seq.fill(25)(("g1", "b")) ++
+      (1 to 15).map(i => ("g1", s"x$i")) ++
+      Seq.fill(50)(("g2", "z")) ++ (1 to 10).map(i => ("g2", s"y$i")))
+    val ds = new scala.util.Random(5).shuffle(rows).toDS().repartition(4)
+    val perGroup = ds.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.MisraGriesAgg(2).toColumn)
+      .collect().toMap
+    // per-group N and bound: g1 N=100 bound=100/3; g2 N=60 bound=20 —
+    // the dominant item must survive its group's sketch with est ≥
+    // true − bound (theorem, any partial order)
+    assert(perGroup("g1").contains("a") && perGroup("g1")("a") >= 60 - 100 / 3)
+    assert(perGroup("g2").contains("z") && perGroup("g2")("z") >= 50 - 20)
+    assert(perGroup.values.forall(_.size <= 2))
+  }
 }
