@@ -121,6 +121,13 @@ object Lake {
     val aggs = clusterCols.flatMap(c =>
       Seq(min(col(c).cast("long")).as(s"min_$c"), max(col(c).cast("long")).as(s"max_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    // an empty frame or an all-null cluster column has no bounds — fail
+    // with the actual problem, not an NPE out of getLong
+    clusterCols.zipWithIndex.foreach { case (c, i) =>
+      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"zorderWrite: no min/max bounds for cluster column '$c' — " +
+          "input is empty or the column is entirely null")
+    }
     val bounds = clusterCols.indices.map(i =>
       (row.getLong(2 * i), row.getLong(2 * i + 1)))
     df.withColumn("__z", zvalue(clusterCols.map(col), bounds))

@@ -584,6 +584,13 @@ object TextFunctions {
   def repetition_stats(text: Column): Column =
     Bridge.column(RepetitionStatsExpr(Bridge.expression(text)))
 
+  /** Misra-Gries heavy-hitters AGGREGATE: ≤ k (item, est) entries plus the
+    * exact processed count, per group — `df.groupBy(g).agg(heavy_hitters
+    * (col, k))`. See [[HeavyHittersSketch]] for the theorem bounds. */
+  def heavy_hitters(c: Column, k: Int): Column =
+    Bridge.column(
+      HeavyHittersSketch(Bridge.expression(c), k).toAggregateExpression())
+
   /** The SQL-facing builder table — single source of truth shared by
     * [[register]] (temp functions on a live session) and
     * [[graft.GraftExtensions]] (session-build injection), so the two
@@ -598,7 +605,10 @@ object TextFunctions {
       "lang_id" -> (es => LangIdExpr(es(0), graft.ops.TextOps.langProfiles)),
       "fingerprint_md5" -> (es => FingerprintMd5Expr(es(0))),
       "distinct_shingles" -> (es => DistinctShinglesExpr(es(0), intArg(es(1)))),
-      "repetition_stats" -> (es => RepetitionStatsExpr(es(0))))
+      "repetition_stats" -> (es => RepetitionStatsExpr(es(0))),
+      // aggregate, not scalar: the analyzer wraps the bare AggregateFunction
+      // in an AggregateExpression at resolution, so GROUP BY ... in SQL works
+      "graft_heavy_hitters" -> (es => HeavyHittersSketch(es(0), intArg(es(1)))))
   }
 
   /** Register SQL-facing names on a live session. */

@@ -38,13 +38,25 @@ object Approx {
     *     error additive under any merge tree, which is exactly what a
     *     partial-aggregate shuffle does);
     *   - hence every token with true(t) > N/(k+1) is present.
-    * The q63 gate checks those three facts against exact counts — the
-    * bound is a theorem, so the gate is exact, not probabilistic.
+    * The q63/q64 gates check those three facts against exact counts — the
+    * bound is a theorem, so the gates are exact, not probabilistic.
     *
     * Returns the ≤ k (token, est) entries. Constant executor memory per
     * partial; the driver sees only the k-entry summary — the 100 TB
     * shape for "top sources/domains/tokens" dashboards where an exact
-    * groupBy would shuffle the full vocabulary. */
+    * groupBy would shuffle the full vocabulary. Per-group form:
+    * `df.groupBy(g).agg(TextFunctions.heavy_hitters(col, k))`. */
   def heavyHitters(items: org.apache.spark.sql.Dataset[String], k: Int): Map[String, Long] =
-    items.select(new graft.functions.MisraGriesAgg(k).toColumn).head()
+    heavyHittersWithCount(items, k)._1
+
+  /** [[heavyHitters]] plus the EXACT item count, from the same single
+    * pass — the sketch buffer carries n, so no separate count job. */
+  def heavyHittersWithCount(items: org.apache.spark.sql.Dataset[String],
+      k: Int): (Map[String, Long], Long) = {
+    val row = items.toDF("item")
+      .agg(graft.functions.TextFunctions.heavy_hitters(col("item"), k).as("hh"))
+      .select(col("hh.items"), col("hh.n"))
+      .head()
+    (row.getMap[String, Long](0).toMap, row.getLong(1))
+  }
 }

@@ -140,13 +140,22 @@ object Dedup {
     * zero-changes round; `maxIter` is the safety bound.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
-      doubling: Boolean = true): DataFrame =
-    ccWithRounds(edges, maxIter, doubling)._1
+      doubling: Boolean = true, reliable: Boolean = false): DataFrame = {
+    val (labels, rounds, converged) = ccWithRounds(edges, maxIter, doubling, reliable)
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents exited at maxIter=$maxIter after $rounds rounds " +
+          "WITHOUT converging — returned labels may not be component minima; " +
+          "raise maxIter (rounds needed = O(log diameter))")
+    labels
+  }
 
-  /** [[connectedComponents]] + the number of rounds run (spec evidence for
-    * the pointer-jumping convergence bound). */
+  /** [[connectedComponents]] + rounds run + convergence flag (spec evidence
+    * for the pointer-jumping convergence bound; callers of the public
+    * method get a WARN log on a maxIter exit instead of silence). */
   private[graft] def ccWithRounds(edges: DataFrame, maxIter: Int = 20,
-      doubling: Boolean = true): (DataFrame, Int) = {
+      doubling: Boolean = true, reliable: Boolean = false): (DataFrame, Int, Boolean) = {
+    val spark = edges.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // the edge list is consumed by EVERY propagation round — persisted and
     // materialized once, or each round re-runs the (possibly expensive)
@@ -156,16 +165,23 @@ object Dedup {
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(lvl)
     sym.count()
-    // each generation goes through an EAGER localCheckpoint, not persist:
+    // each generation goes through an EAGER checkpoint, not persist:
     // generation n+1's plan references generation n three times (1-hop
     // join, self for the change test, jump join), so the LOGICAL plan tree
     // grows 3^rounds — caching dedups execution but the plan object alone
     // OOMs the driver past ~10 rounds. The checkpoint flattens each
-    // generation to a LogicalRDD (blocks held on executors; swap in
-    // reliable checkpoint() for fault-tolerant clusters).
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("rep"))
-      .localCheckpoint(true)
+    // generation to a LogicalRDD. reliable=false holds the blocks on
+    // executors (fast; lost on executor death); reliable=true writes each
+    // generation to the configured checkpoint dir — the right mode for a
+    // 10-round job on a preemptible 100 TB cluster, where losing a
+    // generation block mid-loop would otherwise kill the job.
+    if (reliable && spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        s"${sys.props("java.io.tmpdir")}/graft_cc_checkpoints")
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    var labels = ckpt(sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("rep")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -188,13 +204,32 @@ object Dedup {
           .select(col("id"),
             least(col("rep1"), coalesce(col("rep2"), col("rep1"))).as("rep"),
             col("old"))
-      val next = stepped.localCheckpoint(true)
-      changed = next.filter(col("rep") =!= col("old")).count()
+      // the change count rides the checkpoint-materialization job as an
+      // observed metric — one action per round, not two (round-6 wrong #4)
+      val obs = new org.apache.spark.sql.Observation()
+      val next = ckpt(stepped.observe(obs,
+        sum(when(col("rep") =!= col("old"), 1L).otherwise(0L)).as("changed")))
+      // the metric arrives via the async listener bus; on the (never yet
+      // observed) chance it doesn't, fall back to an explicit count over
+      // the now-checkpointed generation rather than hang the loop
+      changed =
+        try scala.concurrent.Await
+          .result(obs.future, scala.concurrent.duration.Duration(60, "s"))
+          .getAs[Long]("changed")
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            next.filter(col("rep") =!= col("old")).count()
+        }
+      // generation n−1's blocks are dead once n is materialized and the
+      // change count is read — without this the executor block store grows
+      // linearly with rounds (round-6 advisor finding)
+      org.apache.spark.sql.graft.Bridge.backingRdds(labels)
+        .foreach(_.unpersist(false))
       labels = next.drop("old")
       iter += 1
     }
     sym.unpersist()
-    (labels, iter)
+    (labels, iter, changed == 0L)
   }
 
   /** Exact n-gram Jaccard for a set of candidate pairs (verification pass

@@ -237,6 +237,25 @@ object Similarity {
     cents.toDF("cid", "cvec")
   }
 
+  /** Train-once centroid ARTIFACT: production IVF trains offline and
+    * serves search against a stored centroid table — the q35 gate now
+    * mirrors that split (round-6 "do this" #3: training ran inside the
+    * timed query every pass). Trains and writes the parquet artifact at
+    * `path` only when absent (checked via the `_SUCCESS` marker, so a
+    * half-written dir retrains), then reads it back. Floats round-trip
+    * parquet bit-exactly and training is deterministic, so results are
+    * identical whether this run trained or reused. */
+  def centroidArtifact(vectors: DataFrame, path: String, k: Int,
+      iters: Int = 2, init: String = "parallel"): DataFrame = {
+    val spark = vectors.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+      trainCentroids(vectors, k, iters, init)
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** Native nearest-centroid assignment: (id, cid) via a single projection
     * against the driver-held centroid matrix (sorted by cid, so the
     * kernel's position tie-break equals the (−dot, cid) struct-min

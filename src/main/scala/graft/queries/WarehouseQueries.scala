@@ -98,11 +98,13 @@ object WarehouseQueries {
     val k = 30
     val toks = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
-    val total = toks.count()
+    // ONE pass: the sketch buffer carries the exact processed count, so N
+    // no longer costs a separate full token scan (round-6 wrong #2)
+    val (mg, total) = graft.ops.Approx.heavyHittersWithCount(
+      toks.select(col("tok")).as[String], k)
     val bound = total / (k + 1).toDouble
     // sketch result: ≤ k entries to the driver — sketch output is
     // driver-sized by design; re-broadcast as a tiny lookup side
-    val mg = graft.ops.Approx.heavyHitters(toks.select(col("tok")).as[String], k)
     val mgDf = mg.toSeq.toDF("tok", "est")
     toks.groupBy(col("tok")).agg(count(lit(1)).as("n_true"))
       .filter(col("n_true") > lit(bound))
@@ -123,4 +125,48 @@ object WarehouseQueries {
       |FROM c, tot
       |WHERE n_true > total / 31.0
       |ORDER BY tok""".stripMargin
+
+  /** PER-GROUP heavy hitters — the sketch as a SQL-callable GROUP BY
+    * aggregate ([[graft.functions.HeavyHittersSketch]], round-6 missing
+    * #1): one `groupBy(source).agg(graft_heavy_hitters(tok, k))` pass
+    * shuffles ≤ k counter pairs per group per partial (the 100 TB "top
+    * tokens per source/domain" shape — an exact per-group groupBy would
+    * shuffle every distinct (source, token)). k = 25 < the 31-token
+    * per-source vocabulary, so eviction and lossy partial merges
+    * genuinely run in every group. Gate: for every (source, token) with
+    * true count > N_g/(k+1) — N_g the group's exact token count, also
+    * carried by the sketch — the token is present, never overcounted,
+    * and undercounted by ≤ N_g/(k+1). Theorem bounds per group, any
+    * merge tree, so the oracle states them as TRUE literals over exact
+    * counts it derives independently. */
+  def q64HeavyHittersByGroup(spark: SparkSession, dir: String): DataFrame = {
+    val k = 25
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val est = toks.groupBy(col("source"))
+      .agg(graft.functions.TextFunctions.heavy_hitters(col("tok"), k).as("hh"))
+      .select(col("source"), explode(col("hh.items")).as(Seq("tok", "est")))
+    val exact = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n_true"))
+    val totals = exact.groupBy(col("source")).agg(sum(col("n_true")).as("n_tok"))
+    exact.join(totals, "source")
+      .filter(col("n_true") > col("n_tok") / lit((k + 1).toDouble))
+      .join(est, Seq("source", "tok"), "left")
+      .select(col("source"), col("tok"), col("n_true"),
+        col("est").isNotNull.as("found"),
+        (col("est").isNotNull && col("est") <= col("n_true") &&
+          (col("n_true") - col("est")) <= col("n_tok") / lit((k + 1).toDouble))
+          .as("bounded"))
+      .orderBy(col("source"), col("tok"))
+  }
+
+  val q64HeavyHittersByGroupSql: String =
+    """WITH t AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT source, tok, COUNT(*) AS n_true FROM t GROUP BY 1, 2),
+      |g AS (SELECT source, SUM(n_true) AS n_tok FROM c GROUP BY 1)
+      |SELECT c.source, c.tok, c.n_true, TRUE AS found, TRUE AS bounded
+      |FROM c JOIN g USING (source)
+      |WHERE c.n_true > g.n_tok / 26.0
+      |ORDER BY source, tok""".stripMargin
 }

@@ -70,7 +70,13 @@ object EventsGenSource {
 
 final case class EventsGenConfig(
     rowsPerBatch: Long, totalRows: Long, partitions: Int, seed: Long,
-    users: Long, baseTsMicros: Long, stepMicros: Long)
+    users: Long, baseTsMicros: Long, stepMicros: Long) {
+  // rows_per_batch <= 0 would make the stream permanently idle (every
+  // latestOffset == start) with no error anywhere — fail at build instead
+  require(rowsPerBatch > 0, s"rows_per_batch must be > 0, got $rowsPerBatch")
+  require(totalRows >= 0, s"total_rows must be >= 0, got $totalRows")
+  require(users > 0, s"users must be > 0, got $users")
+}
 
 object EventsGenConfig {
   def apply(o: CaseInsensitiveStringMap): EventsGenConfig = EventsGenConfig(
@@ -167,6 +173,11 @@ final class EventsGenStream(cfg: EventsGenConfig) extends MicroBatchStream
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
+  /** The engine-supplied `limit` is INTENTIONALLY ignored: this source's
+    * pacing contract is "exactly `rows_per_batch` rows per trigger" —
+    * `rows_per_batch` IS the read limit, configured at the source, and a
+    * generator has no lag for maxOffsetsPerTrigger-style hints to bound.
+    * (`getDefaultReadLimit` stays `allAvailable()` accordingly.) */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     EventsGenOffset(math.min(n(start) + cfg.rowsPerBatch, cfg.totalRows))
 

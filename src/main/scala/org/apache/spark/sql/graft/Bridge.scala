@@ -24,6 +24,12 @@ object Bridge {
   def analyzed(df: DataFrame): catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 
+  /** The RDDs a (local)checkpoint'ed frame reads from (`LogicalRDD` is
+    * `private[sql]`) — the handle needed to unpersist a dead checkpoint
+    * generation's executor blocks in iterative algorithms. */
+  def backingRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    analyzed(df).collect { case lr: execution.LogicalRDD => lr.rdd }
+
   /** Idempotently register an extra planner strategy on a live session —
     * the runtime fallback for sessions built without
     * `withExtensions(new GraftExtensions)`. */

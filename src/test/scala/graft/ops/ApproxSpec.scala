@@ -64,22 +64,41 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
-  test("Misra-Gries composes per group via groupByKey") {
+  test("Misra-Gries composes per group via groupBy + graft_heavy_hitters") {
     import spark.implicits._
     // two groups with different dominant items; k=2 per group
     val rows = (Seq.fill(60)(("g1", "a")) ++ Seq.fill(25)(("g1", "b")) ++
       (1 to 15).map(i => ("g1", s"x$i")) ++
       Seq.fill(50)(("g2", "z")) ++ (1 to 10).map(i => ("g2", s"y$i")))
-    val ds = new scala.util.Random(5).shuffle(rows).toDS().repartition(4)
-    val perGroup = ds.groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(new graft.functions.MisraGriesAgg(2).toColumn)
-      .collect().toMap
+    val df = new scala.util.Random(5).shuffle(rows).toDF("g", "item")
+      .repartition(4)
+    val perGroup = df.groupBy(col("g"))
+      .agg(graft.functions.TextFunctions.heavy_hitters(col("item"), 2).as("hh"))
+      .select(col("g"), col("hh.items").as("items"), col("hh.n").as("n"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getMap[String, Long](1).toMap, r.getLong(2))))
+      .toMap
     // per-group N and bound: g1 N=100 bound=100/3; g2 N=60 bound=20 —
     // the dominant item must survive its group's sketch with est ≥
-    // true − bound (theorem, any partial order)
-    assert(perGroup("g1").contains("a") && perGroup("g1")("a") >= 60 - 100 / 3)
-    assert(perGroup("g2").contains("z") && perGroup("g2")("z") >= 50 - 20)
-    assert(perGroup.values.forall(_.size <= 2))
+    // true − bound (theorem, any partial order); n is EXACT per group
+    assert(perGroup("g1")._2 === 100L)
+    assert(perGroup("g2")._2 === 60L)
+    assert(perGroup("g1")._1.contains("a") && perGroup("g1")._1("a") >= 60 - 100 / 3)
+    assert(perGroup("g2")._1.contains("z") && perGroup("g2")._1("z") >= 50 - 20)
+    assert(perGroup.values.forall(_._1.size <= 2))
+  }
+
+  test("graft_heavy_hitters is SQL-callable in a GROUP BY") {
+    import spark.implicits._
+    graft.functions.TextFunctions.register(spark)
+    Seq(("g1", "a"), ("g1", "a"), ("g1", "b"), ("g2", "z"))
+      .toDF("g", "item").createOrReplaceTempView("hh_in")
+    val rows = spark.sql(
+      """SELECT g, graft_heavy_hitters(item, 4) AS hh FROM hh_in GROUP BY g""")
+      .select(col("g"), col("hh.items"), col("hh.n"))
+      .collect().map(r => r.getString(0) -> ((r.getMap[String, Long](1).toMap, r.getLong(2))))
+      .toMap
+    assert(rows("g1") === ((Map("a" -> 2L, "b" -> 1L), 3L)))
+    assert(rows("g2") === ((Map("z" -> 1L), 1L)))
   }
 }

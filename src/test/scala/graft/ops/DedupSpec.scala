@@ -111,16 +111,31 @@ class DedupSpec extends SparkSpec {
 
   test("pointer jumping closes a 64-chain in O(log n) rounds") {
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (labels, rounds) = Dedup.ccWithRounds(chain, maxIter = 15)
+    val (labels, rounds, converged) = Dedup.ccWithRounds(chain, maxIter = 15)
     val got = labels.as[(Long, Long)].collect()
     assert(got.length === 64 && got.forall(_._2 === 0L))
+    assert(converged)
     // distance to the minimum at least halves per round (+1 hop), plus the
     // zero-changes confirmation round: ~log2(63) + slack, nowhere near 63
     assert(rounds <= 10, s"doubling took $rounds rounds")
     // plain propagation moves the label one hop per round: provably NOT
-    // converged within the same budget
-    val (lin, linRounds) = Dedup.ccWithRounds(chain, maxIter = 10, doubling = false)
+    // converged within the same budget — and the flag says so
+    val (lin, linRounds, linConv) = Dedup.ccWithRounds(chain, maxIter = 10, doubling = false)
     assert(linRounds === 10)
+    assert(!linConv)
     assert(lin.as[(Long, Long)].collect().exists(_._2 !== 0L))
+  }
+
+  test("reliable-checkpoint CC matches the localCheckpoint path") {
+    // reliable=true swaps localCheckpoint (executor blocks, lost on
+    // executor death) for checkpoint() files per generation — the
+    // preemptible-cluster mode; identical labels, identical rounds
+    val chain = (0L until 31L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds, converged) =
+      Dedup.ccWithRounds(chain, maxIter = 15, reliable = true)
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length === 32 && got.forall(_._2 === 0L))
+    assert(converged && rounds <= 9)
+    assert(spark.sparkContext.getCheckpointDir.isDefined)
   }
 }
