@@ -249,19 +249,91 @@ object Multimodal {
     frames.filter(f => f.frame_no % stride == 0)
   }
 
-  /** Feature extraction stub: 16-dim float vector per frame from a rolling
-    * byte statistic — deterministic; a real system plugs a vision encoder
-    * here. Output feeds [[Similarity]] directly. */
+  /** 8×8 integer block pooling of a frame: per grid cell, the SUM of
+    * per-pixel integer mean luma ((r+g+b)/3, floor) and the pixel count —
+    * all integer arithmetic, so every downstream value derived by exact
+    * formulas is engine-portable (the q50/q65 oracles rebuild them in
+    * SQL). RGB frames (pixels = w·h·3 bytes) pool spatially: pixel (x, y)
+    * lands in cell (x·8/w, y·8/h). Non-image payloads (audio PCM windows,
+    * stub codecs) pool the raw byte stream into 64 index ranges — same
+    * shape, so every media kind feeds the same similarity stack. */
+  private[graft] def pool8x8(f: Frame): (Array[Long], Array[Long]) = {
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    val px = f.pixels
+    if (f.width > 0 && f.height > 0 && px.length == f.width * f.height * 3) {
+      val w = f.width; val h = f.height
+      var y = 0
+      while (y < h) {
+        val rowCell = (y * 8 / h) * 8
+        var x = 0
+        while (x < w) {
+          val i = (y * w + x) * 3
+          val luma = ((px(i) & 0xff) + (px(i + 1) & 0xff) + (px(i + 2) & 0xff)) / 3
+          val cell = rowCell + x * 8 / w
+          sums(cell) += luma
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      var i = 0
+      while (i < px.length) {
+        val cell = (i.toLong * 64 / px.length).toInt
+        sums(cell) += px(i) & 0xff
+        counts(cell) += 1
+        i += 1
+      }
+    }
+    (sums, counts)
+  }
+
+  /** REAL feature extraction (replaces the round-1..6 byte-stat stub):
+    * 64-dim average-pooled luma, centered at mid-gray — feature d =
+    * mean_luma(cell d) − 127.5, via the exact integer form
+    * (2·sum − 255·count) / (2·count). Centering matters: raw luma vectors
+    * are all-positive, so any two frames cosine at ~0.98 regardless of
+    * content (measured); centered vectors make cosine measure STRUCTURE,
+    * which is what [[Similarity]]'s LSH planes need to discriminate.
+    * Empty cells (h or w < 8) contribute a neutral 0. One pass per frame,
+    * no shuffle; output feeds [[Similarity]] directly. */
   def extractFeatures(frames: Dataset[Frame])(
       implicit spark: SparkSession): Dataset[MediaFeature] = {
     import spark.implicits._
     frames.map { f =>
-      val feat = Array.tabulate(16) { d =>
-        val slice = f.pixels.drop(d * 4).take(4)
-        slice.map(_.toInt & 0xff).sum / 1024.0f
+      val (sums, counts) = pool8x8(f)
+      val feat = Array.tabulate(64) { d =>
+        if (counts(d) == 0L) 0.0f
+        else ((2L * sums(d) - 255L * counts(d)) / (2.0 * counts(d))).toFloat
       }
       MediaFeature(f.media_id, f.frame_no, feat)
     }
+  }
+
+  /** 64-bit average-hash ("aHash", the classic perceptual-hash family) of
+    * a decoded frame: bit d = 1 iff cell d's mean luma strictly exceeds
+    * the whole-frame mean. The comparison is integer cross-multiplied
+    * (sum_d · N > total · n_d) — no division anywhere, so the hash is
+    * exact integer arithmetic end-to-end and any engine reproduces it
+    * bit-for-bit. Returned as (hi, lo) 32-bit halves: a single BIGINT
+    * with bit 63 set reads negative in both Spark and SQL engines, a
+    * sign trap the split avoids. Near-duplicate frames differ in a few
+    * bits (hamming); exact-equal hashes give a free exact-dedup key. */
+  def phash(f: Frame): (Long, Long) = {
+    val (sums, counts) = pool8x8(f)
+    var total = 0L; var n = 0L
+    var d = 0
+    while (d < 64) { total += sums(d); n += counts(d); d += 1 }
+    var hi = 0L; var lo = 0L
+    d = 0
+    while (d < 64) {
+      if (sums(d) * n > total * counts(d)) {
+        if (d < 32) lo |= 1L << d else hi |= 1L << (d - 32)
+      }
+      d += 1
+    }
+    (hi, lo)
   }
 
   /** Metadata-level resize: plan-only transform of the typed metadata

@@ -4,17 +4,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.Multimodal
+import graft.ops.{Multimodal, Similarity}
 import graft.ops.Multimodal.{BmpDecoder, MediaRow}
 
-/** Multimodal gate query: every embedding is rendered as a REAL 24-bit BMP
-  * (8×8 grayscale, byte = floor((v+1)·127.5) clamped to [0,255]), the
-  * payload is parsed back by the pure-JVM [[Multimodal.BmpDecoder]] inside
-  * `mapPartitions`, and 16 features are extracted from the decoded pixels.
+/** Multimodal gate queries: embeddings rendered as REAL 24-bit BMPs, parsed
+  * back by the pure-JVM [[Multimodal.BmpDecoder]] inside `mapPartitions`,
+  * then pooled into features / perceptual hashes.
   *
-  * The oracle replicates the render arithmetic directly — so the BMP
-  * encode → byte-parse round trip must be PIXEL-EXACT for the hash to
-  * match, certifying the decoder, not just the feature math.
+  * The oracles replicate the render arithmetic directly — so the BMP
+  * encode → byte-parse → integer-pool pipeline must be PIXEL-EXACT for the
+  * hashes to match, certifying the decoder and the pooling kernel, not
+  * just the feature math.
   */
 object MediaQuery {
 
@@ -25,21 +25,51 @@ object MediaQuery {
     math.max(0L, math.min(255L, b)).toByte
   }
 
+  /** 8×8 gray BMP: pixel p = gray(embedding[p]). */
+  private def bmp8(id: Long, emb: Seq[Float]): MediaRow = {
+    val rgb = new Array[Byte](emb.length * 3)
+    var i = 0
+    while (i < emb.length) {
+      val g = gray(emb(i))
+      rgb(3 * i) = g; rgb(3 * i + 1) = g; rgb(3 * i + 2) = g
+      i += 1
+    }
+    MediaRow(id, "image", "bmp", Multimodal.Bmp.encode(8, 8, rgb), 8, 8, 0L)
+  }
+
+  /** 16×16 gray BMP: embedding value p fills the 2×2 pixel block at grid
+    * (p/8, p%8) — so the decoder's pixels genuinely outnumber the pooled
+    * cells and the 8×8 pooling kernel has real work to do. */
+  private def bmp16(id: Long, emb: Seq[Float]): MediaRow = {
+    val rgb = new Array[Byte](16 * 16 * 3)
+    var p = 0
+    while (p < 64) {
+      val g = gray(emb(p))
+      val by = (p / 8) * 2; val bx = (p % 8) * 2
+      var dy = 0
+      while (dy < 2) {
+        var dx = 0
+        while (dx < 2) {
+          val off = ((by + dy) * 16 + (bx + dx)) * 3
+          rgb(off) = g; rgb(off + 1) = g; rgb(off + 2) = g
+          dx += 1
+        }
+        dy += 1
+      }
+      p += 1
+    }
+    MediaRow(id, "image", "bmp", Multimodal.Bmp.encode(16, 16, rgb), 16, 16, 0L)
+  }
+
+  /** Decode → pool → centered feature, per embedding-rendered image:
+    * feature d = mean luma of cell d − 127.5 = gray(embedding[d]) − 127.5
+    * for these gray renders (1-pixel cells at 8×8). */
   def q50MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
-      .map { case (id, emb) =>
-        val rgb = new Array[Byte](emb.length * 3)
-        var i = 0
-        while (i < emb.length) {
-          val g = gray(emb(i))
-          rgb(3 * i) = g; rgb(3 * i + 1) = g; rgb(3 * i + 2) = g
-          i += 1
-        }
-        MediaRow(id, "image", "bmp", Multimodal.Bmp.encode(8, 8, rgb), 8, 8, 0L)
-      }
+      .map { case (id, emb) => bmp8(id, emb) }
     val frames = Multimodal.decodeFrames(media, new BmpDecoder)(spark)
     val feats = Multimodal.extractFeatures(frames)(spark)
     feats.toDF()
@@ -50,22 +80,110 @@ object MediaQuery {
   }
 
   /** The same pipeline arithmetically: pixel p's gray byte from embedding
-    * value p, pixel-byte j = gray(j/3) (RGB triplets), feature d = bytes
-    * [4d, 4d+4) summed / 1024. Integer sums ≤ 1020 divided by 2¹⁰ are
-    * exact in float and double alike, so no rounding gap. */
+    * value p; each 8×8-grid cell holds exactly that one pixel, so the
+    * centered pooled feature is g − 127.5 (the integer form
+    * (2g − 255)/2 — exact in double and float alike). */
   val q50MediaFeaturesSql: String =
     """WITH px AS (
       |  SELECT vec_id,
       |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS p,
       |    LEAST(255, GREATEST(0,
       |      CAST(floor((CAST(unnest(embedding) AS DOUBLE) + 1.0) * 127.5) AS BIGINT))) AS g
-      |  FROM embeddings),
-      |bytes AS (
-      |  SELECT vec_id, p * 3 + c.c AS j, g
-      |  FROM px CROSS JOIN (SELECT unnest([0, 1, 2]) AS c) c)
-      |SELECT vec_id AS media_id, j // 4 AS dim,
-      |  CAST(SUM(g) AS DOUBLE) / 1024.0 AS feature
-      |FROM bytes WHERE j < 64
-      |GROUP BY 1, 2
+      |  FROM embeddings)
+      |SELECT vec_id AS media_id, p AS dim,
+      |  (2 * g - 255) / 2.0 AS feature
+      |FROM px
       |ORDER BY media_id, dim""".stripMargin
+
+  /** Perceptual-hash + LSH near-dup gate over DECODED media: 16×16 BMPs →
+    * byte-parse → 8×8 integer pooling → (a) the exact-integer average-hash
+    * ([[Multimodal.phash]], emitted as two 32-bit halves), (b) centered
+    * pooled features through [[Similarity.lshNearDupCandidates]] — the
+    * bucketed near-dup path (equi-join on md5-derived signatures, verify
+    * only collisions), counting each media's verified partners above
+    * cosine 0.35. The oracle rebuilds hash bits AND signatures AND
+    * verified pairs from the embeddings by exact integer/±1-dot
+    * arithmetic — certifying decode, pooling, hashing, and the blocking
+    * scheme end-to-end. */
+  def q65MediaPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, emb) => bmp16(id, emb) }
+    val frames = Multimodal.decodeFrames(media, new BmpDecoder)(spark)
+    val ph = frames
+      .map { f =>
+        val (hi, lo) = Multimodal.phash(f)
+        (f.media_id, hi, lo)
+      }
+      .toDF("media_id", "phash_hi", "phash_lo")
+    val feats = Multimodal.extractFeatures(frames)(spark).toDF()
+      .select(col("media_id").as("id"), col("feature").as("vec"))
+    val pairs = Similarity.lshNearDupCandidates(feats, nTables = 16,
+      bitsPerTable = 6, dim = 64, threshold = 0.35)
+    val dups = pairs.select(col("id_a").as("media_id"))
+      .union(pairs.select(col("id_b").as("media_id")))
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_neardup"))
+    ph.join(dups, Seq("media_id"), "left")
+      .select(col("media_id"), col("phash_hi"), col("phash_lo"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Every stage rebuilt arithmetically: gray g per cell (2×2 uniform
+    * blocks pool back to g exactly); hash bit d = g_d·64 > Σg (the
+    * cross-multiplied mean comparison); centered feature g − 127.5; LSH
+    * planes from the md5 low-bit construction ([[Similarity.planes]]);
+    * verified pairs by exact cosine (all dot terms are .25-granular
+    * values bounded by 2^14 — exact in double under any order). */
+  val q65MediaPhashSql: String =
+    """WITH px AS (
+      |  SELECT vec_id,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS p,
+      |    LEAST(255, GREATEST(0,
+      |      CAST(floor((CAST(unnest(embedding) AS DOUBLE) + 1.0) * 127.5) AS BIGINT))) AS g
+      |  FROM embeddings),
+      |tot AS (SELECT vec_id, SUM(g) AS sg FROM px GROUP BY vec_id),
+      |ph AS (
+      |  SELECT px.vec_id,
+      |    CAST(SUM(CASE WHEN px.g * 64 > t.sg AND px.p >= 32
+      |        THEN (1::BIGINT << (px.p - 32)) ELSE 0 END) AS BIGINT) AS phash_hi,
+      |    CAST(SUM(CASE WHEN px.g * 64 > t.sg AND px.p < 32
+      |        THEN (1::BIGINT << px.p) ELSE 0 END) AS BIGINT) AS phash_lo
+      |  FROM px JOIN tot t USING (vec_id) GROUP BY px.vec_id),
+      |feat AS (
+      |  SELECT vec_id, list(CAST(g AS DOUBLE) - 127.5 ORDER BY p) AS fvec
+      |  FROM px GROUP BY vec_id),
+      |coeff AS (
+      |  SELECT t, b, d,
+      |    CASE WHEN (strpos('0123456789abcdef',
+      |                      substr(md5('hp:'||t||':'||b||':'||d), 1, 1)) - 1) % 2 = 1
+      |         THEN 1.0 ELSE -1.0 END AS c
+      |  FROM range(16) r1(t), range(6) r2(b), range(64) r3(d)),
+      |planes AS (SELECT t, b, list(c ORDER BY d) AS pv FROM coeff GROUP BY t, b),
+      |sigs AS (
+      |  SELECT f.vec_id AS id, p.t AS tbl,
+      |    CAST(SUM(CASE WHEN list_dot_product(f.fvec, p.pv) >= 0
+      |             THEN (1::BIGINT << p.b) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM feat f CROSS JOIN planes p
+      |  GROUP BY f.vec_id, p.t),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig AND a.id < b.id),
+      |vpairs AS (
+      |  SELECT c.id_a, c.id_b
+      |  FROM cand c
+      |  JOIN feat fa ON fa.vec_id = c.id_a
+      |  JOIN feat fb ON fb.vec_id = c.id_b
+      |  WHERE list_cosine_similarity(fa.fvec, fb.fvec) > 0.35),
+      |dups AS (
+      |  SELECT id, COUNT(*) AS n FROM (
+      |    SELECT id_a AS id FROM vpairs
+      |    UNION ALL SELECT id_b AS id FROM vpairs)
+      |  GROUP BY id)
+      |SELECT ph.vec_id AS media_id, ph.phash_hi, ph.phash_lo,
+      |  COALESCE(d.n, 0) AS n_neardup
+      |FROM ph LEFT JOIN dups d ON d.id = ph.vec_id
+      |ORDER BY media_id""".stripMargin
 }

@@ -149,6 +149,50 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(2L).width === 3 && frames(2L).pixels.toSeq === img.take(18).toSeq)
   }
 
+  test("pHash: uniform frame hashes to zero; structure sets bits; deterministic") {
+    val flat = Frame(1L, 0, 8, 8, Array.fill(8 * 8 * 3)(100.toByte))
+    // no cell STRICTLY exceeds the global mean on a uniform image
+    assert(Multimodal.phash(flat) === ((0L, 0L)))
+    val px = Array.fill(8 * 8 * 3)(10.toByte)
+    // brighten pixel (0,0) → cell 0 exceeds the mean → exactly bit 0 of lo
+    px(0) = 200.toByte; px(1) = 200.toByte; px(2) = 200.toByte
+    val bright = Frame(2L, 0, 8, 8, px)
+    assert(Multimodal.phash(bright) === ((0L, 1L)))
+    assert(Multimodal.phash(bright) === Multimodal.phash(bright.copy(media_id = 9L)))
+  }
+
+  test("pHash + pooled features: planted near-identical images collide via LSH") {
+    val rng = new scala.util.Random(11)
+    // 10 random 16x16 images; id+100 = the same image with one pixel nudged
+    val base = (0 until 10).map { i =>
+      i.toLong -> Array.fill(16 * 16 * 3)(rng.nextInt(256).toByte)
+    }
+    val rows = base.flatMap { case (id, px) =>
+      val nudged = px.clone(); nudged(0) = ((nudged(0) + 4) & 0xff).toByte
+      Seq(MediaRow(id, "image", "bmp", Bmp.encode(16, 16, px), 16, 16, 0L),
+        MediaRow(id + 100, "image", "bmp", Bmp.encode(16, 16, nudged), 16, 16, 0L))
+    }.toDS()
+    val frames = decodeFrames(rows, new BmpDecoder)
+    val feats = extractFeatures(frames).toDF()
+      .select(col("media_id").as("id"), col("feature").as("vec"))
+    val pairs = Similarity
+      .lshNearDupCandidates(feats, nTables = 16, bitsPerTable = 6, dim = 64,
+        threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every planted (i, i+100) pair must survive blocking AND verify —
+    // a one-pixel nudge barely moves one pooled cell
+    (0 until 10).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 100L)), s"planted pair $i missing")
+    }
+    // ...and the pHashes of a planted pair differ in at most one bit half
+    val ph = frames.collect().map(f => f.media_id -> Multimodal.phash(f)).toMap
+    (0 until 10).foreach { i =>
+      val (ah, al) = ph(i.toLong); val (bh, bl) = ph(i + 100L)
+      val hamming = java.lang.Long.bitCount(ah ^ bh) + java.lang.Long.bitCount(al ^ bl)
+      assert(hamming <= 1, s"pair $i hamming $hamming")
+    }
+  }
+
   test("resizeMeta: downscale only, aspect preserved") {
     val out = resizeMeta(media().toDF(), 960).collect()
       .map(r => r.getAs[Long]("media_id") ->
