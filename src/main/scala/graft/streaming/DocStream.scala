@@ -18,6 +18,9 @@ object DocStream {
   case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String,
       simhash: Long, bucket: Long)
 
+  case class MhDoc(doc_id: Long, ts: java.sql.Timestamp, text: String,
+      sig: Seq[String], bucket: String)
+
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -84,6 +87,79 @@ object DocStream {
             // expire 2h of EVENT time after this bucket's latest doc (not
             // after the pre-batch watermark, which is 0 on the first batch
             // and would expire everything as soon as it first advances)
+            val latest = math.max(state.getCurrentWatermarkMs(),
+              batch.map(_.ts.getTime).max)
+            state.setTimeoutTimestamp(latest + 2L * 3600 * 1000)
+            out.iterator
+          }
+      }
+      .toDF("doc_id", "ts", "text")
+  }
+
+  /** Streaming MINHASH near-dup dedup — the q24 (shingle-Jaccard) semantics
+    * next to [[nearDupFiltered]]'s SimHash ones. The two families catch
+    * different modifications: SimHash is a bag-of-tokens fingerprint, so a
+    * few token SUBSTITUTIONS scatter many bits (hamming blows past the
+    * radius and the dup sails through), while shingle-MinHash agreement
+    * degrades smoothly with Jaccard and still fires.
+    *
+    * Design for unbounded input (same rules as the SimHash path):
+    *  - per-row signature is the native `min_hash_slices` kernel (pure
+    *    projection, `numHashes` md5-derived minima over `shingleWidth`-
+    *    token shingles);
+    *  - state is keyed by the ANCHOR BAND — the first `bandRows` signature
+    *    slots concatenated. Docs at Jaccard J share it with probability
+    *    J^bandRows (single-probe banded LSH, the same approximation as the
+    *    SimHash prefix bucket; production multi-probe = a union of k such
+    *    queries with band i as the bucket, or the batch path q24);
+    *  - in-bucket verify: estimated Jaccard = fraction of agreeing
+    *    signature slots ≥ `estJaccard` (the standard MinHash estimator);
+    *  - each bucket keeps ≤ `maxSeen` signatures (FIFO), whole bucket
+    *    expires after 2 h of event time without traffic — state bounded by
+    *    (active buckets × maxSeen × numHashes) regardless of stream length;
+    *  - rows inside a micro-batch process in doc_id order → deterministic
+    *    keep/drop under replays.
+    */
+  def minhashNearDupFiltered(spark: SparkSession, docs: DataFrame,
+      shingleWidth: Int = 3, numHashes: Int = 12, bandRows: Int = 2,
+      estJaccard: Double = 0.6, maxSeen: Int = 1024): DataFrame = {
+    import spark.implicits._
+    require(bandRows >= 1 && bandRows <= numHashes, "bandRows out of range")
+    val typed = docs
+      .filter(col("text").isNotNull && col("ts").isNotNull)
+      .withColumn("sig", graft.functions.TextFunctions
+        .min_hash_slices(col("text"), shingleWidth, numHashes))
+      .withColumn("bucket", concat_ws("", slice(col("sig"), 1, bandRows)))
+      .withWatermark("ts", "2 hours")
+      .as[MhDoc]
+    val need = math.ceil(estJaccard * numHashes).toInt
+    typed.groupByKey(_.bucket)
+      .flatMapGroupsWithState[List[Seq[String]], (Long, java.sql.Timestamp, String)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[MhDoc], state: GroupState[List[Seq[String]]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Nil)
+            val batch = rows.toSeq.sortBy(_.doc_id)
+            val out = batch.flatMap { d =>
+              val dup = seen.exists { s =>
+                var agree = 0; var i = 0
+                while (i < numHashes) {
+                  if (s(i) == d.sig(i)) agree += 1
+                  i += 1
+                }
+                agree >= need
+              }
+              if (dup) None
+              else {
+                seen = (d.sig :: seen).take(maxSeen)
+                Some((d.doc_id, d.ts, d.text))
+              }
+            }
+            state.update(seen)
+            // same event-time expiry rule as the SimHash path (see there)
             val latest = math.max(state.getCurrentWatermarkMs(),
               batch.map(_.ts.getTime).max)
             state.setTimeoutTimestamp(latest + 2L * 3600 * 1000)

@@ -97,7 +97,9 @@ object EventsStream {
 
   /** Custom keyed state: running per-user totals emitted on every update —
     * `flatMapGroupsWithState` with explicit state, the primitive behind
-    * everything the built-in windows can't express. */
+    * everything the built-in windows can't express. Kept as the
+    * cross-check of the Spark 4 [[runningTotalsTws]] form (spec asserts
+    * batch-for-batch parity). */
   def runningTotals(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     val typed = events.selectExpr("event_id", "user_id", "value").as[E]
@@ -113,5 +115,56 @@ object EventsStream {
           Iterator((user, n, v))
       }
       .toDF("user_id", "n_events", "total_value")
+  }
+
+  /** [[runningTotals]] on the Spark 4 `transformWithState` API — the
+    * forward-compatible stateful surface (named state variables with
+    * per-state TTL, timers, and schema evolution, none of which
+    * `flatMapGroupsWithState`'s single opaque state value offers).
+    * Semantics here are identical to [[runningTotals]]; the win is the
+    * operator model: [[RunningTotalsProcessor]] could add a second state
+    * variable or a cleanup timer without touching the stored totals.
+    *
+    * Requires the RocksDB state store
+    * (`spark.sql.streaming.stateStore.providerClass =
+    * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`)
+    * — the only provider backing transformWithState, set BEFORE the query
+    * starts; the HDFS-backed default throws at plan time. */
+  def runningTotalsTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events.selectExpr("event_id", "user_id", "value").as[E]
+    typed.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+      .toDF("user_id", "n_events", "total_value")
+  }
+}
+
+/** transformWithState processor for [[EventsStream.runningTotalsTws]]:
+  * one named ValueState holding (count, sum) per user, no TTL (running
+  * totals are meant to live forever), emitted on every update. */
+final class RunningTotalsProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, EventsStream.E, (Long, Long, Double)] {
+
+  @transient private var totals: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Double)]("totals",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[EventsStream.E],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Double)] = {
+    val (n0, v0) = if (totals.exists()) totals.get() else (0L, 0.0)
+    val batch = rows.toSeq
+    val n = n0 + batch.size
+    val v = v0 + batch.map(_.value).sum
+    totals.update((n, v))
+    Iterator((user, n, v))
   }
 }

@@ -89,6 +89,54 @@ class DocStreamSpec extends SparkSpec {
     assert(!kept.contains(900L), "near-dup emitted: batch-1 state was purged early")
   }
 
+  test("MinHash path catches token-substituted near-dups SimHash misses, cross-batch") {
+    // adversarial pair search (fully deterministic): substitute the last 2
+    // tokens of a 40-token doc with fresh vocabulary; accept the first
+    // candidate where (a) SimHash hamming > 3 — the SimHash path's radius
+    // provably misses it, (b) the MinHash anchor band agrees and ≥ 60% of
+    // signature slots agree — the MinHash path provably drops it
+    def sim(t: String): Long = graft.functions.SimHashUtil
+      .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t), 60)
+    def sig(t: String): Seq[String] = {
+      val a = graft.functions.MinHashUtil.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), 3, 12)
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    def agree(a: Seq[String], b: Seq[String]): Int = a.zip(b).count(x => x._1 == x._2)
+    val found = (0 until 50).iterator.map { i =>
+      val base = doc(40)
+      val mod = base.split(" ").dropRight(2).mkString(" ") + s" sub${i}a sub${i}b"
+      (base, mod)
+    }.find { case (base, mod) =>
+      java.lang.Long.bitCount(sim(base) ^ sim(mod)) > 3 &&
+        sig(base).take(2) == sig(mod).take(2) &&
+        agree(sig(base), sig(mod)) >= 8
+    }
+    assert(found.isDefined, "no adversarial pair in 50 candidates — retune the generator")
+    val (base, mod) = found.get
+    val dir = tmpDir("docs-mh")
+    Seq((1L, ts(0), base), (2L, ts(1), doc(40)))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("overwrite").parquet(dir)
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    val t0 = System.currentTimeMillis() - 60000
+    parts.foreach(f => assert(f.setLastModified(t0)))
+    Seq((3L, ts(2), mod), (4L, ts(3), doc(40)))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("append").parquet(dir)
+
+    // the SimHash path KEEPS the substituted doc (hamming > 3 by search)...
+    val qs = DocStream.nearDupFiltered(spark, DocStream.read(spark, dir))
+      .writeStream.format("memory").queryName("mh_simhash").outputMode("append").start()
+    try qs.processAllAvailable() finally qs.stop()
+    val simKept = spark.table("mh_simhash").select("doc_id").as[Long].collect().toSet
+    assert(simKept.contains(3L), "SimHash unexpectedly caught the substitution")
+    // ...the MinHash path DROPS it, across batches, and keeps the rest
+    val qm = DocStream.minhashNearDupFiltered(spark, DocStream.read(spark, dir))
+      .writeStream.format("memory").queryName("mh_minhash").outputMode("append").start()
+    try qm.processAllAvailable() finally qm.stop()
+    val mhKept = spark.table("mh_minhash").select("doc_id").as[Long].collect().toSet
+    assert(mhKept === Set(1L, 2L, 4L), s"got $mhKept")
+  }
+
   test("streaming exact dedup drops only identical content") {
     val (dir, originals, _) = mkSource()
     val q = DocStream.exactDeduped(DocStream.read(spark, dir))

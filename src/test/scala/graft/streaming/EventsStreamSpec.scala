@@ -120,4 +120,36 @@ class EventsStreamSpec extends SparkSpec {
       .filter(col("n_events") =!= col("n"))
     assert(bad.isEmpty)
   }
+
+  test("transformWithState running totals match the flatMapGroupsWithState form") {
+    val (dir, _) = mkSource()
+    // transformWithState only runs on the RocksDB state store; scope the
+    // provider switch to this query and restore the session default after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventsStream.runningTotalsTws(spark, EventsStream.read(spark, dir))
+        .writeStream.format("memory").queryName("running_tws")
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val q2 = EventsStream.runningTotals(spark, EventsStream.read(spark, dir))
+      .writeStream.format("memory").queryName("running_fmgs")
+      .outputMode("append").start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    // batch-for-batch parity: same per-user rows emitted, same final totals
+    val tws = spark.table("running_tws").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val fmgs = spark.table("running_fmgs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(tws === fmgs)
+    assert(tws.nonEmpty)
+  }
 }
