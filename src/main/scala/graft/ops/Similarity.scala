@@ -256,6 +256,25 @@ object Similarity {
     spark.read.parquet(path)
   }
 
+  /** Driver-resident codebook memo: production IVF serving holds the
+    * (k-row) centroid matrix in memory — re-reading the artifact and
+    * re-collecting it per query would add two driver jobs to every
+    * search. Keyed by artifact path, which embeds the source data's
+    * len+mtime ([[graft.queries.Embeddings]]), so a regenerated dataset
+    * can never hit a stale entry; bounded by the handful of distinct
+    * codebooks a JVM serves. */
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Seq[Float])]]()
+
+  /** [[centroidArtifact]] collected to the driver once per JVM: the
+    * serving-side codebook for [[ivfTopK]]'s array overload. */
+  def centroidCodebook(vectors: DataFrame, path: String, k: Int,
+      iters: Int = 2, init: String = "parallel"): Array[(Long, Seq[Float])] =
+    codebookCache.computeIfAbsent(path, _ =>
+      centroidArtifact(vectors, path, k, iters, init)
+        .select(col("cid"), col("cvec"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1))
+
   /** Native nearest-centroid assignment: (id, cid) via a single projection
     * against the driver-held centroid matrix (sorted by cid, so the
     * kernel's position tie-break equals the (−dot, cid) struct-min
@@ -360,9 +379,16 @@ object Similarity {
     * assignments run as native projections against the (k-row,
     * driver-bounded) centroid matrix. */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-      centroids: DataFrame, nprobe: Int = 2): DataFrame = {
-    val cents = centroids.select(col("cid"), col("cvec"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+      centroids: DataFrame, nprobe: Int = 2): DataFrame =
+    ivfTopK(vectors, queries, k,
+      centroids.select(col("cid"), col("cvec"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1),
+      nprobe)
+
+  /** [[ivfTopK]] against a driver-resident codebook (serving shape: no
+    * centroid job at all — the search is ONE distributed pass). */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+      cents: Array[(Long, Seq[Float])], nprobe: Int): DataFrame = {
     val matrix = cents.map(_._2.toArray)
     val ids = cents.map(_._1)
     val buckets = vectors.select(col("id"), col("vec"),

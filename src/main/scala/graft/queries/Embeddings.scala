@@ -153,7 +153,7 @@ object Embeddings {
   def q35AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
     val q = v.filter(col("id") < 3).select(col("id").as("qid"), col("vec").as("qvec"))
-    val cents = Similarity.centroidArtifact(v, ivfArtifactPath(spark, dir),
+    val cents = Similarity.centroidCodebook(v, ivfArtifactPath(spark, dir),
       k = 16, iters = 2, init = "sample")
     Similarity.ivfTopK(v, q, 10, cents, nprobe = 4)
       .withColumnRenamed("id", "neighbor_id")
