@@ -111,7 +111,12 @@ object MediaQuery {
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
       .map { case (id, emb) => bmp16(id, emb) }
+    // decode ONCE: the hash path and the three feature consumers below
+    // (two signature sides + the verify join-back) would otherwise each
+    // re-run the render+decode lineage — at 100 TB, re-decoding media per
+    // join side is the difference between one codec pass and six
     val frames = Multimodal.decodeFrames(media, new BmpDecoder)(spark)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ph = frames
       .map { f =>
         val (hi, lo) = Multimodal.phash(f)
@@ -120,6 +125,7 @@ object MediaQuery {
       .toDF("media_id", "phash_hi", "phash_lo")
     val feats = Multimodal.extractFeatures(frames)(spark).toDF()
       .select(col("media_id").as("id"), col("feature").as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Similarity.lshNearDupCandidates(feats, nTables = 16,
       bitsPerTable = 6, dim = 64, threshold = 0.35)
     val dups = pairs.select(col("id_a").as("media_id"))

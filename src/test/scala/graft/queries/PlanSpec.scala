@@ -114,6 +114,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Union"), p)
   }
 
+  test("q64: per-group heavy hitters is ONE partial/final aggregation pair on the sketch side") {
+    val p = planOf(WarehouseQueries.q64HeavyHittersByGroup(spark, sf))
+    // the sketch aggregate must run map-side partials (ObjectHashAggregate
+    // carrying ≤ k-entry buffers through the shuffle), never a raw
+    // shuffle of every (source, token) row to a single final aggregation
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("graft_heavy_hitters"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q65: media near-dup runs the bucketed LSH join — no nested-loop, decode cached") {
+    val p = planOf(MediaQuery.q65MediaPhash(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"cartesian in gated media plan:\n$p")
+    // the decoded-frame/feature lineage must be served from the persisted
+    // barrier, not re-executed per signature side / verify join
+    assert(p.contains("InMemoryTableScan"), s"media decode not cached:\n$p")
+  }
+
   test("q62: component propagation joins are broadcast or hash — never nested-loop") {
     val p = planOf(DedupQueries.q62DedupGroups(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
