@@ -56,6 +56,16 @@ object ScaleSmoke {
     time("repetition stats")(noop(docs.select(col("doc_id"),
       TextOps.repetitionStats(col("text")).as("r")).select(col("doc_id"), col("r.*"))))
     time("token novelty")(noop(TextOps.tokenNovelty(docs, "doc_id", "text")))
+    time("per-group heavy hitters") {
+      // the SQL-callable sketch per synthetic source (nDocs/200 groups):
+      // ≤ k counter pairs per group per partial regardless of token volume
+      noop(docs
+        .withColumn("source", pmod(col("doc_id"), lit(200)).cast("string"))
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("source"))
+        .agg(graft.functions.TextFunctions.heavy_hitters(col("tok"), 30).as("hh"))
+        .select(col("source"), col("hh.n"), map_keys(col("hh.items"))))
+    }
     time("connected components") {
       // candidate graph of the planted clusters: components are ~2-node
       // (the %20==7 exact dup collapses in signatures with its base);
@@ -130,6 +140,44 @@ object ScaleSmoke {
     val queries = vecs.filter(col("id") < 16).select(col("id").as("qid"), col("vec").as("qvec"))
     time("ivf topk nprobe=4")(noop(Similarity.ivfTopK(vecs, queries, 10, cents, nprobe = 4)))
     time("brute topk (baseline)")(noop(Similarity.bruteForceTopK(vecs, queries, 10)))
+
+    // ---- media: every vector rendered as a 16×16 BMP, decoded, pooled,
+    // hashed, near-dup-blocked — the full q65 pipeline at nVecs scale
+    // (media payloads are ~0.8 KB each; the decode runs once thanks to
+    // the persist barrier, which this smoke exists to prove at volume) ----
+    time("media decode+phash+lsh") {
+      import spark.implicits._
+      val media = vecs.as[(Long, Seq[Float])].map { case (id, emb) =>
+        val rgb = new Array[Byte](16 * 16 * 3)
+        var p = 0
+        while (p < 64) {
+          val g = math.max(0L, math.min(255L,
+            math.floor((emb(p).toDouble + 1.0) * 127.5).toLong)).toByte
+          val by = (p / 8) * 2; val bx = (p % 8) * 2
+          var dy = 0
+          while (dy < 2) {
+            var dx = 0
+            while (dx < 2) {
+              val off = ((by + dy) * 16 + (bx + dx)) * 3
+              rgb(off) = g; rgb(off + 1) = g; rgb(off + 2) = g
+              dx += 1
+            }
+            dy += 1
+          }
+          p += 1
+        }
+        Multimodal.MediaRow(id, "image", "bmp",
+          Multimodal.Bmp.encode(16, 16, rgb), 16, 16, 0L)
+      }
+      val frames = Multimodal.decodeFrames(media, new Multimodal.BmpDecoder)(spark)
+        .persist()
+      val feats = Multimodal.extractFeatures(frames)(spark).toDF()
+        .select(col("media_id").as("id"), col("feature").as("vec")).persist()
+      noop(frames.map(f => Multimodal.phash(f)).toDF())
+      noop(Similarity.lshNearDupCandidates(feats, nTables = 16,
+        bitsPerTable = bits, dim = 64, threshold = 0.9))
+      frames.unpersist(); feats.unpersist(): Unit
+    }
     spark.stop()
   }
 }
