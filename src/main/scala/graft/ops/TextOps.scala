@@ -26,6 +26,33 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array())
 
+  // ---- PII scrubbing --------------------------------------------------
+
+  /** Email-address pattern (pragmatic training-data form, not RFC 5322:
+    * the goal is scrubbing obvious PII at volume, and the simple pattern
+    * is deterministic across regex engines — Java here, RE2 in the
+    * DuckDB oracle — which an RFC-complete monster is not). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** NANP-style phone pattern: 3-3-4 digit groups with -/. separators. */
+  val PhoneRe = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+
+  /** PII redaction — a first-class training-data-pipeline op: replace
+    * every email with `<EMAIL>`, then every phone-shaped digit group
+    * with `<PHONE>`. Pure `regexp_replace` chain: codegen'd, per-row, no
+    * shuffle, linear in bytes — the only shape that survives scrubbing
+    * 100 TB. Email first so a digit group inside a local-part can never
+    * be half-eaten by the phone pass. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Match counts per row for audit metrics (how much PII a source
+    * carries is itself a curation signal). */
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailRe))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe))
+
   // ---- quality scoring ------------------------------------------------
 
   def tokenCount(toks: Column): Column = size(toks).cast("long")

@@ -197,4 +197,44 @@ object TextQueries {
       |FROM dt JOIN dfreq USING (tok)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  /** PII redaction gate ([[graft.ops.TextOps.redactPii]]): the synthetic
+    * corpus carries no PII, so each doc is augmented with a DETERMINISTIC
+    * email + NANP phone derived from doc_id, then scrubbed; the gate
+    * compares the full redacted text plus per-row audit counts. Both
+    * engines run the identical patterns (Java regex here, RE2 in DuckDB —
+    * the pragmatic character-class forms agree on every input by
+    * construction; backtracking-dependent monsters would not). */
+  def q66PiiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val aug = d.select(col("doc_id"), concat(
+      col("text"),
+      lit(" u"), col("doc_id").cast("string"),
+      lit("@ex"), pmod(col("doc_id"), lit(5)).cast("string"), lit(".org 555-"),
+      lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("t"))
+    aug.select(col("doc_id"),
+        graft.ops.TextOps.redactPii(col("t")).as("redacted"),
+        graft.ops.TextOps.emailCount(col("t")).cast("long").as("n_email"),
+        graft.ops.TextOps.phoneCount(col("t")).cast("long").as("n_phone"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q66PiiRedactionSql: String = {
+    val email = graft.ops.TextOps.EmailRe
+    val phone = graft.ops.TextOps.PhoneRe
+    s"""WITH aug AS (
+      |  SELECT doc_id,
+      |    text || ' u' || doc_id || '@ex' || (doc_id % 5) || '.org 555-' ||
+      |    lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+      |    lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+      |                 '$phone', '<PHONE>', 'g') AS redacted,
+      |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phone
+      |FROM aug
+      |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -178,4 +178,29 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2).getDouble(2) === 2.0)       // (3+1)/2
     assert(got(2).getLong(4) === 1L)          // x
   }
+
+  test("redactPii: emails and phones scrubbed, counts audited, clean text untouched") {
+    val rows = Seq(
+      "mail bob.smith+x@corp.example.co and carol@ex.org now",
+      "call 555-123-4567 or 555.987.6543 today",
+      "mixed a@b.io then 111-222-3333",
+      "clean text with w123 tokens and no pii at all",
+      "almost: not@an@ email 12-34-56 555-12-3456")
+      .toDF("text")
+      .select(
+        TextOps.redactPii(col("text")).as("r"),
+        TextOps.emailCount(col("text")).as("ne"),
+        TextOps.phoneCount(col("text")).as("np"))
+      .collect()
+    assert(rows(0).getString(0) === "mail <EMAIL> and <EMAIL> now")
+    assert(rows(0).getInt(1) === 2 && rows(0).getInt(2) === 0)
+    assert(rows(1).getString(0) === "call <PHONE> or <PHONE> today")
+    assert(rows(1).getInt(2) === 2)
+    assert(rows(2).getString(0) === "mixed <EMAIL> then <PHONE>")
+    assert(rows(3).getString(0) === "clean text with w123 tokens and no pii at all")
+    assert(rows(3).getInt(1) === 0 && rows(3).getInt(2) === 0)
+    // "not@an@ email": the first @-run has no dot-TLD, so only a trailing
+    // fragment could match — assert no phone fires on short digit groups
+    assert(rows(4).getInt(2) === 0)
+  }
 }
