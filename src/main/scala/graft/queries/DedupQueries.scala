@@ -135,6 +135,50 @@ object DedupQueries {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-source quality-percentile gate — the "filter each domain to its
+    * better half" curation op: score every doc with the native quality
+    * kernel, compute each source's median score (exact interpolated
+    * percentile, the q32-gated machinery), keep docs at or above their
+    * OWN source's median. Per-source (not global) thresholds matter at
+    * 100 TB: a boilerplate-heavy domain would otherwise be entirely
+    * dropped or entirely kept. One scan + one 20-row broadcast join;
+    * quality values are exact quarters and the interpolated median of
+    * quarters is an exact binary fraction, so the >= compare is
+    * bit-deterministic cross-engine. */
+  def q67QualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val en = TextOps.langProfiles.head._2
+    val scored = d.select(col("doc_id"), col("source"),
+      TextOps.qualityScore(col("text"), en).as("quality"))
+    val med = scored.groupBy(col("source"))
+      .agg(expr("percentile(quality, 0.5)").as("source_median"))
+    scored.join(broadcast(med), "source")
+      .filter(col("quality") >= col("source_median"))
+      .select(col("doc_id"), col("source"), col("quality"), col("source_median"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q67QualityGateSql: String = {
+    val en = TextOps.langProfiles.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    ((CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) +
+       |     (CASE WHEN CAST(len(list_filter(toks, x -> x IN ($en))) AS DOUBLE) / len(toks)
+       |           BETWEEN 0.01 AND 0.8 THEN 1.0 ELSE 0.0 END) +
+       |     (CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.05
+       |           THEN 1.0 ELSE 0.0 END) +
+       |     (CASE WHEN CAST(length(text) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 12.0
+       |           THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+       |  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS toks
+       |        FROM documents)),
+       |med AS (SELECT source, quantile_cont(quality, 0.5) AS source_median
+       |        FROM scored GROUP BY source)
+       |SELECT s.doc_id, s.source, s.quality, m.source_median
+       |FROM scored s JOIN med m USING (source)
+       |WHERE s.quality >= m.source_median
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   /** Full connected components over the MinHash candidate graph
     * (est_jaccard ≥ 0.5): every doc in a qualifying pair labeled with its
     * component's min id — [[Dedup.connectedComponents]]'s iterative
