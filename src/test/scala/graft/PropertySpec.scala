@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.etl.{StateStore, Transforms}
 import graft.warehouse.Scd0
 
@@ -145,6 +147,34 @@ class PropertySpec extends SparkSpec {
       val b = renamed.select(graft.ops.TextOps.repetitionStats(col("text")).as("r"))
         .collect().toSeq
       assert(a === b, s"round $round: stats not invariant under renaming")
+    }
+  }
+
+  test("heavy hitters: theorem bounds + exact n under random k, skew, and partitioning") {
+    // the MG theorem must hold for ANY (k, stream, partition layout) —
+    // each round draws all three at random and re-checks the three facts
+    // the q63/q64 gates state, plus the buffer-carried exact count
+    (1 to 6).foreach { round =>
+      val k = 2 + rng.nextInt(40)
+      val vocab = 5 + rng.nextInt(80)
+      val stream = List.fill(500 + rng.nextInt(3000))(s"t${(math.pow(rng.nextDouble(), 2.5) * vocab).toInt}")
+      val exact = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val parts = 1 + rng.nextInt(12)
+      val row = stream.toDF("item").repartition(parts)
+        .agg(graft.functions.TextFunctions.heavy_hitters(col("item"), k).as("hh"))
+        .select(col("hh.items"), col("hh.n")).collect().head
+      val mg = row.getMap[String, Long](0).toMap
+      val n = row.getLong(1)
+      assert(n === stream.size.toLong, s"round $round: n wrong")
+      val bound = n.toDouble / (k + 1)
+      assert(mg.size <= k, s"round $round: ${mg.size} > k=$k")
+      mg.foreach { case (t, est) =>
+        assert(est <= exact(t), s"round $round: $t overcounted")
+        assert(exact(t) - est <= bound, s"round $round: $t undercut past $bound")
+      }
+      exact.filter(_._2 > bound).keys.foreach { t =>
+        assert(mg.contains(t), s"round $round: heavy $t missing (k=$k, parts=$parts)")
+      }
     }
   }
 }

@@ -193,6 +193,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pHash is invariant under uniform brightness shift") {
+    // bit d compares sums(d)·N > total·n(d); adding c to every pixel adds
+    // c·n(d) to sums(d) and c·N to total, and the inequality cancels
+    // exactly — the property that makes aHash a PERCEPTUAL hash (same
+    // scene, different exposure → same hash). Integer proof, so it must
+    // hold bit-for-bit, not approximately.
+    val rng = new scala.util.Random(17)
+    (0 until 5).foreach { _ =>
+      val px = Array.fill(16 * 16 * 3)((rng.nextInt(200)).toByte) // ≤ 199
+      val shifted = px.map(b => ((b & 0xff) + 40).toByte) // stays ≤ 239
+      val a = Multimodal.phash(Frame(1L, 0, 16, 16, px))
+      val b = Multimodal.phash(Frame(1L, 0, 16, 16, shifted))
+      assert(a === b)
+    }
+  }
+
   test("resizeMeta: downscale only, aspect preserved") {
     val out = resizeMeta(media().toDF(), 960).collect()
       .map(r => r.getAs[Long]("media_id") ->

@@ -133,6 +133,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), s"media decode not cached:\n$p")
   }
 
+  test("q66: PII redaction is one codegen'd projection — no aggregation shuffle") {
+    val p = planOf(TextQueries.q66PiiRedaction(spark, sf))
+    // scrubbing is per-row regexp work; the only exchange allowed is the
+    // final ORDER BY's range partitioning — a hash shuffle would mean the
+    // scrub got coupled to an aggregation it doesn't need
+    assert(!p.contains("Exchange hashpartitioning"), s"hash shuffle in scrub plan:\n$p")
+    assert(p.contains("regexp_replace"), p)
+  }
+
+  test("q67: per-source medians broadcast back to the scored scan") {
+    val p = planOf(DedupQueries.q67QualityGate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"median join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"median join degraded to SMJ:\n$p")
+  }
+
   test("q62: component propagation joins are broadcast or hash — never nested-loop") {
     val p = planOf(DedupQueries.q62DedupGroups(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
