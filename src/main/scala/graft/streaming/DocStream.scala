@@ -168,4 +168,97 @@ object DocStream {
       }
       .toDF("doc_id", "ts", "text")
   }
+
+  /** [[minhashNearDupFiltered]] on the Spark 4 `transformWithState` API —
+    * the second migrated operator (next to
+    * [[EventsStream.runningTotalsTws]]), chosen because it exercises what
+    * `flatMapGroupsWithState` structurally can't: TWO named state
+    * variables (a ListState of recent signatures + a ValueState tracking
+    * the registered expiry) and an explicit event-time TIMER for bucket
+    * expiry, where the legacy API folds everything into one opaque value
+    * and one implicit timeout slot. Identical keep/drop semantics —
+    * DocStreamSpec pins batch-for-batch parity. Requires the RocksDB
+    * state store provider (see [[EventsStream.runningTotalsTws]]). */
+  def minhashNearDupFilteredTws(spark: SparkSession, docs: DataFrame,
+      shingleWidth: Int = 3, numHashes: Int = 12, bandRows: Int = 2,
+      estJaccard: Double = 0.6, maxSeen: Int = 1024): DataFrame = {
+    import spark.implicits._
+    require(bandRows >= 1 && bandRows <= numHashes, "bandRows out of range")
+    val typed = docs
+      .filter(col("text").isNotNull && col("ts").isNotNull)
+      .withColumn("sig", graft.functions.TextFunctions
+        .min_hash_slices(col("text"), shingleWidth, numHashes))
+      .withColumn("bucket", concat_ws("", slice(col("sig"), 1, bandRows)))
+      .withWatermark("ts", "2 hours")
+      .as[MhDoc]
+    val need = math.ceil(estJaccard * numHashes).toInt
+    typed.groupByKey(_.bucket)
+      .transformWithState(new MinHashDedupProcessor(numHashes, need, maxSeen),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append)
+      .toDF("doc_id", "ts", "text")
+  }
+}
+
+/** transformWithState processor for [[DocStream.minhashNearDupFilteredTws]]:
+  * per bucket, a ListState of the ≤ `maxSeen` most recent signatures and a
+  * ValueState holding the currently registered expiry timer (so each batch
+  * can delete-then-rearm it), with an event-time timer clearing the whole
+  * bucket 2 h after its latest traffic. */
+final class MinHashDedupProcessor(numHashes: Int, need: Int, maxSeen: Int)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String, DocStream.MhDoc, (Long, java.sql.Timestamp, String)] {
+
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, TimerValues, TTLConfig, ValueState}
+
+  private val TtlMs = 2L * 3600 * 1000
+
+  @transient private var sigs: ListState[Seq[String]] = _
+  @transient private var expiry: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    sigs = getHandle.getListState[Seq[String]]("sigs",
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]](),
+      TTLConfig.NONE)
+    expiry = getHandle.getValueState[Long]("expiry",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(bucket: String,
+      rows: Iterator[DocStream.MhDoc], timerValues: TimerValues)
+      : Iterator[(Long, java.sql.Timestamp, String)] = {
+    var seen = sigs.get().toList
+    val batch = rows.toSeq.sortBy(_.doc_id)
+    val out = batch.flatMap { d =>
+      val dup = seen.exists { s =>
+        var agree = 0; var i = 0
+        while (i < numHashes) {
+          if (s(i) == d.sig(i)) agree += 1
+          i += 1
+        }
+        agree >= need
+      }
+      if (dup) None
+      else {
+        seen = (d.sig :: seen).take(maxSeen)
+        Some((d.doc_id, d.ts, d.text))
+      }
+    }
+    sigs.put(seen.toArray)
+    // rearm the bucket-expiry timer: 2 h of event time past the latest doc
+    val latest = math.max(timerValues.getCurrentWatermarkInMs(),
+      batch.map(_.ts.getTime).max)
+    if (expiry.exists()) getHandle.deleteTimer(expiry.get())
+    getHandle.registerTimer(latest + TtlMs)
+    expiry.update(latest + TtlMs)
+    out.iterator
+  }
+
+  override def handleExpiredTimer(bucket: String, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo)
+      : Iterator[(Long, java.sql.Timestamp, String)] = {
+    sigs.clear()
+    expiry.clear()
+    Iterator.empty
+  }
 }

@@ -137,6 +137,41 @@ class DocStreamSpec extends SparkSpec {
     assert(mhKept === Set(1L, 2L, 4L), s"got $mhKept")
   }
 
+  test("transformWithState MinHash dedup matches the flatMapGroupsWithState form") {
+    // cross-batch exact dup (signature agreement 12/12) + distinct docs;
+    // both implementations must keep/drop identically
+    val dir = tmpDir("docs-mh-tws")
+    val base = (0 until 8).map(i => (i.toLong, ts(i), doc(40)))
+    base.take(4).toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    val t0 = System.currentTimeMillis() - 60000
+    parts.foreach(f => assert(f.setLastModified(t0)))
+    (base.drop(4) :+ ((99L, ts(9), base(1)._3)))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("append").parquet(dir)
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val twsKept = try {
+      val q = DocStream.minhashNearDupFilteredTws(spark, DocStream.read(spark, dir))
+        .writeStream.format("memory").queryName("mh_tws").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("mh_tws").select("doc_id").as[Long].collect().toSet
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val q2 = DocStream.minhashNearDupFiltered(spark, DocStream.read(spark, dir))
+      .writeStream.format("memory").queryName("mh_fmgs").outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val fmgsKept = spark.table("mh_fmgs").select("doc_id").as[Long].collect().toSet
+    assert(twsKept === fmgsKept)
+    assert(!twsKept.contains(99L), "cross-batch dup not dropped by timer-based state")
+    assert(base.map(_._1).toSet.subsetOf(twsKept))
+  }
+
   test("streaming exact dedup drops only identical content") {
     val (dir, originals, _) = mkSource()
     val q = DocStream.exactDeduped(DocStream.read(spark, dir))
