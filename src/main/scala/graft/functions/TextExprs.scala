@@ -584,6 +584,11 @@ object TextFunctions {
   def repetition_stats(text: Column): Column =
     Bridge.column(RepetitionStatsExpr(Bridge.expression(text)))
 
+  /** Per-row distinct shingle XXH64 hash set (longs, not strings): the
+    * compute kernel of the fast MinHash path and hash-based verify. */
+  def shingle_hashes(text: Column, width: Int): Column =
+    Bridge.column(ShingleHashesExpr(Bridge.expression(text), width))
+
   /** Misra-Gries heavy-hitters AGGREGATE: ≤ k (item, est) entries plus the
     * exact processed count, per group — `df.groupBy(g).agg(heavy_hitters
     * (col, k))`. See [[HeavyHittersSketch]] for the theorem bounds. */
@@ -605,6 +610,7 @@ object TextFunctions {
       "lang_id" -> (es => LangIdExpr(es(0), graft.ops.TextOps.langProfiles)),
       "fingerprint_md5" -> (es => FingerprintMd5Expr(es(0))),
       "distinct_shingles" -> (es => DistinctShinglesExpr(es(0), intArg(es(1)))),
+      "shingle_hashes" -> (es => ShingleHashesExpr(es(0), intArg(es(1)))),
       "repetition_stats" -> (es => RepetitionStatsExpr(es(0))),
       // aggregate, not scalar: the analyzer wraps the bare AggregateFunction
       // in an AggregateExpression at resolution, so GROUP BY ... in SQL works

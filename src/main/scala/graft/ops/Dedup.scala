@@ -99,8 +99,11 @@ object Dedup {
     * the estimated Jaccard = matching-hash fraction. One equi-join on
     * (seed, mh); only ids and short hashes shuffle. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 8, shingleWidth: Int = 3): DataFrame = {
-    val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleWidth)
+      numHashes: Int = 8, shingleWidth: Int = 3): DataFrame =
+    candidatesFromSignatures(
+      minhashSignatures(df, idCol, textCol, numHashes, shingleWidth), numHashes)
+
+  private def candidatesFromSignatures(sig: DataFrame, numHashes: Int): DataFrame = {
     val a = sig.select(col("seed"), col("mh"), col("id").as("id_a"))
     val b = sig.select(col("seed"), col("mh"), col("id").as("id_b"))
     a.join(b, Seq("seed", "mh"))
@@ -108,6 +111,40 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg((count(lit(1)).cast("double") / numHashes).as("est_jaccard"))
   }
+
+  /** FAST MinHash signatures — the production path when oracle
+    * portability is not required: the md5 gate form pays one md5 per 4
+    * seeds per SHINGLE; this form hashes each distinct shingle ONCE with
+    * XXH64 (native [[graft.functions.ShingleHashesExpr]] kernel), then
+    * derives all `numHashes` seed minima from the in-memory long array
+    * with codegen'd builtins (`transform` + `array_min` over
+    * xxhash64(h, seed)). Same MinHash estimator — P(min-collision) =
+    * Jaccard per seed — just a different (non-md5) hash family, so
+    * est_jaccard distributions match the gate path (spec-asserted);
+    * `mh` is a long, halving the signature shuffle bytes.
+    *
+    * Measured at 50k docs / local[32]: the signature stage drops
+    * 0.38→0.33 s wall (the md5 CPU is wider than the 32-way floor shows)
+    * while END-TO-END candidates are join-bound and move ~nothing — the
+    * hash saving is a cluster-CPU-dollar term, not a local-latency one,
+    * which is exactly why the md5 form stays the gate and this stays the
+    * scale path. */
+  def minhashSignaturesFast(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, shingleWidth: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.TextFunctions
+          .shingle_hashes(col(textCol), shingleWidth).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("id"), posexplode(array((0 until numHashes).map(s =>
+        array_min(transform(col("hs"), h => xxhash64(h, lit(s))))): _*))
+        .as(Seq("seed", "mh")))
+
+  /** [[minhashCandidates]] over the fast signatures — identical join
+    * shape, no md5 anywhere. */
+  def minhashCandidatesFast(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, shingleWidth: Int = 3): DataFrame =
+    candidatesFromSignatures(
+      minhashSignaturesFast(df, idCol, textCol, numHashes, shingleWidth), numHashes)
 
   /** Near-dup groups from candidate pairs above a threshold: connected
     * components approximated by min-representative propagation (1 round —

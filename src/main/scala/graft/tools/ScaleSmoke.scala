@@ -46,6 +46,7 @@ object ScaleSmoke {
     val docs = spark.read.parquet(docsPath)
     time("exact dedup")(noop(Dedup.exact(docs, "doc_id", "text")))
     time("minhash candidates")(noop(Dedup.minhashCandidates(docs, "doc_id", "text")))
+    time("minhash candidates FAST")(noop(Dedup.minhashCandidatesFast(docs, "doc_id", "text")))
     time("simhash")(noop(Dedup.simhashMd5(docs, "doc_id", "text", 60)))
     time("full curation")(noop(Curation.curate(docs, "doc_id", "text")))
     time("pack sequences")(noop(TrainingMix.packSequences(docs, "doc_id", "text", 4096L, 64)))

@@ -43,6 +43,32 @@ class DedupSpec extends SparkSpec {
     assert(expected.subsetOf(hits), s"missing ${expected -- hits}")
   }
 
+  test("fast (XXH64) minhash recalls the same planted near-dups as the md5 gate path") {
+    val c = corpus()
+    val fast = Dedup.minhashCandidatesFast(c, "doc_id", "text")
+    val hits = fast.filter(col("est_jaccard") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (0 until 5).map(i => (i.toLong, 100L + i)).toSet + ((7L, 200L))
+    assert(expected.subsetOf(hits), s"missing ${expected -- hits}")
+    // exact dup: every seed minimum collides in ANY hash family
+    val exact = fast.filter(col("id_a") === 7L && col("id_b") === 200L)
+      .select("est_jaccard").as[Double].collect().head
+    assert(exact === 1.0)
+    // both estimators target the same Jaccard: on the PLANTED pairs
+    // (id, id+100) the two hash families must agree within the 8-seed
+    // estimator's grain (each estimate is a k/8 binomial draw around the
+    // true ~0.95 Jaccard)
+    val md5est = Dedup.minhashCandidates(c, "doc_id", "text")
+      .filter(col("id_b") === col("id_a") + 100)
+      .select("id_a", "est_jaccard").as[(Long, Double)].collect().toMap
+    val fastest = fast.filter(col("id_b") === col("id_a") + 100)
+      .select("id_a", "est_jaccard").as[(Long, Double)].collect().toMap
+    (0 until 5).foreach { i =>
+      val d = math.abs(md5est.getOrElse(i.toLong, 0.0) - fastest.getOrElse(i.toLong, 0.0))
+      assert(d <= 0.5, s"pair $i estimators diverge by $d")
+    }
+  }
+
   test("verifyJaccard: exact dup pair has jaccard 1.0, near-dup close to 1") {
     val pairs = Seq((7L, 200L), (0L, 100L)).toDF("id_a", "id_b")
     val v = Dedup.verifyJaccard(corpus(), pairs, "doc_id", "text")
