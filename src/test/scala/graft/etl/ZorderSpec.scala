@@ -62,4 +62,17 @@ class ZorderSpec extends SparkSpec {
     assert(spark.read.parquet(zPath).select(sum(col("x") + col("y") * 256)).head.getLong(0)
       === grid.select(sum(col("x") + col("y") * 256)).head.getLong(0))
   }
+
+  test("zorderWrite fails descriptively on empty input and all-null cluster columns") {
+    val dir = tmpDir("zorder-guard")
+    val empty = spark.range(0).select(col("id").as("x"), col("id").as("y"))
+    val e1 = intercept[IllegalArgumentException](
+      Lake.zorderWrite(empty, Seq("x", "y"), s"$dir/empty", 4))
+    assert(e1.getMessage.contains("no min/max bounds"))
+    val nulls = spark.range(10)
+      .select(col("id").as("x"), lit(null).cast("long").as("y"))
+    val e2 = intercept[IllegalArgumentException](
+      Lake.zorderWrite(nulls, Seq("x", "y"), s"$dir/nulls", 4))
+    assert(e2.getMessage.contains("'y'"))
+  }
 }

@@ -119,4 +119,14 @@ class EventsGenSourceSpec extends SparkSpec {
     assert(out.count() > 0)
     assert(closed > 0 && closed <= 1000)
   }
+
+  test("invalid pacing options fail at build, not as a silently idle stream") {
+    // rows_per_batch <= 0 would make every latestOffset == start forever
+    val e = intercept[Exception] {
+      spark.read.format("graft-events-gen")
+        .option("total_rows", 100).option("rows_per_batch", 0)
+        .load().count()
+    }
+    assert(e.getMessage.contains("rows_per_batch"))
+  }
 }
