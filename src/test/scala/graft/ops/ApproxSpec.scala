@@ -88,6 +88,33 @@ class ApproxSpec extends SparkSpec {
     assert(perGroup.values.forall(_._1.size <= 2))
   }
 
+  test("graft_heavy_hitters aggregates a STREAM per group (complete mode)") {
+    // the live-dashboard shape: top tokens per source over an unbounded
+    // stream — the sketch buffer serializes through the state store
+    // between micro-batches, so this exercises serialize/deserialize/
+    // merge across batches, not just within one job
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val agg = in.toDF().toDF("g", "item")
+      .groupBy(col("g"))
+      .agg(graft.functions.TextFunctions.heavy_hitters(col("item"), 3).as("hh"))
+    val q = agg.writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    try {
+      in.addData(("g1", "a"), ("g1", "a"), ("g1", "b"))
+      q.processAllAvailable()
+      in.addData(("g1", "a"), ("g2", "z"))
+      q.processAllAvailable()
+      val rows = spark.table("hh_stream")
+        .select(col("g"), col("hh.items"), col("hh.n")).collect()
+        .map(r => r.getString(0) -> ((r.getMap[String, Long](1).toMap, r.getLong(2))))
+        .toMap
+      assert(rows("g1") === ((Map("a" -> 3L, "b" -> 1L), 4L)))
+      assert(rows("g2") === ((Map("z" -> 1L), 1L)))
+    } finally q.stop()
+  }
+
   test("graft_heavy_hitters is SQL-callable in a GROUP BY") {
     import spark.implicits._
     graft.functions.TextFunctions.register(spark)
