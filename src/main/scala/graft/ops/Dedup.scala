@@ -278,8 +278,11 @@ object Dedup {
     // semi-join (broadcast of the tiny id set) prunes the shingling work
     // to the candidates — at scale this is the difference between
     // re-shingling 100 TB and re-shingling the near-dup fringe
-    val candIds = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
+    // both endpoints in one pass over `pairs` — the union-of-projections
+    // form would evaluate the (often expensive, unpersisted) candidate
+    // lineage once per side
+    val candIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val candDocs = df.select(col(idCol).as("id"), col(textCol))
       .join(candIds, Seq("id"), "left_semi")
     // shingle sets built by the native codegen'd kernel (one pass per row);

@@ -128,8 +128,11 @@ object MediaQuery {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Similarity.lshNearDupCandidates(feats, nTables = 16,
       bitsPerTable = 6, dim = 64, threshold = 0.35)
-    val dups = pairs.select(col("id_a").as("media_id"))
-      .union(pairs.select(col("id_b").as("media_id")))
+    // both endpoints of each pair in ONE pass — a union of two
+    // projections would re-execute the (unpersisted) LSH+verify lineage
+    // once per side
+    val dups = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("media_id"))
       .groupBy(col("media_id")).agg(count(lit(1)).as("n_neardup"))
     ph.join(dups, Seq("media_id"), "left")
       .select(col("media_id"), col("phash_hi"), col("phash_lo"),
