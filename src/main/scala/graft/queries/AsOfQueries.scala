@@ -31,7 +31,6 @@ object AsOfQueries {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
         col("asof.event_id").as("prior_id"),
         col("asof.event_type").as("prior_type"))
-      .orderBy(col("event_id"))
   }
 
   def q31AsofJoin(spark: SparkSession, dir: String): DataFrame =
@@ -62,8 +61,7 @@ object AsOfQueries {
         |  date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_s,
         |  asof.event_id AS prior_id, asof.event_type AS prior_type
         |FROM graft_asof('g_asof_purchases', 'g_asof_others',
-        |                'user_id', 'ts', 'ts', 'event_id')
-        |ORDER BY event_id""".stripMargin)
+        |                'user_id', 'ts', 'ts', 'event_id')""".stripMargin)
   }
 
   /** Range join: views in the hour preceding each purchase, counted per
@@ -82,7 +80,6 @@ object AsOfQueries {
     p.join(matches, Seq("p_id"), "left")
       .select(col("p_id"), col("user_id"),
         coalesce(col("n_views"), lit(0L)).as("n_views"))
-      .orderBy(col("p_id"))
   }
 
   val q40RangeJoinSql: String =
@@ -98,8 +95,7 @@ object AsOfQueries {
       |  WHERE v_ts >= p_ts - INTERVAL 3600 SECONDS AND v_ts <= p_ts
       |  GROUP BY p_id)
       |SELECT p_id, user_id, COALESCE(n_views, 0) AS n_views
-      |FROM p LEFT JOIN m USING (p_id)
-      |ORDER BY p_id""".stripMargin
+      |FROM p LEFT JOIN m USING (p_id)""".stripMargin
 
   val q31AsofJoinSql: String =
     """WITH e AS (
@@ -120,6 +116,5 @@ object AsOfQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
       |SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
       |  prior_id, prior_type
-      |FROM m WHERE event_type = 'purchase'
-      |ORDER BY event_id""".stripMargin
+      |FROM m WHERE event_type = 'purchase'""".stripMargin
 }

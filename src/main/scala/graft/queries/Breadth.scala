@@ -24,7 +24,6 @@ object Breadth {
         reverse(col("p_name")).as("rev"),
         split_part(col("p_name"), lit("a"), lit(1)).as("before_a"),
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
-      .orderBy(col("p_partkey"))
   }
 
   val q36StringFuncsSql: String =
@@ -38,8 +37,7 @@ object Breadth {
       |  reverse(p_name) AS rev,
       |  split_part(p_name, 'a', 1) AS before_a,
       |  concat_ws('|', p_brand, p_type) AS brand_type
-      |FROM part
-      |ORDER BY p_partkey""".stripMargin
+      |FROM part""".stripMargin
 
   /** Customer-order-count distribution (TPC-H Q13 shape): LEFT OUTER join
     * so zero-order customers appear; COUNT(col) skips their null keys. */
@@ -51,7 +49,6 @@ object Breadth {
       .agg(count(col("o_orderkey")).as("c_count"))
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
-      .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
   val q37CustdistSql: String =
@@ -60,8 +57,7 @@ object Breadth {
       |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
       |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       |  GROUP BY c_custkey)
-      |GROUP BY c_count
-      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+      |GROUP BY c_count""".stripMargin
 
   /** Disjunctive join predicate (TPC-H Q19 shape): OR-of-conjunctions over
     * both sides; Catalyst extracts the common-side filters for pushdown. */
@@ -97,7 +93,6 @@ object Breadth {
           .as("flags"),
         size(array_distinct(collect_list(col("l_returnflag")))).cast("long")
           .as("n_flags"))
-      .orderBy(col("l_suppkey"))
   }
 
   val q41ArrayAggSql: String =
@@ -105,8 +100,7 @@ object Breadth {
       |  array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags,
       |  CAST(len(list(DISTINCT l_returnflag)) AS BIGINT) AS n_flags
       |FROM lineitem
-      |GROUP BY l_suppkey
-      |ORDER BY l_suppkey""".stripMargin
+      |GROUP BY l_suppkey""".stripMargin
 
   /** Date arithmetic breadth: day diffs, interval add, month boundaries,
     * ISO day-of-week (the engines' plain dayofweek numberings differ). */
@@ -119,7 +113,6 @@ object Breadth {
         date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
         date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("som"),
         (weekday(col("o_orderdate")) + 1).cast("long").as("dow_iso"))
-      .orderBy(col("o_orderkey"))
   }
 
   val q42DateArithSql: String =
@@ -129,8 +122,7 @@ object Breadth {
       |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS eom,
       |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS som,
       |  CAST(isodow(o_orderdate) AS BIGINT) AS dow_iso
-      |FROM orders
-      |ORDER BY o_orderkey""".stripMargin
+      |FROM orders""".stripMargin
 
   /** Pivot: event counts per user by type, types as columns. The Spark
     * side uses the real `pivot` operator (with explicit values so the plan
@@ -142,7 +134,6 @@ object Breadth {
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
       .na.fill(0L)
-      .orderBy(col("user_id"))
   }
 
   val q43PivotSql: String =
@@ -153,8 +144,7 @@ object Breadth {
       |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
       |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
       |FROM events
-      |GROUP BY user_id
-      |ORDER BY user_id""".stripMargin
+      |GROUP BY user_id""".stripMargin
 
   /** Ranking/navigation window-function breadth in one pass: rank,
     * dense_rank, ntile, lag delta, cume_dist — all under one fully
@@ -171,7 +161,6 @@ object Breadth {
         ntile(4).over(w).cast("long").as("quartile"),
         (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("gap_to_prev"),
         cume_dist().over(w).as("cd"))
-      .orderBy(col("o_orderstatus"), col("rnk"))
   }
 
   val q44WindowBreadthSql: String =
@@ -183,8 +172,7 @@ object Breadth {
       |  cume_dist() OVER w AS cd
       |FROM orders
       |WINDOW w AS (PARTITION BY o_orderstatus
-      |             ORDER BY o_totalprice DESC, o_orderkey)
-      |ORDER BY o_orderstatus, rnk""".stripMargin
+      |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin
 
   /** Bag-semantics set ops: EXCEPT ALL keeps multiplicity (a key appearing
     * 3× in customers and 1× in suppliers survives 2×), unlike q11's set
@@ -196,7 +184,6 @@ object Breadth {
       .select(col("s_nationkey").cast("long").as("nationkey"))
     c.exceptAll(s)
       .groupBy(col("nationkey")).agg(count(lit(1)).as("multiplicity"))
-      .orderBy(col("nationkey"))
   }
 
   val q45BagSetOpsSql: String =
@@ -205,8 +192,7 @@ object Breadth {
       |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
       |  EXCEPT ALL
       |  SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier)
-      |GROUP BY nationkey
-      |ORDER BY nationkey""".stripMargin
+      |GROUP BY nationkey""".stripMargin
 
   /** Pagination: deterministic ORDER BY + OFFSET/LIMIT page. */
   def q46Pagination(spark: SparkSession, dir: String): DataFrame = {
@@ -223,8 +209,7 @@ object Breadth {
       |LIMIT 50 OFFSET 100""".stripMargin
 
   /** Null semantics: nullif-generated nulls, COUNT(col) vs COUNT(*),
-    * null-safe grouping, coalesce, explicit NULLS FIRST ordering (the
-    * engines' defaults differ — Spark NULLS FIRST, DuckDB NULLS LAST). */
+    * null-safe grouping, coalesce. */
   def q39NullSemantics(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     o.select(nullif(col("o_orderstatus"), lit("P")).as("ns"),
@@ -236,7 +221,6 @@ object Breadth {
         coalesce(col("ns"), lit("PENDING")).as("label"),
         Det.centsSum(col("o_totalprice")).as("total"))
       .select(col("ns"), col("n_total"), col("n_nonnull"), col("label"), col("total"))
-      .orderBy(col("ns").asc_nulls_first)
   }
 
   val q39NullSemanticsSql: String =
@@ -246,6 +230,5 @@ object Breadth {
       |  coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS label,
       |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
       |FROM orders
-      |GROUP BY nullif(o_orderstatus, 'P')
-      |ORDER BY ns NULLS FIRST""".stripMargin
+      |GROUP BY nullif(o_orderstatus, 'P')""".stripMargin
 }

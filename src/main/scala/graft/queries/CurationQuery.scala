@@ -24,7 +24,6 @@ object CurationQuery {
         fingerprint = TextOps.fingerprintMd5)) // md5 = the oracle-portable variant
     curated
       .select(col("doc_id"), col("pred_lang"), col("quality"), col("fingerprint"))
-      .orderBy(col("doc_id"))
   }
 
   val q47CurationSql: String = {
@@ -108,6 +107,6 @@ object CurationQuery {
        |SELECT doc_id, pred_lang, quality,
        |  list_reduce(list_concat([CAST(0 AS BIGINT)], hs),
        |    (a, b) -> (a * 1000003 + b) % 2147483647) AS fingerprint
-       |FROM hashed ORDER BY doc_id""".stripMargin
+       |FROM hashed""".stripMargin
   }
 }

@@ -21,7 +21,6 @@ object DedupQueries {
     // hashes) in one task
     Dedup.minhashCandidates(Tables.spread(Tables.documents(spark, dir)),
         "doc_id", "text")
-      .orderBy(col("id_a"), col("id_b"))
 
   val q24MinhashLshSql: String =
     """WITH toks AS (
@@ -44,15 +43,13 @@ object DedupQueries {
       |SELECT s1.doc_id AS id_a, s2.doc_id AS id_b, COUNT(*)/8.0 AS est_jaccard
       |FROM sig s1
       |JOIN sig s2 ON s1.seed = s2.seed AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id
-      |GROUP BY 1, 2
-      |ORDER BY id_a, id_b""".stripMargin
+      |GROUP BY 1, 2""".stripMargin
 
   /** SimHash fingerprints, 60 bits, md5-nibble token hash (portable);
     * native per-row kernel, declarative form cross-checked in DedupSpec. */
   def q25Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashMd5(Tables.documents(spark, dir), "doc_id", "text", bits = 60)
       .withColumnRenamed("id", "doc_id")
-      .orderBy(col("doc_id"))
 
   val q25SimhashSql: String = {
     val bitSums = (0 until 60).map { b =>
@@ -70,7 +67,7 @@ object DedupQueries {
        |    $bitSums
        |  FROM tok GROUP BY doc_id)
        |SELECT doc_id, $sig AS simhash
-       |FROM sums ORDER BY doc_id""".stripMargin
+       |FROM sums""".stripMargin
   }
 
   /** Order-sensitive rolling-hash fingerprint, md5-portable token hash;
@@ -79,7 +76,6 @@ object DedupQueries {
     val d = Tables.documents(spark, dir)
     d.select(col("doc_id"),
         TextOps.fingerprintMd5(TextOps.tokenize(col("text"))).as("fingerprint"))
-      .orderBy(col("doc_id"))
   }
 
   val q26FingerprintSql: String =
@@ -94,7 +90,7 @@ object DedupQueries {
       |SELECT doc_id,
       |  list_reduce(list_concat([CAST(0 AS BIGINT)], hs),
       |    (a, b) -> (a * 1000003 + b) % 2147483647) AS fingerprint
-      |FROM h ORDER BY doc_id""".stripMargin
+      |FROM h""".stripMargin
 
   /** Language ID (stopword-profile argmax) + composite quality score. */
   def q27LangQuality(spark: SparkSession, dir: String): DataFrame = {
@@ -103,7 +99,6 @@ object DedupQueries {
     d.select(col("doc_id"), col("lang"),
         TextOps.langId(col("text")).as("pred_lang"),
         TextOps.qualityScore(col("text"), en).as("quality"))
-      .orderBy(col("doc_id"))
   }
 
   val q27LangQualitySql: String = {
@@ -132,7 +127,7 @@ object DedupQueries {
        |         THEN 1.0 ELSE 0.0 END) +
        |   (CASE WHEN CAST(length(text) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 12.0
        |         THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
-       |FROM scored ORDER BY doc_id""".stripMargin
+       |FROM scored""".stripMargin
   }
 
   /** Per-source quality-percentile gate — the "filter each domain to its
@@ -155,7 +150,6 @@ object DedupQueries {
     scored.join(broadcast(med), "source")
       .filter(col("quality") >= col("source_median"))
       .select(col("doc_id"), col("source"), col("quality"), col("source_median"))
-      .orderBy(col("doc_id"))
   }
 
   val q67QualityGateSql: String = {
@@ -175,8 +169,7 @@ object DedupQueries {
        |        FROM scored GROUP BY source)
        |SELECT s.doc_id, s.source, s.quality, m.source_median
        |FROM scored s JOIN med m USING (source)
-       |WHERE s.quality >= m.source_median
-       |ORDER BY s.doc_id""".stripMargin
+       |WHERE s.quality >= m.source_median""".stripMargin
   }
 
   /** Full connected components over the MinHash candidate graph
@@ -193,7 +186,6 @@ object DedupQueries {
       .select(col("id_a"), col("id_b"))
     Dedup.connectedComponents(cand)
       .select(col("id").as("doc_id"), col("rep").as("rep_id"))
-      .orderBy(col("doc_id"))
   }
 
   val q62DedupGroupsSql: String =
@@ -229,6 +221,5 @@ object DedupQueries {
       |  UNION
       |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id)
       |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS rep_id
-      |FROM reach GROUP BY id
-      |ORDER BY doc_id""".stripMargin
+      |FROM reach GROUP BY id""".stripMargin
 }

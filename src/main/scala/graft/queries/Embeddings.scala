@@ -23,7 +23,6 @@ object Embeddings {
     val q = v.filter(col("id") < 3).select(col("id").as("qid"), col("vec").as("qvec"))
     Similarity.bruteForceTopK(v, q, 10)
       .withColumnRenamed("id", "neighbor_id")
-      .orderBy(col("qid"), col("rank"))
   }
 
   val q20EmbedTopKSql: String =
@@ -39,8 +38,7 @@ object Embeddings {
       |    PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
       |  FROM s)
       |SELECT qid, CAST(rn AS BIGINT) AS rank, vec_id AS neighbor_id, sim
-      |FROM r WHERE rn <= 10
-      |ORDER BY qid, rank""".stripMargin
+      |FROM r WHERE rn <= 10""".stripMargin
 
   /** Shared oracle fragment: md5-derived ±1 hyperplanes and the per-vector
     * LSH signatures, replicating [[Similarity.planes]] bit-for-bit (same
@@ -80,7 +78,6 @@ object Embeddings {
   def q21EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
     Similarity.lshNearDupCandidates(v, threshold = 0.35)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   val q21EmbedNearDupSql: String =
@@ -93,8 +90,7 @@ object Embeddings {
       |FROM cand c
       |JOIN embeddings ea ON ea.vec_id = c.id_a
       |JOIN embeddings eb ON eb.vec_id = c.id_b
-      |WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) > 0.35
-      |ORDER BY id_a, id_b""".stripMargin
+      |WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) > 0.35""".stripMargin
 
   /** Per-label centroids (the IVF building block): posexplode to (label,
     * dim, value), average per cell. Values are rounded to 6 decimals first
@@ -107,7 +103,6 @@ object Embeddings {
       .groupBy(col("label"), col("dim"))
       .agg((sum(col("v")).cast("double") / count(lit(1))).as("centroid"),
         count(lit(1)).as("n"))
-      .orderBy(col("label"), col("dim"))
   }
 
   val q22LabelCentroidsSql: String =
@@ -119,8 +114,7 @@ object Embeddings {
       |SELECT label, dim,
       |  CAST(SUM(v) AS DOUBLE) / COUNT(*) AS centroid, COUNT(*) AS n
       |FROM expl
-      |GROUP BY label, dim
-      |ORDER BY label, dim""".stripMargin
+      |GROUP BY label, dim""".stripMargin
 
   /** Embedding-corpus curation: drop every vector whose verified cosine to
     * a lower-id LSH-candidate exceeds 0.35 (keep-first dedup over q21's
@@ -128,7 +122,6 @@ object Embeddings {
   def q48EmbedCuration(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Curation.curateEmbeddings(vectors(spark, dir), 0.35)
       .select(col("id").as("vec_id"))
-      .orderBy(col("vec_id"))
 
   val q48EmbedCurationSql: String =
     s"""WITH ${sigCtes(16, 6, 64)},
@@ -142,8 +135,7 @@ object Embeddings {
       |  JOIN embeddings eb ON eb.vec_id = c.id_b
       |  WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) > 0.35)
       |SELECT vec_id FROM embeddings
-      |WHERE vec_id NOT IN (SELECT id_b FROM losers)
-      |ORDER BY vec_id""".stripMargin
+      |WHERE vec_id NOT IN (SELECT id_b FROM losers)""".stripMargin
 
   /** IVF ANN: Lloyd-trained centroids, nprobe-pruned exact rerank. Fully
     * oracle-certified: the sample init is md5-ordered and the Lloyd update
@@ -157,7 +149,6 @@ object Embeddings {
       k = 16, iters = 2, init = "sample")
     Similarity.ivfTopK(v, q, 10, cents, nprobe = 4)
       .withColumnRenamed("id", "neighbor_id")
-      .orderBy(col("qid"), col("rank"))
   }
 
   /** Artifact path for q35's trained centroids, keyed by the source
@@ -237,8 +228,7 @@ object Embeddings {
        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
        |  FROM cand)
        |SELECT qid, CAST(rn AS BIGINT) AS rank, id AS neighbor_id, sim
-       |FROM r WHERE rn <= 10
-       |ORDER BY qid, rank""".stripMargin
+       |FROM r WHERE rn <= 10""".stripMargin
   }
 
   /** Approximate top-k via random-hyperplane LSH (the scale path). The
@@ -249,7 +239,6 @@ object Embeddings {
     val q = v.filter(col("id") < 3).select(col("id").as("qid"), col("vec").as("qvec"))
     Similarity.lshTopK(v, q, 10)
       .withColumnRenamed("id", "neighbor_id")
-      .orderBy(col("qid"), col("rank"))
   }
 
   val q23AnnLshSql: String =
@@ -269,8 +258,7 @@ object Embeddings {
       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
       |  FROM scored)
       |SELECT qid, CAST(rn AS BIGINT) AS rank, id AS neighbor_id, sim
-      |FROM r WHERE rn <= 10
-      |ORDER BY qid, rank""".stripMargin
+      |FROM r WHERE rn <= 10""".stripMargin
 
   /** ANN quality as a gated metric: recall@10 of the LSH top-k (q23)
     * against the exact top-k (q20), per query vector. Joins the two
@@ -287,7 +275,6 @@ object Embeddings {
       .join(overlap, Seq("qid"), "left")
       .select(col("qid"),
         (coalesce(col("hits"), lit(0L)).cast("double") / 10.0).as("recall_at_10"))
-      .orderBy(col("qid"))
   }
 
   /** Exact top-10 by int8-quantized cosine ([[graft.ops.Quantize]]): the
@@ -299,7 +286,6 @@ object Embeddings {
     val q = v.filter(col("id") < 3).select(col("id").as("qid"), col("vec").as("qvec"))
     graft.ops.Quantize.bruteForceTopKQ(v, q, 10)
       .withColumnRenamed("id", "neighbor_id")
-      .orderBy(col("qid"), col("rank"))
   }
 
   val q54QuantizedTopKSql: String =
@@ -324,8 +310,7 @@ object Embeddings {
       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
       |  FROM scored)
       |SELECT qid, CAST(rn AS BIGINT) AS rank, id AS neighbor_id, sim
-      |FROM r WHERE rn <= 10
-      |ORDER BY qid, rank""".stripMargin
+      |FROM r WHERE rn <= 10""".stripMargin
 
   val q49AnnRecallSql: String =
     s"""WITH ${sigCtes(16, 6, 64)},
@@ -359,6 +344,5 @@ object Embeddings {
       |SELECT ex.qid,
       |  CAST(COUNT(ap.id) AS DOUBLE) / 10.0 AS recall_at_10
       |FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.id = ex.id
-      |GROUP BY ex.qid
-      |ORDER BY ex.qid""".stripMargin
+      |GROUP BY ex.qid""".stripMargin
 }

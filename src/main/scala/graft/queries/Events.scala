@@ -27,7 +27,6 @@ object Events {
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
-      .orderBy(col("window_start"), col("event_type"))
   }
 
   val q13TumblingSql: String =
@@ -35,8 +34,7 @@ object Events {
       |  event_type, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events
-      |GROUP BY 1, 2
-      |ORDER BY window_start, event_type""".stripMargin
+      |GROUP BY 1, 2""".stripMargin
 
   /** JSON property extraction + aggregation (reference F9). */
   def q14JsonProps(spark: SparkSession, dir: String): DataFrame = {
@@ -50,7 +48,6 @@ object Events {
         (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"),
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
-      .orderBy(col("event_type"))
   }
 
   val q14JsonPropsSql: String =
@@ -60,8 +57,7 @@ object Events {
       |  MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
       |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
       |FROM events
-      |GROUP BY event_type
-      |ORDER BY event_type""".stripMargin
+      |GROUP BY event_type""".stripMargin
 
   /** Session windows per user, 30-minute inactivity gap: the real
     * `session_window` operator; the oracle reproduces it with
@@ -74,7 +70,6 @@ object Events {
         col("user_id"),
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("session_value"))
-      .orderBy(col("user_id"), col("session_start"))
   }
 
   val q15SessionizeSql: String =
@@ -95,6 +90,5 @@ object Events {
       |  COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
       |FROM numbered
-      |GROUP BY user_id, sess
-      |ORDER BY user_id, session_start""".stripMargin
+      |GROUP BY user_id, sess""".stripMargin
 }

@@ -76,7 +76,6 @@ object MediaQuery {
       .select(col("media_id"), posexplode(col("feature")).as(Seq("dim", "val")))
       .select(col("media_id"), col("dim").cast("long").as("dim"),
         col("val").cast("double").as("feature"))
-      .orderBy(col("media_id"), col("dim"))
   }
 
   /** The same pipeline arithmetically: pixel p's gray byte from embedding
@@ -92,8 +91,7 @@ object MediaQuery {
       |  FROM embeddings)
       |SELECT vec_id AS media_id, p AS dim,
       |  (2 * g - 255) / 2.0 AS feature
-      |FROM px
-      |ORDER BY media_id, dim""".stripMargin
+      |FROM px""".stripMargin
 
   /** Perceptual-hash + LSH near-dup gate over DECODED media: 16×16 BMPs →
     * byte-parse → 8×8 integer pooling → (a) the exact-integer average-hash
@@ -137,7 +135,6 @@ object MediaQuery {
     ph.join(dups, Seq("media_id"), "left")
       .select(col("media_id"), col("phash_hi"), col("phash_lo"),
         coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
-      .orderBy(col("media_id"))
   }
 
   /** Every stage rebuilt arithmetically: gray g per cell (2×2 uniform
@@ -193,6 +190,5 @@ object MediaQuery {
       |  GROUP BY id)
       |SELECT ph.vec_id AS media_id, ph.phash_hi, ph.phash_lo,
       |  COALESCE(d.n, 0) AS n_neardup
-      |FROM ph LEFT JOIN dups d ON d.id = ph.vec_id
-      |ORDER BY media_id""".stripMargin
+      |FROM ph LEFT JOIN dups d ON d.id = ph.vec_id""".stripMargin
 }

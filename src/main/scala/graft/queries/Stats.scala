@@ -24,7 +24,6 @@ object Stats {
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n_orders"), col("total"))
-      .orderBy(col("status"), col("priority"))
   }
 
   /** Explicit GROUPING SETS — asymmetric aggregation levels a rollup/cube
@@ -43,7 +42,6 @@ object Stats {
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n_orders"), col("total"))
-      .orderBy(col("status"), col("priority"))
   }
 
   val q55GroupingSetsSql: String =
@@ -53,8 +51,7 @@ object Stats {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-      |                        (o_orderstatus), (o_orderpriority), ())
-      |ORDER BY status, priority""".stripMargin
+      |                        (o_orderstatus), (o_orderpriority), ())""".stripMargin
 
   val q28CubeSql: String =
     """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
@@ -62,8 +59,7 @@ object Stats {
       |  COUNT(*) AS n_orders,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
       |FROM orders
-      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
-      |ORDER BY status, priority""".stripMargin
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
   /** Distinct aggregation: exact distinct counts per group. Single-agg
     * Expand form: Catalyst rewrites the two distincts + plain count into
@@ -87,7 +83,6 @@ object Stats {
         count_distinct(col("l_partkey")).as("n_parts"),
         count_distinct(col("l_orderkey")).as("n_orders"),
         count(lit(1)).as("n_items"))
-      .orderBy(col("l_suppkey"))
   }
 
   val q29DistinctAggSql: String =
@@ -96,8 +91,7 @@ object Stats {
       |  COUNT(DISTINCT l_orderkey) AS n_orders,
       |  COUNT(*) AS n_items
       |FROM lineitem
-      |GROUP BY l_suppkey
-      |ORDER BY l_suppkey""".stripMargin
+      |GROUP BY l_suppkey""".stripMargin
 
   /** Mean / variance / stddev per group from exact decimal power sums:
     * var = (n·Σx² − (Σx)²) / (n·(n−1)), all inputs exact integers-in-
@@ -118,7 +112,6 @@ object Stats {
           (col("n") * (col("n") - 1))).as("var_qty"),
         sqrt((col("n") * col("sum_x2") - col("sum_x") * col("sum_x")) /
           (col("n") * (col("n") - 1))).as("stddev_qty"))
-      .orderBy(col("l_returnflag"))
   }
 
   /** Exact interpolated percentiles per group (both engines implement the
@@ -134,7 +127,6 @@ object Stats {
       .select(col("l_returnflag"), col("median_qty"), col("p90_qty"),
         col("iqr_qty").getItem(0).as("p25_qty"),
         col("iqr_qty").getItem(1).as("p75_qty"))
-      .orderBy(col("l_returnflag"))
   }
 
   val q32PercentilesSql: String =
@@ -144,8 +136,7 @@ object Stats {
       |  quantile_cont(l_quantity, 0.25) AS p25_qty,
       |  quantile_cont(l_quantity, 0.75) AS p75_qty
       |FROM lineitem
-      |GROUP BY l_returnflag
-      |ORDER BY l_returnflag""".stripMargin
+      |GROUP BY l_returnflag""".stripMargin
 
   val q30MomentsSql: String =
     """WITH g AS (
@@ -157,5 +148,5 @@ object Stats {
       |  sum_x / n AS mean_qty,
       |  (n * sum_x2 - sum_x * sum_x) / (n * (n - 1)) AS var_qty,
       |  sqrt((n * sum_x2 - sum_x * sum_x) / (n * (n - 1))) AS stddev_qty
-      |FROM g ORDER BY l_returnflag""".stripMargin
+      |FROM g""".stripMargin
 }

@@ -20,14 +20,12 @@ object TextQueries {
     d.groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
       .select(col("rep_id"), col("n_copies"), col("text_md5"))
-      .orderBy(col("rep_id"))
   }
 
   val q16DedupExactSql: String =
     """SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_copies, md5(text) AS text_md5
       |FROM documents
-      |GROUP BY md5(text)
-      |ORDER BY rep_id""".stripMargin
+      |GROUP BY md5(text)""".stripMargin
 
   /** Token-set Jaccard similarity between consecutive doc pairs: the exact
     * kernel of n-gram near-dup detection, blocked to (i, i+1) pairs so the
@@ -53,7 +51,6 @@ object TextQueries {
         (coalesce(col("n_inter"), lit(0L)).cast("double") /
           (col("sa.n_toks") + col("sb.n_toks") - coalesce(col("n_inter"), lit(0L))))
           .as("jaccard"))
-      .orderBy(col("doc_a"))
   }
 
   val q17TokenJaccardSql: String =
@@ -73,8 +70,7 @@ object TextQueries {
       |    / (sa.n_toks + sb.n_toks - COALESCE(i.n_inter, 0)) AS jaccard
       |FROM sizes sa
       |JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
-      |LEFT JOIN inter i ON i.doc_id = sa.doc_id
-      |ORDER BY doc_a""".stripMargin
+      |LEFT JOIN inter i ON i.doc_id = sa.doc_id""".stripMargin
 
   /** Per-document token counting + quality scoring (length / stopword
     * ratios) via higher-order array functions — fully codegen'd. */
@@ -89,7 +85,6 @@ object TextQueries {
         (size(filter(toks, t => t.isin("the", "a"))).cast("double") /
           size(toks)).as("stop_ratio"),
         (col("n_chars").cast("double") / size(toks)).as("chars_per_token"))
-      .orderBy(col("doc_id"))
   }
 
   val q18TokenStatsSql: String =
@@ -100,8 +95,7 @@ object TextQueries {
       |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
       |    / len(string_split(text, ' ')) AS stop_ratio,
       |  CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
-      |FROM documents
-      |ORDER BY doc_id""".stripMargin
+      |FROM documents""".stripMargin
 
   /** Corpus profile: language × source distribution with size stats. */
   def q19LangProfile(spark: SparkSession, dir: String): DataFrame = {
@@ -111,7 +105,6 @@ object TextQueries {
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
         (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
-      .orderBy(col("lang"), col("source"))
   }
 
   val q19LangProfileSql: String =
@@ -119,8 +112,7 @@ object TextQueries {
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
       |FROM documents
-      |GROUP BY lang, source
-      |ORDER BY lang, source""".stripMargin
+      |GROUP BY lang, source""".stripMargin
 
   /** Gopher-style repetition filter statistics, per document: fraction of
     * bigram occurrences taken by the most frequent bigram, fraction of
@@ -136,7 +128,6 @@ object TextQueries {
         col("r.top_bigram_frac").as("top_bigram_frac"),
         col("r.dup_trigram_frac").as("dup_trigram_frac"),
         col("r.max_run").as("max_run"))
-      .orderBy(col("doc_id"))
   }
 
   val q59RepetitionSql: String =
@@ -171,8 +162,7 @@ object TextQueries {
       |FROM documents d
       |LEFT JOIN topb ON topb.doc_id = d.doc_id
       |LEFT JOIN tg ON tg.doc_id = d.doc_id
-      |LEFT JOIN runs ON runs.doc_id = d.doc_id
-      |ORDER BY d.doc_id""".stripMargin
+      |LEFT JOIN runs ON runs.doc_id = d.doc_id""".stripMargin
 
   /** Corpus-frequency token novelty ([[graft.ops.TextOps.tokenNovelty]]):
     * the two-pass document-frequency pipeline (build the vocabulary DF
@@ -181,7 +171,6 @@ object TextQueries {
     val d = Tables.documents(spark, dir)
     graft.ops.TextOps.tokenNovelty(d, "doc_id", "text")
       .withColumnRenamed("id", "doc_id")
-      .orderBy(col("doc_id"))
   }
 
   val q60TokenNoveltySql: String =
@@ -195,8 +184,7 @@ object TextQueries {
       |  CAST(MAX(df) AS BIGINT) AS max_df,
       |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
       |FROM dt JOIN dfreq USING (tok)
-      |GROUP BY doc_id
-      |ORDER BY doc_id""".stripMargin
+      |GROUP BY doc_id""".stripMargin
 
   /** PII redaction gate ([[graft.ops.TextOps.redactPii]]): the synthetic
     * corpus carries no PII, so each doc is augmented with a DETERMINISTIC
@@ -217,7 +205,6 @@ object TextQueries {
         graft.ops.TextOps.redactPii(col("t")).as("redacted"),
         graft.ops.TextOps.emailCount(col("t")).cast("long").as("n_email"),
         graft.ops.TextOps.phoneCount(col("t")).cast("long").as("n_phone"))
-      .orderBy(col("doc_id"))
   }
 
   val q66PiiRedactionSql: String = {
@@ -234,7 +221,6 @@ object TextQueries {
       |                 '$phone', '<PHONE>', 'g') AS redacted,
       |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_email,
       |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phone
-      |FROM aug
-      |ORDER BY doc_id""".stripMargin
+      |FROM aug""".stripMargin
   }
 }

@@ -59,7 +59,6 @@ object WarehouseQueries {
     Scd2.asOf(h2, Pit)
       .select(col("o_custkey").as("custkey"), col("n_orders"),
         col("valid_from"))
-      .orderBy(col("custkey"))
   }
 
   val q57Scd2PitSql: String =
@@ -72,8 +71,7 @@ object WarehouseQueries {
       |SELECT s2.o_custkey AS custkey, s2.n AS n_orders,
       |  CASE WHEN s1.n IS NOT NULL AND s1.n = s2.n
       |       THEN '$D1' ELSE '$D2' END AS valid_from
-      |FROM s2 LEFT JOIN s1 ON s1.o_custkey = s2.o_custkey
-      |ORDER BY custkey""".stripMargin
+      |FROM s2 LEFT JOIN s1 ON s1.o_custkey = s2.o_custkey""".stripMargin
 
   /** Sketch-accuracy gate: HLL++ approximate distinct customers per order
     * priority, asserted within 3× the configured relative error of the
@@ -91,12 +89,11 @@ object WarehouseQueries {
       .select(col("o_orderpriority"), col("n_exact"),
         (abs(col("__approx") - col("n_exact")).cast("double") /
           col("n_exact") <= 0.15).as("hll_ok"))
-      .orderBy(col("o_orderpriority"))
 
   val q58ApproxBoundsSql: String =
     """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact,
       |  TRUE AS hll_ok
-      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+      |FROM orders GROUP BY 1""".stripMargin
 
   /** Misra-Gries heavy hitters over the document token stream, k = 30 —
     * one LESS than the corpus vocabulary (31), so counter eviction and
@@ -126,7 +123,6 @@ object WarehouseQueries {
         col("est").isNotNull.as("found"),
         (col("est").isNotNull && col("est") <= col("n_true") &&
           (col("n_true") - col("est")) <= lit(bound)).as("bounded"))
-      .orderBy(col("tok"))
   }
 
   val q63HeavyHittersSql: String =
@@ -136,8 +132,7 @@ object WarehouseQueries {
       |c AS (SELECT tok, COUNT(*) AS n_true FROM t GROUP BY tok)
       |SELECT tok, n_true, TRUE AS found, TRUE AS bounded
       |FROM c, tot
-      |WHERE n_true > total / 31.0
-      |ORDER BY tok""".stripMargin
+      |WHERE n_true > total / 31.0""".stripMargin
 
   /** PER-GROUP heavy hitters — the sketch as a SQL-callable GROUP BY
     * aggregate ([[graft.functions.HeavyHittersSketch]], round-6 missing
@@ -170,7 +165,6 @@ object WarehouseQueries {
         (col("est").isNotNull && col("est") <= col("n_true") &&
           (col("n_true") - col("est")) <= col("n_tok") / lit((k + 1).toDouble))
           .as("bounded"))
-      .orderBy(col("source"), col("tok"))
   }
 
   val q64HeavyHittersByGroupSql: String =
@@ -180,6 +174,5 @@ object WarehouseQueries {
       |g AS (SELECT source, SUM(n_true) AS n_tok FROM c GROUP BY 1)
       |SELECT c.source, c.tok, c.n_true, TRUE AS found, TRUE AS bounded
       |FROM c JOIN g USING (source)
-      |WHERE c.n_true > g.n_tok / 26.0
-      |ORDER BY source, tok""".stripMargin
+      |WHERE c.n_true > g.n_tok / 26.0""".stripMargin
 }
