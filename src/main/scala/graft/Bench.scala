@@ -52,8 +52,11 @@ object Bench {
     val results = headline.map { g =>
       val runs = passes.map(_(g.name))
       val times = runs.collect { case Right(v) => v }.sorted
+      // lower median: with an even count of surviving passes (one pass
+      // errored), length/2 would pick the MAX of the two middle-less
+      // samples and bias the query upward
       g.name -> (if (times.isEmpty) runs.head
-                 else Right(times(times.length / 2)))
+                 else Right(times((times.length - 1) / 2)))
     }
     // full JSON string escape — exception messages carry newlines, and a
     // control char would split the single machine-readable bench line

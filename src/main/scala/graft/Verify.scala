@@ -19,6 +19,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // gates that persist() intermediates (q47 curation, q57 SCD2, q65
+      // media decode) would otherwise stack their cached blocks across all
+      // ~68 queries of this single session — executor memory then shrinks
+      // query by query and the later gates pay eviction churn
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

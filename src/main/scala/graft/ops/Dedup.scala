@@ -146,6 +146,76 @@ object Dedup {
     candidatesFromSignatures(
       minhashSignaturesFast(df, idCol, textCol, numHashes, shingleWidth), numHashes)
 
+  /** Persisted MinHash signature INDEX — the cross-run incremental dedup
+    * surface. A 100 TB pipeline does not re-shingle its corpus per ingest:
+    * it keeps the (id, seed, mh) signature table as a stored artifact and
+    * dedups each NEW batch against it (the reference's incremental
+    * contract, `API_manager.py:79-113` — fetch only what's new past the
+    * stored state — applied to dedup). Signatures are tiny relative to
+    * text (numHashes short values per doc), so the index is the cheap
+    * thing to keep and the corpus never re-scans.
+    *
+    * Builds and writes the parquet index at `path` only when absent
+    * (checked via the `_SUCCESS` marker, so a half-written dir rebuilds —
+    * same artifact discipline as [[Similarity.centroidArtifact]]), then
+    * reads it back. md5 signatures are deterministic strings, so results
+    * are identical whether this run built the index or reused it.
+    * `fast = true` builds XXH64/long signatures ([[minhashSignaturesFast]])
+    * instead — the production hash family; keep one family per index. */
+  def signatureIndexArtifact(df: DataFrame, idCol: String, textCol: String,
+      path: String, numHashes: Int = 8, shingleWidth: Int = 3,
+      fast: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      val sig = if (fast) minhashSignaturesFast(df, idCol, textCol, numHashes, shingleWidth)
+                else minhashSignatures(df, idCol, textCol, numHashes, shingleWidth)
+      sig.write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Append a new batch's signatures to an existing index (the step after
+    * a batch has been deduped and admitted): parquet append — no read,
+    * no rewrite of the existing index files. */
+  def appendToSignatureIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, numHashes: Int = 8, shingleWidth: Int = 3,
+      fast: Boolean = false): Unit = {
+    val sig = if (fast) minhashSignaturesFast(df, idCol, textCol, numHashes, shingleWidth)
+              else minhashSignatures(df, idCol, textCol, numHashes, shingleWidth)
+    sig.write.mode("append").parquet(path)
+  }
+
+  /** Candidate pairs for a NEW batch against a stored signature index:
+    * every (id_a, id_b, est_jaccard) with at least one batch endpoint —
+    * batch-vs-index and batch-vs-batch, never index-vs-index (those pairs
+    * were emitted when THEIR batches arrived; recomputing them per ingest
+    * is the quadratic trap incremental mode exists to avoid). The new
+    * batch's signatures are one codegen'd projection; the join shuffles
+    * only (seed, mh, id) rows, and the index side arrives pre-computed
+    * from parquet — at 100 TB the per-ingest cost is proportional to the
+    * BATCH, not the corpus. Batch and index ids must be disjoint. */
+  def minhashCandidatesIncremental(batch: DataFrame, idCol: String,
+      textCol: String, index: DataFrame, numHashes: Int = 8,
+      shingleWidth: Int = 3, fast: Boolean = false): DataFrame = {
+    val newSig = if (fast) minhashSignaturesFast(batch, idCol, textCol, numHashes, shingleWidth)
+                 else minhashSignatures(batch, idCol, textCol, numHashes, shingleWidth)
+    val a = newSig.select(col("seed"), col("mh"), col("id").as("ia"))
+    val b = index
+      .select(col("seed"), col("mh"), col("id").as("ib"), lit(false).as("isNew"))
+      .unionByName(newSig
+        .select(col("seed"), col("mh"), col("id").as("ib"), lit(true).as("isNew")))
+    a.join(b, Seq("seed", "mh"))
+      // batch-vs-index pairs appear once (a is always the batch side);
+      // batch-vs-batch pairs are kept in one orientation only
+      .filter((!col("isNew") && col("ia") =!= col("ib")) ||
+        (col("isNew") && col("ia") < col("ib")))
+      .groupBy(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"))
+      .agg((count(lit(1)).cast("double") / numHashes).as("est_jaccard"))
+  }
+
   /** Near-dup groups from candidate pairs above a threshold: connected
     * components approximated by min-representative propagation (1 round —
     * exact for pair-clusters, which dominate dedup workloads; iterate for
@@ -212,9 +282,21 @@ object Dedup {
     // generation to the configured checkpoint dir — the right mode for a
     // 10-round job on a preemptible 100 TB cluster, where losing a
     // generation block mid-loop would otherwise kill the job.
-    if (reliable && spark.sparkContext.getCheckpointDir.isEmpty)
+    if (reliable && spark.sparkContext.getCheckpointDir.isEmpty) {
+      // a tmpdir default is only sound in local mode: on a real cluster
+      // each executor would write its checkpoint blocks to its OWN node's
+      // tmpdir — unreadable from other nodes and gone on preemption, i.e.
+      // exactly the failure mode reliable=true exists to survive. Fail
+      // fast there instead of silently degrading to less-than-reliable.
+      if (!spark.sparkContext.isLocal)
+        throw new IllegalStateException(
+          "connectedComponents(reliable=true) on a non-local master requires " +
+            "an explicitly configured checkpoint dir on shared storage " +
+            "(spark.sparkContext.setCheckpointDir to an HDFS/S3/NFS path); " +
+            "the java.io.tmpdir fallback is node-local and defeats the mode")
       spark.sparkContext.setCheckpointDir(
         s"${sys.props("java.io.tmpdir")}/graft_cc_checkpoints")
+    }
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     var labels = ckpt(sym.select(col("src").as("id")).distinct()

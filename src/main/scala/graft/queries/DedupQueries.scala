@@ -172,6 +172,68 @@ object DedupQueries {
        |WHERE s.quality >= m.source_median""".stripMargin
   }
 
+  /** Incremental dedup against a PERSISTED signature index (the cross-run
+    * operating mode at 100 TB — [[Dedup.signatureIndexArtifact]]): the
+    * corpus is split at the median doc_id into an "already-ingested"
+    * half whose signatures live in a stored parquet index, and a "new
+    * batch" half that is deduped against index ∪ itself without ever
+    * re-shingling the first half. Output = every candidate pair with at
+    * least one new-batch endpoint. The oracle recomputes ALL signatures
+    * from scratch and filters pairs to id_b ≥ split (id_b is the greater
+    * endpoint, so that predicate is exactly "≥1 new endpoint") —
+    * certifying that the incremental path loses nothing vs a full
+    * recompute. The index artifact is keyed by source len+mtime; first
+    * run builds it, reruns serve from parquet. */
+  def q68IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    // one 2-value scalar to the driver: the split must also key the
+    // artifact path, so it cannot stay lazy
+    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val split = (r.getLong(0) + r.getLong(1)) / 2
+    val index = Dedup.signatureIndexArtifact(
+      docs.filter(col("doc_id") < split), "doc_id", "text",
+      sigIndexPath(spark, dir, split))
+    Dedup.minhashCandidatesIncremental(
+      docs.filter(col("doc_id") >= split), "doc_id", "text", index)
+  }
+
+  /** Artifact path for q68's signature index, keyed by the source
+    * parquet's length + mtime (same scheme as the q35 centroid artifact)
+    * so a regenerated dataset can never serve stale signatures. */
+  private def sigIndexPath(spark: SparkSession, dir: String, split: Long): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val st = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(src)
+    val tag = java.lang.Long.toHexString(st.getLen ^
+      java.lang.Long.rotateLeft(st.getModificationTime, 21))
+    s"${sys.props("java.io.tmpdir")}/graft_artifacts/sigidx_mh8_w3_s${split}_$tag"
+  }
+
+  val q68IncrementalDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+      |         unnest(string_split(text,' ')) AS tok
+      |  FROM documents),
+      |shingles AS (
+      |  SELECT a.doc_id, a.tok||' '||b.tok||' '||c.tok AS sh
+      |  FROM toks a
+      |  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+      |shd AS (
+      |  SELECT doc_id, md5(sh) AS d0, md5(sh||'#') AS d1 FROM shingles),
+      |sig AS (
+      |  SELECT doc_id, seed,
+      |    MIN(substr(CASE WHEN seed < 4 THEN d0 ELSE d1 END,
+      |               (seed % 4) * 8 + 1, 8)) AS mh
+      |  FROM shd CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed) s
+      |  GROUP BY doc_id, seed),
+      |split AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS v FROM documents)
+      |SELECT s1.doc_id AS id_a, s2.doc_id AS id_b, COUNT(*)/8.0 AS est_jaccard
+      |FROM sig s1
+      |JOIN sig s2 ON s1.seed = s2.seed AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id
+      |WHERE s2.doc_id >= (SELECT v FROM split)
+      |GROUP BY 1, 2""".stripMargin
+
   /** Full connected components over the MinHash candidate graph
     * (est_jaccard ≥ 0.5): every doc in a qualifying pair labeled with its
     * component's min id — [[Dedup.connectedComponents]]'s iterative

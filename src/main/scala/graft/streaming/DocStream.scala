@@ -169,6 +169,119 @@ object DocStream {
       .toDF("doc_id", "ts", "text")
   }
 
+  /** Per-band probe row for [[minhashNearDupFilteredMultiProbe]]: one doc
+    * exploded into `nBands` rows, keyed by (band index | band value). */
+  case class MhProbe(doc_id: Long, ts: java.sql.Timestamp, text: String,
+      sig: Seq[String], bucket: String)
+
+  /** MULTI-PROBE streaming MinHash near-dup — closes the recall hole the
+    * single-probe paths document: [[minhashNearDupFiltered]] keys state on
+    * ONE anchor band, so a true near-dup whose anchor band happens to
+    * disagree (probability 1 − J^bandRows per band) sails through.
+    * Production banded LSH probes k bands; at Jaccard J the miss
+    * probability drops from 1 − J^bandRows to (1 − J^bandRows)^k.
+    *
+    * Spark-native composition, two keyed stages in ONE streaming query:
+    *  1. each doc explodes into `nBands` probe rows — band i's bucket key
+    *     is (i | signature slots [i·bandRows, (i+1)·bandRows)) — and a
+    *     `flatMapGroupsWithState` keyed by that bucket runs the SAME
+    *     check/insert/FIFO/event-time-expiry logic as the single-probe
+    *     path, per band, emitting the doc plus a per-band dup vote;
+    *  2. all k votes of a doc land in the SAME micro-batch (the explode
+    *     happens inside it), so a second stateless-by-construction
+    *     `flatMapGroupsWithState` keyed by doc_id unions them and emits
+    *     the doc only if NO band matched — the "union of per-band state
+    *     lookups" without any cross-group coordination.
+    *
+    * State bounds are the single-probe ones × nBands (each band bucket
+    * keeps ≤ maxSeen signatures, expires 2 h after its latest traffic).
+    * A doc flagged dup by band i is still inserted into the OTHER bands'
+    * buckets (band-local decisions — groups cannot see each other's
+    * votes); that only makes later matching more likely, never less, so
+    * dedup stays conservative.
+    *
+    * REQUIRES `spark.sql.streaming.statefulOperator.checkCorrectness
+    * .enabled=false` (fails fast otherwise): Spark's global-watermark
+    * check rejects ANY stateful operator downstream of
+    * `flatMapGroupsWithState`, on the ground that stage 1 might emit
+    * rows older than the watermark which stage 2 would then silently
+    * drop. Stage 2 here cannot drop anything: it keeps no state, uses
+    * NoTimeout (so no watermark-based eviction exists), and every probe
+    * row it consumes was emitted in the same micro-batch. The check is a
+    * static pattern match, not a semantic analysis — this shape is one
+    * of its documented false positives. */
+  def minhashNearDupFilteredMultiProbe(spark: SparkSession, docs: DataFrame,
+      shingleWidth: Int = 3, numHashes: Int = 12, bandRows: Int = 2,
+      nBands: Int = 3, estJaccard: Double = 0.6, maxSeen: Int = 1024): DataFrame = {
+    import spark.implicits._
+    require(nBands >= 1 && nBands * bandRows <= numHashes,
+      "nBands*bandRows must fit in numHashes")
+    if (spark.conf.get(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+        "true").toBoolean)
+      throw new IllegalStateException(
+        "multi-probe streaming dedup chains two flatMapGroupsWithState " +
+          "stages, which Spark's global-watermark pattern check rejects; " +
+          "set spark.sql.streaming.statefulOperator.checkCorrectness" +
+          ".enabled=false to run it (safe here: the vote-union stage is " +
+          "stateless and only consumes rows emitted in its own micro-batch " +
+          "— see the scaladoc)")
+    val probes = docs
+      .filter(col("text").isNotNull && col("ts").isNotNull)
+      .withColumn("sig", graft.functions.TextFunctions
+        .min_hash_slices(col("text"), shingleWidth, numHashes))
+      .withColumn("band", explode(array((0 until nBands).map(lit): _*)))
+      .withColumn("bucket", concat_ws("|", col("band").cast("string"),
+        concat_ws("", slice(col("sig"), col("band") * bandRows + 1, lit(bandRows)))))
+      .drop("band")
+      .withWatermark("ts", "2 hours")
+      .as[MhProbe]
+    val need = math.ceil(estJaccard * numHashes).toInt
+    val voted = probes.groupByKey(_.bucket)
+      .flatMapGroupsWithState[List[Seq[String]],
+          (Long, java.sql.Timestamp, String, Boolean)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[MhProbe], state: GroupState[List[Seq[String]]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Nil)
+            val batch = rows.toSeq.sortBy(_.doc_id)
+            val out = batch.map { d =>
+              val dup = seen.exists { s =>
+                var agree = 0; var i = 0
+                while (i < numHashes) {
+                  if (s(i) == d.sig(i)) agree += 1
+                  i += 1
+                }
+                agree >= need
+              }
+              if (!dup) seen = (d.sig :: seen).take(maxSeen)
+              (d.doc_id, d.ts, d.text, dup)
+            }
+            state.update(seen)
+            // same event-time expiry rule as the single-probe path
+            val latest = math.max(state.getCurrentWatermarkMs(),
+              batch.map(_.ts.getTime).max)
+            state.setTimeoutTimestamp(latest + 2L * 3600 * 1000)
+            out.iterator
+          }
+      }
+    // vote union: the k probe rows of a doc are all in this micro-batch,
+    // so the group sees every vote at once and keeps NO state
+    voted.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, java.sql.Timestamp, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, votes: Iterator[(Long, java.sql.Timestamp, String, Boolean)],
+            _: GroupState[Boolean]) =>
+          val vs = votes.toSeq
+          if (vs.exists(_._4)) Iterator.empty
+          else Iterator.single((vs.head._1, vs.head._2, vs.head._3))
+      }
+      .toDF("doc_id", "ts", "text")
+  }
+
   /** [[minhashNearDupFiltered]] on the Spark 4 `transformWithState` API —
     * the second migrated operator (next to
     * [[EventsStream.runningTotalsTws]]), chosen because it exercises what

@@ -152,6 +152,43 @@ class DedupSpec extends SparkSpec {
     assert(lin.as[(Long, Long)].collect().exists(_._2 !== 0L))
   }
 
+  test("incremental dedup against a stored index equals the full recompute") {
+    val c = corpus()
+    val split = 50L // base docs (0-29) in the index; 100-105 + 200 are new
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sigidx_spec")
+      .toString + "/idx"
+    val index = Dedup.signatureIndexArtifact(
+      c.filter(col("doc_id") < split), "doc_id", "text", tmp)
+    val inc = Dedup.minhashCandidatesIncremental(
+        c.filter(col("doc_id") >= split), "doc_id", "text", index)
+      .as[(Long, Long, Double)].collect().toSet
+    // full recompute, restricted to pairs with >= 1 new endpoint (id_b is
+    // the greater endpoint, so id_b >= split is exactly that predicate)
+    val full = Dedup.minhashCandidates(c, "doc_id", "text")
+      .filter(col("id_b") >= split)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc === full)
+    assert(inc.nonEmpty)
+    // second call serves from the artifact (no rebuild) — same result
+    val again = Dedup.minhashCandidatesIncremental(
+        c.filter(col("doc_id") >= split), "doc_id", "text",
+        Dedup.signatureIndexArtifact(
+          c.filter(col("doc_id") < split), "doc_id", "text", tmp))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(again === inc)
+    // appending the admitted batch extends the index for the NEXT batch:
+    // a later exact copy of doc 3 must now collide with both 3 and 103
+    Dedup.appendToSignatureIndex(
+      c.filter(col("doc_id") >= split), "doc_id", "text", tmp)
+    val batch3 = Seq((300L, c.filter(col("doc_id") === 3L)
+      .select("text").as[String].head())).toDF("doc_id", "text")
+    val round2 = Dedup.minhashCandidatesIncremental(
+        batch3, "doc_id", "text", spark.read.parquet(tmp))
+      .filter(col("est_jaccard") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(round2.contains((3L, 300L)) && round2.contains((103L, 300L)))
+  }
+
   test("reliable-checkpoint CC matches the localCheckpoint path") {
     // reliable=true swaps localCheckpoint (executor blocks, lost on
     // executor death) for checkpoint() files per generation — the

@@ -137,6 +137,62 @@ class DocStreamSpec extends SparkSpec {
     assert(mhKept === Set(1L, 2L, 4L), s"got $mhKept")
   }
 
+  test("multi-probe catches a dup the single-probe anchor band misses") {
+    // adversarial pair search (deterministic): a near-dup whose ANCHOR
+    // band (slots 0-1) disagrees — single-probe provably keeps it — but
+    // whose band 1 or 2 (slots 2-3 / 4-5) agrees and ≥ 60% of slots agree
+    // overall, so 3-band multi-probe provably drops it
+    def sig(t: String): Seq[String] = {
+      val a = graft.functions.MinHashUtil.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), 3, 12)
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    def agree(a: Seq[String], b: Seq[String]): Int = a.zip(b).count(x => x._1 == x._2)
+    def band(s: Seq[String], i: Int): Seq[String] = s.slice(2 * i, 2 * i + 2)
+    val found = (0 until 200).iterator.map { i =>
+      val base = doc(40)
+      val mod = base.split(" ").dropRight(2).mkString(" ") + s" mp${i}a mp${i}b"
+      (base, mod)
+    }.find { case (base, mod) =>
+      val (sb, sm) = (sig(base), sig(mod))
+      band(sb, 0) != band(sm, 0) &&
+        (band(sb, 1) == band(sm, 1) || band(sb, 2) == band(sm, 2)) &&
+        agree(sb, sm) >= 8
+    }
+    assert(found.isDefined, "no anchor-miss pair in 200 candidates — retune the generator")
+    val (base, mod) = found.get
+    val dir = tmpDir("docs-mp")
+    Seq((1L, ts(0), base), (2L, ts(1), doc(40)))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("overwrite").parquet(dir)
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    val t0 = System.currentTimeMillis() - 60000
+    parts.foreach(f => assert(f.setLastModified(t0)))
+    Seq((3L, ts(2), mod), (4L, ts(3), doc(40)))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("append").parquet(dir)
+
+    // single-probe keeps the dup (anchor band disagrees by construction)...
+    val q1 = DocStream.minhashNearDupFiltered(spark, DocStream.read(spark, dir))
+      .writeStream.format("memory").queryName("mp_single").outputMode("append").start()
+    try q1.processAllAvailable() finally q1.stop()
+    val single = spark.table("mp_single").select("doc_id").as[Long].collect().toSet
+    assert(single.contains(3L), "single-probe unexpectedly caught the anchor-miss dup")
+    // ...multi-probe (3 bands) drops it and keeps everything else; the
+    // operator refuses to run under the (false-positive) chained-stateful
+    // pattern check, so opt out for the query and restore after
+    val ck = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    intercept[IllegalStateException] {
+      DocStream.minhashNearDupFilteredMultiProbe(spark, DocStream.read(spark, dir))
+    }
+    spark.conf.set(ck, "false")
+    val multi = try {
+      val q2 = DocStream.minhashNearDupFilteredMultiProbe(spark, DocStream.read(spark, dir))
+        .writeStream.format("memory").queryName("mp_multi").outputMode("append").start()
+      try q2.processAllAvailable() finally q2.stop()
+      spark.table("mp_multi").select("doc_id").as[Long].collect().toSet
+    } finally spark.conf.set(ck, "true")
+    assert(multi === Set(1L, 2L, 4L), s"got $multi")
+  }
+
   test("transformWithState MinHash dedup matches the flatMapGroupsWithState form") {
     // cross-batch exact dup (signature agreement 12/12) + distinct docs;
     // both implementations must keep/drop identically
