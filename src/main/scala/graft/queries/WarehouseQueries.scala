@@ -44,16 +44,19 @@ object WarehouseQueries {
     * [[Scd2.merge]]'s keep/close/new-version split and [[Scd2.asOf]]'s
     * interval predicate against an engine that never ran the merge. */
   def q57Scd2Pit(spark: SparkSession, dir: String): DataFrame = {
-    // persist each history generation: merge consumes its input history in
-    // four branches (still-open / closed / changed-key joins), so an
-    // unpersisted chain re-evaluates the previous generation's whole
-    // lineage per branch — with k merges that is 4^k scans of the base
-    // snapshots. In production the history is a TABLE between loads
-    // (write/read breaks the lineage the same way); persist is the
-    // in-session equivalent.
+    // persist the LAST pre-consumer generation (h1): merge consumes its
+    // input history in two branches (open/closed filters), so an
+    // unpersisted chain re-evaluates the previous generation's lineage
+    // per branch — with k merges that is 2^k scans of the base snapshots.
+    // h0 deliberately has NO barrier: re-deriving init from the cached
+    // snapshot frame is one cheap filter, while a persist pays a full
+    // materialization barrier (measured at sf0.1: all+h1 0.49-0.57 s vs
+    // all+h0+h1 0.56-0.71 s steady-state — the r7 1.79 s regression was
+    // exactly over-persisting). In production the history is a TABLE
+    // between loads (write/read breaks the lineage the same way).
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val Seq(s1, s2, s3) = snapshots(spark, dir, Seq(D1, D2, D3))
-    val h0 = Scd2.init(s1, D1).persist(mem)
+    val h0 = Scd2.init(s1, D1)
     val h1 = Scd2.merge(h0, s2, "o_custkey", D2).persist(mem)
     val h2 = Scd2.merge(h1, s3, "o_custkey", D3)
     Scd2.asOf(h2, Pit)
