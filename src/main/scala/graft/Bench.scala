@@ -46,8 +46,14 @@ object Bench {
     // otherwise hand their cache from one pass to the next via canonical-
     // plan matching — the median would then time cache hits, not the query
     val passes = (1 to 3).map { _ =>
-      spark.catalog.clearCache()
-      headline.map(g => g.name -> timeOnce(g)).toMap
+      headline.map { g =>
+        // leftover persisted intermediates from the PREVIOUS query (q47's
+        // curation barriers, q57's history generations, q65's decode
+        // cache) otherwise stack up across the pass and tax later queries
+        // with eviction churn — measured 2x inflation on mid-pass queries
+        spark.catalog.clearCache()
+        g.name -> timeOnce(g)
+      }.toMap
     }
     val results = headline.map { g =>
       val runs = passes.map(_(g.name))
