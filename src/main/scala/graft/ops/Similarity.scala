@@ -147,6 +147,31 @@ object Similarity {
       .filter(col("sim") > threshold)
   }
 
+  /** Density-ruled signature width: bits ≈ log₂(n / targetBucketRows),
+    * clamped to [4, 28]. Holding expected bucket occupancy constant keeps
+    * per-table verify work Σ n_b² LINEAR in n — with a fixed width,
+    * occupancy grows with n and in-bucket pairs grow ~n²/2^bits (the
+    * superlinear q21/q65 growth SCALING_r8.md measures at the pinned
+    * gate geometry). 28 bits caps the signature well inside the long. */
+  def autoBits(n: Long, targetBucketRows: Int = 30): Int = {
+    val raw = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketRows))
+      / math.log(2)).toInt
+    math.min(28, math.max(4, raw))
+  }
+
+  /** [[lshNearDupCandidates]] with the signature width chosen by the
+    * density rule from the ACTUAL corpus size (one count job up front —
+    * the production entry point when n is not known a priori; the fixed-
+    * width overload remains for oracle-pinned geometries). Recall at a
+    * given cosine depends on bitsPerTable (p^bits per table), so
+    * `nTables` may need to rise with the width to hold a recall target:
+    * 1 − (1 − p^bits)^nTables. */
+  def lshNearDupCandidatesAuto(vectors: DataFrame, nTables: Int = 16,
+      dim: Int = 64, threshold: Double = 0.0,
+      targetBucketRows: Int = 30): DataFrame =
+    lshNearDupCandidates(vectors, nTables,
+      autoBits(vectors.count(), targetBucketRows), dim, threshold)
+
   /** Loser ids for keep-first near-dup dedup at bucket granularity: each
     * vector is verified only against the MIN-id member of each bucket it
     * lands in (≤ nTables comparisons per vector), never pair-exhaustively.

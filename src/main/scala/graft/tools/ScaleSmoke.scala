@@ -67,6 +67,16 @@ object ScaleSmoke {
         .agg(graft.functions.TextFunctions.heavy_hitters(col("tok"), 30).as("hh"))
         .select(col("source"), col("hh.n"), map_keys(col("hh.items"))))
     }
+    time("incremental dedup (index)") {
+      // cross-run mode: first half indexed once, second half deduped
+      // against index ∪ self — per-ingest work scales with the batch
+      val idxPath = s"/tmp/graft_scale/sigidx_${nDocs}"
+      graft.core.Fs.delete(spark, idxPath)
+      val idx = Dedup.signatureIndexArtifact(
+        docs.filter(col("doc_id") < nDocs / 2), "doc_id", "text", idxPath)
+      noop(Dedup.minhashCandidatesIncremental(
+        docs.filter(col("doc_id") >= nDocs / 2), "doc_id", "text", idx))
+    }
     time("connected components") {
       // candidate graph of the planted clusters: components are ~2-node
       // (the %20==7 exact dup collapses in signatures with its base);
@@ -93,6 +103,18 @@ object ScaleSmoke {
         .option("checkpointLocation", "/tmp/graft_scale/ckpt_" + System.nanoTime())
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
+    }
+    time("streaming multi-probe near-dup") {
+      val ck = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+      spark.conf.set(ck, "false")
+      try {
+        val q = graft.streaming.DocStream.minhashNearDupFilteredMultiProbe(spark,
+            graft.streaming.DocStream.read(spark, "/tmp/graft_scale/docs_stream"))
+          .writeStream.format("noop")
+          .option("checkpointLocation", "/tmp/graft_scale/ckpt_" + System.nanoTime())
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally spark.conf.set(ck, "true")
     }
 
     // as-of join at scale: purchases against 9× the prior events, both

@@ -48,6 +48,22 @@ class SimilaritySpec extends SparkSpec {
     assert(expected.subsetOf(found), s"missing: ${expected -- found}")
   }
 
+  test("auto-sized LSH: density rule holds occupancy, recall preserved") {
+    // the rule: bits = ceil(log2(n / target)), clamped
+    assert(Similarity.autoBits(2000) === 7)     // 2000/30 ≈ 64-bucket rule
+    assert(Similarity.autoBits(20000) === 10)
+    assert(Similarity.autoBits(1000000000L) === 25)
+    assert(Similarity.autoBits(10) === 4)        // clamp low
+    assert(Similarity.autoBits(Long.MaxValue) === 28) // clamp high
+    // auto path still finds the planted dups (45 vectors -> 4 bits, tiny
+    // buckets, but near-identical vectors agree on every plane ~always)
+    val found = Similarity.lshNearDupCandidatesAuto(planted(), nTables = 8,
+        threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (0 until 5).map(i => (i.toLong, 100L + i)).toSet
+    assert(expected.subsetOf(found), s"missing: ${expected -- found}")
+  }
+
   test("LSH top-k recall vs brute force on planted duplicates") {
     val v = planted()
     val q = v.filter(col("id") < 5).select(col("id").as("qid"), col("vec").as("qvec"))
