@@ -311,6 +311,39 @@ object Multimodal {
     }
   }
 
+  case class AudioFeature(media_id: Long, window: Int, n_samples: Long,
+      peak: Long, zero_crossings: Long, sum_sq: Long)
+
+  /** Per-window audio features over [[WavDecoder]] frames (whose pixel
+    * payload is the window's little-endian PCM16 bytes): sample count,
+    * peak |amplitude|, zero-crossing count (sign flips between adjacent
+    * samples, negative vs non-negative), and the exact integer energy
+    * Σ s² — RMS = sqrt(sum_sq/n) is then ONE divide + ONE sqrt in
+    * double, the engine-portable finish ([[graft.core.Det]]'s exact-sum-
+    * then-float discipline applied to audio). One pass per window, no
+    * shuffle; the training-data use is silence/clipping gates and
+    * energy-profile dedup over audio corpora. */
+  def audioFeatures(frames: Dataset[Frame])(
+      implicit spark: SparkSession): Dataset[AudioFeature] = {
+    import spark.implicits._
+    frames.map { f =>
+      val px = f.pixels
+      val n = px.length / 2
+      var i = 0; var peak = 0L; var zc = 0L; var ss = 0L; var prevNeg = false
+      while (i < n) {
+        val s = (((px(2 * i + 1).toInt << 8) | (px(2 * i) & 0xff)).toShort).toLong
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        ss += s * s
+        val neg = s < 0
+        if (i > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+        i += 1
+      }
+      AudioFeature(f.media_id, f.frame_no, n.toLong, peak, zc, ss)
+    }
+  }
+
   /** 64-bit average-hash ("aHash", the classic perceptual-hash family) of
     * a decoded frame: bit d = 1 iff cell d's mean luma strictly exceeds
     * the whole-frame mean. The comparison is integer cross-multiplied

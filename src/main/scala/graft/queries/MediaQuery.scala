@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.ops.{Multimodal, Similarity}
-import graft.ops.Multimodal.{BmpDecoder, MediaRow}
+import graft.ops.Multimodal.{BmpDecoder, MediaRow, WavDecoder}
 
 /** Multimodal gate queries: embeddings rendered as REAL 24-bit BMPs, parsed
   * back by the pure-JVM [[Multimodal.BmpDecoder]] inside `mapPartitions`,
@@ -191,4 +191,58 @@ object MediaQuery {
       |SELECT ph.vec_id AS media_id, ph.phash_hi, ph.phash_lo,
       |  COALESCE(d.n, 0) AS n_neardup
       |FROM ph LEFT JOIN dups d ON d.id = ph.vec_id""".stripMargin
+
+  /** AUDIO gate: embeddings rendered as REAL PCM16 WAVs (mono, 32 Hz, 64
+    * samples — sample i = floor(embedding[i]·2¹⁴), exact because 2¹⁴ is a
+    * power of two so the float multiply never rounds), parsed back by the
+    * chunk-walking [[Multimodal.Wav]] decoder, windowed into two 1-second
+    * frames by [[WavDecoder]], then per-window features: peak amplitude,
+    * zero crossings, exact integer energy, RMS. The oracle rebuilds every
+    * value from the embeddings arithmetically — so the WAV byte encode →
+    * RIFF walk → window split → PCM16 reassembly must be SAMPLE-EXACT for
+    * the hash to match, certifying the audio codec path end-to-end (the
+    * q65 discipline applied to the second modality). */
+  def q69AudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, emb) =>
+        val samples = emb.map { v =>
+          val s = math.floor(v.toDouble * 16384.0).toLong
+          math.max(-32768L, math.min(32767L, s)).toShort
+        }.toArray
+        MediaRow(id, "audio", "wav", Multimodal.Wav.encode(32, 1, samples),
+          1, 32, 0L)
+      }
+    val frames = Multimodal.decodeFrames(media, new WavDecoder(1000))(spark)
+    Multimodal.audioFeatures(frames)(spark).toDF()
+      .select(col("media_id"), col("window").cast("long").as("window"),
+        col("n_samples"), col("peak"), col("zero_crossings"),
+        sqrt(col("sum_sq").cast("double") / col("n_samples")).as("rms"))
+  }
+
+  val q69AudioFeaturesSql: String =
+    """WITH s AS (
+      |  SELECT vec_id,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+      |    LEAST(32767, GREATEST(-32768,
+      |      CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 16384) AS BIGINT))) AS v
+      |  FROM embeddings),
+      |w AS (
+      |  SELECT vec_id, i // 32 AS win, i, v,
+      |    lag(v) OVER (PARTITION BY vec_id, i // 32 ORDER BY i) AS pv
+      |  FROM s),
+      |f AS (
+      |  SELECT vec_id, win,
+      |    COUNT(*) AS n_samples,
+      |    MAX(ABS(v)) AS peak,
+      |    CAST(SUM(CASE WHEN pv IS NOT NULL AND (pv < 0) <> (v < 0)
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+      |    SUM(v * v) AS sum_sq
+      |  FROM w GROUP BY vec_id, win)
+      |SELECT vec_id AS media_id, CAST(win AS BIGINT) AS window,
+      |  n_samples, peak, zero_crossings,
+      |  sqrt(CAST(sum_sq AS DOUBLE) / n_samples) AS rms
+      |FROM f""".stripMargin
 }

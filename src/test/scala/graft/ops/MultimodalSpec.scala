@@ -107,6 +107,30 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Wav.decode(oversize))
   }
 
+  test("audio features: known signals give exact peak/zc/energy, windows split") {
+    // 2 seconds at 4 Hz mono: window 0 = constant +100 (zc 0), window 1 =
+    // alternating ±200 (zc 3, every adjacent pair flips)
+    val samples = Array[Short](100, 100, 100, 100, 200, -200, 200, -200)
+    val rows = Seq(MediaRow(7L, "audio", "wav",
+      Wav.encode(4, 1, samples), 1, 4, 2000)).toDS()
+    val frames = Multimodal.decodeFrames(rows, new WavDecoder(1000))
+    val feats = Multimodal.audioFeatures(frames).collect()
+      .map(f => f.window -> f).toMap
+    assert(feats.keySet === Set(0, 1))
+    val w0 = feats(0)
+    assert(w0.n_samples === 4L && w0.peak === 100L && w0.zero_crossings === 0L)
+    assert(w0.sum_sq === 4L * 100 * 100)
+    val w1 = feats(1)
+    assert(w1.n_samples === 4L && w1.peak === 200L && w1.zero_crossings === 3L)
+    assert(w1.sum_sq === 4L * 200 * 200)
+    // silence: peak 0, rms 0, zc 0
+    val silent = Seq(MediaRow(8L, "audio", "wav",
+      Wav.encode(4, 1, Array[Short](0, 0, 0, 0)), 1, 4, 1000)).toDS()
+    val sf = Multimodal.audioFeatures(
+      Multimodal.decodeFrames(silent, new WavDecoder(1000))).collect().head
+    assert(sf.peak === 0L && sf.zero_crossings === 0L && sf.sum_sq === 0L)
+  }
+
   test("WAV windows never split a stereo sample frame") {
     // 22050 Hz stereo, 750ms window -> raw 33075 samples, odd: must round
     // down to a multiple of 2
