@@ -149,6 +149,42 @@ object Stats {
       |FROM lineitem
       |GROUP BY l_returnflag""".stripMargin
 
+  /** Quantile-SKETCH gate: `approx_percentile` (Spark's KLL-family
+    * mergeable sketch — the 100 TB percentile path next to q32's exact
+    * form, which needs a full sort-and-count per group). The sketch VALUE
+    * depends on partial-merge order, so it can never hash-compare; its
+    * rank-error CONTRACT does not: the returned value must hold some rank
+    * within ±ε·n of the target rank (ε = 1/accuracy). The gate computes
+    * the approx value per group, joins it back, counts rows strictly
+    * below / at-or-below it in the SAME scan pass, and emits the contract
+    * as booleans — the oracle states them as TRUE over group stats it
+    * derives independently (the q58 HLL / q63 Misra-Gries discipline
+    * applied to quantiles). */
+  def q70ApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val eps = 1.0 / 100 // accuracy=100
+    val approx = l.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 100)").as("ap"))
+      .select(col("l_returnflag"),
+        col("ap").getItem(0).as("a50"), col("ap").getItem(1).as("a90"))
+    def okCols(p: Double, v: org.apache.spark.sql.Column, tag: String) = Seq(
+      ((sum(when(col("l_quantity") < v, 1L).otherwise(0L)) + 1L) <=
+        (lit(p + eps) * count(lit(1)))).as(s"p${tag}_lo_ok"),
+      (sum(when(col("l_quantity") <= v, 1L).otherwise(0L)) >=
+        (lit(p - eps) * count(lit(1)))).as(s"p${tag}_hi_ok"))
+    l.join(broadcast(approx), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        (okCols(0.5, col("a50"), "50") ++ okCols(0.9, col("a90"), "90")): _*)
+  }
+
+  val q70ApproxPercentileSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  TRUE AS p50_lo_ok, TRUE AS p50_hi_ok,
+      |  TRUE AS p90_lo_ok, TRUE AS p90_hi_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
+
   val q30MomentsSql: String =
     """WITH g AS (
       |  SELECT l_returnflag, COUNT(*) AS n,
