@@ -59,6 +59,37 @@ object Events {
       |FROM events
       |GROUP BY event_type""".stripMargin
 
+  /** Semi-structured props through Spark 4's VARIANT type — the modern
+    * engine path next to q14's per-path string extraction: `parse_json`
+    * parses each document ONCE into the binary variant encoding, then
+    * `variant_get` does typed field access on the parsed form. At scale
+    * that inverts the cost model of `get_json_object` (which re-parses
+    * the string per path): k extractions cost one parse + k binary
+    * probes. Same aggregate surface as q14, so the oracle certifies the
+    * whole variant encode/decode round-trip against DuckDB's native JSON
+    * operators. */
+  def q71VariantProps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(col("k")).as("n_present"))
+  }
+
+  val q71VariantPropsSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+      |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+      |  COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_present
+      |FROM events
+      |GROUP BY event_type""".stripMargin
+
   /** Session windows per user, 30-minute inactivity gap: the real
     * `session_window` operator; the oracle reproduces it with
     * gaps-and-islands SQL. */

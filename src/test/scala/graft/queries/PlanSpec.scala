@@ -78,6 +78,48 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("minhashslices") || p.contains("MinHashSlices"), p)
   }
 
+  test("runtime bloom-filter join pruning injects when enabled (cluster mode)") {
+    // GraftSession ships the flag off for local (the filter build costs
+    // more than it saves under ~10M fact rows) but documents flipping it
+    // on for clusters — this pins that the documented knob actually
+    // produces the runtime filter on a selective fact-dim join in this
+    // Spark version, so the claim can't silently rot across upgrades
+    val conf = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val thr = "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+    // the injection rule also requires the APPLICATION side to scan more
+    // than a (10 GB default) threshold — zero it so the sf0.001 fact side
+    // qualifies; production leaves the default, which is precisely why
+    // the filter only fires on genuinely large scans
+    val appThr = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    // ...and refuses when the creation side could simply broadcast (the
+    // filter would be pointless) — disable auto-broadcast so the join is
+    // a genuine shuffle join, the cluster shape the rule exists for
+    val bc = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(conf)
+    val prevBc = spark.conf.get(bc)
+    spark.conf.set(conf, "true")
+    spark.conf.set(thr, "10MB")
+    spark.conf.set(appThr, "0")
+    spark.conf.set(bc, "-1")
+    try {
+      val o = graft.core.Tables.orders(spark, sf)
+      val c = graft.core.Tables.customer(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING")
+      // force a shuffle join so the bloom filter has a shuffle to prune
+      val joined = o.hint("merge").join(c,
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      val p = planOf(joined)
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        s"runtime bloom filter absent from plan:\n$p")
+    } finally {
+      spark.conf.set(conf, prev)
+      spark.conf.set(bc, prevBc)
+      spark.conf.unset(thr)
+      spark.conf.unset(appThr)
+    }
+  }
+
   test("q15: session windows plan as ONE exchange + shared sort + MergingSessions") {
     // the canonical Spark session plan: partial agg, a single hash
     // exchange on the session key, one sort serving the merge, the
