@@ -185,6 +185,32 @@ object Stats {
       |FROM lineitem
       |GROUP BY l_returnflag""".stripMargin
 
+  /** Skew-salted aggregation gate ([[graft.ops.Skew.saltedSum]]): the
+    * two-phase salted sum over a GENUINELY skewed grouping — 600k rows
+    * over 3 return flags, exactly the hot-key shape where a single
+    * reducer would absorb an entire group at cluster scale. Phase 1
+    * groups by (key, salt) spreading each group over 32 reducers; phase
+    * 2 folds the 32 partials. Summing integer cents keeps both phases
+    * exact under any partitioning, so the salted result hash-matches the
+    * oracle's plain GROUP BY — certifying the rewrite is identity on
+    * semantics, which is the entire point of salting. */
+  def q72SaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    graft.ops.Skew.saltedSum(l, Seq("l_returnflag"), "cents")
+      .select(col("l_returnflag"),
+        (col("sum_cents").cast("double") / 100.0).as("total"),
+        col("n_rows"))
+  }
+
+  val q72SaltedAggSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
+
   val q30MomentsSql: String =
     """WITH g AS (
       |  SELECT l_returnflag, COUNT(*) AS n,
