@@ -68,6 +68,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup equals full recompute on random corpora and splits") {
+    import org.apache.spark.sql.functions.col
+    (1 to 3).foreach { round =>
+      // small vocab forces real shingle collisions; random split point
+      val vocab = Vector.fill(6)("w" + rng.nextInt(100))
+      val docs = (0 until 50).map { i =>
+        val n = 3 + rng.nextInt(10)
+        (i.toLong, Vector.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val split = 5L + rng.nextInt(40)
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_prop_idx_$round").toString + "/idx"
+      val index = graft.ops.Dedup.signatureIndexArtifact(
+        docs.filter(col("doc_id") < split), "doc_id", "text", tmp)
+      val inc = graft.ops.Dedup.minhashCandidatesIncremental(
+          docs.filter(col("doc_id") >= split), "doc_id", "text", index)
+        .as[(Long, Long, Double)].collect().toSet
+      val full = graft.ops.Dedup.minhashCandidates(docs, "doc_id", "text")
+        .filter(col("id_b") >= split)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(inc === full, s"round $round split $split: " +
+        s"inc-only=${inc -- full} full-only=${full -- inc}")
+    }
+  }
+
   test("BMP round-trips random pixels at random dimensions") {
     (1 to 12).foreach { _ =>
       val w = rng.nextInt(9) + 1
