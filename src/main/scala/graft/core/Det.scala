@@ -21,12 +21,18 @@ object Det {
 
   /** Exact sum of a ≤4-decimal-digit double column, as double.
     * Fixed-point 1e-4: round(x·10⁴) is exact for ≤4-decimal inputs, the
-    * long sum is order-independent, and the final long→double divide is
-    * one correctly-rounded IEEE op — the same value the decimal form
-    * produces, at ~2.5× less CPU in the serial partial-agg path
-    * (measured: 600k-row decimal agg 360 ms vs long 140 ms on one scan
-    * task). Overflow throws under ANSI past |Σx| ≈ 9·10¹⁴ units; use
-    * [[dsumDecimal]] when magnitudes can approach that. */
+    * long sum is order-independent, and the long→double conversion is
+    * exact while |Σx·10⁴| < 2^53 — the final /10000.0 is then ONE
+    * correctly-rounded IEEE op, bit-identical to the decimal form's
+    * single CAST(SUM AS DOUBLE) rounding. ~2.5× less CPU than decimal in
+    * the serial partial-agg path (measured: 600k-row decimal agg 360 ms
+    * vs long 140 ms on one scan task).
+    *
+    * PRECISION WINDOW: past |Σx| ≈ 9·10¹¹ (units) the long→double cast
+    * rounds SILENTLY — the sum is still exact in the long, but the
+    * emitted double can differ from the decimal form by an ulp; the ANSI
+    * overflow error only fires much later at |Σx| ≈ 9·10¹⁴. Use
+    * [[dsumDecimal]] when group sums can exceed ~10¹¹. */
   def dsum(c: Column): Column =
     sum(round(c * 10000).cast("long")).cast("double") / 10000.0
 

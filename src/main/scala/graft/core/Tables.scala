@@ -18,14 +18,28 @@ object Tables {
     * read + relation resolution every time — measured 60-300 ms per
     * gated query at sf0.1 (q3 touches five tables), a real slice of each
     * sub-second query. A catalog resolves a table once per session; this
-    * map is the code-path equivalent. Entries die with their session
-    * (the key holds the session reference only as identity). */
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    * map is the code-path equivalent. The outer map holds sessions
+    * WEAKLY, so a stopped-and-collected session releases its cached
+    * plans instead of pinning them (and itself) for the JVM's life.
+    *
+    * CONTRACT: a memoized relation pins the file listing from first
+    * resolution — correct for the driver corpus (immutable per session);
+    * a tool that rewrites a dir it already read must call
+    * [[invalidate]] (Sf1Gen does). */
+  private val cache = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
-      k => k._1.read.parquet(k._2))
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      cache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }
+    perSession.computeIfAbsent(s"$sfDir/$name.parquet", spark.read.parquet(_))
+  }
+
+  /** Drop this session's memoized relations (after rewriting a dir). */
+  def invalidate(spark: SparkSession): Unit =
+    cache.synchronized { cache.remove(spark): Unit }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")

@@ -162,16 +162,42 @@ object Dedup {
     * are identical whether this run built the index or reused it.
     * `fast = true` builds XXH64/long signatures ([[minhashSignaturesFast]])
     * instead — the production hash family; keep one family per index. */
+  /** One-line parameter fingerprint stored next to the index; a serve
+    * call with different parameters must FAIL, not silently join 8-seed
+    * signatures against 16-seed ones and halve every estimate. */
+  private def sigIndexMeta(numHashes: Int, shingleWidth: Int, fast: Boolean) =
+    s"minhash nh=$numHashes w=$shingleWidth family=${if (fast) "xxh64" else "md5"}"
+
   def signatureIndexArtifact(df: DataFrame, idCol: String, textCol: String,
       path: String, numHashes: Int = 8, shingleWidth: Int = 3,
       fast: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_index_meta")
+    val meta = sigIndexMeta(numHashes, shingleWidth, fast)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
       val sig = if (fast) minhashSignaturesFast(df, idCol, textCol, numHashes, shingleWidth)
                 else minhashSignatures(df, idCol, textCol, numHashes, shingleWidth)
       sig.write.mode("overwrite").parquet(path)
+      val out = fs.create(metaPath, true)
+      try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } else {
+      // serving an existing index: its recorded parameters must match —
+      // est_jaccard divides by the CALLER's numHashes, and a different
+      // hash family would simply never collide
+      val stored =
+        if (!fs.exists(metaPath)) "(no metadata file — pre-guard index)"
+        else {
+          val in = fs.open(metaPath)
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        }
+      require(stored == meta,
+        s"signature index at $path was built with [$stored] but is being " +
+          s"served with [$meta]; rebuild the index or match the parameters")
     }
     spark.read.parquet(path)
   }
@@ -199,8 +225,13 @@ object Dedup {
   def minhashCandidatesIncremental(batch: DataFrame, idCol: String,
       textCol: String, index: DataFrame, numHashes: Int = 8,
       shingleWidth: Int = 3, fast: Boolean = false): DataFrame = {
-    val newSig = if (fast) minhashSignaturesFast(batch, idCol, textCol, numHashes, shingleWidth)
-                 else minhashSignatures(batch, idCol, textCol, numHashes, shingleWidth)
+    val newSig = (if (fast) minhashSignaturesFast(batch, idCol, textCol, numHashes, shingleWidth)
+                  else minhashSignatures(batch, idCol, textCol, numHashes, shingleWidth))
+      // the batch signatures feed BOTH join sides below; Spark does no
+      // common-subplan reuse across DataFrame references, so without a
+      // persist the shingle+hash kernel — the dominant per-ingest CPU —
+      // would run twice per ingest (caller may unpersist after its action)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = newSig.select(col("seed"), col("mh"), col("id").as("ia"))
     val b = index
       .select(col("seed"), col("mh"), col("id").as("ib"), lit(false).as("isNew"))

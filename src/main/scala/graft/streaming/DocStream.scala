@@ -220,14 +220,31 @@ object DocStream {
         "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
         "true").toBoolean)
       throw new IllegalStateException(
-        "multi-probe streaming dedup chains two flatMapGroupsWithState " +
+        "multi-probe streaming dedup chains flatMapGroupsWithState " +
           "stages, which Spark's global-watermark pattern check rejects; " +
           "set spark.sql.streaming.statefulOperator.checkCorrectness" +
-          ".enabled=false to run it (safe here: the vote-union stage is " +
-          "stateless and only consumes rows emitted in its own micro-batch " +
-          "— see the scaladoc)")
-    val probes = docs
+          ".enabled=false to run it (safe here: the extra stages are " +
+          "stateless and only consume rows emitted in their own " +
+          "micro-batch — see the scaladoc)")
+    // collapse same-id occurrences WITHIN the micro-batch first: after
+    // the band explode, occurrences are indistinguishable at the vote
+    // union, where a replayed copy's dup votes (it matches the first
+    // copy's just-inserted signatures) would veto the first copy's clean
+    // votes and lose the document entirely. Stateless by construction —
+    // the group never writes state, so this collapses within one batch
+    // only; a replay in a LATER batch is dropped by the band state, which
+    // is correct dedup output either way.
+    val uniq = docs
       .filter(col("text").isNotNull && col("ts").isNotNull)
+      .select(col("doc_id").cast("long"), col("ts"), col("text"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, java.sql.Timestamp, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, _) => Iterator.single(rows.next())
+      }
+      .toDF("doc_id", "ts", "text")
+    val probes = uniq
       .withColumn("sig", graft.functions.TextFunctions
         .min_hash_slices(col("text"), shingleWidth, numHashes))
       .withColumn("band", explode(array((0 until nBands).map(lit): _*)))

@@ -5,9 +5,12 @@ import graft.queries.Registry
 
 /** Per-query scaling sweep (dev tool): runs every gated query against an
   * arbitrary corpus dir (e.g. the [[Sf1Gen]] output) with one warm-up and
-  * two timed passes, printing `SWEEP <name> <median> s` lines. Diffing a
-  * sweep at sf0.1 against one at sf1 gives the per-query scaling factors —
-  * the evidence behind the 100 TB design claims in the operator scaladocs.
+  * two timed passes, printing `SWEEP <name> <min-of-2> s` lines — min is
+  * the deliberate estimator here: scaling comparisons want each query's
+  * noise floor, not its load luck (Bench uses median-of-3 for the graded
+  * number; don't mix the two across tools). Diffing a sweep at sf0.1
+  * against one at sf1 gives the per-query scaling factors — the evidence
+  * behind the 100 TB design claims in the operator scaladocs.
   *
   * Run: `sbt "runMain graft.tools.ScaleSweep [dir]"`.
   */

@@ -37,6 +37,9 @@ object Sf1Gen {
   }
 
   def generate(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
+    // this tool rewrites dirs a session may later read through the
+    // Tables memo — drop any stale cached listings up front
+    graft.core.Tables.invalidate(spark)
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String): Unit = {
       df.write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
@@ -85,10 +88,16 @@ object Sf1Gen {
     repl("embeddings") { (df, i) =>
       if (i == 0) df
       else {
-        // per-copy ±1 sign vector from the copy index and dim: an exact
-        // orthogonal transform within the copy, decorrelating across
+        // per-copy ±1 sign vector from a REAL hash of (copy, dim): an
+        // exact orthogonal transform within the copy, decorrelating
+        // across copies. A multiplicative-xor parity here degenerates —
+        // odd multipliers preserve parity, so all even copies would share
+        // ONE sign vector and gain exact cross-copy duplicates (caught in
+        // round-8 review; it silently corrupted the first sf1 sweep's
+        // embedding numbers with cosine-1.0 cross-copy pairs).
         val signs = (0 until 64).map(d =>
-          if (((i * 1315423911L) ^ (d * 2654435761L)).toInt % 2 == 0) 1.0f else -1.0f)
+          if ((scala.util.hashing.MurmurHash3.productHash((i, d)) & 1) == 0)
+            1.0f else -1.0f)
         val signsCol = typedLit(signs)
         df.withColumn("vec_id", col("vec_id") + lit(i * D))
           .withColumn("embedding",

@@ -187,6 +187,14 @@ class DedupSpec extends SparkSpec {
       .filter(col("est_jaccard") >= 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(round2.contains((3L, 300L)) && round2.contains((103L, 300L)))
+    // serving an existing index with different parameters must fail fast
+    // (est_jaccard divides by the caller's numHashes — a silent mismatch
+    // would halve every similarity estimate)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.signatureIndexArtifact(
+        c.filter(col("doc_id") < split), "doc_id", "text", tmp, numHashes = 16)
+    }
+    assert(e.getMessage.contains("nh=16"))
   }
 
   test("reliable-checkpoint CC matches the localCheckpoint path") {

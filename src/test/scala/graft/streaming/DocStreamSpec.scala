@@ -193,6 +193,27 @@ class DocStreamSpec extends SparkSpec {
     assert(multi === Set(1L, 2L, 4L), s"got $multi")
   }
 
+  test("multi-probe: an in-batch replayed doc_id survives exactly once") {
+    // the same (doc_id, text) row twice in ONE micro-batch — the replay
+    // shape of an at-least-once source. The second copy matches the
+    // first's just-inserted signatures in every band; without the
+    // in-batch collapse its all-dup votes would veto the first copy's
+    // clean votes at the union and the document would vanish entirely
+    val dir = tmpDir("docs-mp-replay")
+    val d = doc(40)
+    Seq((1L, ts(0), d), (1L, ts(0), d), (2L, ts(1), doc(40)))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("overwrite").parquet(dir)
+    val ck = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    spark.conf.set(ck, "false")
+    val kept = try {
+      val q = DocStream.minhashNearDupFilteredMultiProbe(spark, DocStream.read(spark, dir))
+        .writeStream.format("memory").queryName("mp_replay").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("mp_replay").select("doc_id").as[Long].collect().toSeq
+    } finally spark.conf.set(ck, "true")
+    assert(kept.sorted === Seq(1L, 2L), s"got $kept")
+  }
+
   test("transformWithState MinHash dedup matches the flatMapGroupsWithState form") {
     // cross-batch exact dup (signature agreement 12/12) + distinct docs;
     // both implementations must keep/drop identically
