@@ -208,9 +208,32 @@ object Dedup {
   def appendToSignatureIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, numHashes: Int = 8, shingleWidth: Int = 3,
       fast: Boolean = false): Unit = {
+    // appends are held to the same parameter guard as serving: appending
+    // 16-seed or XXH64 signatures into an 8-seed md5 index would corrupt
+    // every estimate that touches the appended rows
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_index_meta")
+    val meta = sigIndexMeta(numHashes, shingleWidth, fast)
+    if (fs.exists(metaPath)) {
+      val in = fs.open(metaPath)
+      val stored =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      require(stored == meta,
+        s"signature index at $path was built with [$stored] but is being " +
+          s"appended with [$meta]; rebuild the index or match the parameters")
+    }
     val sig = if (fast) minhashSignaturesFast(df, idCol, textCol, numHashes, shingleWidth)
               else minhashSignatures(df, idCol, textCol, numHashes, shingleWidth)
     sig.write.mode("append").parquet(path)
+    if (!fs.exists(metaPath)) {
+      val out = fs.create(metaPath, true)
+      try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 
   /** Candidate pairs for a NEW batch against a stored signature index:
@@ -227,11 +250,22 @@ object Dedup {
       shingleWidth: Int = 3, fast: Boolean = false): DataFrame = {
     val newSig = (if (fast) minhashSignaturesFast(batch, idCol, textCol, numHashes, shingleWidth)
                   else minhashSignatures(batch, idCol, textCol, numHashes, shingleWidth))
-      // the batch signatures feed BOTH join sides below; Spark does no
+      // the batch signatures feed BOTH join sides; Spark does no
       // common-subplan reuse across DataFrame references, so without a
       // persist the shingle+hash kernel — the dominant per-ingest CPU —
-      // would run twice per ingest (caller may unpersist after its action)
+      // would run twice per ingest. The cached block is method-local and
+      // lives until the session clears its cache — fine for one-shot
+      // callers (the q68 gate; Verify/Bench clear between queries); a
+      // long-lived ingest loop should use [[withIncrementalCandidates]],
+      // which unpersists after each ingest.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidatesIncremental(newSig, index, numHashes)
+  }
+
+  /** Candidate join over precomputed batch signatures (see
+    * [[minhashCandidatesIncremental]] for the pair semantics). */
+  private def candidatesIncremental(newSig: DataFrame, index: DataFrame,
+      numHashes: Int): DataFrame = {
     val a = newSig.select(col("seed"), col("mh"), col("id").as("ia"))
     val b = index
       .select(col("seed"), col("mh"), col("id").as("ib"), lit(false).as("isNew"))
@@ -245,6 +279,23 @@ object Dedup {
       .groupBy(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"))
       .agg((count(lit(1)).cast("double") / numHashes).as("est_jaccard"))
+  }
+
+  /** Loan-pattern wrapper for a production ingest loop: computes the
+    * batch signatures ONCE (persisted), builds the incremental candidate
+    * set, hands it to `f`, and ALWAYS unpersists afterwards — the
+    * direct [[minhashCandidatesIncremental]] form cannot release its
+    * internal cache (the reference is method-local), so a long-lived
+    * ingest loop should use this wrapper to keep executor storage flat
+    * across ingests. */
+  def withIncrementalCandidates[T](batch: DataFrame, idCol: String,
+      textCol: String, index: DataFrame, numHashes: Int = 8,
+      shingleWidth: Int = 3, fast: Boolean = false)(f: DataFrame => T): T = {
+    val newSig = (if (fast) minhashSignaturesFast(batch, idCol, textCol, numHashes, shingleWidth)
+                  else minhashSignatures(batch, idCol, textCol, numHashes, shingleWidth))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try f(candidatesIncremental(newSig, index, numHashes))
+    finally { newSig.unpersist(); () }
   }
 
   /** Near-dup groups from candidate pairs above a threshold: connected

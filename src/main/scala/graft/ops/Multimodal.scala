@@ -386,7 +386,11 @@ object Multimodal {
   def repartitionBySize(media: DataFrame, avgMediaBytes: Long,
       targetBytes: Long = 256L << 20): DataFrame = {
     val rowsPerPartition = math.max(1L, targetBytes / math.max(1L, avgMediaBytes))
-    val n = math.max(1, (media.count() / rowsPerPartition).toInt)
+    // ceil, not floor: flooring the partition count packs up to ~2x
+    // targetBytes into each task, defeating the memory bound this knob
+    // exists to enforce
+    val count = media.count()
+    val n = math.max(1L, (count + rowsPerPartition - 1) / rowsPerPartition).toInt
     media.repartitionByRange(n, col("media_id"))
   }
 }

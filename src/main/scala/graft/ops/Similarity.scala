@@ -247,7 +247,7 @@ object Similarity {
       // to 6 decimals and summed as DECIMAL, so the result is identical
       // under any partitioning/ordering — and in any engine (same trick
       // as the q22 centroid gate); one cast back to float at the end
-      cents = assigned.join(vectors, "id")
+      val updated = assigned.join(vectors, "id")
         .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "v")))
         .groupBy(col("cid"), col("dim"))
         .agg((sum(round(col("v").cast("double"), 6).cast("decimal(18,6)"))
@@ -256,8 +256,12 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("m")))),
           x => x.getField("m").cast("float")).as("cvec"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-        .sortBy(_._1).toVector
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+      // a centroid that attracted zero vectors keeps its previous
+      // position — the standard Lloyd convention; rebuilding only from
+      // assigned clusters would silently SHRINK the codebook below k on
+      // duplicate-heavy corpora and skew every consumer sized against k
+      cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
     }
     cents.toDF("cid", "cvec")
   }
@@ -275,9 +279,30 @@ object Similarity {
     val spark = vectors.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+    val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_centroid_meta")
+    val meta = s"kmeans k=$k iters=$iters init=$init"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
       trainCentroids(vectors, k, iters, init)
         .write.mode("overwrite").parquet(path)
+      val out = fs.create(metaPath, true)
+      try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } else {
+      // serving an existing artifact with different training parameters
+      // must fail, not silently hand back e.g. a 16-centroid table to a
+      // caller who asked for 64 (same guard as Dedup.sigIndexMeta)
+      val stored =
+        if (!fs.exists(metaPath)) "(no metadata file — pre-guard artifact)"
+        else {
+          val in = fs.open(metaPath)
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        }
+      require(stored == meta,
+        s"centroid artifact at $path was built with [$stored] but is being " +
+          s"served with [$meta]; delete the artifact or match the parameters")
+    }
     spark.read.parquet(path)
   }
 
@@ -295,7 +320,10 @@ object Similarity {
     * serving-side codebook for [[ivfTopK]]'s array overload. */
   def centroidCodebook(vectors: DataFrame, path: String, k: Int,
       iters: Int = 2, init: String = "parallel"): Array[(Long, Seq[Float])] =
-    codebookCache.computeIfAbsent(path, _ =>
+    // keyed by path AND parameters: the artifact guard rejects a
+    // parameter mismatch on disk, and this key prevents the in-JVM memo
+    // from serving a codebook trained under different parameters
+    codebookCache.computeIfAbsent(s"$path|k=$k|iters=$iters|init=$init", _ =>
       centroidArtifact(vectors, path, k, iters, init)
         .select(col("cid"), col("cvec"))
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1))

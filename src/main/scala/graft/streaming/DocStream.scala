@@ -65,14 +65,14 @@ object DocStream {
       .withWatermark("ts", "2 hours")
       .as[Doc]
     typed.groupByKey(_.bucket)
-      .flatMapGroupsWithState[List[Long], (Long, java.sql.Timestamp, String)](
+      .flatMapGroupsWithState[(Long, List[Long]), (Long, java.sql.Timestamp, String)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: Long, rows: Iterator[Doc], state: GroupState[List[Long]]) =>
+        (_: Long, rows: Iterator[Doc], state: GroupState[(Long, List[Long])]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            var seen = state.getOption.getOrElse(Nil)
+            var (expiry, seen) = state.getOption.getOrElse((0L, List.empty[Long]))
             val batch = rows.toSeq.sortBy(_.doc_id)
             val out = batch.flatMap { d =>
               val dup = seen.exists(s =>
@@ -83,13 +83,16 @@ object DocStream {
                 Some((d.doc_id, d.ts, d.text))
               }
             }
-            state.update(seen)
-            // expire 2h of EVENT time after this bucket's latest doc (not
-            // after the pre-batch watermark, which is 0 on the first batch
-            // and would expire everything as soon as it first advances)
+            // expire 2h of EVENT time after this bucket's latest-EVER doc:
+            // not the pre-batch watermark (0 on the first batch — would
+            // expire everything as soon as it advances), and monotone in
+            // the previously registered expiry — a batch of LATE rows must
+            // never move the timer earlier and evict live state
             val latest = math.max(state.getCurrentWatermarkMs(),
               batch.map(_.ts.getTime).max)
-            state.setTimeoutTimestamp(latest + 2L * 3600 * 1000)
+            expiry = math.max(expiry, latest + 2L * 3600 * 1000)
+            state.update((expiry, seen))
+            state.setTimeoutTimestamp(expiry)
             out.iterator
           }
       }
@@ -125,23 +128,31 @@ object DocStream {
       estJaccard: Double = 0.6, maxSeen: Int = 1024): DataFrame = {
     import spark.implicits._
     require(bandRows >= 1 && bandRows <= numHashes, "bandRows out of range")
-    val typed = docs
+    val withSig = docs
       .filter(col("text").isNotNull && col("ts").isNotNull)
       .withColumn("sig", graft.functions.TextFunctions
         .min_hash_slices(col("text"), shingleWidth, numHashes))
+    // docs shorter than the shingle width have NO signature (null array):
+    // they bypass the near-dup state entirely and are always kept — the
+    // same semantics as the batch path, which filters them out of the
+    // signature table (a null sig stored in keyed state would NPE the
+    // dup check and kill the long-running query)
+    val short = withSig.filter(col("sig").isNull)
+      .select(col("doc_id"), col("ts"), col("text"))
+    val typed = withSig.filter(col("sig").isNotNull)
       .withColumn("bucket", concat_ws("", slice(col("sig"), 1, bandRows)))
       .withWatermark("ts", "2 hours")
       .as[MhDoc]
     val need = math.ceil(estJaccard * numHashes).toInt
     typed.groupByKey(_.bucket)
-      .flatMapGroupsWithState[List[Seq[String]], (Long, java.sql.Timestamp, String)](
+      .flatMapGroupsWithState[(Long, List[Seq[String]]), (Long, java.sql.Timestamp, String)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: String, rows: Iterator[MhDoc], state: GroupState[List[Seq[String]]]) =>
+        (_: String, rows: Iterator[MhDoc], state: GroupState[(Long, List[Seq[String]])]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            var seen = state.getOption.getOrElse(Nil)
+            var (expiry, seen) = state.getOption.getOrElse((0L, List.empty[Seq[String]]))
             val batch = rows.toSeq.sortBy(_.doc_id)
             val out = batch.flatMap { d =>
               val dup = seen.exists { s =>
@@ -158,21 +169,18 @@ object DocStream {
                 Some((d.doc_id, d.ts, d.text))
               }
             }
-            state.update(seen)
-            // same event-time expiry rule as the SimHash path (see there)
+            // same latest-ever monotone expiry rule as the SimHash path
             val latest = math.max(state.getCurrentWatermarkMs(),
               batch.map(_.ts.getTime).max)
-            state.setTimeoutTimestamp(latest + 2L * 3600 * 1000)
+            expiry = math.max(expiry, latest + 2L * 3600 * 1000)
+            state.update((expiry, seen))
+            state.setTimeoutTimestamp(expiry)
             out.iterator
           }
       }
       .toDF("doc_id", "ts", "text")
+      .unionByName(short)
   }
-
-  /** Per-band probe row for [[minhashNearDupFilteredMultiProbe]]: one doc
-    * exploded into `nBands` rows, keyed by (band index | band value). */
-  case class MhProbe(doc_id: Long, ts: java.sql.Timestamp, text: String,
-      sig: Seq[String], bucket: String)
 
   /** MULTI-PROBE streaming MinHash near-dup — closes the recall hole the
     * single-probe paths document: [[minhashNearDupFiltered]] keys state on
@@ -244,26 +252,31 @@ object DocStream {
         (_, rows, _) => Iterator.single(rows.next())
       }
       .toDF("doc_id", "ts", "text")
-    val probes = uniq
+    val withSig = uniq
       .withColumn("sig", graft.functions.TextFunctions
         .min_hash_slices(col("text"), shingleWidth, numHashes))
+    // short docs (no signature) bypass the probe stages and are kept —
+    // see [[minhashNearDupFiltered]]
+    val short = withSig.filter(col("sig").isNull)
+      .select(col("doc_id"), col("ts"), col("text"))
+    val probes = withSig.filter(col("sig").isNotNull)
       .withColumn("band", explode(array((0 until nBands).map(lit): _*)))
       .withColumn("bucket", concat_ws("|", col("band").cast("string"),
         concat_ws("", slice(col("sig"), col("band") * bandRows + 1, lit(bandRows)))))
       .drop("band")
       .withWatermark("ts", "2 hours")
-      .as[MhProbe]
+      .as[MhDoc]
     val need = math.ceil(estJaccard * numHashes).toInt
     val voted = probes.groupByKey(_.bucket)
-      .flatMapGroupsWithState[List[Seq[String]],
+      .flatMapGroupsWithState[(Long, List[Seq[String]]),
           (Long, java.sql.Timestamp, String, Boolean)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: String, rows: Iterator[MhProbe], state: GroupState[List[Seq[String]]]) =>
+        (_: String, rows: Iterator[MhDoc], state: GroupState[(Long, List[Seq[String]])]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            var seen = state.getOption.getOrElse(Nil)
+            var (expiry, seen) = state.getOption.getOrElse((0L, List.empty[Seq[String]]))
             val batch = rows.toSeq.sortBy(_.doc_id)
             val out = batch.map { d =>
               val dup = seen.exists { s =>
@@ -277,11 +290,12 @@ object DocStream {
               if (!dup) seen = (d.sig :: seen).take(maxSeen)
               (d.doc_id, d.ts, d.text, dup)
             }
-            state.update(seen)
-            // same event-time expiry rule as the single-probe path
+            // same latest-ever monotone expiry rule as the single-probe path
             val latest = math.max(state.getCurrentWatermarkMs(),
               batch.map(_.ts.getTime).max)
-            state.setTimeoutTimestamp(latest + 2L * 3600 * 1000)
+            expiry = math.max(expiry, latest + 2L * 3600 * 1000)
+            state.update((expiry, seen))
+            state.setTimeoutTimestamp(expiry)
             out.iterator
           }
       }
@@ -297,6 +311,7 @@ object DocStream {
           else Iterator.single((vs.head._1, vs.head._2, vs.head._3))
       }
       .toDF("doc_id", "ts", "text")
+      .unionByName(short)
   }
 
   /** [[minhashNearDupFiltered]] on the Spark 4 `transformWithState` API —
@@ -314,10 +329,14 @@ object DocStream {
       estJaccard: Double = 0.6, maxSeen: Int = 1024): DataFrame = {
     import spark.implicits._
     require(bandRows >= 1 && bandRows <= numHashes, "bandRows out of range")
-    val typed = docs
+    val withSig = docs
       .filter(col("text").isNotNull && col("ts").isNotNull)
       .withColumn("sig", graft.functions.TextFunctions
         .min_hash_slices(col("text"), shingleWidth, numHashes))
+    // short docs bypass the stateful path — see [[minhashNearDupFiltered]]
+    val short = withSig.filter(col("sig").isNull)
+      .select(col("doc_id"), col("ts"), col("text"))
+    val typed = withSig.filter(col("sig").isNotNull)
       .withColumn("bucket", concat_ws("", slice(col("sig"), 1, bandRows)))
       .withWatermark("ts", "2 hours")
       .as[MhDoc]
@@ -326,6 +345,7 @@ object DocStream {
       .transformWithState(new MinHashDedupProcessor(numHashes, need, maxSeen),
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append)
       .toDF("doc_id", "ts", "text")
+      .unionByName(short)
   }
 }
 
@@ -375,12 +395,19 @@ final class MinHashDedupProcessor(numHashes: Int, need: Int, maxSeen: Int)
       }
     }
     sigs.put(seen.toArray)
-    // rearm the bucket-expiry timer: 2 h of event time past the latest doc
+    // rearm the bucket-expiry timer: 2 h of event time past the bucket's
+    // latest-EVER doc — monotone in the registered expiry, so a batch of
+    // late rows can never move the timer earlier and evict live state
     val latest = math.max(timerValues.getCurrentWatermarkInMs(),
       batch.map(_.ts.getTime).max)
-    if (expiry.exists()) getHandle.deleteTimer(expiry.get())
-    getHandle.registerTimer(latest + TtlMs)
-    expiry.update(latest + TtlMs)
+    val newExpiry = math.max(latest + TtlMs,
+      if (expiry.exists()) expiry.get() else 0L)
+    if (expiry.exists() && expiry.get() != newExpiry)
+      getHandle.deleteTimer(expiry.get())
+    if (!expiry.exists() || expiry.get() != newExpiry) {
+      getHandle.registerTimer(newExpiry)
+      expiry.update(newExpiry)
+    }
     out.iterator
   }
 

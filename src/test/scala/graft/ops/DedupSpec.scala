@@ -187,7 +187,7 @@ class DedupSpec extends SparkSpec {
       .filter(col("est_jaccard") >= 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(round2.contains((3L, 300L)) && round2.contains((103L, 300L)))
-    // serving an existing index with different parameters must fail fast
+    // serving OR appending with different parameters must fail fast
     // (est_jaccard divides by the caller's numHashes — a silent mismatch
     // would halve every similarity estimate)
     val e = intercept[IllegalArgumentException] {
@@ -195,6 +195,22 @@ class DedupSpec extends SparkSpec {
         c.filter(col("doc_id") < split), "doc_id", "text", tmp, numHashes = 16)
     }
     assert(e.getMessage.contains("nh=16"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.appendToSignatureIndex(batch3, "doc_id", "text", tmp, fast = true)
+    }
+    assert(e2.getMessage.contains("xxh64"))
+    // the loan-pattern ingest form: same candidates, cache released after
+    // (fresh index dir — tmp now also holds the APPENDED batch-2
+    // signatures above, and batch/index ids must be disjoint)
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_sigidx_loan")
+      .toString + "/idx"
+    val loan = Dedup.withIncrementalCandidates(
+        c.filter(col("doc_id") >= split), "doc_id", "text",
+        Dedup.signatureIndexArtifact(
+          c.filter(col("doc_id") < split), "doc_id", "text", tmp2)) {
+      _.as[(Long, Long, Double)].collect().toSet
+    }
+    assert(loan === inc)
   }
 
   test("reliable-checkpoint CC matches the localCheckpoint path") {

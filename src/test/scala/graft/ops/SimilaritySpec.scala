@@ -64,6 +64,26 @@ class SimilaritySpec extends SparkSpec {
     assert(expected.subsetOf(found), s"missing: ${expected -- found}")
   }
 
+  test("centroid artifact refuses a parameter-mismatched serve; Lloyd keeps k") {
+    val v = planted()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cent_spec")
+      .toString + "/cents"
+    val trained = Similarity.centroidArtifact(v, tmp, k = 8, iters = 1, init = "sample")
+    assert(trained.count() === 8)
+    // same params: served from the artifact
+    assert(Similarity.centroidArtifact(v, tmp, k = 8, iters = 1, init = "sample")
+      .count() === 8)
+    // different k: must fail, not silently serve the 8-centroid table
+    val e = intercept[IllegalArgumentException] {
+      Similarity.centroidArtifact(v, tmp, k = 16, iters = 1, init = "sample")
+    }
+    assert(e.getMessage.contains("k=16"))
+    // empty clusters keep their previous centroid — k rows survive even
+    // when k exceeds the effective distinct points (5 dup pairs planted)
+    val many = Similarity.trainCentroids(v, k = 32, iters = 2, init = "sample")
+    assert(many.count() === 32)
+  }
+
   test("LSH top-k recall vs brute force on planted duplicates") {
     val v = planted()
     val q = v.filter(col("id") < 5).select(col("id").as("qid"), col("vec").as("qvec"))

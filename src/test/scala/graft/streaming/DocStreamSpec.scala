@@ -249,6 +249,30 @@ class DocStreamSpec extends SparkSpec {
     assert(base.map(_._1).toSet.subsetOf(twsKept))
   }
 
+  test("docs shorter than the shingle width pass through all MinHash paths alive") {
+    // a 2-token doc has NO 3-shingle signature (null array) — it must be
+    // kept, bypassing the near-dup state, and must NOT kill the query
+    // (a null sig stored in keyed state NPEs the dup check)
+    val dir = tmpDir("docs-short")
+    Seq((1L, ts(0), "hello world"), (2L, ts(1), doc(40)),
+        (3L, ts(2), "hi"), (4L, ts(3), doc(40)))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("overwrite").parquet(dir)
+    val q1 = DocStream.minhashNearDupFiltered(spark, DocStream.read(spark, dir))
+      .writeStream.format("memory").queryName("short_fmgs").outputMode("append").start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.table("short_fmgs").select("doc_id").as[Long].collect().toSet
+      === Set(1L, 2L, 3L, 4L))
+    val ck = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    spark.conf.set(ck, "false")
+    val multi = try {
+      val q2 = DocStream.minhashNearDupFilteredMultiProbe(spark, DocStream.read(spark, dir))
+        .writeStream.format("memory").queryName("short_mp").outputMode("append").start()
+      try q2.processAllAvailable() finally q2.stop()
+      spark.table("short_mp").select("doc_id").as[Long].collect().toSet
+    } finally spark.conf.set(ck, "true")
+    assert(multi === Set(1L, 2L, 3L, 4L))
+  }
+
   test("streaming exact dedup drops only identical content") {
     val (dir, originals, _) = mkSource()
     val q = DocStream.exactDeduped(DocStream.read(spark, dir))
