@@ -44,8 +44,11 @@ object Det {
   def dsumProd(a: Column, b: Column): Column =
     sum(a.cast(D) * b.cast(D)).cast("double")
 
-  /** Deterministic mean: exact decimal sum, then one double division. */
-  def davg(c: Column): Column = sum(c.cast(D)).cast("double") / count(lit(1))
+  /** Deterministic mean: exact decimal sum, then one double division.
+    * Denominator is count(c) — the null-ignoring count matching the
+    * null-ignoring sum (count(*) would silently undercount the mean on
+    * nullable measures, diverging from AVG and any oracle). */
+  def davg(c: Column): Column = sum(c.cast(D)).cast("double") / count(c)
 
   // Integer-cents variants: ~10× cheaper than decimal aggregation in hot
   // paths. round(x*100) is exact for 2-decimal inputs; the long sum is

@@ -89,7 +89,18 @@ final class Metrics(spark: SparkSession) extends SparkListener {
         // contract, traded against stalling every driver-only scope
         val soft = now + 1000
         def deadline = if (startSeq.getOrElse(name, 0L) != beforeStart) hard else soft
-        while (seq.getOrElse(name, 0L) == before && System.currentTimeMillis() < deadline)
+        // wait until every execution STARTED in this scope has ENDED, not
+        // merely the first — f has returned, so all its Start/End events
+        // are already posted to the (FIFO) bus; a scope wrapping k actions
+        // must not return with action 1's snapshot while action k's End
+        // overwrites it asynchronously. A multi-action scope's snapshot is
+        // the LAST action's (each End overwrites the name's slot).
+        def caughtUp = {
+          val starts = startSeq.getOrElse(name, 0L)
+          starts != beforeStart &&
+            (seq.getOrElse(name, 0L) - before) >= (starts - beforeStart)
+        }
+        while (!caughtUp && System.currentTimeMillis() < deadline)
           Thread.sleep(10)
       }
     }

@@ -26,15 +26,27 @@ object Tables {
     * resolution — correct for the driver corpus (immutable per session);
     * a tool that rewrites a dir it already read must call
     * [[invalidate]] (Sf1Gen does). */
+  // values hold the DataFrame WEAKLY: a cached plan strongly references
+  // its session (Dataset -> SparkSession), so strong values would pin the
+  // WeakHashMap key forever and the per-session eviction could never
+  // fire. Weakly-held plans may be collected under GC pressure — then the
+  // memo just re-resolves (it is a perf cache, not a correctness one).
   private val cache = new java.util.WeakHashMap[
-    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.WeakReference[DataFrame]]]()
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val perSession = cache.synchronized {
-      cache.computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      cache.computeIfAbsent(spark, _ => new java.util.concurrent.ConcurrentHashMap[
+        String, java.lang.ref.WeakReference[DataFrame]]())
     }
-    perSession.computeIfAbsent(s"$sfDir/$name.parquet", spark.read.parquet(_))
+    val key = s"$sfDir/$name.parquet"
+    val cached = Option(perSession.get(key)).flatMap(r => Option(r.get))
+    cached.getOrElse {
+      val df = spark.read.parquet(key)
+      perSession.put(key, new java.lang.ref.WeakReference(df))
+      df
+    }
   }
 
   /** Drop this session's memoized relations (after rewriting a dir). */

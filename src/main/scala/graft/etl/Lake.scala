@@ -17,20 +17,42 @@ object Lake {
   val stockPartitions: Seq[String] =
     Seq("stock_year", "stock_month", "stock_day", "stock_ticker")
 
+  /** Parity-layout write, IDEMPOTENT under retry: the batch's partitions
+    * (year/month/day/ticker) are wholly owned by this ticker's dates, so
+    * dynamic partition overwrite replaces exactly the partitions the
+    * batch touches and leaves every other partition alone — a crashed
+    * run that re-extracts the same date range rewrites the same
+    * partitions instead of appending duplicates (the lake-side half of
+    * the pipeline's effectively-once contract; the warehouse half is the
+    * SCD-0 anti-join). */
   def writeStocks(df: DataFrame, root: String): Unit =
-    df.write.mode("append")
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(stockPartitions: _*)
       .parquet(s"$root/stocks")
 
-  /** Scale layout: date-only directories, ticker-sorted row groups. */
+  /** Scale layout: date-only directories, ticker-sorted row groups.
+    * Partition columns lead the sort — FileFormatWriter requires output
+    * ordered by them and would otherwise insert its OWN sort on just
+    * (year, month) above this one, paying twice and leaving the ticker
+    * clustering at the mercy of sort stability; with the prefix in
+    * place, the single sort serves the writer AND the row-group layout.
+    * NOTE append-only: (year, month) directories are shared across
+    * tickers, so partition overwrite would clobber other tickers' rows —
+    * retry idempotency for this layout needs read-side dedup or a
+    * table-format MERGE. */
   def writeStocksCompact(df: DataFrame, root: String): Unit =
-    df.sortWithinPartitions("stock_ticker", "stock_date")
+    df.sortWithinPartitions(
+        "stock_year", "stock_month", "stock_ticker", "stock_date")
       .write.mode("append")
       .partitionBy("stock_year", "stock_month")
       .parquet(s"$root/stocks")
 
+  /** Full-refresh write: dynamic overwrite of the exchange's partition —
+    * naturally idempotent (a retry rewrites the same snapshot). */
   def writeMarkets(df: DataFrame, root: String): Unit =
-    df.write.mode("append")
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("market_exchange")
       .parquet(s"$root/markets")
 
@@ -83,6 +105,11 @@ object Lake {
       bounds: Seq[(Long, Long)]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     require(cols.nonEmpty && cols.size == bounds.size)
+    // 16 bits per column must fit the long: at k=5, bit position 79 would
+    // alias position 15 (Java shifts mod 64) and silently garble z-values
+    require(cols.size <= 4,
+      s"zvalue supports at most 4 cluster columns (16 bits each in a " +
+        s"64-bit key); got ${cols.size}")
     val k = cols.size
     val scaled = cols.zip(bounds).map { case (c, (lo, hi)) =>
       val span = math.max(1L, hi - lo)

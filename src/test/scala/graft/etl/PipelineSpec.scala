@@ -65,6 +65,22 @@ class PipelineSpec extends SparkSpec {
     assert(p.warehouseStocks().count() === 3)
   }
 
+  test("crash-retry does not duplicate lake rows (dynamic partition overwrite)") {
+    // simulate a crash between the lake write and the state advance: the
+    // watermark is unchanged, so a retry re-extracts and re-writes the
+    // SAME batch — the batch's (y/m/d/ticker) partitions are rewritten,
+    // not appended, so the lake holds each row once (the lake-side half
+    // of effectively-once; the warehouse half is the anti-join)
+    val p = mkPipeline()
+    p.runStock("AAPL")
+    val once = Lake.readStocks(spark, p.lakeRoot).count()
+    // the retry: same extraction + lake write, as a crashed run would redo
+    val raw = new JsonDirSource(spark, fixtures).eod("AAPL", "1990-01-02")
+    Lake.writeStocks(Transforms.transformStock(raw, "AAPL"), p.lakeRoot)
+    assert(Lake.readStocks(spark, p.lakeRoot).count() === once,
+      "retry duplicated lake rows")
+  }
+
   test("empty source: no partial writes, no state movement (S5 guard)") {
     val p = mkPipeline()
     assert(p.runStock("EMPTY") === 0L)

@@ -16,6 +16,13 @@ class SimilaritySpec extends SparkSpec {
       Similarity.dotHof(col("a"), col("b")).as("hof"))
       .filter(col("native") =!= col("hof"))
     assert(diff.isEmpty)
+    // length mismatch yields NULL in BOTH forms (a malformed embedding
+    // must surface, not flow on as a plausible truncated dot product)
+    val mism = Seq((Seq(1.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("native"),
+        Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .collect().head
+    assert(mism.isNullAt(0) && mism.isNullAt(1))
   }
 
   test("cosine kernel: known vectors") {
