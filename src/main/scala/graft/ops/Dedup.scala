@@ -176,7 +176,12 @@ object Dedup {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_index_meta")
     val meta = sigIndexMeta(numHashes, shingleWidth, fast)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+    // rebuild when absent OR when the parameter fingerprint is missing
+    // (an index written before the guard existed has unknowable
+    // parameters — rebuilding is the only safe serve); a PRESENT but
+    // MISMATCHED fingerprint is a caller error and fails fast below
+    val complete = fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))
+    if (!complete || !fs.exists(metaPath)) {
       val sig = if (fast) minhashSignaturesFast(df, idCol, textCol, numHashes, shingleWidth)
                 else minhashSignatures(df, idCol, textCol, numHashes, shingleWidth)
       sig.write.mode("overwrite").parquet(path)
@@ -187,14 +192,11 @@ object Dedup {
       // serving an existing index: its recorded parameters must match —
       // est_jaccard divides by the CALLER's numHashes, and a different
       // hash family would simply never collide
+      val in = fs.open(metaPath)
       val stored =
-        if (!fs.exists(metaPath)) "(no metadata file — pre-guard index)"
-        else {
-          val in = fs.open(metaPath)
-          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-            java.nio.charset.StandardCharsets.UTF_8)
-          finally in.close()
-        }
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
       require(stored == meta,
         s"signature index at $path was built with [$stored] but is being " +
           s"served with [$meta]; rebuild the index or match the parameters")
@@ -225,7 +227,9 @@ object Dedup {
       require(stored == meta,
         s"signature index at $path was built with [$stored] but is being " +
           s"appended with [$meta]; rebuild the index or match the parameters")
-    }
+    } else require(!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")),
+      s"signature index at $path has no parameter metadata (pre-guard " +
+        "index) — rebuild it via signatureIndexArtifact before appending")
     val sig = if (fast) minhashSignaturesFast(df, idCol, textCol, numHashes, shingleWidth)
               else minhashSignatures(df, idCol, textCol, numHashes, shingleWidth)
     sig.write.mode("append").parquet(path)

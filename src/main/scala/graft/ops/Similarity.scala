@@ -281,7 +281,11 @@ object Similarity {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_centroid_meta")
     val meta = s"kmeans k=$k iters=$iters init=$init"
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+    // rebuild when absent OR when the parameter fingerprint is missing
+    // (a pre-guard artifact has unknowable parameters); a present-but-
+    // mismatched fingerprint is a caller error and fails fast below
+    val complete = fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))
+    if (!complete || !fs.exists(metaPath)) {
       trainCentroids(vectors, k, iters, init)
         .write.mode("overwrite").parquet(path)
       val out = fs.create(metaPath, true)
@@ -291,14 +295,11 @@ object Similarity {
       // serving an existing artifact with different training parameters
       // must fail, not silently hand back e.g. a 16-centroid table to a
       // caller who asked for 64 (same guard as Dedup.sigIndexMeta)
+      val in = fs.open(metaPath)
       val stored =
-        if (!fs.exists(metaPath)) "(no metadata file — pre-guard artifact)"
-        else {
-          val in = fs.open(metaPath)
-          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-            java.nio.charset.StandardCharsets.UTF_8)
-          finally in.close()
-        }
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
       require(stored == meta,
         s"centroid artifact at $path was built with [$stored] but is being " +
           s"served with [$meta]; delete the artifact or match the parameters")
