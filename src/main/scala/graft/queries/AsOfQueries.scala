@@ -50,18 +50,28 @@ object AsOfQueries {
     * the SQL path returns the identical rows. */
   def q61AsofTvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
+    // unique view names, dropped after analysis: spark.sql resolves views
+    // into the plan eagerly, so the returned DataFrame does not need them
+    // — fixed global names would leak into the shared session catalog and
+    // cross-talk with any other caller using them
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val pv = s"g_asof_purchases_$tag"; val ov = s"g_asof_others_$tag"
     e.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts")
-      .createOrReplaceTempView("g_asof_purchases")
+      .createOrReplaceTempView(pv)
     e.filter(col("event_type") =!= "purchase")
       .select("event_id", "user_id", "ts", "event_type")
-      .createOrReplaceTempView("g_asof_others")
-    spark.sql(
-      """SELECT event_id, user_id,
-        |  date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_s,
-        |  asof.event_id AS prior_id, asof.event_type AS prior_type
-        |FROM graft_asof('g_asof_purchases', 'g_asof_others',
-        |                'user_id', 'ts', 'ts', 'event_id')""".stripMargin)
+      .createOrReplaceTempView(ov)
+    try spark.sql(
+      s"""SELECT event_id, user_id,
+         |  date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_s,
+         |  asof.event_id AS prior_id, asof.event_type AS prior_type
+         |FROM graft_asof('$pv', '$ov',
+         |                'user_id', 'ts', 'ts', 'event_id')""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(pv)
+      spark.catalog.dropTempView(ov): Unit
+    }
   }
 
   /** Range join: views in the hour preceding each purchase, counted per

@@ -27,54 +27,22 @@ object CurationQuery {
   }
 
   val q47CurationSql: String = {
-    val langs = TextOps.langProfiles
-    def score(words: Seq[String]): String = {
-      val list = words.map(w => s"'$w'").mkString(", ")
-      s"len(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x IN ($list)))"
-    }
-    val preds = langs.zipWithIndex.init.map { case ((lang, _), i) =>
-      val geAll = (i + 1 until langs.size).map(j => s"s$i >= s$j").mkString(" AND ")
-      s"WHEN $geAll THEN '$lang'"
-    }.mkString(" ")
-    val en = langs.head._2.map(w => s"'$w'").mkString(", ")
     s"""WITH scored AS (
        |  SELECT doc_id, text,
-       |    ${langs.zipWithIndex.map { case ((_, ws), i) => s"${score(ws)} AS s$i" }.mkString(",\n    ")},
+       |    ${OracleFragments.langScoreCols},
        |    string_split(text, ' ') AS toks
        |  FROM documents),
        |quality AS (
        |  SELECT doc_id, text,
-       |    CASE $preds ELSE '${langs.last._1}' END AS pred_lang,
-       |    ((CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) +
-       |     (CASE WHEN CAST(len(list_filter(toks, x -> x IN ($en))) AS DOUBLE) / len(toks)
-       |           BETWEEN 0.01 AND 0.8 THEN 1.0 ELSE 0.0 END) +
-       |     (CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.05
-       |           THEN 1.0 ELSE 0.0 END) +
-       |     (CASE WHEN CAST(length(text) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 12.0
-       |           THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+       |    ${OracleFragments.langPredCase} AS pred_lang,
+       |    ${OracleFragments.qualityExpr} AS quality
        |  FROM scored),
        |passing AS (SELECT * FROM quality WHERE quality >= 0.6),
        |exact AS (
        |  SELECT p.* FROM passing p
        |  JOIN (SELECT MIN(doc_id) AS doc_id FROM passing GROUP BY md5(text)) k
        |    USING (doc_id)),
-       |toksp AS (
-       |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
-       |         unnest(string_split(text,' ')) AS tok
-       |  FROM exact),
-       |shingles AS (
-       |  SELECT a.doc_id, a.tok||' '||b.tok||' '||c.tok AS sh
-       |  FROM toksp a
-       |  JOIN toksp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-       |  JOIN toksp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
-       |shd AS (
-       |  SELECT doc_id, md5(sh) AS d0, md5(sh||'#') AS d1 FROM shingles),
-       |sig AS (
-       |  SELECT doc_id, seed,
-       |    MIN(substr(CASE WHEN seed < 4 THEN d0 ELSE d1 END,
-       |               (seed % 4) * 8 + 1, 8)) AS mh
-       |  FROM shd CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed) s
-       |  GROUP BY doc_id, seed),
+       |${OracleFragments.minhashSigCtes("exact")},
        |cand AS (
        |  SELECT DISTINCT s1.doc_id AS id_a, s2.doc_id AS id_b
        |  FROM sig s1

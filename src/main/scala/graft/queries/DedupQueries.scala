@@ -23,23 +23,7 @@ object DedupQueries {
         "doc_id", "text")
 
   val q24MinhashLshSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
-      |         unnest(string_split(text,' ')) AS tok
-      |  FROM documents),
-      |shingles AS (
-      |  SELECT a.doc_id, a.tok||' '||b.tok||' '||c.tok AS sh
-      |  FROM toks a
-      |  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-      |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
-      |shd AS (
-      |  SELECT doc_id, md5(sh) AS d0, md5(sh||'#') AS d1 FROM shingles),
-      |sig AS (
-      |  SELECT doc_id, seed,
-      |    MIN(substr(CASE WHEN seed < 4 THEN d0 ELSE d1 END,
-      |               (seed % 4) * 8 + 1, 8)) AS mh
-      |  FROM shd CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed) s
-      |  GROUP BY doc_id, seed)
+    s"""WITH ${OracleFragments.minhashSigCtes("documents")}
       |SELECT s1.doc_id AS id_a, s2.doc_id AS id_b, COUNT(*)/8.0 AS est_jaccard
       |FROM sig s1
       |JOIN sig s2 ON s1.seed = s2.seed AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id
@@ -101,34 +85,16 @@ object DedupQueries {
         TextOps.qualityScore(col("text"), en).as("quality"))
   }
 
-  val q27LangQualitySql: String = {
-    val langs = TextOps.langProfiles
-    def score(words: Seq[String]): String = {
-      val list = words.map(w => s"'$w'").mkString(", ")
-      s"len(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> x IN ($list)))"
-    }
-    // argmax with declaration-order tie-break: first lang >= all later ones
-    val preds = langs.zipWithIndex.init.map { case ((lang, _), i) =>
-      val geAll = (i + 1 until langs.size).map(j => s"s$i >= s$j").mkString(" AND ")
-      s"WHEN $geAll THEN '$lang'"
-    }.mkString(" ")
-    val en = langs.head._2.map(w => s"'$w'").mkString(", ")
+  val q27LangQualitySql: String =
     s"""WITH scored AS (
        |  SELECT doc_id, lang, text,
-       |    ${langs.zipWithIndex.map { case ((_, ws), i) => s"${score(ws)} AS s$i" }.mkString(",\n    ")},
+       |    ${OracleFragments.langScoreCols},
        |    string_split(text, ' ') AS toks
        |  FROM documents)
        |SELECT doc_id, lang,
-       |  CASE $preds ELSE '${langs.last._1}' END AS pred_lang,
-       |  ((CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) +
-       |   (CASE WHEN CAST(len(list_filter(toks, x -> x IN ($en))) AS DOUBLE) / len(toks)
-       |         BETWEEN 0.01 AND 0.8 THEN 1.0 ELSE 0.0 END) +
-       |   (CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.05
-       |         THEN 1.0 ELSE 0.0 END) +
-       |   (CASE WHEN CAST(length(text) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 12.0
-       |         THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+       |  ${OracleFragments.langPredCase} AS pred_lang,
+       |  ${OracleFragments.qualityExpr} AS quality
        |FROM scored""".stripMargin
-  }
 
   /** Per-source quality-percentile gate — the "filter each domain to its
     * better half" curation op: score every doc with the native quality
@@ -152,17 +118,10 @@ object DedupQueries {
       .select(col("doc_id"), col("source"), col("quality"), col("source_median"))
   }
 
-  val q67QualityGateSql: String = {
-    val en = TextOps.langProfiles.head._2.map(w => s"'$w'").mkString(", ")
+  val q67QualityGateSql: String =
     s"""WITH scored AS (
        |  SELECT doc_id, source,
-       |    ((CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) +
-       |     (CASE WHEN CAST(len(list_filter(toks, x -> x IN ($en))) AS DOUBLE) / len(toks)
-       |           BETWEEN 0.01 AND 0.8 THEN 1.0 ELSE 0.0 END) +
-       |     (CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.05
-       |           THEN 1.0 ELSE 0.0 END) +
-       |     (CASE WHEN CAST(length(text) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 12.0
-       |           THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+       |    ${OracleFragments.qualityExpr} AS quality
        |  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS toks
        |        FROM documents)),
        |med AS (SELECT source, quantile_cont(quality, 0.5) AS source_median
@@ -170,7 +129,6 @@ object DedupQueries {
        |SELECT s.doc_id, s.source, s.quality, m.source_median
        |FROM scored s JOIN med m USING (source)
        |WHERE s.quality >= m.source_median""".stripMargin
-  }
 
   /** Incremental dedup against a PERSISTED signature index (the cross-run
     * operating mode at 100 TB — [[Dedup.signatureIndexArtifact]]): the
@@ -200,33 +158,12 @@ object DedupQueries {
   /** Artifact path for q68's signature index, keyed by the source
     * parquet's length + mtime (same scheme as the q35 centroid artifact)
     * so a regenerated dataset can never serve stale signatures. */
-  private def sigIndexPath(spark: SparkSession, dir: String, split: Long): String = {
-    val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    val st = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getFileStatus(src)
-    val tag = java.lang.Long.toHexString(st.getLen ^
-      java.lang.Long.rotateLeft(st.getModificationTime, 21))
-    s"${sys.props("java.io.tmpdir")}/graft_artifacts/sigidx_mh8_w3_s${split}_$tag"
-  }
+  private def sigIndexPath(spark: SparkSession, dir: String, split: Long): String =
+    graft.core.Artifacts.path(spark, s"$dir/documents.parquet",
+      s"sigidx_mh8_w3_s$split")
 
   val q68IncrementalDedupSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
-      |         unnest(string_split(text,' ')) AS tok
-      |  FROM documents),
-      |shingles AS (
-      |  SELECT a.doc_id, a.tok||' '||b.tok||' '||c.tok AS sh
-      |  FROM toks a
-      |  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-      |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
-      |shd AS (
-      |  SELECT doc_id, md5(sh) AS d0, md5(sh||'#') AS d1 FROM shingles),
-      |sig AS (
-      |  SELECT doc_id, seed,
-      |    MIN(substr(CASE WHEN seed < 4 THEN d0 ELSE d1 END,
-      |               (seed % 4) * 8 + 1, 8)) AS mh
-      |  FROM shd CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed) s
-      |  GROUP BY doc_id, seed),
+    s"""WITH ${OracleFragments.minhashSigCtes("documents")},
       |split AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS v FROM documents)
       |SELECT s1.doc_id AS id_a, s2.doc_id AS id_b, COUNT(*)/8.0 AS est_jaccard
       |FROM sig s1
@@ -251,23 +188,7 @@ object DedupQueries {
   }
 
   val q62DedupGroupsSql: String =
-    """WITH RECURSIVE toks AS (
-      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
-      |         unnest(string_split(text,' ')) AS tok
-      |  FROM documents),
-      |shingles AS (
-      |  SELECT a.doc_id, a.tok||' '||b.tok||' '||c.tok AS sh
-      |  FROM toks a
-      |  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-      |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
-      |shd AS (
-      |  SELECT doc_id, md5(sh) AS d0, md5(sh||'#') AS d1 FROM shingles),
-      |sig AS (
-      |  SELECT doc_id, seed,
-      |    MIN(substr(CASE WHEN seed < 4 THEN d0 ELSE d1 END,
-      |               (seed % 4) * 8 + 1, 8)) AS mh
-      |  FROM shd CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed) s
-      |  GROUP BY doc_id, seed),
+    s"""WITH RECURSIVE ${OracleFragments.minhashSigCtes("documents")},
       |cand AS (
       |  SELECT s1.doc_id AS id_a, s2.doc_id AS id_b
       |  FROM sig s1

@@ -155,21 +155,9 @@ object Embeddings {
     * parquet's length + mtime so a regenerated dataset can never serve a
     * stale centroid table (a stale artifact would hash-fail the gate —
     * the oracle replays training on the CURRENT data). */
-  private def ivfArtifactPath(spark: SparkSession, dir: String): String = {
-    val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val st = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getFileStatus(src)
-    val tag = java.lang.Long.toHexString(st.getLen ^
-      java.lang.Long.rotateLeft(st.getModificationTime, 21))
-    s"${sys.props("java.io.tmpdir")}/graft_artifacts/ivf_k16_i2_sample_$tag"
-  }
-
-  /** SQL for the value of the first 8 hex chars of md5(`e`) as BIGINT
-    * (mirrors [[graft.ops.TrainingMix.hex8]]). */
-  private def hex8Sql(e: String): String =
-    "(" + (1 to 8).map { i =>
-      s"CAST(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - i))}"
-    }.mkString(" + ") + ")"
+  private def ivfArtifactPath(spark: SparkSession, dir: String): String =
+    graft.core.Artifacts.path(spark, s"$dir/embeddings.parquet",
+      "ivf_k16_i2_sample")
 
   /** One unrolled Lloyd iteration: nearest-centroid assignment (argmin of
     * −dot with cid tie-break, the same ordering Spark's min-over-struct
@@ -194,7 +182,7 @@ object Embeddings {
        |    FROM upd$i GROUP BY cid, dim) GROUP BY cid)""".stripMargin
 
   val q35AnnIvfSql: String = {
-    val seedOrder = s"${hex8Sql("vec_id::VARCHAR || '#ivf'")}, vec_id"
+    val seedOrder = s"${OracleFragments.hex8Sql("vec_id::VARCHAR || '#ivf'")}, vec_id"
     s"""WITH seed AS (
        |  SELECT CAST(row_number() OVER (ORDER BY $seedOrder) - 1 AS BIGINT) AS cid,
        |    embedding::DOUBLE[] AS cvec

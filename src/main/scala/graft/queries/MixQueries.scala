@@ -13,11 +13,7 @@ import graft.ops.TrainingMix
   */
 object MixQueries {
 
-  /** SQL for the value of the first 8 hex chars of md5(`e`) as BIGINT. */
-  private def hex8Sql(e: String): String =
-    "(" + (1 to 8).map { i =>
-      s"CAST(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - i))}"
-    }.mkString(" + ") + ")"
+  import OracleFragments.hex8Sql
 
   private val langRates = Map("en" -> 0.5, "es" -> 0.25, "zh" -> 0.75)
   private val defaultRate = 0.1
