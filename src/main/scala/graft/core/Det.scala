@@ -29,12 +29,20 @@ object Det {
     * vs long 140 ms on one scan task).
     *
     * PRECISION WINDOW: past |Σx| ≈ 9·10¹¹ (units) the long→double cast
-    * rounds SILENTLY — the sum is still exact in the long, but the
+    * would round SILENTLY — the sum is still exact in the long, but the
     * emitted double can differ from the decimal form by an ulp; the ANSI
-    * overflow error only fires much later at |Σx| ≈ 9·10¹⁴. Use
-    * [[dsumDecimal]] when group sums can exceed ~10¹¹. */
-  def dsum(c: Column): Column =
-    sum(round(c * 10000).cast("long")).cast("double") / 10000.0
+    * overflow error only fires much later at |Σx| ≈ 9·10¹⁴. The window is
+    * now ENFORCED: a fixed-point sum whose magnitude exceeds 2⁵³ raises a
+    * runtime error instead of rounding (one post-aggregation comparison
+    * per group — free), directing the caller to [[dsumDecimal]]. */
+  def dsum(c: Column): Column = {
+    val s = sum(round(c * 10000).cast("long"))
+    when(abs(s) > lit(1L << 53),
+      raise_error(concat(
+        lit("Det.dsum: fixed-point sum magnitude "), abs(s).cast("string"),
+        lit(" exceeds 2^53 — the long->double finish would round; use dsumDecimal"))))
+      .otherwise(s).cast("double") / 10000.0
+  }
 
   /** Decimal-space form of [[dsum]] for magnitudes beyond the long
     * fixed-point range. */

@@ -167,11 +167,15 @@ object Stats {
       .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 100)").as("ap"))
       .select(col("l_returnflag"),
         col("ap").getItem(0).as("a50"), col("ap").getItem(1).as("a90"))
+    // fencepost: the sketch guarantee is stated in integer-RANK terms, so
+    // the real-valued targets (p±ε)·n are widened to ceil/floor before the
+    // integer comparison — a strict real-valued bound would spuriously flip
+    // FALSE when (p±ε)·n lands on an integer boundary (round-8 advisory)
     def okCols(p: Double, v: org.apache.spark.sql.Column, tag: String) = Seq(
       ((sum(when(col("l_quantity") < v, 1L).otherwise(0L)) + 1L) <=
-        (lit(p + eps) * count(lit(1)))).as(s"p${tag}_lo_ok"),
+        ceil(lit(p + eps) * count(lit(1)))).as(s"p${tag}_lo_ok"),
       (sum(when(col("l_quantity") <= v, 1L).otherwise(0L)) >=
-        (lit(p - eps) * count(lit(1)))).as(s"p${tag}_hi_ok"))
+        floor(lit(p - eps) * count(lit(1)))).as(s"p${tag}_hi_ok"))
     l.join(broadcast(approx), "l_returnflag")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
