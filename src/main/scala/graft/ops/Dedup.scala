@@ -204,18 +204,77 @@ object Dedup {
     spark.read.parquet(path)
   }
 
+  private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
+  private def hFs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    hPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Name of the per-ingest commit marker: its presence proves the batch's
+    * signature files are complete in the index (the marker is written LAST). */
+  private def batchMarker(batchId: Long) = s"_graft_batch_$batchId"
+  /** Filename prefix carried by a batch's moved part files — the unit of
+    * deterministic retry cleanup. */
+  private def batchFilePrefix(batchId: Long) = s"b${batchId}_"
+  private val BatchFileRe = "^b(\\d+)_.*".r
+
+  /** Data files of the index that are COMMITTED: flat base files (written
+    * under the artifact's `_SUCCESS`) plus per-ingest `b<id>_*` files whose
+    * commit marker exists. Files of a crashed, not-yet-retried ingest are
+    * invisible — serving them would dedup future batches against docs that
+    * were never actually admitted (ghost matches = silent data loss). */
+  private def committedIndexFiles(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[String] = {
+    val statuses = fs.listStatus(hPath(path))
+    val names = statuses.map(_.getPath.getName).toSet
+    statuses.iterator.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .filter(p => p.getName match {
+        case BatchFileRe(id) => names.contains(batchMarker(id.toLong))
+        case _ => true
+      })
+      .map(_.toString).toSeq
+  }
+
+  /** The committed view of a signature index (see [[committedIndexFiles]]).
+    * This is the read every serve path must use — `spark.read.parquet(dir)`
+    * on the raw directory would also surface a crashed ingest's partial
+    * files. */
+  def readSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val files = committedIndexFiles(hFs(spark, path), path)
+    require(files.nonEmpty,
+      s"signature index at $path has no committed data files — build it " +
+        "via signatureIndexArtifact (or the first ingestBatch) before serving")
+    spark.read.parquet(files: _*)
+  }
+
   /** Append a new batch's signatures to an existing index (the step after
-    * a batch has been deduped and admitted): parquet append — no read,
-    * no rewrite of the existing index files. */
+    * a batch has been deduped and admitted) — no read, no rewrite of the
+    * existing index files.
+    *
+    * With `batchId >= 0` the append is IDEMPOTENT and crash-safe (the
+    * effectively-once discipline the Lake writes already follow): the
+    * signatures are staged to a hidden temp dir, moved into the index under
+    * a `b<batchId>_` filename prefix, and committed by writing the
+    * `_graft_batch_<batchId>` marker LAST. A replay of an already-committed
+    * batch returns without writing; a retry of a CRASHED attempt first
+    * deletes the uncommitted prefixed files, so the batch's signatures land
+    * exactly once no matter where the previous attempt died. Serve paths
+    * read only committed files ([[readSignatureIndex]]). `batchId = -1`
+    * (callers with no replay semantics) is a plain parquet append.
+    *
+    * After a committed append, the index auto-compacts when its data-file
+    * count exceeds `compactAbove` (≤0 disables) — thousands of per-ingest
+    * file sets would otherwise tax every candidate join's listing/footer
+    * phase ([[compactSignatureIndex]]). */
   def appendToSignatureIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, numHashes: Int = 8, shingleWidth: Int = 3,
-      fast: Boolean = false): Unit = {
+      fast: Boolean = false, batchId: Long = -1L,
+      compactAbove: Int = 64): Unit = {
     // appends are held to the same parameter guard as serving: appending
     // 16-seed or XXH64 signatures into an 8-seed md5 index would corrupt
     // every estimate that touches the appended rows
     val spark = df.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = hFs(spark, path)
     val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_index_meta")
     val meta = sigIndexMeta(numHashes, shingleWidth, fast)
     if (fs.exists(metaPath)) {
@@ -230,14 +289,73 @@ object Dedup {
     } else require(!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")),
       s"signature index at $path has no parameter metadata (pre-guard " +
         "index) — rebuild it via signatureIndexArtifact before appending")
+    if (batchId >= 0 && fs.exists(new org.apache.hadoop.fs.Path(path, batchMarker(batchId))))
+      return // replayed commit — the batch's signatures are already in
     val sig = if (fast) minhashSignaturesFast(df, idCol, textCol, numHashes, shingleWidth)
               else minhashSignatures(df, idCol, textCol, numHashes, shingleWidth)
-    sig.write.mode("append").parquet(path)
+    if (batchId < 0) sig.write.mode("append").parquet(path)
+    else {
+      val staging = new org.apache.hadoop.fs.Path(path, s".staging_$batchId")
+      fs.delete(staging, true)
+      sig.write.mode("overwrite").parquet(staging.toString)
+      // deterministic retry cleanup: drop any uncommitted files a crashed
+      // previous attempt moved in, so the re-move below can't double them
+      val prefix = batchFilePrefix(batchId)
+      fs.listStatus(hPath(path)).map(_.getPath)
+        .filter(_.getName.startsWith(prefix))
+        .foreach(p => fs.delete(p, false))
+      fs.listStatus(staging).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach { p =>
+          if (!fs.rename(p, new org.apache.hadoop.fs.Path(path, prefix + p.getName)))
+            throw new java.io.IOException(s"failed to move $p into index $path")
+        }
+      fs.delete(staging, true)
+      fs.create(new org.apache.hadoop.fs.Path(path, batchMarker(batchId)), true).close()
+    }
     if (!fs.exists(metaPath)) {
       val out = fs.create(metaPath, true)
       try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
+    if (batchId >= 0 && compactAbove > 0 &&
+        committedIndexFiles(fs, path).size > compactAbove)
+      compactSignatureIndex(spark, path)
+  }
+
+  /** Rewrite a signature index to `targetFiles` files, preserving the
+    * parameter fingerprint, `_SUCCESS`, and every batch-commit marker
+    * (so a late replay of an already-compacted batch is still skipped).
+    * Reads only COMMITTED files — a crashed ingest's uncommitted `b<id>_*`
+    * files are deliberately dropped with the old directory; the batch has
+    * no marker, so its retry re-stages from scratch and loses nothing.
+    * The swap is two directory renames (build `<path>.compact_tmp`, move
+    * old aside, move new in); a reader racing the swap window should
+    * retry — single-writer ingest loops (the foreachBatch wrapper) never
+    * race it. */
+  def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFiles: Int = 8): Unit = {
+    val fs = hFs(spark, path)
+    val tmp = hPath(path + ".compact_tmp")
+    val old = hPath(path + ".compact_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    readSignatureIndex(spark, path)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val keep = fs.listStatus(hPath(path)).map(_.getPath.getName)
+      .filter(n => n == "_graft_index_meta" || n.startsWith("_graft_batch_"))
+    keep.foreach { n =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(path, n),
+        fs, new org.apache.hadoop.fs.Path(tmp, n), false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    if (!fs.rename(hPath(path), old)) throw new java.io.IOException(
+      s"compaction failed to move $path aside")
+    if (!fs.rename(tmp, hPath(path))) {
+      fs.rename(old, hPath(path)) // restore — the new dir never became live
+      throw new java.io.IOException(s"compaction failed to publish $tmp")
+    }
+    fs.delete(old, true)
   }
 
   /** Candidate pairs for a NEW batch against a stored signature index:
@@ -300,6 +418,71 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try f(candidatesIncremental(newSig, index, numHashes))
     finally { newSig.unpersist(); () }
+  }
+
+  /** One EXACTLY-ONCE dedup-ingest step — the incremental-dedup surface
+    * wired end-to-end, mirroring the reference's monotone state contract
+    * (`API_manager.py:79-113`: fetch past the stored state, advance only
+    * after the sink write) at the dedup layer:
+    *
+    *  1. candidates: the batch's signatures vs (committed index ∪ batch)
+    *     — per-ingest cost ∝ batch, never corpus;
+    *  2. admit: drop every batch doc whose est_jaccard to an earlier doc
+    *     (lower batch id, or anything already in the index) ≥ `threshold`
+    *     — keep-first at corpus granularity. Batch ids must be strictly
+    *     greater than every indexed id (monotone ingest ids — enforced
+    *     below), so "the greater endpoint loses" is exactly keep-first;
+    *  3. sink: admitted docs land at `<admittedPath>/batch=<batchId>`
+    *     (idempotent per-batch overwrite — the standard foreachBatch
+    *     discipline);
+    *  4. index: the ADMITTED docs' signatures append under the same
+    *     batchId, committed by marker ([[appendToSignatureIndex]]).
+    *
+    * The batch marker is written LAST, so its presence proves steps 2-4
+    * completed: a foreachBatch replay (same batchId) returns immediately;
+    * a crash at ANY intermediate point is healed by the retry (sink
+    * overwrite is idempotent, index files are replaced not doubled).
+    * Admission is deterministic given (batch, committed index), so a
+    * retried batch admits exactly the same docs. */
+  def ingestBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      admittedPath: String, threshold: Double, idCol: String = "doc_id",
+      textCol: String = "text", numHashes: Int = 8, shingleWidth: Int = 3,
+      fast: Boolean = false, compactAbove: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val fs = hFs(spark, indexPath)
+    if (fs.exists(new org.apache.hadoop.fs.Path(indexPath, batchMarker(batchId))))
+      return // replayed batch — already admitted and indexed exactly once
+    val hasIndex = fs.exists(hPath(indexPath)) &&
+      committedIndexFiles(fs, indexPath).nonEmpty
+    def admittedOf(cands: DataFrame): DataFrame = {
+      val losers = cands.filter(col("est_jaccard") >= threshold)
+        .select(col("id_b").as("__loser")).distinct()
+      batch.join(losers, batch(idCol) === col("__loser"), "left_anti")
+    }
+    val admitted = if (!hasIndex) {
+      // first ingest bootstraps: dedup the batch against itself only
+      admittedOf(if (fast) minhashCandidatesFast(batch, idCol, textCol, numHashes, shingleWidth)
+                 else minhashCandidates(batch, idCol, textCol, numHashes, shingleWidth))
+    } else {
+      val index = readSignatureIndex(spark, indexPath)
+      // monotone-id contract: a batch id at or below the index maximum
+      // would make "greater endpoint loses" drop an ALREADY-ADMITTED doc.
+      // Either side may be empty (a fully-deduped earlier batch appended
+      // zero signature rows): max/min are then null and there is nothing
+      // to violate.
+      val bounds = index.agg(max(col("id"))).head
+      val batchMin = batch.agg(min(col(idCol).cast("long"))).head
+      if (!bounds.isNullAt(0) && !batchMin.isNullAt(0))
+        require(batchMin.getLong(0) > bounds.getLong(0),
+          s"ingest ids must be monotone: batch min id ${batchMin.getLong(0)} <= " +
+            s"indexed max id ${bounds.getLong(0)} (the keep-first rule would " +
+            "evict admitted docs)")
+      withIncrementalCandidates(batch, idCol, textCol, index,
+        numHashes, shingleWidth, fast)(admittedOf)
+    }
+    admitted.write.mode("overwrite").parquet(s"$admittedPath/batch=$batchId")
+    appendToSignatureIndex(admitted, idCol, textCol, indexPath,
+      numHashes, shingleWidth, fast, batchId, compactAbove)
   }
 
   /** Near-dup groups from candidate pairs above a threshold: connected

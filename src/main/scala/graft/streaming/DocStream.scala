@@ -26,6 +26,29 @@ object DocStream {
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
 
+  /** End-to-end streaming dedup INGEST over the persisted signature index
+    * ([[graft.ops.Dedup.ingestBatch]] per micro-batch via `foreachBatch`):
+    * each batch is deduped against the committed index (and itself,
+    * keep-first), admitted docs land at `<admittedPath>/batch=<id>`, and
+    * their signatures append to the index under the micro-batch id — the
+    * reference's advance-after-sink state contract (`API_manager.py:79-113`)
+    * applied at the dedup layer. Effectively-once end to end: a restart
+    * replays the last uncommitted micro-batch with the SAME batch id, the
+    * batch marker short-circuits an already-completed one, and every step
+    * of a partially-completed one is idempotent (see [[graft.ops.Dedup
+    * .ingestBatch]]). */
+  def dedupIngest(docs: DataFrame, indexPath: String, admittedPath: String,
+      checkpoint: String, threshold: Double = 0.6, numHashes: Int = 8,
+      shingleWidth: Int = 3, fast: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.ops.Dedup.ingestBatch(batch, id, indexPath, admittedPath,
+          threshold, "doc_id", "text", numHashes, shingleWidth, fast)
+      }
+      .start()
+
   /** Exact streaming dedup: drop any doc whose exact content (md5) was
     * already seen within the watermark — the streaming form of
     * `Dedup.exact`, state bounded by the watermark. */
@@ -51,6 +74,13 @@ object DocStream {
     *    (active buckets × maxSeen) regardless of stream length;
     *  - rows inside a micro-batch are processed in doc_id order, making
     *    the keep/drop decision deterministic under replays.
+    *
+    * CHECKPOINT COMPATIBILITY: the keyed-state encoding is
+    * `(Long, List[Long])` (registered expiry, recent fingerprints) since
+    * round 8 — a checkpoint written by the pre-round-8 `List[Long]` layout
+    * fails state-schema validation on restart (likewise the MinHash path's
+    * `(Long, List[Seq[String]])`). Restart such a query from a fresh
+    * checkpoint; dedup state rebuilds from traffic within one watermark.
     */
   def nearDupFiltered(spark: SparkSession, docs: DataFrame, bits: Int = 60,
       prefixBits: Int = 12, maxHamming: Int = 3, maxSeen: Int = 1024): DataFrame = {

@@ -213,6 +213,118 @@ class DedupSpec extends SparkSpec {
     assert(loan === inc)
   }
 
+  test("batch-id appends are exactly-once under replay and crash-retry") {
+    val c = corpus()
+    val tmp = tmpDir("graft_sigidx_once") + "/idx"
+    Dedup.signatureIndexArtifact(c.filter(col("doc_id") < 50), "doc_id", "text", tmp)
+    val batch = c.filter(col("doc_id") >= 50)
+    def indexRows() = Dedup.readSignatureIndex(spark, tmp)
+      .as[(Long, Int, String)].collect().toSeq.sorted
+    Dedup.appendToSignatureIndex(batch, "doc_id", "text", tmp, batchId = 1L)
+    val once = indexRows()
+    // replayed commit (a foreachBatch restart): identical rows, no doubling
+    Dedup.appendToSignatureIndex(batch, "doc_id", "text", tmp, batchId = 1L)
+    assert(indexRows() === once,
+      "replayed append changed the index — est_jaccard would inflate")
+    // crash-retry: a previous attempt moved its files but died before the
+    // marker; the uncommitted files must be invisible to serves and the
+    // retry must land the batch exactly once
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp, "_graft_batch_1"), false)
+    val visible = Dedup.readSignatureIndex(spark, tmp).count()
+    assert(visible < once.size, "uncommitted batch files served to readers")
+    Dedup.appendToSignatureIndex(batch, "doc_id", "text", tmp, batchId = 1L)
+    assert(indexRows() === once)
+  }
+
+  test("compaction bounds the file count and preserves candidates exactly") {
+    val c = corpus().persist()
+    val tmp = tmpDir("graft_sigidx_compact") + "/idx"
+    Dedup.signatureIndexArtifact(c.filter(col("doc_id") < 10), "doc_id", "text", tmp)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath.getName).count(_.endsWith(".parquet"))
+    // many small ingests with a low auto-compact threshold: the file count
+    // must stay bounded instead of growing one file set per ingest
+    (0 until 6).foreach { i =>
+      Dedup.appendToSignatureIndex(
+        c.filter(col("doc_id") >= 10 + i * 4 && col("doc_id") < 14 + i * 4),
+        "doc_id", "text", tmp, batchId = i.toLong, compactAbove = 6)
+      assert(dataFiles() <= 14, s"file count ${dataFiles()} after ingest $i")
+    }
+    val preRows = Dedup.readSignatureIndex(spark, tmp)
+      .as[(Long, Int, String)].collect().toSet
+    val preCand = Dedup.minhashCandidatesIncremental(
+        c.filter(col("doc_id") >= 100), "doc_id", "text",
+        Dedup.readSignatureIndex(spark, tmp))
+      .as[(Long, Long, Double)].collect().toSet
+    Dedup.compactSignatureIndex(spark, tmp, targetFiles = 2)
+    assert(dataFiles() <= 2)
+    assert(Dedup.readSignatureIndex(spark, tmp)
+      .as[(Long, Int, String)].collect().toSet === preRows)
+    val postCand = Dedup.minhashCandidatesIncremental(
+        c.filter(col("doc_id") >= 100), "doc_id", "text",
+        Dedup.readSignatureIndex(spark, tmp))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(postCand === preCand)
+    // batch markers survive compaction: a very late replay is still skipped
+    val rows = Dedup.readSignatureIndex(spark, tmp)
+      .as[(Long, Int, String)].collect().toSeq.sorted
+    Dedup.appendToSignatureIndex(
+      c.filter(col("doc_id") >= 10 && col("doc_id") < 14),
+      "doc_id", "text", tmp, batchId = 0L)
+    assert(Dedup.readSignatureIndex(spark, tmp)
+      .as[(Long, Int, String)].collect().toSeq.sorted === rows)
+    c.unpersist()
+  }
+
+  test("ingestBatch admits exactly once across a simulated restart") {
+    val c = corpus()
+    val root = tmpDir("graft_ingest")
+    val idx = s"$root/idx"; val out = s"$root/admitted"
+    // batch 0: base docs 0-29 (bootstrap — dedup within the batch only)
+    Dedup.ingestBatch(c.filter(col("doc_id") < 50), 0L, idx, out, 0.5)
+    val b0 = spark.read.parquet(s"$out/batch=0").select("doc_id")
+      .as[Long].collect().toSet
+    assert(b0 === (0L until 30L).toSet) // distinct docs: nothing dropped
+    // batch 1: 5 near-dups of indexed docs + 1 exact dup (ids 100-104,
+    // 200) + 3 genuinely new docs — only the new docs may be admitted
+    val fresh = Seq((300L, doc(60)), (301L, doc(60)), (302L, doc(60)))
+      .toDF("doc_id", "text")
+    val batch1 = c.filter(col("doc_id") >= 50).unionByName(fresh)
+    Dedup.ingestBatch(batch1, 1L, idx, out, 0.5)
+    val b1 = spark.read.parquet(s"$out/batch=1").select("doc_id")
+      .as[Long].collect().toSet
+    assert(b1 === Set(300L, 301L, 302L), s"got $b1")
+    val indexAfter = Dedup.readSignatureIndex(spark, idx)
+      .as[(Long, Int, String)].collect().toSet
+    // simulated restart: foreachBatch replays batch 1 with the same id —
+    // admitted output and index must be byte-identical (marker short-circuit)
+    Dedup.ingestBatch(batch1, 1L, idx, out, 0.5)
+    assert(spark.read.parquet(s"$out/batch=1").select("doc_id")
+      .as[Long].collect().toSet === b1)
+    assert(Dedup.readSignatureIndex(spark, idx)
+      .as[(Long, Int, String)].collect().toSet === indexAfter)
+    // crash-retry: marker lost after the index append (crash between the
+    // admitted-sink write and the marker) — the retry re-admits the SAME
+    // docs and the index still holds each signature exactly once
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx, "_graft_batch_1"), false)
+    Dedup.ingestBatch(batch1, 1L, idx, out, 0.5)
+    assert(spark.read.parquet(s"$out/batch=1").select("doc_id")
+      .as[Long].collect().toSet === b1)
+    assert(Dedup.readSignatureIndex(spark, idx)
+      .as[(Long, Int, String)].collect().toSet === indexAfter)
+    // monotone-id contract: re-ingesting OLD ids as a new batch fails fast
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ingestBatch(c.filter(col("doc_id") < 30), 2L, idx, out, 0.5)
+    }
+    assert(e.getMessage.contains("monotone"))
+  }
+
   test("reliable-checkpoint CC matches the localCheckpoint path") {
     // reliable=true swaps localCheckpoint (executor blocks, lost on
     // executor death) for checkpoint() files per generation — the

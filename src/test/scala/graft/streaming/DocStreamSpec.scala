@@ -273,6 +273,45 @@ class DocStreamSpec extends SparkSpec {
     assert(multi === Set(1L, 2L, 3L, 4L))
   }
 
+  test("dedupIngest stream: exactly-once admission across a query restart") {
+    // two micro-batches before a restart, one after; near/exact dups of
+    // already-ADMITTED docs must drop, and re-running the stream from the
+    // same checkpoint must not double anything (batch markers + idempotent
+    // per-batch sinks)
+    val dir = tmpDir("docs-ingest-src")
+    val base = (0 until 8).map(i => (i.toLong, ts(i), doc(40)))
+    base.toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val t0 = System.currentTimeMillis() - 120000
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => assert(f.setLastModified(t0)))
+    // file 2: an exact dup of doc 1 + two fresh docs (ids stay monotone)
+    (Seq((10L, ts(8), base(1)._3)) ++ Seq((11L, ts(9), doc(40)), (12L, ts(10), doc(40))))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("append").parquet(dir)
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .filter(_.lastModified() > t0).foreach(f => assert(f.setLastModified(t0 + 30000)))
+    val root = tmpDir("docs-ingest-out")
+    val idx = s"$root/idx"; val out = s"$root/admitted"; val ckpt = s"$root/ckpt"
+    val q = DocStream.dedupIngest(
+      DocStream.read(spark, dir).select("doc_id", "text"), idx, out, ckpt, 0.5)
+    try q.processAllAvailable() finally q.stop()
+    def admitted() = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    val afterTwo = admitted()
+    assert(afterTwo === (base.map(_._1).toSet ++ Set(11L, 12L)), s"got $afterTwo")
+    // restart from the same checkpoint with one more file: the processed
+    // batches are not re-run, the new one admits only the fresh doc
+    (Seq((20L, ts(11), base(2)._3), (21L, ts(12), doc(40))))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("append").parquet(dir)
+    val q2 = DocStream.dedupIngest(
+      DocStream.read(spark, dir).select("doc_id", "text"), idx, out, ckpt, 0.5)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(admitted() === afterTwo + 21L, s"got ${admitted()}")
+    // the index holds signatures for exactly the admitted docs
+    val indexed = graft.ops.Dedup.readSignatureIndex(spark, idx)
+      .select("id").distinct().as[Long].collect().toSet
+    assert(indexed === afterTwo + 21L)
+  }
+
   test("streaming exact dedup drops only identical content") {
     val (dir, originals, _) = mkSource()
     val q = DocStream.exactDeduped(DocStream.read(spark, dir))
