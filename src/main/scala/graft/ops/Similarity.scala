@@ -147,16 +147,22 @@ object Similarity {
       .filter(col("sim") > threshold)
   }
 
-  /** Density-ruled signature width: bits ≈ log₂(n / targetBucketRows),
-    * clamped to [4, 28]. Holding expected bucket occupancy constant keeps
-    * per-table verify work Σ n_b² LINEAR in n — with a fixed width,
-    * occupancy grows with n and in-bucket pairs grow ~n²/2^bits (the
-    * superlinear q21/q65 growth SCALING_r8.md measures at the pinned
-    * gate geometry). 28 bits caps the signature well inside the long. */
+  /** Density-ruled signature width: the smallest b in [4, 28] with
+    * targetBucketRows·2ᵇ ≥ n (= ceil(log₂(n / targetBucketRows)) clamped).
+    * Holding expected bucket occupancy constant keeps per-table verify
+    * work Σ n_b² LINEAR in n — with a fixed width, occupancy grows with n
+    * and in-bucket pairs grow ~n²/2^bits (the superlinear q21/q65 growth
+    * SCALING_r8.md measures at the pinned gate geometry). 28 bits caps
+    * the signature well inside the long.
+    *
+    * Deliberately INTEGER arithmetic, not a floating log: the width is
+    * part of the q73 oracle contract, and `ceil(log2(n/target))` computed
+    * in doubles can flip by one when n/target sits on a power of two —
+    * the integer comparison is exact in any engine. */
   def autoBits(n: Long, targetBucketRows: Int = 30): Int = {
-    val raw = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketRows))
-      / math.log(2)).toInt
-    math.min(28, math.max(4, raw))
+    var b = 4
+    while (b < 28 && (targetBucketRows.toLong << b) < n) b += 1
+    b
   }
 
   /** [[lshNearDupCandidates]] with the signature width chosen by the

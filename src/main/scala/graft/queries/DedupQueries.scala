@@ -29,6 +29,87 @@ object DedupQueries {
       |JOIN sig s2 ON s1.seed = s2.seed AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id
       |GROUP BY 1, 2""".stripMargin
 
+  /** FAST-PATH (XXH64) dedup gate — estimator-agreement contract.
+    *
+    * [[Dedup.minhashCandidatesFast]] is the production hash family; a
+    * faithful oracle is INFEASIBLE: XXH64 has no DuckDB builtin and
+    * reimplementing its 4-lane avalanche in SQL would certify a SQL port
+    * of xxhash, not the engine. Nor does a per-pair superset law exist to
+    * gate against — both families are independent 8-seed estimators of
+    * the same Jaccard, and on borderline pairs (true J ≈ threshold) they
+    * legitimately disagree: measured at sf0.1, 3 of 259 md5-pairs ≥ 0.5
+    * fall below 0.5 on the fast path (one to 0, a 0.65⁸ ≈ 3% event per
+    * borderline pair). What IS certifiable, q70-style:
+    *
+    *  - `n_md5_pairs` per source — the gate-family pair counts at
+    *    threshold 0.5, hash-compared against the oracle's independent
+    *    replay (anchoring the baseline the fast path is judged against);
+    *  - `families_agree_ok` — |md5-set Δ fast-set| ≤ max(2, 10% of the
+    *    md5 count) per source: the two estimators select statistically
+    *    the same pair population (measured sym-diff: 0 at sf0.01, 4/259
+    *    ≈ 1.5% at sf0.1 — the tolerance is 6× the observed rate);
+    *  - `exact_dups_ok` — every identical-text pair is found by the fast
+    *    path at est = 1.0 (a THEOREM: identical text ⇒ identical shingle
+    *    hash array ⇒ identical per-seed minima — holds in any hash
+    *    family, vacuously true on corpora without exact dups).
+    *
+    * Pairs are attributed to the source of their lower-id endpoint, so
+    * both engines group identically. */
+  def q74FastAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val gatePairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5).select(col("id_a"), col("id_b"))
+    val fastAll = Dedup.minhashCandidatesFast(docs, "doc_id", "text")
+    val fast = fastAll.filter(col("est_jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val sym = gatePairs.withColumn("in_m", lit(true))
+      .join(fast.withColumn("in_f", lit(true)), Seq("id_a", "id_b"), "full_outer")
+    val src = docs.select(col("doc_id").as("id_a"), col("source"))
+    val agg = sym.join(src, Seq("id_a"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("in_m"), 1L).otherwise(0L)).as("n_md5_pairs"),
+        sum(when(col("in_m").isNull || col("in_f").isNull, 1L).otherwise(0L))
+          .as("n_disagree"))
+    // exact-text dup pairs the fast path MUST find at est 1.0 (theorem)
+    val t = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val exactPairs = t.select(col("doc_id").as("id_a"), col("h"))
+      .join(t.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val exactMissed = exactPairs
+      .join(fastAll.filter(col("est_jaccard") === 1.0)
+        .select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_anti")
+      .join(src, Seq("id_a"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_missed"))
+    docs.select(col("source")).distinct()
+      .join(agg, Seq("source"), "left")
+      .join(exactMissed, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_md5_pairs"), lit(0L)).as("n_md5_pairs"),
+        (coalesce(col("n_disagree"), lit(0L)) <=
+          greatest(lit(2L), ceil(coalesce(col("n_md5_pairs"), lit(0L)) * 0.1)
+            .cast("long"))).as("families_agree_ok"),
+        (coalesce(col("n_missed"), lit(0L)) === 0L).as("exact_dups_ok"))
+  }
+
+  val q74FastAgreementSql: String =
+    s"""WITH ${OracleFragments.minhashSigCtes("documents")},
+      |pairs AS (
+      |  SELECT s1.doc_id AS id_a, s2.doc_id AS id_b
+      |  FROM sig s1
+      |  JOIN sig s2 ON s1.seed = s2.seed AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) / 8.0 >= 0.5),
+      |psrc AS (
+      |  SELECT d.source, COUNT(*) AS n
+      |  FROM pairs p JOIN documents d ON d.doc_id = p.id_a
+      |  GROUP BY d.source)
+      |SELECT s.source, COALESCE(psrc.n, 0) AS n_md5_pairs,
+      |  TRUE AS families_agree_ok, TRUE AS exact_dups_ok
+      |FROM (SELECT DISTINCT source FROM documents) s
+      |LEFT JOIN psrc USING (source)""".stripMargin
+
   /** SimHash fingerprints, 60 bits, md5-nibble token hash (portable);
     * native per-row kernel, declarative form cross-checked in DedupSpec. */
   def q25Simhash(spark: SparkSession, dir: String): DataFrame =

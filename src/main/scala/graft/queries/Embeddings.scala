@@ -92,6 +92,57 @@ object Embeddings {
       |JOIN embeddings eb ON eb.vec_id = c.id_b
       |WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) > 0.35""".stripMargin
 
+  /** [[sigCtes]] with the signature WIDTH chosen by the density rule
+    * inside the SQL itself: bits = the smallest b in [4,28] with
+    * 30·2ᵇ ≥ count(*) — the same integer comparison
+    * [[Similarity.autoBits]] runs, so both engines derive the width from
+    * the data rather than a pinned constant. The coefficient table is
+    * built at the 28-bit maximum and filtered, keeping the md5 material
+    * identical to the fixed-width form at every width. */
+  private[graft] def sigCtesAuto(nTables: Int, dim: Int): String =
+    s"""nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |bw AS (SELECT COALESCE((SELECT MIN(b) FROM range(4, 29) t(b), nn
+       |                        WHERE (30::BIGINT << b) >= nn.n), 28) AS bits),
+       |coeff AS (
+       |  SELECT t, b, d,
+       |    CASE WHEN (strpos('0123456789abcdef',
+       |                      substr(md5('hp:'||t||':'||b||':'||d), 1, 1)) - 1) % 2 = 1
+       |         THEN 1.0 ELSE -1.0 END AS c
+       |  FROM range($nTables) r1(t), range(28) r2(b), range($dim) r3(d)
+       |  WHERE b < (SELECT bits FROM bw)),
+       |planes AS (SELECT t, b, list(c ORDER BY d) AS pv FROM coeff GROUP BY t, b),
+       |sigs AS (
+       |  SELECT e.vec_id AS id, p.t AS tbl,
+       |    CAST(SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pv) >= 0
+       |             THEN (1::BIGINT << p.b) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM embeddings e CROSS JOIN planes p
+       |  GROUP BY e.vec_id, p.t)""".stripMargin
+
+  /** Embedding near-dup with the AUTO-SIZED LSH geometry
+    * ([[Similarity.lshNearDupCandidatesAuto]]) — q21's pipeline with
+    * `autoBits(count)` instead of the pinned 6-bit width. This is the
+    * production entry point at scale: the density rule holds expected
+    * bucket occupancy constant, so in-bucket verify work grows LINEARLY
+    * in n where the fixed width grows ~n²/2^bits (measured superlinear in
+    * SCALING_r8.md). The width is a deterministic integer function of
+    * count(*), so the oracle rebuilds the exact same geometry from the
+    * data — certifying the auto-sizing rule itself, not just one pinned
+    * configuration. */
+  def q73AutoNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupCandidatesAuto(vectors(spark, dir), threshold = 0.35)
+
+  val q73AutoNearDupSql: String =
+    s"""WITH ${sigCtesAuto(16, 64)},
+      |cand AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig AND a.id < b.id)
+      |SELECT DISTINCT c.id_a, c.id_b,
+      |  list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS sim
+      |FROM cand c
+      |JOIN embeddings ea ON ea.vec_id = c.id_a
+      |JOIN embeddings eb ON eb.vec_id = c.id_b
+      |WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) > 0.35""".stripMargin
+
   /** Per-label centroids (the IVF building block): posexplode to (label,
     * dim, value), average per cell. Values are rounded to 6 decimals first
     * so the decimal-sum is exact cross-engine (floats are not 2-decimal). */
