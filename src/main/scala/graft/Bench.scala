@@ -77,7 +77,27 @@ object Bench {
     val errs = results.collect { case (k, Left(e)) => "\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // self-report the oracle comparison when tools/oracle_bench.py has
+    // produced the DuckDB side for THIS corpus (same parquet, same SQL):
+    // the bench line then carries the gate ratio directly instead of
+    // requiring a cross-reference against scaling notes
+    val oracleFields = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_ORACLE_JSON", "ORACLE_BENCH.json")
+      try {
+        val text = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+        val sfRe = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
+        val totRe = "\"total_s\"\\s*:\\s*([0-9.eE+-]+)".r
+        (sfRe.findFirstMatchIn(text).map(_.group(1)),
+         totRe.findFirstMatchIn(text).map(_.group(1).toDouble)) match {
+          case (Some(sf), Some(t))
+              if new java.io.File(sf).getName == new java.io.File(sfDir).getName && t > 0 =>
+            f""","oracle_total_s":$t%s,"ratio":${total / t}%.4f"""
+          case _ => ""
+        }
+      } catch { case _: java.io.IOException => "" }
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs$oracleFields,"sf":"$sfDir"}""")
     if (results.exists(_._2.isLeft)) System.err.println(
       "BENCH ERRORS: " + results.collect { case (k, Left(e)) => s"$k -> $e" }.mkString("; "))
     spark.stop()
