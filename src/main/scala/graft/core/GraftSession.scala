@@ -19,8 +19,10 @@ object GraftSession {
       .appName(appName)
       // native functions + the as-of join planner strategy, SQL-visible
       .withExtensions(new graft.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", math.max(cores, 8).toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", math.max(cores, 8).toString))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // AQE coalescing is byte-based; the text/dedup kernels are
       // compute-bound (md5 per shingle), so the default 1 MiB floor

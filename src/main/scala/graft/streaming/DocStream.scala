@@ -21,6 +21,11 @@ object DocStream {
   case class MhDoc(doc_id: Long, ts: java.sql.Timestamp, text: String,
       sig: Seq[String], bucket: String)
 
+  case class RawDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  case class VotedDoc(doc_id: Long, ts: java.sql.Timestamp, text: String,
+      dup: Boolean)
+
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -238,50 +243,46 @@ object DocStream {
     * votes); that only makes later matching more likely, never less, so
     * dedup stays conservative.
     *
-    * REQUIRES `spark.sql.streaming.statefulOperator.checkCorrectness
-    * .enabled=false` (fails fast otherwise): Spark's global-watermark
-    * check rejects ANY stateful operator downstream of
-    * `flatMapGroupsWithState`, on the ground that stage 1 might emit
-    * rows older than the watermark which stage 2 would then silently
-    * drop. Stage 2 here cannot drop anything: it keeps no state, uses
-    * NoTimeout (so no watermark-based eviction exists), and every probe
-    * row it consumes was emitted in the same micro-batch. The check is a
-    * static pattern match, not a semantic analysis — this shape is one
-    * of its documented false positives. */
+    * The chain runs on `transformWithState` with an explicit output
+    * event-time column — the Spark 4 API designed for chaining stateful
+    * operators, which the global-watermark correctness check accepts
+    * as-is (the former `flatMapGroupsWithState` form could only run with
+    * `statefulOperator.checkCorrectness.enabled=false`, stripping a real
+    * safety guard from every other streaming query in the session).
+    * Every stage re-emits each doc's ORIGINAL `ts`, which is at or above
+    * the watermark that admitted it, so no stage can produce a row a
+    * downstream stage would drop. Requires the RocksDB state store
+    * provider (fails fast otherwise — a hard `transformWithState`
+    * requirement, same as [[minhashNearDupFilteredTws]]). */
   def minhashNearDupFilteredMultiProbe(spark: SparkSession, docs: DataFrame,
       shingleWidth: Int = 3, numHashes: Int = 12, bandRows: Int = 2,
       nBands: Int = 3, estJaccard: Double = 0.6, maxSeen: Int = 1024): DataFrame = {
     import spark.implicits._
     require(nBands >= 1 && nBands * bandRows <= numHashes,
       "nBands*bandRows must fit in numHashes")
-    if (spark.conf.get(
-        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
-        "true").toBoolean)
+    if (!spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+        .contains("RocksDB"))
       throw new IllegalStateException(
-        "multi-probe streaming dedup chains flatMapGroupsWithState " +
-          "stages, which Spark's global-watermark pattern check rejects; " +
-          "set spark.sql.streaming.statefulOperator.checkCorrectness" +
-          ".enabled=false to run it (safe here: the extra stages are " +
-          "stateless and only consume rows emitted in their own " +
-          "micro-batch — see the scaladoc)")
+        "multi-probe streaming dedup runs on transformWithState, which " +
+          "requires the RocksDB state store: set spark.sql.streaming." +
+          "stateStore.providerClass=org.apache.spark.sql.execution." +
+          "streaming.state.RocksDBStateStoreProvider")
     // collapse same-id occurrences WITHIN the micro-batch first: after
     // the band explode, occurrences are indistinguishable at the vote
     // union, where a replayed copy's dup votes (it matches the first
     // copy's just-inserted signatures) would veto the first copy's clean
     // votes and lose the document entirely. Stateless by construction —
-    // the group never writes state, so this collapses within one batch
-    // only; a replay in a LATER batch is dropped by the band state, which
-    // is correct dedup output either way.
+    // the processor never writes state, so this collapses within one
+    // batch only; a replay in a LATER batch is dropped by the band state,
+    // which is correct dedup output either way.
     val uniq = docs
       .filter(col("text").isNotNull && col("ts").isNotNull)
       .select(col("doc_id").cast("long"), col("ts"), col("text"))
-      .as[(Long, java.sql.Timestamp, String)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[Boolean, (Long, java.sql.Timestamp, String)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_, rows, _) => Iterator.single(rows.next())
-      }
-      .toDF("doc_id", "ts", "text")
+      .withWatermark("ts", "2 hours")
+      .as[RawDoc]
+      .groupByKey(_.doc_id)
+      .transformWithState(new CollapseFirstProcessor, "ts", OutputMode.Append)
+      .toDF()
     val withSig = uniq
       .withColumn("sig", graft.functions.TextFunctions
         .min_hash_slices(col("text"), shingleWidth, numHashes))
@@ -289,57 +290,25 @@ object DocStream {
     // see [[minhashNearDupFiltered]]
     val short = withSig.filter(col("sig").isNull)
       .select(col("doc_id"), col("ts"), col("text"))
+    // the event-time metadata on `ts` (established by the collapse stage's
+    // output event-time column) survives these projections, so the band
+    // stage chains legally without re-declaring a watermark
     val probes = withSig.filter(col("sig").isNotNull)
       .withColumn("band", explode(array((0 until nBands).map(lit): _*)))
       .withColumn("bucket", concat_ws("|", col("band").cast("string"),
         concat_ws("", slice(col("sig"), col("band") * bandRows + 1, lit(bandRows)))))
       .drop("band")
-      .withWatermark("ts", "2 hours")
       .as[MhDoc]
     val need = math.ceil(estJaccard * numHashes).toInt
     val voted = probes.groupByKey(_.bucket)
-      .flatMapGroupsWithState[(Long, List[Seq[String]]),
-          (Long, java.sql.Timestamp, String, Boolean)](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: String, rows: Iterator[MhDoc], state: GroupState[(Long, List[Seq[String]])]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            var (expiry, seen) = state.getOption.getOrElse((0L, List.empty[Seq[String]]))
-            val batch = rows.toSeq.sortBy(_.doc_id)
-            val out = batch.map { d =>
-              val dup = seen.exists { s =>
-                var agree = 0; var i = 0
-                while (i < numHashes) {
-                  if (s(i) == d.sig(i)) agree += 1
-                  i += 1
-                }
-                agree >= need
-              }
-              if (!dup) seen = (d.sig :: seen).take(maxSeen)
-              (d.doc_id, d.ts, d.text, dup)
-            }
-            // same latest-ever monotone expiry rule as the single-probe path
-            val latest = math.max(state.getCurrentWatermarkMs(),
-              batch.map(_.ts.getTime).max)
-            expiry = math.max(expiry, latest + 2L * 3600 * 1000)
-            state.update((expiry, seen))
-            state.setTimeoutTimestamp(expiry)
-            out.iterator
-          }
-      }
+      .transformWithState(
+        new MultiProbeBandProcessor(numHashes, need, maxSeen), "ts",
+        OutputMode.Append)
     // vote union: the k probe rows of a doc are all in this micro-batch,
-    // so the group sees every vote at once and keeps NO state
-    voted.groupByKey(_._1)
-      .flatMapGroupsWithState[Boolean, (Long, java.sql.Timestamp, String)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, votes: Iterator[(Long, java.sql.Timestamp, String, Boolean)],
-            _: GroupState[Boolean]) =>
-          val vs = votes.toSeq
-          if (vs.exists(_._4)) Iterator.empty
-          else Iterator.single((vs.head._1, vs.head._2, vs.head._3))
-      }
+    // so the processor sees every vote at once and keeps NO state
+    voted.groupByKey(_.doc_id)
+      .transformWithState(new VoteUnionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
       .toDF("doc_id", "ts", "text")
       .unionByName(short)
   }
@@ -376,6 +345,103 @@ object DocStream {
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append)
       .toDF("doc_id", "ts", "text")
       .unionByName(short)
+  }
+}
+
+/** Stateless collapse stage of the multi-probe chain: emits the FIRST row
+  * of each doc_id group in the micro-batch (rows of one key arrive
+  * together; no state is kept, so the collapse is batch-local by
+  * construction). */
+final class CollapseFirstProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, DocStream.RawDoc, DocStream.RawDoc] {
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = ()
+  override def handleInputRows(id: Long, rows: Iterator[DocStream.RawDoc],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[DocStream.RawDoc] =
+    Iterator.single(rows.next())
+}
+
+/** Band stage of the multi-probe chain: the single-probe check/insert/
+  * FIFO/event-time-expiry logic ([[MinHashDedupProcessor]]) per band
+  * bucket, emitting every doc WITH its per-band dup vote instead of
+  * filtering. */
+final class MultiProbeBandProcessor(numHashes: Int, need: Int, maxSeen: Int)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String, DocStream.MhDoc, DocStream.VotedDoc] {
+
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, TimerValues, TTLConfig, ValueState}
+
+  private val TtlMs = 2L * 3600 * 1000
+
+  @transient private var sigs: ListState[Seq[String]] = _
+  @transient private var expiry: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    sigs = getHandle.getListState[Seq[String]]("sigs",
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]](),
+      TTLConfig.NONE)
+    expiry = getHandle.getValueState[Long]("expiry",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(bucket: String,
+      rows: Iterator[DocStream.MhDoc], timerValues: TimerValues)
+      : Iterator[DocStream.VotedDoc] = {
+    var seen = sigs.get().toList
+    val batch = rows.toSeq.sortBy(_.doc_id)
+    val out = batch.map { d =>
+      val dup = seen.exists { s =>
+        var agree = 0; var i = 0
+        while (i < numHashes) {
+          if (s(i) == d.sig(i)) agree += 1
+          i += 1
+        }
+        agree >= need
+      }
+      if (!dup) seen = (d.sig :: seen).take(maxSeen)
+      DocStream.VotedDoc(d.doc_id, d.ts, d.text, dup)
+    }
+    sigs.put(seen.toArray)
+    // same latest-ever monotone expiry rule as MinHashDedupProcessor
+    val latest = math.max(timerValues.getCurrentWatermarkInMs(),
+      batch.map(_.ts.getTime).max)
+    val newExpiry = math.max(latest + TtlMs,
+      if (expiry.exists()) expiry.get() else 0L)
+    if (expiry.exists() && expiry.get() != newExpiry)
+      getHandle.deleteTimer(expiry.get())
+    if (!expiry.exists() || expiry.get() != newExpiry) {
+      getHandle.registerTimer(newExpiry)
+      expiry.update(newExpiry)
+    }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(bucket: String, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[DocStream.VotedDoc] = {
+    sigs.clear()
+    expiry.clear()
+    Iterator.empty
+  }
+}
+
+/** Stateless vote-union stage of the multi-probe chain: all `nBands` probe
+  * rows of a doc land in the same micro-batch (the explode happens inside
+  * it), so the processor sees every vote at once — keep the doc only when
+  * NO band flagged it. */
+final class VoteUnionProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, DocStream.VotedDoc, (Long, java.sql.Timestamp, String)] {
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = ()
+  override def handleInputRows(id: Long, rows: Iterator[DocStream.VotedDoc],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, java.sql.Timestamp, String)] = {
+    val vs = rows.toSeq
+    if (vs.exists(_.dup)) Iterator.empty
+    else Iterator.single((vs.head.doc_id, vs.head.ts, vs.head.text))
   }
 }
 

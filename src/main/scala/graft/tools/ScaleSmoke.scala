@@ -105,8 +105,12 @@ object ScaleSmoke {
       try q.processAllAvailable() finally q.stop()
     }
     time("streaming multi-probe near-dup") {
-      val ck = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-      spark.conf.set(ck, "false")
+      // transformWithState chain — needs the RocksDB state store; restore
+      // the PREVIOUS provider value after (not a hardcoded default)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
         val q = graft.streaming.DocStream.minhashNearDupFilteredMultiProbe(spark,
             graft.streaming.DocStream.read(spark, "/tmp/graft_scale/docs_stream"))
@@ -114,7 +118,10 @@ object ScaleSmoke {
           .option("checkpointLocation", "/tmp/graft_scale/ckpt_" + System.nanoTime())
           .outputMode("append").start()
         try q.processAllAvailable() finally q.stop()
-      } finally spark.conf.set(ck, "true")
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
 
     // as-of join at scale: purchases against 9× the prior events, both

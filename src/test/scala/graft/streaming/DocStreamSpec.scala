@@ -21,6 +21,19 @@ class DocStreamSpec extends SparkSpec {
 
   private def ts(min: Int) = Timestamp.valueOf(f"2024-06-01 10:$min%02d:00")
 
+  /** transformWithState paths require the RocksDB state store; set it for
+    * the block and restore the previous provider after. */
+  private def withRocksDb[T](f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private def mkSource(): (String, Set[Long], Set[Long]) = {
     val base = (0 until 20).map(i => (i.toLong, ts(i), doc(40)))
     // near-dups by token REORDERING: SimHash is bag-of-tokens, so the
@@ -176,20 +189,23 @@ class DocStreamSpec extends SparkSpec {
     try q1.processAllAvailable() finally q1.stop()
     val single = spark.table("mp_single").select("doc_id").as[Long].collect().toSet
     assert(single.contains(3L), "single-probe unexpectedly caught the anchor-miss dup")
-    // ...multi-probe (3 bands) drops it and keeps everything else; the
-    // operator refuses to run under the (false-positive) chained-stateful
-    // pattern check, so opt out for the query and restore after
-    val ck = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    // ...multi-probe (3 bands) drops it and keeps everything else. The
+    // chain runs on transformWithState with an output event-time column,
+    // so the default stateful-correctness check stays ENABLED — no
+    // session-wide safety opt-out (round-8 verdict item). Without the
+    // RocksDB provider it must fail fast with guidance:
     intercept[IllegalStateException] {
       DocStream.minhashNearDupFilteredMultiProbe(spark, DocStream.read(spark, dir))
     }
-    spark.conf.set(ck, "false")
-    val multi = try {
+    assert(spark.conf.get(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+      "true").toBoolean, "the correctness check must remain at its default")
+    val multi = withRocksDb {
       val q2 = DocStream.minhashNearDupFilteredMultiProbe(spark, DocStream.read(spark, dir))
         .writeStream.format("memory").queryName("mp_multi").outputMode("append").start()
       try q2.processAllAvailable() finally q2.stop()
       spark.table("mp_multi").select("doc_id").as[Long].collect().toSet
-    } finally spark.conf.set(ck, "true")
+    }
     assert(multi === Set(1L, 2L, 4L), s"got $multi")
   }
 
@@ -203,14 +219,12 @@ class DocStreamSpec extends SparkSpec {
     val d = doc(40)
     Seq((1L, ts(0), d), (1L, ts(0), d), (2L, ts(1), doc(40)))
       .toDF("doc_id", "ts", "text").coalesce(1).write.mode("overwrite").parquet(dir)
-    val ck = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-    spark.conf.set(ck, "false")
-    val kept = try {
+    val kept = withRocksDb {
       val q = DocStream.minhashNearDupFilteredMultiProbe(spark, DocStream.read(spark, dir))
         .writeStream.format("memory").queryName("mp_replay").outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
       spark.table("mp_replay").select("doc_id").as[Long].collect().toSeq
-    } finally spark.conf.set(ck, "true")
+    }
     assert(kept.sorted === Seq(1L, 2L), s"got $kept")
   }
 
@@ -262,14 +276,12 @@ class DocStreamSpec extends SparkSpec {
     try q1.processAllAvailable() finally q1.stop()
     assert(spark.table("short_fmgs").select("doc_id").as[Long].collect().toSet
       === Set(1L, 2L, 3L, 4L))
-    val ck = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-    spark.conf.set(ck, "false")
-    val multi = try {
+    val multi = withRocksDb {
       val q2 = DocStream.minhashNearDupFilteredMultiProbe(spark, DocStream.read(spark, dir))
         .writeStream.format("memory").queryName("short_mp").outputMode("append").start()
       try q2.processAllAvailable() finally q2.stop()
       spark.table("short_mp").select("doc_id").as[Long].collect().toSet
-    } finally spark.conf.set(ck, "true")
+    }
     assert(multi === Set(1L, 2L, 3L, 4L))
   }
 
