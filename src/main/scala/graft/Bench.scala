@@ -13,7 +13,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = GraftSession.local("graft-bench", cpus)
+    val spark = GraftSession.tunedLocal("graft-bench", sfDir, cpus)
 
     val headline = Registry.all.filter(_.bench)
     // noop sink: full materialization of every output row — a bare count()

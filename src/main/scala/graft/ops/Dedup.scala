@@ -201,7 +201,10 @@ object Dedup {
         s"signature index at $path was built with [$stored] but is being " +
           s"served with [$meta]; rebuild the index or match the parameters")
     }
-    spark.read.parquet(path)
+    // memoized: the artifact path is content-keyed (or parameter-guarded
+    // above), so the file set behind it is immutable — see
+    // Tables.readCachedParquet
+    graft.core.Tables.readCachedParquet(spark, Seq(path))
   }
 
   private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -244,7 +247,10 @@ object Dedup {
     require(files.nonEmpty,
       s"signature index at $path has no committed data files — build it " +
         "via signatureIndexArtifact (or the first ingestBatch) before serving")
-    spark.read.parquet(files: _*)
+    // memoized on the exact committed file list: an append or compaction
+    // changes the list and therefore the key, so the cache can never serve
+    // a stale view of the index
+    graft.core.Tables.readCachedParquet(spark, files)
   }
 
   /** Append a new batch's signatures to an existing index (the step after

@@ -310,7 +310,10 @@ object Similarity {
         s"centroid artifact at $path was built with [$stored] but is being " +
           s"served with [$meta]; delete the artifact or match the parameters")
     }
-    spark.read.parquet(path)
+    // memoized: the artifact path is content-keyed (or parameter-guarded
+    // above), so the file set behind it is immutable — see
+    // Tables.readCachedParquet
+    graft.core.Tables.readCachedParquet(spark, Seq(path))
   }
 
   /** Driver-resident codebook memo: production IVF serving holds the

@@ -56,7 +56,13 @@ object DedupQueries {
     * Pairs are attributed to the source of their lower-id endpoint, so
     * both engines group identically. */
   def q74FastAgreement(spark: SparkSession, dir: String): DataFrame = {
+    // both hash families, the source map, and the exact-dup check each
+    // scan the spread corpus; an eager persist barrier (the q47 pattern)
+    // builds it once instead of four times — the text column dominates
+    // the scan bytes, so the rescans were the query's largest cost
     val docs = Tables.spread(Tables.documents(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
     val gatePairs = Dedup.minhashCandidates(docs, "doc_id", "text")
       .filter(col("est_jaccard") >= 0.5).select(col("id_a"), col("id_b"))
     val fastAll = Dedup.minhashCandidatesFast(docs, "doc_id", "text")

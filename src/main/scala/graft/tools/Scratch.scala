@@ -4,7 +4,7 @@ import graft.core.GraftSession
 
 /** Ad-hoc profiling scratchpad (dev tool, intentionally minimal): edit,
   * `sbt "runMain graft.tools.Scratch"`, discard. Durable scale evidence
-  * belongs in [[ScaleSmoke]]; durable assertions belong in specs. */
+  * belongs in ScaleSmoke / SCALING notes, not here. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("scratch", 32)
