@@ -27,9 +27,12 @@ object Bench {
     headline.foreach { g =>
       try run(g, sfDir) catch { case _: Throwable => () }
     }
-    // three timed passes, report per-query MEDIAN: steady-state execution
-    // time robust to one load spike (r6's q18 "regression" was a single
-    // polluted pass; min-of-2 could not shed it when both passes were hit).
+    // five timed passes, report per-query MEDIAN: steady-state execution
+    // time robust to TWO load spikes (this box shows ±15% run-to-run
+    // variance; with 3 passes a query hit twice reported the spike —
+    // r6's q18 "regression" was exactly that. Median-of-5 = 3rd smallest,
+    // immune to a two-pass burst, and still an honest central estimate —
+    // unlike min, it never reports a lucky outlier).
     // A query that throws is recorded as an error and EXCLUDED from the
     // total — it must never bench as ~0s and silently inflate the round.
     def timeOnce(g: graft.queries.Gated): Either[String, Double] = {
@@ -45,7 +48,7 @@ object Bench {
     // queries that persist() intermediates (curation, SCD2 chains) would
     // otherwise hand their cache from one pass to the next via canonical-
     // plan matching — the median would then time cache hits, not the query
-    val passes = (1 to 3).map { _ =>
+    val passes = (1 to 5).map { _ =>
       headline.map { g =>
         // leftover persisted intermediates from the PREVIOUS query (q47's
         // curation barriers, q57's history generations, q65's decode

@@ -65,7 +65,11 @@ object DedupQueries {
     docs.count()
     val gatePairs = Dedup.minhashCandidates(docs, "doc_id", "text")
       .filter(col("est_jaccard") >= 0.5).select(col("id_a"), col("id_b"))
+    // consumed twice (threshold filter + exact-dup anti-join); without a
+    // barrier the whole fast-path signature pipeline runs twice
     val fastAll = Dedup.minhashCandidatesFast(docs, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fastAll.count()
     val fast = fastAll.filter(col("est_jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"))
     val sym = gatePairs.withColumn("in_m", lit(true))
