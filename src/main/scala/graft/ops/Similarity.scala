@@ -496,4 +496,61 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("id"), col("sim"))
   }
+
+  // ---- SemDeDup: cluster-scoped semantic dedup -------------------------
+
+  /** Density-ruled cluster count for [[semDedup]]: k = ceil(n / target)
+    * clamped to [4, 4096]. The same occupancy argument as [[autoBits]] in
+    * cluster space — holding expected cluster size constant keeps the
+    * within-cluster pair enumeration Σ n_c² LINEAR in n (≈ n·target),
+    * where a fixed k would grow it ~n²/k. Integer arithmetic so the
+    * oracle derives the identical k from COUNT(*). The 4096 cap bounds
+    * the driver-resident codebook (4096·dim floats), not the data. */
+  def autoK(n: Long, targetClusterRows: Int = 50): Int = {
+    val k = (n + targetClusterRows - 1) / targetClusterRows
+    math.max(4L, math.min(4096L, k)).toInt
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public algorithm):
+    * k-means-cluster the embedding corpus, then WITHIN each cluster drop
+    * every vector whose cosine to a lower-id cluster-mate exceeds
+    * `threshold` (keep-first). Semantic duplicates land in the same
+    * cluster, so the pair enumeration is an equi-join on cid — never
+    * corpus-wide all-pairs — and with [[autoK]] the expected per-cluster
+    * work is constant, total work linear in n.
+    *
+    * Training reuses the q35-certified deterministic pipeline
+    * ([[centroidCodebook]], "sample" init, order-free decimal Lloyd
+    * updates), stored as a parquet artifact at `artifactPath` — at 100 TB
+    * the codebook is trained once (typically on a sample) and served to
+    * every ingest; serving here is one count + one projection + one
+    * cid-equi-join.
+    *
+    * Skew note: a pathological corpus (one semantic mode ≫ target
+    * cluster size) concentrates pairs in one cid — the standard
+    * mitigation is re-clustering the oversized cluster (k-means is
+    * recursive) or capping via [[lshNearDupLosersMinRep]]-style min-rep
+    * verification inside the big cluster; AQE's skew-join split handles
+    * the join-side imbalance in production sessions (it is only disabled
+    * in the small-corpus bench conf).
+    *
+    * Returns the SURVIVORS as (id, cid) — keep-list plus cluster
+    * assignment, so downstream can audit per-cluster retention. */
+  def semDedup(vectors: DataFrame, artifactPath: String, threshold: Double,
+      targetClusterRows: Int = 50, iters: Int = 2): DataFrame = {
+    val k = autoK(vectors.count(), targetClusterRows)
+    val cents = centroidCodebook(vectors, artifactPath, k, iters, init = "sample")
+    val withCid = vectors
+      .join(assignByMatrix(vectors, cents.toSeq), Seq("id"))
+      .select(col("id"), col("vec"), col("cid"))
+    val a = withCid.select(col("cid"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = withCid.select(col("cid"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val losers = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b") &&
+        cosine(col("vec_a"), col("vec_b")) > threshold)
+      .select(col("id_b").as("id"))
+      .distinct()
+    withCid.join(losers, Seq("id"), "left_anti")
+      .select(col("id"), col("cid"))
+  }
 }

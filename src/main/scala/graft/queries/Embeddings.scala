@@ -356,6 +356,59 @@ object Embeddings {
       |SELECT qid, CAST(rn AS BIGINT) AS rank, id AS neighbor_id, sim
       |FROM r WHERE rn <= 10""".stripMargin
 
+  /** SemDeDup gate ([[Similarity.semDedup]]): k-means cluster (k chosen
+    * by the [[Similarity.autoK]] density rule from COUNT(*)), then
+    * keep-first semantic dedup WITHIN clusters at cosine > 0.5. The
+    * oracle replays the whole pipeline — the integer k rule, the
+    * md5-ordered sample init, two decimal-exact Lloyd iterations, the
+    * (−dot, cid) assignment, and the in-cluster pair filter — so both
+    * the clustering and the dedup semantics are certified, at a k that
+    * varies with the corpus (4 at sf0.01, 40 at sf0.1). Returns
+    * survivors with their cluster id for retention audits. */
+  def q75SemDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(vectors(spark, dir),
+      semDedupArtifactPath(spark, dir), threshold = 0.5)
+      .select(col("id").as("vec_id"), col("cid"))
+
+  /** Artifact path for q75's centroids. No k in the tag: the path is
+    * keyed by the source parquet's len+mtime, and k is a deterministic
+    * function of that data's row count, so same path ⇒ same k (a
+    * targetClusterRows change reuses the path and is caught by the
+    * artifact's parameter-fingerprint guard, which fails fast). */
+  private def semDedupArtifactPath(spark: SparkSession, dir: String): String =
+    graft.core.Artifacts.path(spark, s"$dir/embeddings.parquet",
+      "semdedup_i2_sample")
+
+  val q75SemDedupSql: String = {
+    val seedOrder = s"${OracleFragments.hex8Sql("vec_id::VARCHAR || '#ivf'")}, vec_id"
+    s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |kk AS (SELECT LEAST(4096, GREATEST(4, (n + 49) // 50)) AS k FROM nn),
+       |seed AS (
+       |  SELECT cid, cvec FROM (
+       |    SELECT CAST(row_number() OVER (ORDER BY $seedOrder) - 1 AS BIGINT) AS cid,
+       |      embedding::DOUBLE[] AS cvec
+       |    FROM embeddings)
+       |  WHERE cid < (SELECT k FROM kk)),
+       |${lloydCtes(1, "seed")},
+       |${lloydCtes(2, "c1")},
+       |asg3 AS (
+       |  SELECT id, cid FROM (
+       |    SELECT e.vec_id AS id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY -list_dot_product(e.embedding::DOUBLE[], c.cvec), c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c)
+       |  WHERE rn = 1),
+       |wv AS (
+       |  SELECT a.id, a.cid, e.embedding::DOUBLE[] AS vec
+       |  FROM asg3 a JOIN embeddings e ON e.vec_id = a.id),
+       |losers AS (
+       |  SELECT DISTINCT b.id
+       |  FROM wv a JOIN wv b ON a.cid = b.cid AND a.id < b.id
+       |  WHERE list_cosine_similarity(a.vec, b.vec) > 0.5)
+       |SELECT w.id AS vec_id, w.cid FROM wv w
+       |WHERE w.id NOT IN (SELECT id FROM losers)""".stripMargin
+  }
+
   val q49AnnRecallSql: String =
     s"""WITH ${sigCtes(16, 6, 64)},
       |q AS (

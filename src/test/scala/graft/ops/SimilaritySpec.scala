@@ -243,4 +243,43 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a < b })
     assert(pairs.length >= 5)
   }
+
+  test("semDedup: autoK density rule, keep-first semantics match brute force") {
+    assert(Similarity.autoK(200) === 4)
+    assert(Similarity.autoK(201) === 5)          // ceil division
+    assert(Similarity.autoK(2000) === 40)
+    assert(Similarity.autoK(10) === 4)           // clamp low
+    assert(Similarity.autoK(1000000000L) === 4096) // codebook cap
+    val v = planted() // 40 bases + near-identical dups of the first 5
+    val tmp = java.nio.file.Files.createTempDirectory("graft_semdedup_spec")
+      .toString + "/cents"
+    val survivors = Similarity.semDedup(v, tmp, threshold = 0.9,
+      targetClusterRows = 10).select("id", "cid")
+      .as[(Long, Long)].collect().toMap
+    // brute-force the contract: b is dropped iff some lower-id vector in
+    // b's OWN cluster has cosine > t (keep-first at cluster scope) —
+    // recompute assignments from the same trained artifact
+    val k = Similarity.autoK(v.count(), 10)
+    val cents = Similarity.centroidCodebook(v, tmp, k, iters = 2, init = "sample")
+    val asg = Similarity.assign(v,
+        cents.toSeq.toDF("cid", "cvec"))
+      .as[(Long, Long)].collect().toMap
+    val vecs = v.as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val expectedSurvivors = vecs.keySet.filter { b =>
+      !vecs.keySet.exists(a => a < b && asg(a) == asg(b) &&
+        cos(vecs(a), vecs(b)) > 0.9)
+    }
+    assert(survivors.keySet === expectedSurvivors)
+    // the planted near-identical dup of each base shares its cluster, so
+    // keep-first must drop every 100+i and keep every base
+    assert((0 until 5).forall(i => !survivors.contains(100L + i)))
+    assert((0 until 40).forall(i => survivors.contains(i.toLong)))
+    // survivors carry the same assignment the codebook produces
+    survivors.foreach { case (id, cid) => assert(asg(id) === cid) }
+  }
 }
