@@ -46,6 +46,15 @@ object GraftSession {
       // scalar max-date subquery scans metadata, not data)
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the generated-class cache defaults to 100 entries; a session
+      // serving this library's full query surface compiles ~800 codegen
+      // units, so at the default EVERY run of EVERY query re-Janinos its
+      // units (measured: 778 recompiles per bench pass, ~10 s of the
+      // 32 s sf0.1 total — the warm-up pass primed a cache that then
+      // evicted itself). Static conf: takes effect on the first session
+      // built in the JVM. 10k entries ≈ tens of MB of classes, noise
+      // against executor heap at any scale.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       // the corpus `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4
       // rejects by default; read as long and convert in Tables.events
