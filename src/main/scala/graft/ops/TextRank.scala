@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval scoring over a document corpus (Robertson & Zaragoza
+  * 2009, "The Probabilistic Relevance Framework: BM25 and Beyond") — a
+  * first-class training-data-pipeline operator: quality-aware retrieval,
+  * decontamination scoring ("which training docs score suspiciously high
+  * against eval queries"), and targeted corpus audits all reduce to
+  * "BM25 top-k per query".
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *  - the query set is SMALL by construction (a handful of terms) and is
+  *    broadcast; the token stream is semi-join-pruned to query terms
+  *    BEFORE any per-term aggregation, so df/tf stats are computed only
+  *    for the terms that can score — never a full-vocabulary statistics
+  *    pass;
+  *  - per-document length is the one full-corpus aggregation (a narrow
+  *    count per doc_id — one shuffle of (id, long));
+  *  - the final top-k is a per-query window over docs that matched at
+  *    least one query term — the non-matching corpus never reaches the
+  *    shuffle.
+  *
+  * Determinism (the Det discipline): per-term contributions are computed
+  * as IEEE doubles with an expression tree written IDENTICALLY in the
+  * DuckDB oracle (same literals, same association), then rounded to
+  * 1e-6 fixed-point LONGS before the per-(query, doc) sum — integer
+  * sums are exact and order-free, so the emitted `score_fp6` and the
+  * (score desc, doc_id) ranking are partition-order-independent and
+  * hash-comparable across engines. The only cross-engine wobble is the
+  * last ulp of `ln` (Java Math.log vs libm), ~1e-16 relative, which the
+  * 1e-6 rounding absorbs except on astronomically thin half-integer
+  * boundaries.
+  */
+object TextRank {
+
+  /** BM25 k1: term-frequency saturation. */
+  val K1 = 1.2
+  /** BM25 b: document-length normalization strength. */
+  val B = 0.75
+
+  /** Top-k documents per query by BM25.
+    *
+    * @param docs    corpus with `idCol` (long) and `textCol` (whitespace
+    *                tokens — pre-tokenized corpus contract; compose with
+    *                [[TextOps.tokenizeRegex]] upstream for general text)
+    * @param queries (query_id, terms) — small, broadcast
+    * @return (query_id, rank, doc_id, score_fp6): rank 1..k per query by
+    *         (score desc, doc_id asc); score_fp6 = BM25 × 1e6 as long
+    */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val tok = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val lens = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len_d"))
+    // one-row corpus stats; broadcast cross join (the q72/q54 pattern)
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("len_d")).as("tot_len"))
+    // document frequency ONLY for query terms: the broadcast semi-join
+    // prunes the token stream before the distinct-doc aggregation
+    val dfs = tok
+      .join(broadcast(qt.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("term")).agg(count_distinct(col("doc_id")).as("df"))
+    val tf = tok
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // expression tree mirrored verbatim in the oracle SQL (see
+    // TextQueries.q76Bm25Sql): idf * tfn * 1e6, left-associated
+    val avgdl = col("tot_len").cast("double") / col("n_docs")
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    // literal 2.2, not K1 + 1.0: the runtime sum 1.2+1.0 lands on a
+    // round-to-even tie one ulp away from the parsed literal "2.2" the
+    // oracle uses — the literal must be identical on both sides
+    val tfn = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("len_d") / avgdl)))
+    val contrib = tf
+      .join(broadcast(dfs), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round(idf * tfn * lit(1e6)).cast("long").as("c"))
+    val scores = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("score_fp6"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp6").desc, col("doc_id"))
+    scores
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_fp6"))
+  }
+}

@@ -207,6 +207,64 @@ object TextQueries {
         graft.ops.TextOps.phoneCount(col("t")).cast("long").as("n_phone"))
   }
 
+  /** BM25 retrieval gate ([[graft.ops.TextRank.bm25TopK]]): top-10 docs
+    * per query for a fixed 4-query set over the corpus vocabulary (one
+    * query includes the rare term `dup`, df≈5% — the idf spread is what
+    * distinguishes BM25 from bare tf). The oracle replays the identical
+    * IEEE expression tree (same literals, same association, DuckDB `ln`
+    * vs Math.log) and the same 1e-6 fixed-point rounding before the
+    * integer score sum — see the determinism note on [[graft.ops.TextRank]].
+    * Scores are emitted as fixed-point LONGS so the gate hash-compares
+    * with no float tolerance at all. */
+  val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "window", "agg"),
+    2L -> Seq("hash", "join", "dup"),
+    3L -> Seq("stream", "batch", "data"),
+    4L -> Seq("filter", "scan", "sort", "key"))
+
+  def q76Bm25(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextRank.bm25TopK(
+      Tables.documents(spark, dir), Bm25Queries, "doc_id", "text", k = 10)
+
+  val q76Bm25Sql: String = {
+    val qvals = Bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""WITH qt(query_id, term) AS (VALUES $qvals),
+      |tok AS (
+      |  SELECT doc_id, t AS term
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |  WHERE t <> ''),
+      |lens AS (SELECT doc_id, COUNT(*) AS len_d FROM tok GROUP BY doc_id),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(len_d) AS tot_len FROM lens),
+      |dfs AS (
+      |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+      |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+      |tf AS (
+      |  SELECT q.query_id, t.doc_id, t.term, COUNT(*) AS tf
+      |  FROM tok t JOIN qt q USING (term) GROUP BY 1, 2, 3),
+      |contrib AS (
+      |  SELECT tf.query_id, tf.doc_id,
+      |    CAST(round(
+      |      ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+      |      * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (l.len_d / (CAST(s.tot_len AS DOUBLE) / s.n_docs)))))
+      |      * 1e6) AS BIGINT) AS c
+      |  FROM tf
+      |  JOIN dfs d USING (term)
+      |  JOIN lens l ON l.doc_id = tf.doc_id
+      |  CROSS JOIN stats s),
+      |scores AS (
+      |  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_fp6
+      |  FROM contrib GROUP BY 1, 2)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id, score_fp6
+      |FROM (
+      |  SELECT query_id, doc_id, score_fp6,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_fp6 DESC, doc_id) AS BIGINT) AS rank
+      |  FROM scores)
+      |WHERE rank <= 10""".stripMargin
+  }
+
   val q66PiiRedactionSql: String = {
     val email = graft.ops.TextOps.EmailRe
     val phone = graft.ops.TextOps.PhoneRe

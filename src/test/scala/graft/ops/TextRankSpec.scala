@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+class TextRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-doc corpus with hand-countable stats: "rare" appears in one doc,
+  // "common" in all four; doc 4 is long (length normalization target)
+  private def corpus() = Seq(
+    (1L, "common rare alpha"),
+    (2L, "common alpha alpha"),
+    (3L, "common beta"),
+    (4L, "common common common common common common common alpha")
+  ).toDF("doc_id", "text")
+
+  private def score(tf: Long, df: Long, lenD: Long, nDocs: Long, totLen: Long): Long = {
+    val avgdl = totLen.toDouble / nDocs
+    val idf = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+    val tfn = (tf * 2.2) / (tf + TextRank.K1 * ((1.0 - TextRank.B) + TextRank.B * (lenD / avgdl)))
+    math.round(idf * tfn * 1e6)
+  }
+
+  test("bm25TopK matches hand-computed fixed-point scores") {
+    val got = TextRank.bm25TopK(corpus(), Seq(1L -> Seq("rare", "common")),
+        "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+
+    // n_docs=4, tot_len=16; df(rare)=1, df(common)=4
+    val s1 = score(1, 1, 3, 4, 16) + score(1, 4, 3, 4, 16)   // doc 1: rare + common
+    val s2 = score(1, 4, 3, 4, 16)                           // doc 2: common only
+    val s3 = score(1, 4, 2, 4, 16)                           // doc 3: common only, shorter
+    val s4 = score(7, 4, 8, 4, 16)                           // doc 4: saturated common
+    val byDoc = got.map(t => t._3 -> t._4).toMap
+    assert(byDoc === Map(1L -> s1, 2L -> s2, 3L -> s3, 4L -> s4))
+
+    // doc 1 wins on idf spread: the rare term dominates saturated tf
+    assert(got.head._3 === 1L && got.head._2 === 1L)
+  }
+
+  test("rare-term idf outweighs common-term tf saturation") {
+    // doc 4 has 7x the common tf of doc 1 but never outranks doc 1's
+    // single rare hit — the property that distinguishes BM25 from tf
+    val got = TextRank.bm25TopK(corpus(), Seq(1L -> Seq("rare", "common")),
+      "doc_id", "text", k = 2).collect()
+    val ranked = got.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+    assert(ranked.head === 1L)
+    assert(got.length === 2)  // k honored
+  }
+
+  test("non-matching docs never appear; ties break by doc_id") {
+    val df = Seq(
+      (10L, "x y"), (11L, "x y"), (12L, "z z")
+    ).toDF("doc_id", "text")
+    val got = TextRank.bm25TopK(df, Seq(7L -> Seq("x")), "doc_id", "text", k = 10)
+      .collect().sortBy(_.getLong(1))
+    assert(got.map(_.getLong(2)).toSeq === Seq(10L, 11L))  // 12 absent, tie by id
+    assert(got.map(_.getLong(3)).distinct.length === 1)    // identical scores
+  }
+
+  test("scores are partition-order independent") {
+    val base = corpus()
+    val a = TextRank.bm25TopK(base.repartition(7), Seq(1L -> Seq("rare", "common", "alpha")),
+      "doc_id", "text", k = 10).collect().toSet[Row]
+    val b = TextRank.bm25TopK(base.coalesce(1), Seq(1L -> Seq("rare", "common", "alpha")),
+      "doc_id", "text", k = 10).collect().toSet[Row]
+    assert(a === b)
+  }
+}
