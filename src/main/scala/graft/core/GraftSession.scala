@@ -53,8 +53,10 @@ object GraftSession {
       // 32 s sf0.1 total — the warm-up pass primed a cache that then
       // evicted itself). Static conf: takes effect on the first session
       // built in the JVM. 10k entries ≈ tens of MB of classes, noise
-      // against executor heap at any scale.
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // against executor heap at any scale. Env override exists only for
+      // in-process A/B measurement (tools/Scratch) — prod default stands.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("GRAFT_CODEGEN_CACHE", "10000"))
       .config("spark.ui.enabled", "false")
       // the corpus `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4
       // rejects by default; read as long and convert in Tables.events
