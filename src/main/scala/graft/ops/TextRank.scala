@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** BM25 retrieval scoring over a document corpus (Robertson & Zaragoza
   * 2009, "The Probabilistic Relevance Framework: BM25 and Beyond") — a
@@ -95,5 +96,88 @@ object TextRank {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_fp6"))
+  }
+
+  /** TextRank damping factor (Mihalcea & Tarau 2004 use PageRank's 0.85). */
+  val Damping = 0.85
+
+  /** Corpus-level TextRank keyword extraction (Mihalcea & Tarau 2004,
+    * "TextRank: Bringing Order into Texts"): weighted PageRank over the
+    * term co-occurrence graph — nodes are distinct terms, an undirected
+    * edge (u,v) weighted by how often u and v are ADJACENT tokens
+    * anywhere in the corpus. The converged rank is a corpus-salience
+    * score: which terms sit at the center of the corpus's phrase
+    * structure — the keyword/topic audit a curation pipeline runs before
+    * and after a filtering pass ("did dedup/quality gating shift what
+    * the corpus is about?").
+    *
+    * Scale shape:
+    *  - edge extraction is a PER-DOC PROJECTION (zip the token array
+    *    with its own tail — no positional self-join) followed by one
+    *    groupBy to weights: O(tokens) rows into one shuffle;
+    *  - each PageRank iteration is one join (ranks ⋈ edges on src) plus
+    *    one groupBy (sum by dst): 2 shuffles × a FIXED iteration count,
+    *    the q62 pointer-jumping discipline — never per-row driver loops;
+    *  - the edge table is persisted once and reused by all iterations.
+    *
+    * Determinism (the Det discipline): ranks live as 1e-6 fixed-point
+    * LONGS. Per-edge contributions round to longs BEFORE the per-node
+    * sum (integer sums are exact and order-free); the update
+    * `150000 + round(0.85 * sum)` is one double multiply on an exactly-
+    * representable integer — bit-identical across engines. The oracle
+    * unrolls the same fixed iteration count as chained CTEs.
+    *
+    * Node-set contract: terms of one-token documents that are adjacent
+    * to nothing appear in no edge and get no rank (graph nodes only) —
+    * mirrored by the oracle construction.
+    *
+    * @param iterations fixed PageRank rounds (5 ≈ converged ordering on
+    *                   natural corpora; fixed so the oracle can unroll)
+    * @return (rank, term, score_fp6): top-k terms by
+    *         (score desc, term asc); score_fp6 = rank mass × 1e6
+    */
+  def textRankKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, iterations: Int = 5): DataFrame = {
+    val toks = docs.select(
+      filter(split(col(textCol), " "), t => t =!= "").as("toks"))
+    // adjacent pairs by zipping the token list with its own tail —
+    // per-row projection, no join; drop self-loops (repeated tokens)
+    val pairs = toks
+      .filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(least(a, b).as("u"), greatest(a, b).as("v"))))
+        .as("e"))
+      .select(col("e.u"), col("e.v"))
+      .filter(col("u") =!= col("v"))
+    val und = pairs.groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+    // symmetric directed view + per-source total weight; persisted once,
+    // read by every iteration (and the node seed)
+    val edges = und.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    val wtot = edges.groupBy(col("src")).agg(sum(col("w")).as("wsrc"))
+    val adj = edges.join(wtot, Seq("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = wtot.select(col("src").as("term"), lit(1000000L).as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib = adj.join(ranks, adj("src") === ranks("term"))
+        .select(col("dst"),
+          round((col("r").cast("double") * col("w")) / col("wsrc"))
+            .cast("long").as("c"))
+      ranks = contrib.groupBy(col("dst")).agg(
+        (lit(150000L) + round(lit(Damping) * sum(col("c"))).cast("long"))
+          .as("r"))
+        .select(col("dst").as("term"), col("r"))
+    }
+    // distributed top-k (TakeOrderedAndProject — per-partition heaps,
+    // never a global sort of the vocabulary); the rank column is then a
+    // window over k rows, not over the corpus
+    val topk = ranks.orderBy(col("r").desc, col("term")).limit(k)
+    topk
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("r").desc, col("term"))).cast("long"))
+      .select(col("rank"), col("term"), col("r").as("score_fp6"))
+    // `adj` unpersists with the session; gates are one-shot per session
   }
 }

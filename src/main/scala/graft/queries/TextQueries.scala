@@ -265,6 +265,52 @@ object TextQueries {
       |WHERE rank <= 10""".stripMargin
   }
 
+  /** TextRank keyword gate ([[graft.ops.TextRank.textRankKeywords]]):
+    * top-20 corpus keywords by 5-iteration weighted PageRank over the
+    * term-adjacency graph. The oracle unrolls the same five iterations
+    * as chained CTEs with the identical fixed-point discipline (per-edge
+    * contributions rounded to longs before the exact integer sum), so
+    * ranks hash-compare with no float tolerance. */
+  def q77TextRank(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextRank.textRankKeywords(
+      Tables.documents(spark, dir), "doc_id", "text", k = 20)
+
+  val q77TextRankSql: String = {
+    // one unrolled PageRank iteration: previous ranks rp -> new ranks
+    def iter(rp: String, rn: String): String =
+      s"""$rn AS (
+        |  SELECT dst AS term, 150000 + CAST(round(0.85 * SUM(c)) AS BIGINT) AS r
+        |  FROM (
+        |    SELECT a.dst, CAST(round((CAST(p.r AS DOUBLE) * a.w) / a.wsrc) AS BIGINT) AS c
+        |    FROM adj a JOIN $rp p ON a.src = p.term)
+        |  GROUP BY dst)""".stripMargin
+    val iters = (1 to 5).map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH t AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT least(a, b) AS u, greatest(a, b) AS v FROM (
+      |    SELECT
+      |      unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i])) AS a,
+      |      unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i + 1])) AS b
+      |    FROM t WHERE len(toks) >= 2)
+      |  WHERE a <> b),
+      |und AS (SELECT u, v, COUNT(*) AS w FROM pairs GROUP BY u, v),
+      |edges AS (
+      |  SELECT u AS src, v AS dst, w FROM und
+      |  UNION ALL
+      |  SELECT v AS src, u AS dst, w FROM und),
+      |wtot AS (SELECT src, SUM(w) AS wsrc FROM edges GROUP BY src),
+      |adj AS (SELECT e.src, e.dst, e.w, t.wsrc FROM edges e JOIN wtot t USING (src)),
+      |r0 AS (SELECT src AS term, CAST(1000000 AS BIGINT) AS r FROM wtot),
+      |$iters
+      |SELECT rank, term, score_fp6 FROM (
+      |  SELECT CAST(row_number() OVER (ORDER BY r DESC, term) AS BIGINT) AS rank,
+      |    term, r AS score_fp6
+      |  FROM r5)
+      |WHERE rank <= 20""".stripMargin
+  }
+
   val q66PiiRedactionSql: String = {
     val email = graft.ops.TextOps.EmailRe
     val phone = graft.ops.TextOps.PhoneRe

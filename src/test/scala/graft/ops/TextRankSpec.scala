@@ -69,4 +69,62 @@ class TextRankSpec extends SparkSpec {
       "doc_id", "text", k = 10).collect().toSet[Row]
     assert(a === b)
   }
+
+  // ---- textRankKeywords ----
+
+  /** Reference fixed-point PageRank over explicit undirected weighted
+    * edges, mirroring the operator's rounding discipline exactly. */
+  private def refTextRank(und: Seq[(String, String, Long)], iters: Int): Map[String, Long] = {
+    val directed = und.flatMap { case (u, v, w) => Seq((u, v, w), (v, u, w)) }
+    val wsrc = directed.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var r = wsrc.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = directed
+        .map { case (u, v, w) => v -> math.round(r(u).toDouble * w / wsrc(u)) }
+        .groupBy(_._1).map { case (v, cs) => v -> cs.map(_._2).sum }
+      r = in.map { case (v, s) => v -> (150000L + math.round(TextRank.Damping * s)) }
+    }
+    r
+  }
+
+  test("textRankKeywords matches a reference fixed-point PageRank") {
+    // docs: "a b", "b c", "b c" -> path graph a-b (w=1), b-c (w=2)
+    val docs = Seq((1L, "a b"), (2L, "b c"), (3L, "b c")).toDF("doc_id", "text")
+    val got = TextRank.textRankKeywords(docs, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val exp = refTextRank(Seq(("a", "b", 1L), ("b", "c", 2L)), 5)
+    assert(got.map(t => t._2 -> t._3).toMap === exp)
+    // b is the hub: strictly top-ranked
+    assert(got.find(_._1 == 1L).map(_._2).contains("b"))
+  }
+
+  test("hub term outranks leaves in a star graph; self-loops ignored") {
+    // star around "hub"; "z z" contributes only a self-loop (dropped),
+    // so z never becomes a node
+    val docs = Seq(
+      (1L, "hub x"), (2L, "hub y"), (3L, "hub w"), (4L, "z z")
+    ).toDF("doc_id", "text")
+    val got = TextRank.textRankKeywords(docs, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.head._2 === "hub")
+    assert(!got.map(_._2).contains("z"))
+    assert(got.length === 4)
+  }
+
+  test("one-token docs join the graph only via adjacency elsewhere") {
+    val docs = Seq((1L, "lonely"), (2L, "a b")).toDF("doc_id", "text")
+    val terms = TextRank.textRankKeywords(docs, "doc_id", "text", k = 10)
+      .collect().map(_.getString(1)).toSet
+    assert(terms === Set("a", "b"))
+  }
+
+  test("keyword ranks are partition-order independent and k-limited") {
+    val docs = (1L to 40L).map(i =>
+      (i, s"t${i % 7} t${(i + 1) % 7} t${(i + 3) % 7}")).toDF("doc_id", "text")
+    val a = TextRank.textRankKeywords(docs.repartition(11), "doc_id", "text", k = 3)
+      .collect().toSet[Row]
+    val b = TextRank.textRankKeywords(docs.coalesce(1), "doc_id", "text", k = 3)
+      .collect().toSet[Row]
+    assert(a === b && a.size === 3)
+  }
 }
