@@ -211,4 +211,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"nested-loop in the component loop:\n$p")
   }
+
+  test("q76: query-term joins broadcast; the only nested-loop is the 1-row stats join") {
+    val p = planOf(TextQueries.q76Bm25(spark, sf))
+    // the token stream must be pruned by BROADCAST semi/inner joins on the
+    // tiny query-term set — an SMJ there would shuffle the whole corpus
+    assert(p.contains("BroadcastHashJoin"), s"query-term join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one BroadcastNestedLoopJoin: the intended single-row corpus
+    // stats attach (broadcast of one row — free at any scale)
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nlj === 1, s"expected exactly the stats singleton NLJ, got $nlj:\n$p")
+  }
+
+  test("q77: PageRank loop serves edges from the persisted barrier; distributed top-k") {
+    val p = planOf(TextQueries.q77TextRank(spark, sf))
+    // every iteration must read the adjacency from the persist, not
+    // recompute the edge extraction five times
+    assert(p.contains("InMemoryTableScan"), s"edge table not served from cache:\n$p")
+    // the final k rows come from per-partition heaps, never a global sort
+    // of the vocabulary
+    assert(p.contains("TakeOrderedAndProject"), s"top-k degraded to global sort:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"nested-loop in the rank loop:\n$p")
+  }
 }
