@@ -311,6 +311,30 @@ object TextQueries {
       |WHERE rank <= 20""".stripMargin
   }
 
+  /** Unigram-LM quality gate ([[graft.ops.LangModel.selfScore]]):
+    * bits-per-token of every document against the corpus's own unigram
+    * statistics — the CCNet perplexity-proxy filter in its distributed
+    * form. Fixed-point per-token costs make the gate hash-exact; the
+    * oracle replays the identical smoothing and expression trees. */
+  def q78LmQuality(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.LangModel.selfScore(Tables.documents(spark, dir), "doc_id", "text")
+
+  val q78LmQualitySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, t AS term
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |  WHERE t <> ''),
+      |counts AS (SELECT term, COUNT(*) AS ct FROM tok GROUP BY term),
+      |totals AS (SELECT SUM(ct) AS n_train, COUNT(*) AS v_train FROM counts),
+      |costs AS (
+      |  SELECT tok.doc_id,
+      |    CAST(round(-log2(CAST(coalesce(c.ct, 0) + 1 AS DOUBLE)
+      |      / (t.n_train + t.v_train + 1)) * 1e6) AS BIGINT) AS c
+      |  FROM tok LEFT JOIN counts c USING (term) CROSS JOIN totals t)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |  CAST(round(CAST(SUM(c) AS DOUBLE) / COUNT(*)) AS BIGINT) AS bits_fp6
+      |FROM costs GROUP BY doc_id""".stripMargin
+
   val q66PiiRedactionSql: String = {
     val email = graft.ops.TextOps.EmailRe
     val phone = graft.ops.TextOps.PhoneRe
