@@ -296,4 +296,41 @@ object DedupQueries {
       |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id)
       |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS rep_id
       |FROM reach GROUP BY id""".stripMargin
+
+  /** Duplicated-span coverage gate ([[graft.ops.SpanDedup]]): per-doc
+    * fraction of token positions covered by an 8-token window occurring
+    * verbatim anywhere else in the corpus — the ExactSubstr criterion
+    * (Lee et al. 2021) at gate-able width. The oracle rebuilds the md5
+    * gram keys from the same 1-based slices. */
+  val SpanWidth = 8
+
+  def q79DupSpans(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.ops.SpanDedup.dupSpanCoverage(
+      graft.core.Tables.documents(spark, dir), "doc_id", "text", SpanWidth)
+
+  val q79DupSpansSql: String = {
+    val w = SpanWidth
+    s"""WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |lens AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM t
+      |  WHERE len(toks) >= 1),
+      |grams AS (
+      |  SELECT doc_id, pos, md5(array_to_string(toks[pos:pos + ${w - 1}], ' ')) AS g
+      |  FROM (
+      |    SELECT doc_id, toks,
+      |      unnest(generate_series(1, len(toks) - ${w - 1})) AS pos
+      |    FROM t WHERE len(toks) >= $w)),
+      |dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1),
+      |cov AS (
+      |  SELECT doc_id, COUNT(DISTINCT p) AS covered FROM (
+      |    SELECT doc_id, unnest(generate_series(pos, pos + ${w - 1})) AS p
+      |    FROM grams WHERE g IN (SELECT g FROM dup))
+      |  GROUP BY doc_id)
+      |SELECT l.doc_id, l.n_tok,
+      |  CAST(coalesce(c.covered, 0) AS BIGINT) AS covered,
+      |  CAST(coalesce(c.covered, 0) AS DOUBLE) / l.n_tok AS dup_frac
+      |FROM lens l LEFT JOIN cov c USING (doc_id)""".stripMargin
+  }
 }
