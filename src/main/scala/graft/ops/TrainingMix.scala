@@ -38,6 +38,48 @@ object TrainingMix {
     df.filter(hex8(concat(col(idCol).cast("string"), lit("#smp"))) < thr)
   }
 
+  /** Value of the first 13 hex chars of md5(s) as a long in [0, 2⁵²) —
+    * enough uniform bits to feed a double mantissa exactly. */
+  private[graft] def hex13(s: Column): Column =
+    conv(substring(md5(s), 1, 13), 16, 10).cast("long")
+
+  /** Deterministic weighted sample WITHOUT replacement — Efraimidis &
+    * Spirakis 2006 ("Weighted random sampling with a reservoir"), the
+    * A-ES one-pass scheme: each row draws u = uniform(id) and the k
+    * LARGEST values of u^(1/w) are the sample, which is distribution-
+    * exact for sampling-without-replacement proportional to w. The
+    * trainer-side use is token-budget-fair subsampling: w = token count
+    * samples documents proportional to their training contribution, not
+    * one-doc-one-vote.
+    *
+    * Distributed shape: the draw is a pure projection (the md5-derived
+    * uniform — no RNG state, so the same command cuts the same sample on
+    * any cluster size, and the oracle replays it); top-k is per-partition
+    * heaps (TakeOrderedAndProject), never a global sort.
+    *
+    * Determinism across engines: ranking uses ln(u)/w (monotone in
+    * u^(1/w)) rounded to 1e-12 fixed-point — one `ln` + one division,
+    * expression-identical in the oracle; the rounding absorbs the libm
+    * ulp, and ties (astronomically thin) break by id.
+    *
+    * @param weightCol positive numeric weight (zero/negative rows are
+    *                  excluded — they can never be sampled)
+    * @return (rank, idCol, weightCol, key_fp12), rank 1..k by key desc
+    */
+  def weightedTopKSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    val u = (hex13(concat(col(idCol).cast("string"), lit("#aes")))
+      .cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val key = round((log(u) / col(weightCol)) * lit(1e12)).cast("long")
+    val keyed = df.filter(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol), key.as("key_fp12"))
+    val topk = keyed.orderBy(col("key_fp12").desc, col(idCol)).limit(k)
+    topk.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("key_fp12").desc, col(idCol))).cast("long"))
+      .select(col("rank"), col(idCol), col(weightCol), col("key_fp12"))
+  }
+
   /** Assign each document a (shard, seq) training-sequence slot: documents
     * are hash-sharded, then packed in id order into sequences holding
     * `budgetTokens` tokens (a doc straddling the boundary stays in the

@@ -13,7 +13,7 @@ import graft.ops.TrainingMix
   */
 object MixQueries {
 
-  import OracleFragments.hex8Sql
+  import OracleFragments.{hex8Sql, hex13Sql}
 
   private val langRates = Map("en" -> 0.5, "es" -> 0.25, "zh" -> 0.75)
   private val defaultRate = 0.1
@@ -82,4 +82,31 @@ object MixQueries {
       |FROM sh s JOIN bench USING (sh)
       |WHERE s.doc_id >= 50
       |GROUP BY s.doc_id""".stripMargin
+
+  /** Token-budget-fair weighted sample ([[TrainingMix.weightedTopKSample]]):
+    * 100 docs without replacement, proportional to token count — the A-ES
+    * keys come from the md5-derived uniform, so the oracle replays the
+    * exact draw. */
+  def q80WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      size(filter(split(col("text"), " "), t => t =!= ""))
+        .cast("long").as("n_tok"))
+    TrainingMix.weightedTopKSample(docs, "doc_id", "n_tok", k = 100)
+  }
+
+  val q80WeightedSampleSql: String =
+    s"""WITH docs AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |keyed AS (
+      |  SELECT doc_id, n_tok,
+      |    CAST(round((ln((CAST(${hex13Sql("doc_id::VARCHAR || '#aes'")} AS DOUBLE) + 0.5)
+      |      / 4503599627370496.0) / n_tok) * 1e12) AS BIGINT) AS key_fp12
+      |  FROM docs WHERE n_tok > 0)
+      |SELECT CAST(row_number() OVER (ORDER BY key_fp12 DESC, doc_id) AS BIGINT) AS rank,
+      |  doc_id, n_tok, key_fp12
+      |FROM keyed
+      |ORDER BY key_fp12 DESC, doc_id
+      |LIMIT 100""".stripMargin
 }

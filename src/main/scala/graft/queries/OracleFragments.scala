@@ -81,4 +81,11 @@ private[queries] object OracleFragments {
     "(" + (1 to 8).map { i =>
       s"CAST(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - i))}"
     }.mkString(" + ") + ")"
+
+  /** First 13 hex chars of md5(`e`) as BIGINT in [0, 2⁵²) (mirrors
+    * [[graft.ops.TrainingMix.hex13]]). */
+  def hex13Sql(e: String): String =
+    "(" + (1 to 13).map { i =>
+      s"CAST(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (13 - i))}"
+    }.mkString(" + ") + ")"
 }

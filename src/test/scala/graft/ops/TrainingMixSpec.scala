@@ -44,6 +44,31 @@ class TrainingMixSpec extends SparkSpec {
     }
   }
 
+  test("weighted sample: deterministic, k-exact, zero-weight rows never drawn") {
+    val df = (1L to 500L).map(i => (i, if (i % 10 == 0) 0L else i % 7 + 1))
+      .toDF("id", "w")
+    val a = TrainingMix.weightedTopKSample(df.repartition(11), "id", "w", k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val b = TrainingMix.weightedTopKSample(df.coalesce(1), "id", "w", k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === 50)
+    assert(a.forall(_._3 > 0), "a zero-weight row was sampled")
+    // ranks are 1..k in key order
+    assert(a.map(_._1).toSeq === (1L to 50L))
+    assert(a.map(_._4).toSeq === a.map(_._4).sortBy(-_).toSeq)
+  }
+
+  test("weighted sample: heavy rows are drawn proportionally more often") {
+    // 200 light rows (w=1) + 200 heavy rows (w=20): in a 100-draw A-ES
+    // sample the heavy class should dominate decisively (expected ~95)
+    val df = ((1L to 200L).map(i => (i, 1L)) ++ (201L to 400L).map(i => (i, 20L)))
+      .toDF("id", "w")
+    val got = TrainingMix.weightedTopKSample(df, "id", "w", k = 100).collect()
+    val heavy = got.count(_.getLong(1) > 200L)
+    assert(heavy > 75, s"heavy class drawn only $heavy/100 times")
+  }
+
   test("contamination: planted benchmark overlap found, clean docs absent") {
     val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val corpus = Seq(
