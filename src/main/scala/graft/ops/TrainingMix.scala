@@ -80,6 +80,41 @@ object TrainingMix {
       .select(col("rank"), col(idCol), col(weightCol), col("key_fp12"))
   }
 
+  /** Reweight a corpus to a TARGET DOMAIN MIX under a token budget — the
+    * "data mixing" step of pretraining-set construction (the Pile /
+    * DoReMi-style source weighting, applied as sampling): source s gets
+    * acceptance rate `min(1, budget·f_s / T_s)` where `f_s` is its
+    * target fraction and `T_s` its total weight (tokens), then each row
+    * decides for itself via the md5-derived uniform. Over-represented
+    * sources are downsampled toward the target; under-represented ones
+    * are kept whole (the clamp — sampling cannot mint tokens that do
+    * not exist; upsampling is a trainer-side repeat).
+    *
+    * Distributed shape: one per-source aggregation (a handful of rows),
+    * rates broadcast back, selection a pure filter projection — the
+    * corpus itself is never shuffled. Deterministic: same command, same
+    * mix, any cluster size; the oracle replays the draw exactly.
+    *
+    * @param targets   target fraction per stratum (sources absent from
+    *                  the map fall back to `defaultFrac`)
+    * @return the kept rows: (idCol, strataCol, weightCol)
+    */
+  def mixToBudget(df: DataFrame, idCol: String, strataCol: String,
+      weightCol: String, targets: Map[String, Double], defaultFrac: Double,
+      budgetTokens: Long): DataFrame = {
+    val frac = targets.foldLeft(lit(defaultFrac)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(f)).otherwise(acc)
+    }
+    val totals = df.groupBy(col(strataCol)).agg(sum(col(weightCol)).as("t_str"))
+    val thr = totals.select(col(strataCol),
+      floor(least(lit(1.0), (lit(budgetTokens) * frac) / col("t_str"))
+        * lit(4294967296.0)).cast("long").as("thr"))
+    df.join(broadcast(thr), Seq(strataCol))
+      .filter(hex8(concat(col(idCol).cast("string"), lit("#mix"))) < col("thr"))
+      .select(col(idCol), col(strataCol), col(weightCol))
+  }
+
   /** Assign each document a (shard, seq) training-sequence slot: documents
     * are hash-sharded, then packed in id order into sequences holding
     * `budgetTokens` tokens (a doc straddling the boundary stays in the

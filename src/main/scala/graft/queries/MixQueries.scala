@@ -94,6 +94,39 @@ object MixQueries {
     TrainingMix.weightedTopKSample(docs, "doc_id", "n_tok", k = 100)
   }
 
+  /** Domain-mix reweighting gate ([[TrainingMix.mixToBudget]]): cut the
+    * corpus to a 6000-token budget at 30/20/10% for src0/1/2 and 2% per
+    * remaining source — src0's rate clamps at 1.0 (keep-whole), the
+    * others exercise the data-dependent thresholds. */
+  private val mixTargets = Map("src0" -> 0.30, "src1" -> 0.20, "src2" -> 0.10)
+
+  def q81MixBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      size(filter(split(col("text"), " "), t => t =!= ""))
+        .cast("long").as("n_tok"))
+    TrainingMix.mixToBudget(docs, "doc_id", "source", "n_tok",
+      mixTargets, defaultFrac = 0.02, budgetTokens = 6000L)
+  }
+
+  val q81MixBudgetSql: String = {
+    val cases = mixTargets.toSeq.sortBy(_._1)
+      .map { case (s, f) => s"WHEN '$s' THEN $f" }.mkString(" ")
+    s"""WITH docs AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |totals AS (SELECT source, SUM(n_tok) AS t_str FROM docs GROUP BY source),
+      |thr AS (
+      |  SELECT source,
+      |    CAST(floor(least(1.0,
+      |      (6000 * CASE source $cases ELSE 0.02 END) / t_str)
+      |      * 4294967296.0) AS BIGINT) AS thr
+      |  FROM totals)
+      |SELECT d.doc_id, d.source, d.n_tok
+      |FROM docs d JOIN thr USING (source)
+      |WHERE ${hex8Sql("doc_id::VARCHAR || '#mix'")} < thr""".stripMargin
+  }
+
   val q80WeightedSampleSql: String =
     s"""WITH docs AS (
       |  SELECT doc_id,

@@ -69,6 +69,32 @@ class TrainingMixSpec extends SparkSpec {
     assert(heavy > 75, s"heavy class drawn only $heavy/100 times")
   }
 
+  test("mixToBudget: over-represented sources downsample, under-represented keep whole") {
+    // a: 1000 tokens, target 10% of a 500-token budget -> rate 0.05
+    // b: 100 tokens, target 90% of 500 -> budget 450 > 100 -> rate clamps 1.0
+    val df = ((1L to 100L).map(i => (i, "a", 10L)) ++
+      (1001L to 1010L).map(i => (i, "b", 10L))).toDF("id", "src", "tok")
+    val got = TrainingMix.mixToBudget(df, "id", "src", "tok",
+      Map("a" -> 0.10, "b" -> 0.90), defaultFrac = 0.0, budgetTokens = 500L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (as, bs) = got.partition(_._2 == "a")
+    assert(bs.length === 10, "under-represented source must keep every row")
+    assert(as.length < 30, s"rate-0.05 source kept ${as.length}/100 rows")
+    // deterministic across partitionings
+    val again = TrainingMix.mixToBudget(df.repartition(7), "id", "src", "tok",
+      Map("a" -> 0.10, "b" -> 0.90), defaultFrac = 0.0, budgetTokens = 500L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.sorted.toSeq === again.sorted.toSeq)
+  }
+
+  test("mixToBudget: unmapped strata fall to defaultFrac; zero default drops them") {
+    val df = Seq((1L, "x", 5L), (2L, "y", 5L)).toDF("id", "src", "tok")
+    val kept = TrainingMix.mixToBudget(df, "id", "src", "tok",
+      Map("x" -> 1.0), defaultFrac = 0.0, budgetTokens = 100L)
+      .collect().map(_.getString(1)).toSet
+    assert(kept === Set("x"))
+  }
+
   test("contamination: planted benchmark overlap found, clean docs absent") {
     val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val corpus = Seq(
