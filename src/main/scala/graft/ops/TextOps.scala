@@ -168,6 +168,43 @@ object TextOps {
         col("max_df"), col("n_hapax"))
   }
 
+  // ---- chunking -------------------------------------------------------
+
+  /** Split documents into fixed-token sliding windows — the RAG/embedding
+    * prep step (and the long-doc → training-sequence splitter): chunk k
+    * covers tokens `[k·stride+1, k·stride+chunkTokens]` (1-based,
+    * stride = chunkTokens − overlapTokens), the final chunk truncating at
+    * the document end. Chunks start while `start ≤ n − overlap` so no
+    * emitted chunk is wholly contained in its predecessor; docs shorter
+    * than a chunk yield exactly one chunk; empty docs yield none.
+    *
+    * Distributed shape: tokenize → `sequence` → `explode` → `slice`, a
+    * pure per-row projection — zero shuffles, no window, no join; output
+    * size is input tokens × (1 + overlap/stride). Chunk identity
+    * (idCol, chunk_idx) is positional, so the op is deterministic under
+    * any partitioning and re-chunking a changed doc replaces exactly its
+    * own chunks.
+    *
+    * Output: (idCol, chunk_idx, tok_start, chunk_len, chunk_text). */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "need chunkTokens > overlapTokens >= 0")
+    val stride = (chunkTokens - overlapTokens).toLong
+    val toks = filter(tokenize(col(textCol)), t => t =!= "")
+    val start = (col("chunk_idx") * lit(stride) + lit(1L))
+    df.select(col(idCol), toks.as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .filter(col("n_tok") > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        floor(greatest(col("n_tok") - lit(overlapTokens.toLong + 1L), lit(0L))
+          .cast("double") / lit(stride.toDouble)).cast("long"))))
+      .select(col(idCol), col("chunk_idx"), start.as("tok_start"),
+        least(lit(chunkTokens.toLong), col("n_tok") - start + lit(1L)).as("chunk_len"),
+        array_join(slice(col("toks"), start.cast("int"), lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   // ---- fingerprinting -------------------------------------------------
 
   /** Order-sensitive document fingerprint: polynomial rolling hash over the

@@ -335,6 +335,30 @@ object TextQueries {
       |  CAST(round(CAST(SUM(c) AS DOUBLE) / COUNT(*)) AS BIGINT) AS bits_fp6
       |FROM costs GROUP BY doc_id""".stripMargin
 
+  /** Sliding-window chunking gate ([[graft.ops.TextOps.chunkDocuments]]):
+    * 64-token chunks, 16-token overlap (stride 48) — covers multi-chunk
+    * docs, the truncated final chunk, and single-chunk short docs. */
+  def q82Chunks(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextOps.chunkDocuments(Tables.documents(spark, dir),
+      "doc_id", "text", chunkTokens = 64, overlapTokens = 16)
+
+  val q82ChunksSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |d2 AS (
+      |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok
+      |  FROM docs WHERE len(toks) > 0),
+      |ks AS (
+      |  SELECT doc_id, toks, n_tok,
+      |    unnest(generate_series(0, greatest(n_tok - 17, 0) // 48)) AS k
+      |  FROM d2)
+      |SELECT doc_id, k AS chunk_idx, k * 48 + 1 AS tok_start,
+      |  least(64, n_tok - (k * 48 + 1) + 1) AS chunk_len,
+      |  array_to_string(list_slice(toks, k * 48 + 1, least(n_tok, k * 48 + 64)), ' ')
+      |    AS chunk_text
+      |FROM ks""".stripMargin
+
   val q66PiiRedactionSql: String = {
     val email = graft.ops.TextOps.EmailRe
     val phone = graft.ops.TextOps.PhoneRe

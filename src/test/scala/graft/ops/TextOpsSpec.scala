@@ -203,4 +203,29 @@ class TextOpsSpec extends SparkSpec {
     // fragment could match — assert no phone fires on short digit groups
     assert(rows(4).getInt(2) === 0)
   }
+
+  test("chunkDocuments: overlap windows, truncated tail, no contained chunk") {
+    // 10 tokens, chunk 4, overlap 2 (stride 2): starts 1,3,5,7 — a start at 9
+    // would be wholly inside [7,10], so it must not be emitted
+    val df = Seq((1L, (1 to 10).map("t" + _).mkString(" "))).toDF("id", "text")
+    val got = TextOps.chunkDocuments(df, "id", "text", 4, 2)
+      .orderBy("chunk_idx")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq === Seq(
+      (0L, 1L, 4L, "t1 t2 t3 t4"),
+      (1L, 3L, 4L, "t3 t4 t5 t6"),
+      (2L, 5L, 4L, "t5 t6 t7 t8"),
+      (3L, 7L, 4L, "t7 t8 t9 t10")))
+  }
+
+  test("chunkDocuments: short doc = one chunk, empty doc = none, determinism") {
+    val df = Seq((1L, "a b"), (2L, ""), (3L, "  "), (4L, "x y z w v")).toDF("id", "text")
+    val got = TextOps.chunkDocuments(df, "id", "text", 4, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(4))).sorted.toSeq
+    assert(got === Seq((1L, 0L, "a b"), (4L, 0L, "x y z w"), (4L, 1L, "w v")))
+    val again = TextOps.chunkDocuments(df.repartition(5), "id", "text", 4, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(4))).sorted.toSeq
+    assert(got === again)
+  }
 }
