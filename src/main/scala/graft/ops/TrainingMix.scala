@@ -115,6 +115,33 @@ object TrainingMix {
       .select(col(idCol), col(strataCol), col(weightCol))
   }
 
+  /** Cap each stratum at `cap` rows — the per-domain/per-source cap of
+    * web-corpus curation (no single domain may dominate the mix): rows
+    * rank within their stratum by the md5-derived hash (tie-break id),
+    * rank ≤ cap survives. Hash order makes the kept subset a uniform
+    * without-replacement draw AND deterministic — same command, same
+    * survivors, any cluster size — unlike "first cap seen", which
+    * depends on scan order.
+    *
+    * Distributed shape: rank-then-filter compiles to Spark's
+    * `WindowGroupLimit` pushdown — every input partition keeps ≤ cap
+    * rows per stratum BEFORE the exchange, so a mega-domain ships at
+    * most cap·partitions rows, never its full row count. PlanSpec gates
+    * the pushdown; [[weightedTopKSample]] is the global-k sibling.
+    *
+    * @return the survivors: (idCol, strataCol, rk) with rk 1..cap
+    */
+  def capPerStratum(df: DataFrame, idCol: String, strataCol: String,
+      cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(hex8(concat(col(idCol).cast("string"), lit("#cap"))), col(idCol))
+    df.select(col(idCol), col(strataCol))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+  }
+
   /** Assign each document a (shard, seq) training-sequence slot: documents
     * are hash-sharded, then packed in id order into sequences holding
     * `budgetTokens` tokens (a doc straddling the boundary stays in the

@@ -127,6 +127,23 @@ object MixQueries {
       |WHERE ${hex8Sql("doc_id::VARCHAR || '#mix'")} < thr""".stripMargin
   }
 
+  /** Per-source cap gate ([[TrainingMix.capPerStratum]]): at most 20 docs
+    * per source, picked by hash rank — trims every source at sf0.01
+    * (25/source) and sf0.1 (250/source), so the rank boundary is
+    * exercised everywhere. */
+  def q83SourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    TrainingMix.capPerStratum(docs, "doc_id", "source", cap = 20)
+  }
+
+  val q83SourceCapSql: String =
+    s"""WITH ranked AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY ${hex8Sql("doc_id::VARCHAR || '#cap'")}, doc_id) AS rk
+      |  FROM documents)
+      |SELECT doc_id, source, rk FROM ranked WHERE rk <= 20""".stripMargin
+
   val q80WeightedSampleSql: String =
     s"""WITH docs AS (
       |  SELECT doc_id,

@@ -95,6 +95,19 @@ class TrainingMixSpec extends SparkSpec {
     assert(kept === Set("x"))
   }
 
+  test("capPerStratum: big strata trimmed to cap, small kept whole, deterministic") {
+    val df = ((1L to 50L).map(i => (i, "big")) ++
+      (100L to 104L).map(i => (i, "small"))).toDF("id", "src")
+    val got = TrainingMix.capPerStratum(df, "id", "src", cap = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val (big, small) = got.partition(_._2 == "big")
+    assert(big.length === 10 && big.map(_._3).sorted.toSeq === (1L to 10L))
+    assert(small.length === 5, "stratum under the cap must keep every row")
+    val again = TrainingMix.capPerStratum(df.repartition(7), "id", "src", cap = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("contamination: planted benchmark overlap found, clean docs absent") {
     val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val corpus = Seq(

@@ -60,6 +60,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SQRT(dotproductf"), p)
   }
 
+  test("q83: per-source cap pushed into WindowGroupLimit") {
+    val p = planOf(MixQueries.q83SourceCap(spark, sf))
+    // rank<=cap runs as partial+final WindowGroupLimit: each input
+    // partition keeps <=cap rows per source BEFORE the exchange, so a
+    // mega-domain never ships its full row count
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q21/q48: embedding near-dup runs the bucketed LSH join — no nested-loop") {
     Seq(Embeddings.q21EmbedNearDup(spark, sf),
         Embeddings.q48EmbedCuration(spark, sf)).foreach { df =>
