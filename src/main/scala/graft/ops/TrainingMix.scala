@@ -142,6 +142,47 @@ object TrainingMix {
       .filter(col("rk") <= cap)
   }
 
+  /** Deterministic train/validation/test split assignment — every
+    * pipeline's last step before the trainer. Each row hashes itself
+    * into [0, 2³²) and takes the label of the interval its hash lands
+    * in, so the assignment is a pure projection: no RNG state, no
+    * shuffle, no count pass; the same command labels the same rows on
+    * any cluster size, a re-run after appending new documents never
+    * relabels an old one (the property per-split random shuffles lose),
+    * and holdout membership is decidable row-locally at serving time.
+    * The hash is independent of any stratum column, so every stratum
+    * receives the same expected fractions (stratified in expectation).
+    *
+    * Interval bounds are precomputed integer thresholds
+    * (`splitThresholds`) compared exactly — no float edge; the oracle
+    * inlines the identical longs.
+    *
+    * @param splits (label, fraction) in order; fractions must sum to 1
+    *               (±1e-9). The last label absorbs the rounding sliver.
+    * @return `df` plus a `split` label column
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val u = hex8(concat(col(idCol).cast("string"), lit("#split")))
+    val label = splitThresholds(splits).init.foldRight(
+        lit(splits.last._1): Column) {
+      case ((name, thr), acc) => when(u < thr, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** Cumulative integer thresholds for [[assignSplits]] — shared with the
+    * oracle SQL so both engines compare against bit-identical longs. */
+  private[graft] def splitThresholds(
+      splits: Seq[(String, Double)]): Seq[(String, Long)] = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "fractions must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    splits.map(_._1).zip(cum.map(c => (c * 4294967296.0).toLong))
+  }
+
   /** Assign each document a (shard, seq) training-sequence slot: documents
     * are hash-sharded, then packed in id order into sequences holding
     * `budgetTokens` tokens (a doc straddling the boundary stays in the

@@ -144,6 +144,36 @@ object MixQueries {
       |  FROM documents)
       |SELECT doc_id, source, rk FROM ranked WHERE rk <= 20""".stripMargin
 
+  private val splitFracs =
+    Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1)
+
+  /** Train/val/test split gate ([[TrainingMix.assignSplits]]): 80/10/10
+    * over the corpus, counted per (source, split) so the gate certifies
+    * both the row-level assignment (any relabeled row moves a count) and
+    * the stratified-in-expectation property across all 20 sources. */
+  def q84SplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    TrainingMix.assignSplits(docs, "doc_id", splitFracs)
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+  }
+
+  val q84SplitAssignSql: String = {
+    val thrs = TrainingMix.splitThresholds(splitFracs)
+    val cases = thrs.init
+      .map { case (name, thr) => s"WHEN u < $thr THEN '$name'" }
+      .mkString(" ")
+    s"""WITH labeled AS (
+      |  SELECT doc_id, source,
+      |    CASE $cases ELSE '${thrs.last._1}' END AS split
+      |  FROM (SELECT doc_id, source,
+      |          ${hex8Sql("doc_id::VARCHAR || '#split'")} AS u
+      |        FROM documents))
+      |SELECT source, split, COUNT(*) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM labeled GROUP BY source, split""".stripMargin
+  }
+
   val q80WeightedSampleSql: String =
     s"""WITH docs AS (
       |  SELECT doc_id,

@@ -108,6 +108,28 @@ class TrainingMixSpec extends SparkSpec {
     assert(got.sorted.toSeq === again.sorted.toSeq)
   }
 
+  test("assignSplits: total partition, stable under append, ~right fractions") {
+    val splits = Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1)
+    val df = (1L to 2000L).toDF("id")
+    val got = TrainingMix.assignSplits(df, "id", splits)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size === 2000, "every row gets exactly one label")
+    val counts = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet === Set("train", "validation", "test"))
+    assert(counts("train") > 1500 && counts("train") < 1700)
+    assert(counts("validation") > 140 && counts("validation") < 260)
+    // append-stability: labeling a superset never relabels an old row
+    val grown = TrainingMix.assignSplits((1L to 3000L).toDF("id"), "id", splits)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.forall { case (id, s) => grown(id) == s })
+    // threshold arithmetic is exact-integer and covers the full range
+    val thrs = TrainingMix.splitThresholds(splits)
+    assert(thrs.last._2 === 4294967296L)
+    intercept[IllegalArgumentException] {
+      TrainingMix.splitThresholds(Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("contamination: planted benchmark overlap found, clean docs absent") {
     val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val corpus = Seq(
