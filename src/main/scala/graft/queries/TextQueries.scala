@@ -359,6 +359,36 @@ object TextQueries {
       |    AS chunk_text
       |FROM ks""".stripMargin
 
+  /** Feature-hashing TF-IDF gate ([[graft.ops.Features.hashedTfIdf]]):
+    * dim=16 over a 31-term vocabulary, so bucket collisions genuinely
+    * occur and the gate certifies the collision-SUM semantics, the
+    * md5-derived bucket assignment, the smoothed IDF, and the exact
+    * fixed-point weighting in one pass. */
+  def q85HashedTfIdf(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Features.hashedTfIdf(Tables.documents(spark, dir),
+      "doc_id", "text", dim = 16)
+
+  val q85HashedTfIdfSql: String = {
+    import OracleFragments.hex8Sql
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, ${hex8Sql("term || '#fh'")} % 16 AS bucket,
+      |    COUNT(*) AS tf
+      |  FROM tok WHERE term <> '' GROUP BY 1, 2),
+      |dfreq AS (SELECT bucket, COUNT(*) AS df FROM tf GROUP BY bucket),
+      |stats AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |idf AS (
+      |  SELECT bucket,
+      |    CAST(round((ln((CAST(n_docs AS DOUBLE) + 1.0) /
+      |      (CAST(df AS DOUBLE) + 1.0)) + 1.0) * 1e6) AS BIGINT) AS idf_fp6
+      |  FROM dfreq, stats)
+      |SELECT tf.doc_id, tf.bucket, tf.tf, idf.idf_fp6,
+      |  tf.tf * idf.idf_fp6 AS tfidf_fp6
+      |FROM tf JOIN idf USING (bucket)""".stripMargin
+  }
+
   val q66PiiRedactionSql: String = {
     val email = graft.ops.TextOps.EmailRe
     val phone = graft.ops.TextOps.PhoneRe
