@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.graft.Bridge
+
+/** Explicit Bloom runtime filtering — the big-side scan-prune primitive
+  * behind Spark's `InjectRuntimeFilter`, surfaced as a user-callable
+  * operator for the ingest-dedup join shape the optimizer's injection
+  * rule does not cover.
+  *
+  * The shape: incremental ingest deduplicates a SMALL batch against a
+  * HUGE corpus with `batch ANTI JOIN corpus ON key`. The batch side
+  * broadcasts nowhere (anti-join build side must be the right), so the
+  * plain plan shuffles the corpus — 100 TB of movement to answer
+  * questions about a few million rows. [[prunedAntiJoin]] first folds
+  * the batch's keys into one Bloom filter (a single small binary,
+  * built by Spark's native `BloomFilterAggregate`), then prunes the
+  * corpus scan to rows whose key MIGHT be in the batch before any
+  * shuffle: the filter rides into the scan stage as a scalar-subquery
+  * `might_contain` predicate — exactly how AQE's injected runtime
+  * filters execute. Bloom filters have NO false negatives, so every
+  * corpus row sharing a key with the batch survives pruning and the
+  * rewrite is a semantic identity (the q72 salting discipline: the
+  * oracle hash-matches the plain anti-join); false positives only add
+  * rows the anti-join then ignores. Corpus bytes after pruning is
+  * O(|batch| · (1 + fpp)), independent of corpus size.
+  */
+object Bloom {
+
+  /** Optimal Bloom bit count for `n` items at false-positive rate
+    * `fpp` (the standard `-n·ln(fpp)/ln²2` sizing). */
+  def optimalNumBits(n: Long, fpp: Double): Long = {
+    require(n > 0 && fpp > 0 && fpp < 1, "need n > 0 and fpp in (0,1)")
+    math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+  }
+
+  /** One-row frame holding the Bloom filter of `df`'s `keyCol` values
+    * (column `bloom`, binary): a distributed partial-aggregate build —
+    * each partition folds its keys locally, partials OR together. */
+  def buildFilter(df: DataFrame, keyCol: String, expectedItems: Long,
+      fpp: Double): DataFrame = {
+    val agg = new BloomFilterAggregate(
+      Bridge.expression(xxhash64(col(keyCol))),
+      Bridge.expression(lit(expectedItems)),
+      Bridge.expression(lit(optimalNumBits(expectedItems, fpp))))
+    df.groupBy().agg(Bridge.column(agg.toAggregateExpression()).as("bloom"))
+  }
+
+  /** Predicate `might_contain(<bloom of filterDf's keys>, key)` with the
+    * filter attached as a scalar subquery — foldable at execution time,
+    * so it is eligible for scan-stage evaluation on the probe side. */
+  def mightContainKey(filterDf: DataFrame, keyCol: String, key: Column,
+      expectedItems: Long, fpp: Double): Column = {
+    val bloomDf = buildFilter(filterDf, keyCol, expectedItems, fpp)
+    Bridge.column(BloomFilterMightContain(
+      ScalarSubquery(Bridge.analyzed(bloomDf)),
+      Bridge.expression(xxhash64(key))))
+  }
+
+  /** `batch ANTI JOIN corpus ON keyCol`, with the corpus scan pre-pruned
+    * by the batch-key Bloom filter (no false negatives ⇒ identical
+    * result to the plain anti-join; certified by the q86 oracle).
+    *
+    * @param expectedItems sizing hint: (approximate) batch key count
+    * @param fpp           target false-positive rate for the pruning
+    *                      filter (governs leftover corpus rows, not
+    *                      correctness)
+    */
+  def prunedAntiJoin(batch: DataFrame, corpus: DataFrame, keyCol: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val pruned = corpus.filter(
+      mightContainKey(batch, keyCol, col(keyCol), expectedItems, fpp))
+    batch.join(pruned.select(col(keyCol)), Seq(keyCol), "left_anti")
+  }
+}

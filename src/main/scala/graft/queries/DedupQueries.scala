@@ -333,4 +333,28 @@ object DedupQueries {
       |  CAST(coalesce(c.covered, 0) AS DOUBLE) / l.n_tok AS dup_frac
       |FROM lens l LEFT JOIN cov c USING (doc_id)""".stripMargin
   }
+
+  /** Bloom-pruned ingest anti-join gate ([[graft.ops.Bloom.prunedAntiJoin]]):
+    * "batch" = every 5th document, "corpus" = documents off the 3-grid,
+    * keyed by content hash — overlap is partial, so the gate exercises
+    * both admitted and rejected rows. The oracle runs the PLAIN anti-join:
+    * Bloom pruning has no false negatives, so the rewrite must hash-match
+    * it exactly (the q72 salting discipline applied to runtime filtering). */
+  def q86BloomAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.core.Tables.documents(spark, dir)
+    val corpus = d.filter(col("doc_id") % 3 =!= 0)
+      .select(md5(col("text")).as("k"))
+    val batch = d.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), md5(col("text")).as("k"))
+    graft.ops.Bloom.prunedAntiJoin(batch, corpus, "k",
+      expectedItems = 1000, fpp = 0.01)
+  }
+
+  val q86BloomAntiJoinSql: String =
+    """WITH corpus AS (
+      |  SELECT md5(text) AS k FROM documents WHERE doc_id % 3 <> 0),
+      |batch AS (
+      |  SELECT doc_id, md5(text) AS k FROM documents WHERE doc_id % 5 = 0)
+      |SELECT b.k, b.doc_id FROM batch b
+      |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.k = b.k)""".stripMargin
 }
