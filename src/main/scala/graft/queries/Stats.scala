@@ -215,6 +215,47 @@ object Stats {
       |FROM lineitem
       |GROUP BY l_returnflag""".stripMargin
 
+  /** Mergeable-HLL distinct-count gate (Apache DataSketches, the
+    * `hll_sketch_agg` family — Spark's second, BINARY-SERIALIZABLE HLL
+    * next to q58's `approx_count_distinct`): the property that matters
+    * at 100 TB is MERGEABILITY — each ingest batch sketches itself
+    * independently (here: one sketch per source), sketches persist as
+    * small binaries, and the corpus-wide distinct count is a union of
+    * sketches, never a re-scan of history (the q68 incremental-index
+    * contract applied to cardinality). The gate certifies that BOTH the
+    * single-pass estimate and the union-of-batch-sketches estimate sit
+    * within 3.5σ of the exact count (σ = 1.04/√2¹² for lgK=12 ⇒ bound
+    * 5.7%). The two estimates are NOT asserted equal: a sketch under
+    * ~½k distinct items holds exact coupons (LIST/SET mode) while the
+    * union's gadget densifies to HLL registers, so small-count merges
+    * trade set-mode exactness for the standard HLL error — measured
+    * live at sf0.01 (460 distinct: single-pass exact, union off by a
+    * few). Sketch VALUES are merge-order-dependent binaries and never
+    * hash-compare; the booleans do (the q70 sketch-gate discipline). */
+  def q87HllMergeable(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(md5(col("text")).as("k"), col("source"))
+    val perBatch = d.groupBy(col("source"))
+      .agg(expr("hll_sketch_agg(k, 12)").as("sk"))
+    val merged = perBatch
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_merged"))
+    val single = d.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(k, 12))").as("est_single"),
+      count_distinct(col("k")).as("n_exact"))
+    val bound = 3.5 * 1.04 / math.sqrt(1 << 12)
+    def ok(est: org.apache.spark.sql.Column) =
+      abs(est.cast("double") - col("n_exact")) <= lit(bound) * col("n_exact")
+    single.crossJoin(broadcast(merged)).select(
+      col("n_exact"),
+      ok(col("est_single")).as("single_ok"),
+      ok(col("est_merged")).as("merged_ok"))
+  }
+
+  val q87HllMergeableSql: String =
+    """SELECT COUNT(DISTINCT md5(text)) AS n_exact,
+      |  TRUE AS single_ok, TRUE AS merged_ok
+      |FROM documents""".stripMargin
+
   val q30MomentsSql: String =
     """WITH g AS (
       |  SELECT l_returnflag, COUNT(*) AS n,
