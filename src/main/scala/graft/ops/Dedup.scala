@@ -532,6 +532,40 @@ object Dedup {
     labels
   }
 
+  /** Canonical-document selection per duplicate component — the KEEP
+    * POLICY layer over [[connectedComponents]]: within each component,
+    * the canonical survivor is the highest-`scoreCol` member (tie-break
+    * min id), not the min-id member. The production policy this encodes
+    * is "keep the most complete version": near-dup clusters of web docs
+    * usually contain one full page and several truncated/boilerplate
+    * variants, and min-id keeps an arbitrary one while score-argmax
+    * keeps the best.
+    *
+    * Distributed shape: the argmax is a rank-1 window per component —
+    * Spark compiles rank≤1 to `WindowGroupLimit`, so each input
+    * partition forwards at most ONE row per component to the exchange —
+    * then one equi-join on `rep` broadcasting the per-component winner
+    * row back to members (canon table has one row per COMPONENT, orders
+    * of magnitude smaller than the corpus).
+    *
+    * @param members (id, rep) component labels from [[connectedComponents]]
+    * @param attrs   (`idCol`, `scoreCol`) per-document scores
+    * @return (id, rep, canon_id, keep) one row per member
+    */
+  def canonicalByScore(members: DataFrame, attrs: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val scored = members.join(
+      attrs.select(col(idCol).as("id"), col(scoreCol)), Seq("id"))
+    val w = Window.partitionBy(col("rep"))
+      .orderBy(col(scoreCol).desc, col("id"))
+    val canon = scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("rep"), col("id").as("canon_id"))
+    members.join(canon, Seq("rep"))
+      .select(col("id"), col("rep"), col("canon_id"),
+        (col("id") === col("canon_id")).as("keep"))
+  }
+
   /** [[connectedComponents]] + rounds run + convergence flag (spec evidence
     * for the pointer-jumping convergence bound; callers of the public
     * method get a WARN log on a maxIter exit instead of silence). */

@@ -297,6 +297,57 @@ object DedupQueries {
       |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS rep_id
       |FROM reach GROUP BY id""".stripMargin
 
+  /** Canonical-selection gate ([[graft.ops.Dedup.canonicalByScore]]):
+    * q62's duplicate components re-labeled under the keep-longest policy
+    * (score = token count, the "most complete version" proxy; tie-break
+    * min id). The oracle extends q62's recursive closure with the same
+    * argmax. */
+  def q88CanonicalPick(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cand = Dedup.minhashCandidates(Tables.spread(docs), "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val members = Dedup.connectedComponents(cand)
+    val attrs = docs.select(col("doc_id"),
+      size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n_tok"))
+    Dedup.canonicalByScore(members, attrs, "doc_id", "n_tok")
+      .select(col("id").as("doc_id"), col("rep").as("rep_id"),
+        col("canon_id"), col("keep"))
+  }
+
+  val q88CanonicalPickSql: String =
+    s"""WITH RECURSIVE ${OracleFragments.minhashSigCtes("documents")},
+      |cand AS (
+      |  SELECT s1.doc_id AS id_a, s2.doc_id AS id_b
+      |  FROM sig s1
+      |  JOIN sig s2 ON s1.seed = s2.seed AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) / 8.0 >= 0.5),
+      |sym AS (
+      |  SELECT id_a AS src, id_b AS dst FROM cand
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM cand),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT src, src FROM sym
+      |  UNION
+      |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
+      |comp AS (
+      |  SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS rep_id
+      |  FROM reach GROUP BY id),
+      |tlens AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT c.doc_id, c.rep_id,
+      |    row_number() OVER (PARTITION BY c.rep_id
+      |      ORDER BY t.n_tok DESC, c.doc_id) AS rk
+      |  FROM comp c JOIN tlens t USING (doc_id)),
+      |canon AS (SELECT rep_id, doc_id AS canon_id FROM ranked WHERE rk = 1)
+      |SELECT c.doc_id, c.rep_id, canon.canon_id,
+      |  (c.doc_id = canon.canon_id) AS keep
+      |FROM comp c JOIN canon USING (rep_id)""".stripMargin
+
   /** Duplicated-span coverage gate ([[graft.ops.SpanDedup]]): per-doc
     * fraction of token positions covered by an 8-token window occurring
     * verbatim anywhere else in the corpus — the ExactSubstr criterion

@@ -337,4 +337,23 @@ class DedupSpec extends SparkSpec {
     assert(converged && rounds <= 9)
     assert(spark.sparkContext.getCheckpointDir.isDefined)
   }
+
+  test("canonicalByScore: argmax wins, ties break by min id, all rows kept") {
+    val members = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("id", "rep")
+    val attrs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (7L, 5L), (8L, 5L))
+      .toDF("doc_id", "score")
+    val got = Dedup.canonicalByScore(members, attrs, "doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    // component 1: ids 2 and 3 tie at score 30 -> min id 2 is canonical
+    // component 7: ids 7 and 8 tie at score 5 -> 7
+    assert(got === Array(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
+      (7L, 7L, 7L, true), (8L, 7L, 7L, false)))
+    val plan = Dedup.canonicalByScore(members, attrs, "doc_id", "score")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "rank-1 argmax must prune per-partition before the exchange\n" + plan.take(1500))
+  }
 }
