@@ -112,6 +112,31 @@ object Dedup {
       .agg((count(lit(1)).cast("double") / numHashes).as("est_jaccard"))
   }
 
+  /** Cross-table MinHash near-dup candidates — fuzzy decontamination
+    * (corpus vs benchmark), the MinHash tier above q53's exact-n-gram
+    * overlap: catches paraphrased / partially-edited benchmark leakage
+    * exact n-grams miss, because the estimator degrades smoothly with
+    * edit distance instead of zeroing at the first changed token. Same
+    * LSH shape as [[minhashCandidates]], but the equi-join on (seed, mh)
+    * is corpus-signatures × benchmark-signatures — the benchmark side is
+    * tiny (a few thousand eval docs), so at 100 TB its signature table
+    * broadcasts and the corpus is never shuffled.
+    *
+    * @return (corpus_id, bench_id, est_jaccard) for every pair sharing
+    *         ≥1 seed-minimum; threshold downstream
+    */
+  def minhashCrossCandidates(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 8,
+      shingleWidth: Int = 3): DataFrame = {
+    val sa = minhashSignatures(corpus, idCol, textCol, numHashes, shingleWidth)
+      .select(col("seed"), col("mh"), col("id").as("corpus_id"))
+    val sb = minhashSignatures(bench, idCol, textCol, numHashes, shingleWidth)
+      .select(col("seed"), col("mh"), col("id").as("bench_id"))
+    sa.join(org.apache.spark.sql.functions.broadcast(sb), Seq("seed", "mh"))
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg((count(lit(1)).cast("double") / numHashes).as("est_jaccard"))
+  }
+
   /** FAST MinHash signatures — the production path when oracle
     * portability is not required: the md5 gate form pays one md5 per 4
     * seeds per SHINGLE; this form hashes each distinct shingle ONCE with

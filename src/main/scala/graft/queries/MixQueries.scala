@@ -83,6 +83,29 @@ object MixQueries {
       |WHERE s.doc_id >= 50
       |GROUP BY s.doc_id""".stripMargin
 
+  /** Fuzzy-decontamination gate ([[graft.ops.Dedup.minhashCrossCandidates]]):
+    * MinHash near-dup pairs between the corpus slice (id ≥ 50) and the
+    * benchmark slice (id < 50) at est_jaccard ≥ 0.5 — the paraphrase-
+    * robust tier above q53's exact 5-gram overlap, same corpus/benchmark
+    * split so the two tiers are directly comparable. */
+  def q89FuzzyDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    graft.ops.Dedup.minhashCrossCandidates(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+        "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5)
+  }
+
+  val q89FuzzyDecontamSql: String =
+    s"""WITH ${OracleFragments.minhashSigCtes("documents")}
+      |SELECT s1.doc_id AS corpus_id, s2.doc_id AS bench_id,
+      |  COUNT(*)/8.0 AS est_jaccard
+      |FROM sig s1
+      |JOIN sig s2 ON s1.seed = s2.seed AND s1.mh = s2.mh
+      |WHERE s1.doc_id >= 50 AND s2.doc_id < 50
+      |GROUP BY 1, 2
+      |HAVING COUNT(*)/8.0 >= 0.5""".stripMargin
+
   /** Token-budget-fair weighted sample ([[TrainingMix.weightedTopKSample]]):
     * 100 docs without replacement, proportional to token count — the A-ES
     * keys come from the md5-derived uniform, so the oracle replays the

@@ -338,6 +338,24 @@ class DedupSpec extends SparkSpec {
     assert(spark.sparkContext.getCheckpointDir.isDefined)
   }
 
+  test("minhashCrossCandidates: planted benchmark paraphrase found, bench broadcast") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // one-token edit of the benchmark doc: high Jaccard, must surface
+      (100L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (101L, "totally unrelated words about something else entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashCrossCandidates(corpus, bench, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.exists { case (c, b, j) => c == 100L && b == 1L && j >= 0.5 })
+    assert(!got.exists(_._1 == 101L), "unrelated doc must produce no pair")
+    val plan = Dedup.minhashCrossCandidates(corpus, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "benchmark signatures must broadcast\n" + plan.take(1500))
+  }
+
   test("canonicalByScore: argmax wins, ties break by min id, all rows kept") {
     val members = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
       .toDF("id", "rep")
