@@ -50,17 +50,28 @@ object Features {
   /** Smoothed TF-IDF over the hashed space: (doc_id, bucket, tf,
     * idf_fp6, tfidf_fp6) with `idf_fp6 = round(1e6·(ln((N+1)/(df+1))+1))`
     * and `tfidf_fp6 = tf · idf_fp6` — exact integers after the one
-    * rounding, so the gate hash-compares with zero float tolerance. */
+    * rounding, so the gate hash-compares with zero float tolerance.
+    *
+    * df (docs-per-bucket) is a window count OVER the tf rows, not a
+    * second aggregation branch: tf is already one row per (doc, bucket),
+    * so `count(*) over (partition by bucket)` is df exactly — and the
+    * window keeps the lineage LINEAR. A groupBy-then-join-back form
+    * re-executes the whole token explode from the scan for the second
+    * branch (no barrier ⇒ Spark recomputes shared lineage), which is a
+    * double read of the corpus text at 100 TB; the window form scans
+    * once and only re-shuffles the narrow aggregated rows (PlanSpec
+    * pins single-explode). `n_docs` counts the full corpus (blank docs
+    * included — the sklearn smooth_idf convention) via a metadata-only
+    * parquet count, broadcast as a one-row cross join. */
   def hashedTfIdf(docs: DataFrame, idCol: String, textCol: String,
       dim: Int): DataFrame = {
     val tf = hashedTf(docs, idCol, textCol, dim)
-    // docs-per-bucket: tf is already one row per (doc, bucket), so df is
-    // a plain count — and it reuses tf's hash partitioning (no shuffle)
-    val dfreq = tf.groupBy(col("bucket")).agg(count(lit(1)).as("df"))
+    val dfCol = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("bucket")))
     val stats = docs.agg(count(lit(1)).as("n_docs"))
     val idf = log((col("n_docs").cast("double") + lit(1.0)) /
       (col("df").cast("double") + lit(1.0))) + lit(1.0)
-    tf.join(broadcast(dfreq), Seq("bucket"))
+    tf.withColumn("df", dfCol)
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("bucket"), col("tf"),
         round(idf * lit(1e6)).cast("long").as("idf_fp6"))

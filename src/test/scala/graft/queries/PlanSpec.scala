@@ -68,6 +68,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q85: one token-stream scan; df is a window, not a re-scanning branch") {
+    val p = planOf(TextQueries.q85HashedTfIdf(spark, sf))
+    // the token explode must appear once — df comes from a window over
+    // the aggregated (doc,bucket) rows, never a second read of the text
+    assert(p.sliding("Generate explode".length).count(
+      _ == "Generate explode") <= 1, p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "only the one-row stats side may join, as a broadcast\n" + p.take(2000))
+  }
+
+  test("q86: bloom probe prunes the corpus scan; no shuffle join on the corpus") {
+    val p = planOf(DedupQueries.q86BloomAntiJoin(spark, sf))
+    assert(p.contains("might_contain"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "pruned anti-join should broadcast the pruned corpus side\n" + p.take(2000))
+  }
+
   test("q21/q48: embedding near-dup runs the bucketed LSH join — no nested-loop") {
     Seq(Embeddings.q21EmbedNearDup(spark, sf),
         Embeddings.q48EmbedCuration(spark, sf)).foreach { df =>
