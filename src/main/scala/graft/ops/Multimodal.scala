@@ -141,6 +141,60 @@ object Multimodal {
     }
   }
 
+  /** Minimal multi-frame video container ("vbmp"): `[u32 LE frame count]`
+    * then per frame `[u32 LE length][BMP bytes]` — a length-prefixed
+    * chunk walk in the WAV codec's spirit, carrying real decodable frames
+    * (no codec library in this environment can decode H.264; the
+    * CONTAINER walk, frame iteration, sampling, and per-frame feature
+    * plumbing are the Spark-side surface a real codec would plug into,
+    * exactly as [[MediaDecoder]]'s scaladoc contracts). */
+  object Vbmp {
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def rdLe32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+    def encode(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(
+        4 + frames.map(_.length + 4).sum)
+      out.write(le32(frames.length))
+      frames.foreach { f => out.write(le32(f.length)); out.write(f) }
+      out.toByteArray
+    }
+
+    /** Walk the container; malformed lengths fail fast (the codec
+      * discipline every parser here follows — garbage in, exception out,
+      * never a silently-truncated frame list). */
+    def decode(bytes: Array[Byte]): Seq[Array[Byte]] = {
+      require(bytes.length >= 4, "vbmp: truncated header")
+      val n = rdLe32(bytes, 0)
+      require(n >= 0, s"vbmp: negative frame count $n")
+      var off = 4
+      (0 until n).map { k =>
+        require(off + 4 <= bytes.length, s"vbmp: truncated at frame $k")
+        val len = rdLe32(bytes, off)
+        require(len >= 0 && off + 4 + len <= bytes.length,
+          s"vbmp: bad frame length $len at frame $k")
+        val f = java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len)
+        off += 4 + len
+        f
+      }
+    }
+  }
+
+  /** Video decoder: container walk + per-frame BMP decode, one [[Frame]]
+    * per contained frame with its ordinal `frame_no` — the input
+    * [[sampleFrames]] strides over. */
+  final class VbmpDecoder extends MediaDecoder {
+    override def frames(row: MediaRow): Iterator[Frame] =
+      Vbmp.decode(row.bytes).iterator.zipWithIndex.map { case (b, k) =>
+        val (w, h, px) = Bmp.decode(b)
+        Frame(row.media_id, k, w, h, px)
+      }
+  }
+
   /** PCM16 WAV codec — RIFF/fmt/data chunk walk, pure JVM. */
   object Wav {
     /** Encode interleaved 16-bit samples as a canonical PCM WAV. */

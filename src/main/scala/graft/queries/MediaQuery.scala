@@ -254,4 +254,70 @@ object MediaQuery {
       |  n_samples, peak, zero_crossings,
       |  sqrt(CAST(sum_sq AS DOUBLE) / n_samples) AS rms
       |FROM f""".stripMargin
+
+  /** Deterministic 5-frame test video per embedding: frame k's pixel p =
+    * gray(embedding[(p + k) % 64]) on an 8×8 BMP — each frame is a
+    * rotation of frame 0, so every frame shares the same total luma and
+    * the oracle replays any frame's hash by modular indexing. */
+  private def video8(id: Long, emb: Seq[Float], nFrames: Int): MediaRow = {
+    val frames = (0 until nFrames).map { k =>
+      val rgb = new Array[Byte](64 * 3)
+      var p = 0
+      while (p < 64) {
+        val g = gray(emb((p + k) % 64))
+        rgb(3 * p) = g; rgb(3 * p + 1) = g; rgb(3 * p + 2) = g
+        p += 1
+      }
+      Multimodal.Bmp.encode(8, 8, rgb)
+    }
+    MediaRow(id, "video", "vbmp", Multimodal.Vbmp.encode(frames), 8, 8,
+      nFrames * 40L)
+  }
+
+  /** Video frame-sample gate (the third modality, completing
+    * image/audio/video): embeddings render to 5-frame vbmp containers →
+    * [[Multimodal.VbmpDecoder]] container walk + per-frame BMP decode →
+    * [[Multimodal.sampleFrames]] keeps every 2nd frame (0, 2, 4) →
+    * exact-integer [[Multimodal.phash]] per surviving frame. The oracle
+    * rebuilds every sampled frame's hash from the embeddings by the
+    * rotation arithmetic — certifying container walk, frame ordinals,
+    * the sampling stride, and per-frame decode+hash end-to-end. */
+  def q90VideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, emb) => video8(id, emb, nFrames = 5) }
+    val frames = Multimodal.decodeFrames(media, new Multimodal.VbmpDecoder)(spark)
+    val sampled = Multimodal.sampleFrames(frames, stride = 2)(spark)
+    sampled.map { f =>
+      val (hi, lo) = Multimodal.phash(f)
+      (f.media_id, f.frame_no.toLong, hi, lo)
+    }.toDF("media_id", "frame_no", "phash_hi", "phash_lo")
+  }
+
+  /** Per sampled frame k and cell d (1 pixel per cell at 8×8): luma =
+    * g[(d+k) % 64], n = 64, counts = 1 ⇒ hash bit d = g[(d+k)%64]·64 >
+    * Σg — the exact integer comparison [[Multimodal.phash]] makes. */
+  val q90VideoFramesSql: String =
+    """WITH px AS (
+      |  SELECT vec_id,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS p,
+      |    LEAST(255, GREATEST(0,
+      |      CAST(floor((CAST(unnest(embedding) AS DOUBLE) + 1.0) * 127.5) AS BIGINT))) AS g
+      |  FROM embeddings),
+      |tot AS (SELECT vec_id, SUM(g) AS total FROM px GROUP BY vec_id),
+      |ks AS (SELECT unnest([0, 2, 4]) AS k),
+      |ds AS (SELECT unnest(generate_series(0, 63)) AS d),
+      |cell AS (
+      |  SELECT px.vec_id, ks.k, ds.d, px.g
+      |  FROM ks CROSS JOIN ds
+      |  JOIN px ON px.p = (ds.d + ks.k) % 64)
+      |SELECT c.vec_id AS media_id, CAST(c.k AS BIGINT) AS frame_no,
+      |  CAST(SUM(CASE WHEN c.d >= 32 AND c.g * 64 > t.total
+      |    THEN (1::BIGINT << (c.d - 32)) ELSE 0 END) AS BIGINT) AS phash_hi,
+      |  CAST(SUM(CASE WHEN c.d < 32 AND c.g * 64 > t.total
+      |    THEN (1::BIGINT << c.d) ELSE 0 END) AS BIGINT) AS phash_lo
+      |FROM cell c JOIN tot t USING (vec_id)
+      |GROUP BY 1, 2""".stripMargin
 }

@@ -55,6 +55,26 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.map(_.frame_no).sorted.toSeq === Seq(0, 2, 4))
   }
 
+  test("vbmp container: round-trip, ordinals, malformed fails fast") {
+    val f0 = Multimodal.Bmp.encode(2, 1, Array[Byte](10, 10, 10, 20, 20, 20))
+    val f1 = Multimodal.Bmp.encode(1, 1, Array[Byte](30, 30, 30))
+    val enc = Multimodal.Vbmp.encode(Seq(f0, f1))
+    val back = Multimodal.Vbmp.decode(enc)
+    assert(back.length === 2)
+    assert(back(0).toSeq === f0.toSeq && back(1).toSeq === f1.toSeq)
+    // decoder emits per-frame ordinals in container order
+    val row = Multimodal.MediaRow(7L, "video", "vbmp", enc, 2, 1, 80L)
+    val frames = new Multimodal.VbmpDecoder().frames(row).toSeq
+    assert(frames.map(_.frame_no) === Seq(0, 1))
+    assert(frames(0).width === 2 && frames(1).width === 1)
+    // truncated payload and lying length both fail fast
+    intercept[IllegalArgumentException] {
+      Multimodal.Vbmp.decode(enc.take(enc.length - 3))
+    }
+    val lying = enc.clone(); lying(4) = 0x7f.toByte; lying(7) = 0x7f.toByte
+    intercept[IllegalArgumentException] { Multimodal.Vbmp.decode(lying) }
+  }
+
   test("features flow into similarity search") {
     val feats = extractFeatures(decodeFrames(media(), new StubDecoder))
       .toDF().select(
