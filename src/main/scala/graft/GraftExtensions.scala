@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     inject("dot_f", es => DotProductF(es(0), es(1)))
     inject("dot_i", es => graft.functions.DotProductI(es(0), es(1)))
+    // the Bloom runtime-filter primitives (ops.Bloom's SQL surface)
+    graft.ops.Bloom.sqlBuilders.foreach {
+      case (name, builder) => inject(name, builder)
+    }
     // one builder table shared with TextFunctions.register — the live-
     // session and session-build registration paths cannot drift
     graft.functions.TextFunctions.sqlBuilders.foreach {

@@ -60,6 +60,26 @@ object Bloom {
       Bridge.expression(xxhash64(key))))
   }
 
+  /** SQL-facing builder table (the TextFunctions discipline: one table
+    * shared by [[registerSql]] and [[graft.GraftExtensions]] so the two
+    * registration paths cannot drift): `graft_bloom_agg(xxhash64(k),
+    * items, bits)` → binary filter; `graft_bloom_contains(filter,
+    * xxhash64(k))` → boolean. The aggregate builder returns the BARE
+    * `AggregateFunction` — the analyzer wraps it at resolution, which is
+    * what makes `GROUP BY` forms legal in SQL. */
+  private[graft] val sqlBuilders: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "graft_bloom_agg" -> (es => new BloomFilterAggregate(es(0), es(1), es(2))),
+    "graft_bloom_contains" -> (es => BloomFilterMightContain(es(0), es(1))))
+
+  /** Register the SQL names on a live session. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlBuilders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+
   /** `batch ANTI JOIN corpus ON keyCol`, with the corpus scan pre-pruned
     * by the batch-key Bloom filter (no false negatives ⇒ identical
     * result to the plain anti-join; certified by the q86 oracle).

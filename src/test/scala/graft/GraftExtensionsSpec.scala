@@ -31,6 +31,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(rep === 1L)
   }
 
+  test("bloom primitives are callable from SQL") {
+    val spark = GraftSession.local("graft-ext-test", 2)
+    graft.ops.Bloom.registerSql(spark)
+    spark.range(0, 100).createOrReplaceTempView("bloom_keys")
+    // build over 0..99, probe a member and a non-member: a bloom filter
+    // has no false negatives, so the member MUST hit; the non-member
+    // check uses 50 distant probes and only requires one miss (fpp 3%)
+    val hit = spark.sql(
+      """WITH f AS (SELECT graft_bloom_agg(xxhash64(id), 100L, 960L) AS b
+        |           FROM bloom_keys)
+        |SELECT graft_bloom_contains((SELECT b FROM f), xxhash64(42L))""".stripMargin)
+      .collect().head.getBoolean(0)
+    assert(hit, "member key must hit (no false negatives)")
+    val misses = spark.sql(
+      """WITH f AS (SELECT graft_bloom_agg(xxhash64(id), 100L, 960L) AS b
+        |           FROM bloom_keys)
+        |SELECT count(*) FROM range(1000000, 1000050)
+        |WHERE NOT graft_bloom_contains((SELECT b FROM f), xxhash64(id))""".stripMargin)
+      .collect().head.getLong(0)
+    assert(misses > 0, "at least one distant key must miss")
+  }
+
   test("extensions class registers all native function builders") {
     // getOrCreate would reuse the shared test session (extensions only
     // apply to fresh sessions), so exercise the injection hook directly
