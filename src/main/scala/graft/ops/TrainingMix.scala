@@ -183,6 +183,43 @@ object TrainingMix {
     splits.map(_._1).zip(cum.map(c => (c * 4294967296.0).toLong))
   }
 
+  /** Curriculum phasing — bucket documents into ordered training phases
+    * by corpus quantiles of a difficulty proxy (here any numeric
+    * `keyCol`; token count and quality score are the usual choices):
+    * phase 0 = below p25, 1 = [p25, p50), 2 = [p50, p75), 3 = top
+    * quartile. Curriculum learning consumes phases in order
+    * (easy→hard); emitting the phase as a COLUMN (not a sort) keeps the
+    * corpus unsorted — the trainer reads phase partitions in sequence,
+    * and no global sort ever runs.
+    *
+    * Distributed shape: one tiny exact-percentile aggregation (a
+    * handful of doubles) broadcast back as a one-row cross join, then a
+    * pure filter-free projection — the corpus is never shuffled. Exact
+    * `percentile` (not the sketch) keeps the thresholds engine-portable:
+    * both engines implement the same (n−1)·p interpolation, exact in
+    * double for integer-valued keys (the q32 discipline) — a sketch
+    * threshold would be merge-order-dependent and ungateable.
+    */
+  def curriculumPhases(df: DataFrame, idCol: String,
+      keyCol: String): DataFrame = {
+    val qs = df.agg(
+      expr(s"percentile($keyCol, 0.25)").as("p25"),
+      expr(s"percentile($keyCol, 0.5)").as("p50"),
+      expr(s"percentile($keyCol, 0.75)").as("p75"))
+    val passthrough = df.columns.map(col)
+    df.crossJoin(broadcast(qs))
+      .withColumn("phase",
+        when(col(keyCol) < col("p25"), 0L)
+          .when(col(keyCol) < col("p50"), 1L)
+          .when(col(keyCol) < col("p75"), 2L)
+          .otherwise(3L))
+      // every input column rides through: attaching the phase must not
+      // force callers into a corpus-wide join-back to recover their own
+      // columns (idCol stays in the signature as the API's identity
+      // contract, matching the sibling operators)
+      .select(passthrough :+ col("phase"): _*)
+  }
+
   /** Assign each document a (shard, seq) training-sequence slot: documents
     * are hash-sharded, then packed in id order into sequences holding
     * `budgetTokens` tokens (a doc straddling the boundary stays in the

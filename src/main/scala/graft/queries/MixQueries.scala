@@ -106,6 +106,42 @@ object MixQueries {
       |GROUP BY 1, 2
       |HAVING COUNT(*)/8.0 >= 0.5""".stripMargin
 
+  /** Curriculum-phase gate ([[TrainingMix.curriculumPhases]]): documents
+    * bucketed by exact token-count quartiles — short (easy) docs phase 0,
+    * longest quartile phase 3. Counts per (source, phase) certify every
+    * row's bucket; n_tok is integer-valued so the interpolated
+    * thresholds are exact in both engines (the q32 discipline). */
+  def q91Curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      size(filter(split(col("text"), " "), t => t =!= ""))
+        .cast("long").as("n_tok"))
+    TrainingMix.curriculumPhases(docs, "doc_id", "n_tok")
+      .groupBy(col("source"), col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"))
+  }
+
+  val q91CurriculumSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |qs AS (
+      |  SELECT quantile_cont(n_tok, 0.25) AS p25,
+      |         quantile_cont(n_tok, 0.5) AS p50,
+      |         quantile_cont(n_tok, 0.75) AS p75
+      |  FROM toks),
+      |phased AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN n_tok < p25 THEN 0
+      |         WHEN n_tok < p50 THEN 1
+      |         WHEN n_tok < p75 THEN 2
+      |         ELSE 3 END AS phase
+      |  FROM toks, qs)
+      |SELECT source, CAST(phase AS BIGINT) AS phase, COUNT(*) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM phased GROUP BY source, phase""".stripMargin
+
   /** Token-budget-fair weighted sample ([[TrainingMix.weightedTopKSample]]):
     * 100 docs without replacement, proportional to token count — the A-ES
     * keys come from the md5-derived uniform, so the oracle replays the

@@ -130,6 +130,21 @@ class TrainingMixSpec extends SparkSpec {
     }
   }
 
+  test("curriculumPhases: quartile buckets, columns ride through, no sort") {
+    // keys 1..100: p25=25.75, p50=50.5, p75=75.25
+    val df = (1L to 100L).map(i => (i, s"s${i % 3}", i)).toDF("id", "src", "k")
+    val got = TrainingMix.curriculumPhases(df, "id", "k")
+    assert(got.columns.toSeq === Seq("id", "src", "k", "phase"),
+      "input columns must ride through")
+    val byPhase = got.collect().map(r => (r.getLong(0), r.getLong(3)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).sorted.toSeq).toMap
+    assert(byPhase(0L) === (1L to 25L) && byPhase(1L) === (26L to 50L))
+    assert(byPhase(2L) === (51L to 75L) && byPhase(3L) === (76L to 100L))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortExec") || !plan.contains("rangepartitioning"),
+      "phasing must never globally sort the corpus\n" + plan.take(1500))
+  }
+
   test("contamination: planted benchmark overlap found, clean docs absent") {
     val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val corpus = Seq(
