@@ -574,7 +574,11 @@ object Dedup {
     * of magnitude smaller than the corpus).
     *
     * @param members (id, rep) component labels from [[connectedComponents]]
-    * @param attrs   (`idCol`, `scoreCol`) per-document scores
+    * @param attrs   (`idCol`, `scoreCol`) per-document scores — must cover
+    *                every member id: the join is inner, so an unscored
+    *                member silently drops out of BOTH the ranking and the
+    *                output (and its component's canonical is then chosen
+    *                among the scored members only)
     * @return (id, rep, canon_id, keep) one row per member
     */
   def canonicalByScore(members: DataFrame, attrs: DataFrame, idCol: String,

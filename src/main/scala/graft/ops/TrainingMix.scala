@@ -177,6 +177,8 @@ object TrainingMix {
       splits: Seq[(String, Double)]): Seq[(String, Long)] = {
     require(splits.nonEmpty && splits.forall(_._2 > 0),
       "fractions must be positive")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "split labels must be distinct")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "fractions must sum to 1")
     val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
@@ -199,6 +201,10 @@ object TrainingMix {
     * both engines implement the same (n−1)·p interpolation, exact in
     * double for integer-valued keys (the q32 discipline) — a sketch
     * threshold would be merge-order-dependent and ungateable.
+    *
+    * NULL `keyCol` values are excluded from the percentiles (standard
+    * aggregate semantics) and land in phase 3 via the `otherwise` —
+    * callers wanting them elsewhere should filter or impute first.
     */
   def curriculumPhases(df: DataFrame, idCol: String,
       keyCol: String): DataFrame = {
