@@ -397,8 +397,14 @@ object DedupQueries {
       .select(md5(col("text")).as("k"))
     val batch = d.filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), md5(col("text")).as("k"))
+    // size the filter from the corpus, not a pinned literal (the q73
+    // autoBits lesson): a static hint under-sizes the filter as data
+    // grows, degrading fpp until pruning stops pruning — correctness
+    // holds either way, but the operator's point is the pruning. The
+    // count is a metadata-only parquet pass (no text bytes read).
+    val expected = d.count() / 5 + 1
     graft.ops.Bloom.prunedAntiJoin(batch, corpus, "k",
-      expectedItems = 1000, fpp = 0.01)
+      expectedItems = expected, fpp = 0.01)
   }
 
   val q86BloomAntiJoinSql: String =
