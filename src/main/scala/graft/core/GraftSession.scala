@@ -61,6 +61,15 @@ object GraftSession {
       // the corpus `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4
       // rejects by default; read as long and convert in Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // corpus timestamps are naive parquet timestamp[us]
+      // (isAdjustedToUTC=false), which Spark 4 infers as TIMESTAMP_NTZ by
+      // default. The engine (and its DuckDB oracle contract) works in
+      // session-TZ TIMESTAMP under a UTC session — same face value as the
+      // naive micros, but LTZ-strict functions (unix_micros, window())
+      // resolve. Scan-level conf, NOT a per-column cast: a cast node on
+      // the timestamp would block parquet predicate pushdown on every
+      // date-filtered scan.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
   def local(appName: String = "graft", cores: Int = 32): SparkSession = {
     val spark = builder(appName, cores).getOrCreate()

@@ -39,13 +39,30 @@ object Bloom {
 
   /** One-row frame holding the Bloom filter of `df`'s `keyCol` values
     * (column `bloom`, binary): a distributed partial-aggregate build —
-    * each partition folds its keys locally, partials OR together. */
+    * each partition folds its keys locally, partials OR together.
+    *
+    * SIZING CLAMP: Spark's `BloomFilterAggregate` silently clamps its
+    * item/bit arguments to `spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems` (default 4M) and `.maxNumBits` (default 64M) — beyond
+    * ~4M keys the filter would be under-sized and its fpp would degrade
+    * toward 1, quietly defeating the pruning (correctness unaffected: no
+    * false negatives either way). Since multi-million-row batches are
+    * this module's stated use case, the build RAISES both session confs
+    * to cover the requested size before constructing the aggregate. */
   def buildFilter(df: DataFrame, keyCol: String, expectedItems: Long,
       fpp: Double): DataFrame = {
+    val numBits = optimalNumBits(expectedItems, fpp)
+    val spark = df.sparkSession
+    val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsConf  = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    if (spark.conf.get(itemsConf).toLong < expectedItems)
+      spark.conf.set(itemsConf, expectedItems.toString)
+    if (spark.conf.get(bitsConf).toLong < numBits)
+      spark.conf.set(bitsConf, numBits.toString)
     val agg = new BloomFilterAggregate(
       Bridge.expression(xxhash64(col(keyCol))),
       Bridge.expression(lit(expectedItems)),
-      Bridge.expression(lit(optimalNumBits(expectedItems, fpp))))
+      Bridge.expression(lit(numBits)))
     df.groupBy().agg(Bridge.column(agg.toAggregateExpression()).as("bloom"))
   }
 

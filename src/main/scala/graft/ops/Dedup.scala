@@ -199,6 +199,7 @@ object Dedup {
     val spark = df.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, path)
     val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_index_meta")
     val meta = sigIndexMeta(numHashes, shingleWidth, fast)
     // rebuild when absent OR when the parameter fingerprint is missing
@@ -226,10 +227,13 @@ object Dedup {
         s"signature index at $path was built with [$stored] but is being " +
           s"served with [$meta]; rebuild the index or match the parameters")
     }
-    // memoized: the artifact path is content-keyed (or parameter-guarded
-    // above), so the file set behind it is immutable — see
-    // Tables.readCachedParquet
-    graft.core.Tables.readCachedParquet(spark, Seq(path))
+    // memoized on the exact committed FILE LIST, not the directory path:
+    // appendToSignatureIndex (both the marker-committed and the legacy
+    // batchId=-1 append) grows the file set under an unchanged path, so a
+    // path-keyed memo would keep serving the pre-append relation and
+    // silently miss dedup candidates. A changed file set is a changed key
+    // by construction — same discipline as readSignatureIndex.
+    graft.core.Tables.readCachedParquet(spark, committedIndexFiles(fs, path))
   }
 
   private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -262,13 +266,35 @@ object Dedup {
       .map(_.toString).toSeq
   }
 
+  /** Heal the [[compactSignatureIndex]] crash window: the swap is
+    * rename(path → path.compact_old) then rename(tmp → path), and a crash
+    * between the two leaves the index GONE under its published path while
+    * the old directory still holds every committed file. Without recovery,
+    * the next ingest sees hasIndex=false and silently bootstraps a fresh
+    * index — permanently abandoning all dedup history. Every serve/ingest
+    * entry point calls this first: if the published path is missing but
+    * `.compact_old` exists, the old directory is restored (the compaction
+    * simply never happened; a leftover `.compact_tmp` is dropped). */
+  private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val old = hPath(path + ".compact_old")
+    if (!fs.exists(hPath(path)) && fs.exists(old)) {
+      if (!fs.rename(old, hPath(path)))
+        throw new java.io.IOException(
+          s"failed to restore interrupted compaction of $path from $old")
+      fs.delete(hPath(path + ".compact_tmp"), true): Unit
+    }
+  }
+
   /** The committed view of a signature index (see [[committedIndexFiles]]).
     * This is the read every serve path must use — `spark.read.parquet(dir)`
     * on the raw directory would also surface a crashed ingest's partial
     * files. */
   def readSignatureIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val files = committedIndexFiles(hFs(spark, path), path)
+    val fs0 = hFs(spark, path)
+    recoverCompaction(fs0, path)
+    val files = committedIndexFiles(fs0, path)
     require(files.nonEmpty,
       s"signature index at $path has no committed data files — build it " +
         "via signatureIndexArtifact (or the first ingestBatch) before serving")
@@ -306,6 +332,7 @@ object Dedup {
     // every estimate that touches the appended rows
     val spark = df.sparkSession
     val fs = hFs(spark, path)
+    recoverCompaction(fs, path)
     val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_index_meta")
     val meta = sigIndexMeta(numHashes, shingleWidth, fast)
     if (fs.exists(metaPath)) {
@@ -367,6 +394,10 @@ object Dedup {
   def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, targetFiles: Int = 8): Unit = {
     val fs = hFs(spark, path)
+    // restore an interrupted previous compaction BEFORE the tmp/old
+    // cleanup below — deleting a leftover `.compact_old` while the
+    // published path is missing would destroy the only copy of the index
+    recoverCompaction(fs, path)
     val tmp = hPath(path + ".compact_tmp")
     val old = hPath(path + ".compact_old")
     fs.delete(tmp, true); fs.delete(old, true)
@@ -481,6 +512,10 @@ object Dedup {
       fast: Boolean = false, compactAbove: Int = 64): Unit = {
     val spark = batch.sparkSession
     val fs = hFs(spark, indexPath)
+    // heal an interrupted compaction FIRST: with the index dir missing,
+    // both the replay-marker check and hasIndex below would read false and
+    // this ingest would silently bootstrap a fresh index over the history
+    recoverCompaction(fs, indexPath)
     if (fs.exists(new org.apache.hadoop.fs.Path(indexPath, batchMarker(batchId))))
       return // replayed batch — already admitted and indexed exactly once
     val hasIndex = fs.exists(hPath(indexPath)) &&
