@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.graft.Bridge
 
@@ -48,32 +48,58 @@ object Bloom {
     * toward 1, quietly defeating the pruning (correctness unaffected: no
     * false negatives either way). Since multi-million-row batches are
     * this module's stated use case, the build RAISES both session confs
-    * to cover the requested size before constructing the aggregate. */
-  def buildFilter(df: DataFrame, keyCol: String, expectedItems: Long,
-      fpp: Double): DataFrame = {
+    * to cover the requested size before constructing the aggregate —
+    * and, because `BloomFilterAggregate` reads the clamp at EXECUTION
+    * time, the aggregate is materialized eagerly here, inside the raised
+    * window, with the prior conf values restored in a `finally`. The
+    * session is left exactly as found (the clamps stay meaningful for
+    * Spark's own `InjectRuntimeFilter` sizing), and nothing that later
+    * resets the confs can silently under-size an already-built filter. */
+  def buildFilterBytes(df: DataFrame, keyCol: String, expectedItems: Long,
+      fpp: Double): Array[Byte] = {
     val numBits = optimalNumBits(expectedItems, fpp)
     val spark = df.sparkSession
     val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsConf  = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    if (spark.conf.get(itemsConf).toLong < expectedItems)
-      spark.conf.set(itemsConf, expectedItems.toString)
-    if (spark.conf.get(bitsConf).toLong < numBits)
-      spark.conf.set(bitsConf, numBits.toString)
-    val agg = new BloomFilterAggregate(
-      Bridge.expression(xxhash64(col(keyCol))),
-      Bridge.expression(lit(expectedItems)),
-      Bridge.expression(lit(numBits)))
-    df.groupBy().agg(Bridge.column(agg.toAggregateExpression()).as("bloom"))
+    val prevItems = spark.conf.get(itemsConf)
+    val prevBits = spark.conf.get(bitsConf)
+    try {
+      if (prevItems.toLong < expectedItems)
+        spark.conf.set(itemsConf, expectedItems.toString)
+      if (prevBits.toLong < numBits)
+        spark.conf.set(bitsConf, numBits.toString)
+      val agg = new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col(keyCol))),
+        Bridge.expression(lit(expectedItems)),
+        Bridge.expression(lit(numBits)))
+      df.groupBy().agg(Bridge.column(agg.toAggregateExpression()).as("bloom"))
+        .head().getAs[Array[Byte]](0)
+    } finally {
+      spark.conf.set(itemsConf, prevItems)
+      spark.conf.set(bitsConf, prevBits)
+    }
+  }
+
+  /** One-row frame holding the Bloom filter of `df`'s `keyCol` values
+    * (column `bloom`, binary) — see [[buildFilterBytes]] for the build
+    * and conf discipline. */
+  def buildFilter(df: DataFrame, keyCol: String, expectedItems: Long,
+      fpp: Double): DataFrame = {
+    val spark = df.sparkSession
+    spark.range(1)
+      .select(lit(buildFilterBytes(df, keyCol, expectedItems, fpp)).as("bloom"))
   }
 
   /** Predicate `might_contain(<bloom of filterDf's keys>, key)` with the
-    * filter attached as a scalar subquery — foldable at execution time,
-    * so it is eligible for scan-stage evaluation on the probe side. */
+    * already-built filter embedded as a LITERAL — foldable, so it is
+    * eligible for scan-stage evaluation on the probe side, and immune to
+    * any later session-conf changes (the filter bytes are fixed at build
+    * time, not re-derived at execution). */
   def mightContainKey(filterDf: DataFrame, keyCol: String, key: Column,
       expectedItems: Long, fpp: Double): Column = {
-    val bloomDf = buildFilter(filterDf, keyCol, expectedItems, fpp)
+    val bytes = buildFilterBytes(filterDf, keyCol, expectedItems, fpp)
     Bridge.column(BloomFilterMightContain(
-      ScalarSubquery(Bridge.analyzed(bloomDf)),
+      Bridge.expression(lit(bytes)),
       Bridge.expression(xxhash64(key))))
   }
 

@@ -279,7 +279,11 @@ object Dedup {
       path: String): Unit = {
     val old = hPath(path + ".compact_old")
     if (!fs.exists(hPath(path)) && fs.exists(old)) {
-      if (!fs.rename(old, hPath(path)))
+      // a failed rename is NOT necessarily a failed recovery: a concurrent
+      // entry point (serves race ingests here) may have restored the
+      // published path first, making this rename lose benignly — re-check
+      // the postcondition before declaring the index unrecoverable
+      if (!fs.rename(old, hPath(path)) && !fs.exists(hPath(path)))
         throw new java.io.IOException(
           s"failed to restore interrupted compaction of $path from $old")
       fs.delete(hPath(path + ".compact_tmp"), true): Unit

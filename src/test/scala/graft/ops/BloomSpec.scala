@@ -31,11 +31,21 @@ class BloomSpec extends SparkSpec {
   }
 
   test("the probe rides the corpus scan as a might_contain predicate") {
-    val pruned = Bloom.prunedAntiJoin(batch, corpus, "key", 40, 0.01)
+    // a parquet-backed corpus: on a LocalRelation the optimizer folds the
+    // literal-bloom filter away entirely (ConvertToLocalRelation), which
+    // is correct but leaves no plan to assert on. Against a file source
+    // the predicate must appear ON the scan's Filter — pre-shuffle, not
+    // as a join
+    val dir = java.nio.file.Files.createTempDirectory("bloomspec").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    val fileCorpus = spark.read.parquet(dir)
+    val pruned = Bloom.prunedAntiJoin(batch, fileCorpus, "key", 40, 0.01)
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), plan.take(2000))
-    assert(plan.contains("Subquery") || plan.contains("subquery"),
-      "bloom must attach as a scalar subquery, not a join\n" + plan.take(2000))
+    // the filter bytes are a LITERAL baked in at build time (ADVICE r10):
+    // no scalar subquery, so no execution-time re-read of the sizing confs
+    assert(!plan.toLowerCase.contains("subquery"),
+      "bloom must embed as a literal, not a subquery\n" + plan.take(2000))
   }
 
   test("optimalNumBits: standard sizing, guards") {

@@ -17,18 +17,29 @@ import graft.SparkEntry
   *
   * Comparison is order-insensitive (`toJSON` rows, sorted): several gates
   * are ordered only by their outermost sort, whose tie order differs
-  * legitimately across partitionings.
+  * legitimately across partitionings. Floating-point values are rounded
+  * to 9 significant digits before comparison (ADVICE r10): AQE changes
+  * partition counts and hence double-reduction order, so sum/avg chains
+  * legitimately differ in the last ulp — the gate must trip only on real
+  * plan-semantic divergence, not on non-associative float addition.
   */
 class DualConfSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   private lazy val spark = graft.core.GraftSession.local("graft-dualconf", 4)
 
+  // rewrite every JSON fractional/exponent number literal to 9 significant
+  // digits; integer literals (ids, counts) pass through untouched
+  private val FloatLit = """-?\d+\.\d+(?:[eE][+-]?\d+)?""".r
+  private def normFloats(json: String): String =
+    FloatLit.replaceAllIn(json,
+      m => java.util.regex.Matcher.quoteReplacement(f"${m.matched.toDouble}%.8e"))
+
   private def runAll(aqe: Boolean): Map[String, Seq[String]] = {
     spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
     spark.conf.set("spark.sql.constraintPropagation.enabled", aqe.toString)
     try SparkEntry.queries.map { case (name, fn) =>
-      val out = fn(spark, sf).toJSON.collect().toSeq.sorted
+      val out = fn(spark, sf).toJSON.collect().toSeq.map(normFloats).sorted
       spark.catalog.clearCache() // q47-style persisted intermediates
       name -> out
     }
