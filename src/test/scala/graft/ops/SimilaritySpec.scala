@@ -282,4 +282,48 @@ class SimilaritySpec extends SparkSpec {
     // survivors carry the same assignment the codebook produces
     survivors.foreach { case (id, cid) => assert(asg(id) === cid) }
   }
+
+  test("semDedup planted megacluster: per-cluster pair work bounded, min-id survives") {
+    // one semantic mode 3x over the split cap (60 near-identical vectors,
+    // cap = splitFactor 2 x target 10 = 20), plus 20 well-spread singles.
+    // VERDICT r9 #1: past the autoK saturation point the exact in-cluster
+    // all-pairs join would do n_c^2 work; the oversized cluster must
+    // instead route through min-rep LSH verification
+    val dim = 64
+    def base(seed: Int): Array[Float] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(dim) { d =>
+        val dg = md.digest(s"mega:$seed:$d".getBytes("UTF-8"))
+        (dg(0).toInt / 128.0f)
+      }
+    }
+    val mode = base(0)
+    val mega = (0 until 60).map { i =>
+      // tiny deterministic perturbation: cosine to the mode stays ~1
+      (i.toLong, mode.zipWithIndex.map { case (x, d) =>
+        x + (if ((i + d) % 7 == 0) 1e-4f else 0f) }.toSeq)
+    }
+    val spread = (0 until 20).map(i => (1000L + i, base(i + 1).toSeq))
+    val v = (mega ++ spread).toDF("id", "vec")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mega_spec")
+      .toString + "/cents"
+    val survivors = Similarity.semDedup(v, tmp, threshold = 0.9,
+      targetClusterRows = 10, splitFactor = 2)
+      .select("id", "cid").as[(Long, Long)].collect().toMap
+    // keep-first: the megacluster collapses to its min id; every spread
+    // single survives (nothing near it)
+    assert(survivors.contains(0L))
+    assert((1 until 60).count(i => survivors.contains(i.toLong)) === 0,
+      s"megacluster members besides id 0 must all drop; got ${survivors.keySet}")
+    assert((0 until 20).forall(i => survivors.contains(1000L + i)))
+    // bounded work: the candidate set of the oversized cluster is
+    // O(n_c * tables), nowhere near the n_c(n_c-1)/2 = 1770 of all-pairs —
+    // near-identical vectors share every bucket, so it collapses to ~n_c-1
+    val withCid = v.withColumn("cid", lit(0L))
+    val cand = Similarity.minRepCandidatesInClusters(
+      withCid.filter(col("id") < 60), lshTables = 16, bits = 6, dim = dim)
+    val nCand = cand.count()
+    assert(nCand <= 60L * 16, s"candidate count $nCand exceeds n_c*tables")
+    assert(nCand < 1770 / 2, s"candidate count $nCand is not bounded below all-pairs")
+  }
 }
