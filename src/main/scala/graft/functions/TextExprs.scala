@@ -553,7 +553,103 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd O(n) span-key array for [[graft.ops.SpanDedup]]: element i
+  * (0-based) is a 64-bit hash key for the `span`-token window starting
+  * at token i, with the guarantee that IDENTICAL token windows map to
+  * identical keys. Rolling polynomial hash over per-token FNV-1a with an
+  * fmix64 finalizer: the whole array costs O(n) long multiplies — the
+  * window TEXT is never materialized (vs O(n · span) bytes of
+  * window-string construction + a string hash per window), which is the
+  * dominant cost of the naive gram stream. Distinct windows collide with
+  * probability ~n²/2⁶⁵ per corpus — the [[FingerprintUtil
+  * .distinctShingleHashes]] argument: vanishing against any practical
+  * tolerance, and the q79 gate hash-matches its oracle across this
+  * substitution at both gated scale factors. Empty array when the doc
+  * holds fewer than `span` tokens; null token elements hash as empty
+  * strings (a null key would silently drop the window from the dup
+  * stream). */
+case class SpanKeysExpr(child: Expression, span: Int)
+    extends UnaryExpression {
+  require(span >= 1, "span must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"span_keys expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    SpanKeysUtil.compute(a.asInstanceOf[ArrayData], span)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.SpanKeysUtil.compute($c, $span);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): SpanKeysExpr =
+    copy(child = newChild)
+}
+
+object SpanKeysUtil {
+  // odd multiplier (golden-ratio) for the rolling polynomial; fmix64
+  // finalizer decorrelates the low bits (the bucket reduction downstream
+  // is a modulus, so low-bit quality matters)
+  private val B = 0x9E3779B97F4A7C15L | 1L
+
+  private def fnv1a(t: UTF8String): Long = {
+    if (t == null) return 0xcbf29ce484222325L
+    val bytes = t.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  def compute(toks: ArrayData, span: Int): ArrayData = {
+    val n = toks.numElements()
+    val m = n - span + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = fnv1a(toks.getUTF8String(i)); i += 1 }
+    // bs1 = B^(span-1) mod 2^64 for the rolling subtraction
+    var bs1 = 1L
+    i = 1
+    while (i < span) { bs1 *= B; i += 1 }
+    val out = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < span) { h = h * B + th(i); i += 1 }
+    out(0) = fmix64(h)
+    i = 1
+    while (i < m) {
+      h = (h - th(i - 1) * bs1) * B + th(i + span - 1)
+      out(i) = fmix64(h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TextFunctions {
+
+  /** Per-row 64-bit span-key array (see [[SpanKeysExpr]]). */
+  def span_keys(toks: Column, span: Int): Column =
+    Bridge.column(SpanKeysExpr(Bridge.expression(toks), span))
 
   /** Per-row MinHash signature array (numHashes 8-hex-char slices). */
   def min_hash_slices(text: Column, shingleWidth: Int, numHashes: Int): Column =

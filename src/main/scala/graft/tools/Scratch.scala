@@ -8,26 +8,23 @@ import graft.core.GraftSession
 object Scratch {
   def main(args: Array[String]): Unit = {
     import org.apache.spark.sql.functions._
-    val spark = GraftSession.local("scratch", 32)
-    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", "/tmp/graft_sf1")) {
-      if (new java.io.File(dir).exists()) {
-        val v = graft.core.Tables.embeddings(spark, dir)
-          .select(col("vec_id").as("id"), col("embedding").as("vec"))
-        val n = v.count()
-        val k = graft.ops.Similarity.autoK(n)
-        val path = java.nio.file.Files.createTempDirectory("scratch_cents").toString + "/c"
-        val cents = graft.ops.Similarity.centroidCodebook(v, path, k, 2, "sample")
-        val sorted = cents.sortBy(_._1)
-        val matrix = sorted.map(_._2.toArray)
-        val ids = sorted.map(_._1)
-        val asg = v.select(col("id"),
-          graft.functions.VectorFunctions.nearest_centroids(col("vec"), matrix, ids, 1)
-            .getItem(0).as("cid"))
-        val top = asg.groupBy("cid").count().orderBy(col("count").desc)
-          .limit(5).collect().map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(" ")
-        println(s"SCRATCH dir=$dir n=$n k=$k top5=$top")
-      }
-    }
+    val dir = sys.env.getOrElse("SCRATCH_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.tunedLocal("scratch", dir, 32)
+    val span = graft.queries.DedupQueries.SpanWidth
+    val docs = graft.core.Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      filter(split(col("text"), " "), t => t =!= "").as("toks"))
+    val grams = toks.filter(size(col("toks")) >= span)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - lit(span - 1)),
+        i => md5(concat_ws(" ", slice(col("toks"), i, lit(span)))))).as("g"))
+    val counts = grams.groupBy("g").count()
+    val total = grams.count()
+    val distinctG = counts.count()
+    val dupG = counts.filter(col("count") > 1).count()
+    val dupOcc = counts.filter(col("count") > 1)
+      .agg(sum(col("count"))).head.getLong(0)
+    println(s"SCRATCH span=$span total=$total distinct=$distinctG dupGrams=$dupG dupOccurrences=$dupOcc singletonFrac=${(total - dupOcc).toDouble / total}")
     spark.stop()
   }
 }

@@ -44,6 +44,32 @@ class SpanDedupSpec extends SparkSpec {
     assert(got === Map(1L -> ((2L, 0L, 0.0)), 2L -> ((2L, 0L, 0.0))))
   }
 
+  test("span-keys kernel: identical windows identical keys, distinct differ, shape") {
+    import graft.functions.SpanKeysUtil
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def keys(toks: Seq[String], span: Int): Seq[Long] = {
+      val a = SpanKeysUtil.compute(
+        new GenericArrayData(toks.map(t =>
+          if (t == null) null else UTF8String.fromString(t)).toArray[Any]), span)
+      (0 until a.numElements()).map(a.getLong)
+    }
+    // length = n - span + 1; empty when too short
+    assert(keys(Seq("a", "b", "c", "d"), 2).length === 3)
+    assert(keys(Seq("a"), 2).isEmpty)
+    // the same window at different offsets and in different docs gets the
+    // SAME key (the rolling recurrence must equal the direct fold)
+    val k1 = keys(Seq("p", "q", "r", "s", "p", "q", "r", "t"), 3)
+    assert(k1(0) === k1(4), "identical windows must collide")
+    assert(keys(Seq("x", "p", "q", "r"), 3)(1) === k1(0),
+      "rolled and initial window keys must agree")
+    // distinct windows get distinct keys; token boundaries matter
+    assert(k1.distinct.length === k1.length - 1)
+    assert(keys(Seq("ab", "c"), 2).head !== keys(Seq("a", "bc"), 2).head)
+    // null tokens hash as empty strings, never null keys
+    assert(keys(Seq(null, "a", null), 2).length === 2)
+  }
+
   test("coverage is partition-order independent") {
     val docs = (1L to 30L).map(i => (i, s"c0 c1 c2 c3 u${i}a u${i}b u${i}c"))
     val df = docs.toDF("doc_id", "text")

@@ -86,6 +86,24 @@ class PlanSpec extends SparkSpec {
       "pruned anti-join should broadcast the pruned corpus side\n" + p.take(2000))
   }
 
+  test("q79: singleton grams are bloom-pruned BEFORE the gram shuffle; no window strings") {
+    val p = planOf(DedupQueries.q79DupSpans(spark, sf))
+    // the duplicated-bucket bloom must sit in the gram stream upstream of
+    // the per-gram aggregate — the shuffle then carries only candidate
+    // grams (~the duplicated fraction), not one row per token position
+    assert(p.contains("might_contain"), p.take(2000))
+    val probeIdx = p.indexOf("might_contain")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(probeIdx >= 0 && aggIdx >= 0 && probeIdx > p.indexOf("HashAggregate"),
+      "bloom probe must appear below (after) some aggregate in plan text " +
+        "— i.e. upstream of the gram count\n" + p.take(3000))
+    // gram keys are the native rolling-hash longs: no md5, no
+    // window-string concat in the hot path
+    assert(p.contains("span_keys") || p.contains("SpanKeys") ||
+      !p.contains("md5"), "gram stream should use the rolling-key kernel\n" +
+      p.take(3000))
+  }
+
   test("q21/q48: embedding near-dup runs the bucketed LSH join — no nested-loop") {
     Seq(Embeddings.q21EmbedNearDup(spark, sf),
         Embeddings.q48EmbedCuration(spark, sf)).foreach { df =>
