@@ -104,6 +104,39 @@ class PlanSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("textrank partitioned mode: <=1 exchange per iteration, no rank broadcast") {
+    // AQE's wrapper hides the physical tree from collect(); the tuned
+    // (bench/oracle) session runs AQE-off, so pin the shape there
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try {
+        val df = graft.ops.TextRank.textRankKeywords(
+          graft.core.Tables.documents(spark, sf), "doc_id", "text",
+          k = 20, iterations = 5, mode = "partitioned")
+        df.count()
+        df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+          .queryExecution.executedPlan
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the per-round join must be a shuffled hash join reusing the cached
+    // edge partitioning and the previous round's aggregate clustering —
+    // never a broadcast of the vocabulary-sized rank table
+    val shj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j }
+    assert(shj.length === 5, s"expected 5 per-iteration SHJs, got ${shj.length}")
+    val bcast = plan.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b }
+    assert(bcast.isEmpty,
+      "no broadcast may remain outside the cached edge build\n" + plan.toString.take(2000))
+    // the iteration tree (cached-relation leaves excluded) carries exactly
+    // one exchange per round — the contribution scatter — plus the final
+    // single-partition window; the join itself adds none
+    val ex = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(ex.length <= 5 + 2,
+      s"per-iteration joins must reuse partitioning; got ${ex.length} exchanges\n" +
+        plan.toString.take(2000))
+  }
+
   test("q21/q48: embedding near-dup runs the bucketed LSH join — no nested-loop") {
     Seq(Embeddings.q21EmbedNearDup(spark, sf),
         Embeddings.q48EmbedCuration(spark, sf)).foreach { df =>
