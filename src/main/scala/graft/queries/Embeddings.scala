@@ -215,6 +215,125 @@ object Embeddings {
     graft.core.Artifacts.path(spark, s"$dir/embeddings.parquet",
       "ivf_k16_i2_sample")
 
+  /** Two-level (coarse→fine) IVF gate ([[Similarity.twoLevelAssign]]):
+    * fine codebook by the density rule (k_fine = autoK(n, 10) — 50 at
+    * sf0.01, 200 at sf0.1), coarse codebook trained ON the fine
+    * centroids (k_coarse = autoK(k_fine, 16)), both with the
+    * q35-certified deterministic pipeline. The oracle replays BOTH
+    * trainings (with the keep-previous-on-empty Lloyd convention made
+    * explicit), the fine→coarse mapping, and the coarse→fine vector
+    * assignment (nprobe = 4 coarse cells); `agree` compares against the
+    * flat k_fine scan the two-level path replaces — the q49-style recall
+    * evidence that the bounded assignment finds the same cell (measured:
+    * 100% at sf0.01, 82% at sf0.1; disagreements are vectors near probed-
+    * cell boundaries, the standard IVF approximation, and shrink as
+    * nprobe grows). */
+  def q92TwoLevelIvf(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val kFine = Similarity.autoK(v.count(), targetClusterRows = 10)
+    val fine = Similarity.centroidCodebook(v,
+      graft.core.Artifacts.path(spark, s"$dir/embeddings.parquet",
+        "ivf2_fine_i2_sample_t10"),
+      kFine, iters = 2, init = "sample")
+    import spark.implicits._
+    val fineDf = fine.toSeq.toDF("id", "vec")
+    val kCoarse = Similarity.autoK(kFine.toLong, targetClusterRows = 16)
+    val coarse = Similarity.centroidCodebook(fineDf,
+      graft.core.Artifacts.path(spark, s"$dir/embeddings.parquet",
+        "ivf2_coarse_i2_sample_t16"),
+      kCoarse, iters = 2, init = "sample")
+    val two = Similarity.twoLevelAssign(v, fine, coarse)
+    val fs = fine.sortBy(_._1)
+    val flat = v.select(col("id"),
+      graft.functions.VectorFunctions.nearest_centroids(col("vec"),
+        fs.map(_._2.toArray), fs.map(_._1), 1).getItem(0).as("fcid_flat"))
+    two.join(flat, Seq("id"))
+      .select(col("id").as("vec_id"), col("ccid"), col("fcid"),
+        (col("fcid") === col("fcid_flat")).as("agree"))
+  }
+
+  val q92TwoLevelIvfSql: String = {
+    val fSeedOrder = s"${OracleFragments.hex8Sql("vec_id::VARCHAR || '#ivf'")}, vec_id"
+    val cSeedOrder = s"${OracleFragments.hex8Sql("id::VARCHAR || '#ivf'")}, id"
+    // one Lloyd round over a generic (id, vec) source, with the engine's
+    // keep-previous-on-empty convention explicit (a cid that attracts no
+    // rows keeps its previous centroid instead of vanishing)
+    def lloyd(i: Int, prev: String, src: String, pfx: String): String =
+      s"""${pfx}asg$i AS (
+         |  SELECT id, cid FROM (
+         |    SELECT s.id, c.cid,
+         |      row_number() OVER (PARTITION BY s.id
+         |        ORDER BY -list_dot_product(s.vec, c.cvec), c.cid) AS rn
+         |    FROM $src s CROSS JOIN $prev c)
+         |  WHERE rn = 1),
+         |${pfx}upd$i AS (
+         |  SELECT a.cid, CAST(generate_subscripts(s.vec, 1) - 1 AS BIGINT) AS dim,
+         |    CAST(round(CAST(unnest(s.vec) AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+         |  FROM ${pfx}asg$i a JOIN $src s ON s.id = a.id),
+         |${pfx}c$i AS (
+         |  SELECT p.cid, COALESCE(u.cvec, p.cvec) AS cvec
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cid, list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY dim) AS cvec FROM (
+         |      SELECT cid, dim, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m
+         |      FROM ${pfx}upd$i GROUP BY cid, dim) GROUP BY cid) u USING (cid))""".stripMargin
+    s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |kf AS (SELECT LEAST(4096, GREATEST(4, (n + 9) // 10)) AS k FROM nn),
+       |kc AS (SELECT LEAST(4096, GREATEST(4, (k + 15) // 16)) AS k FROM kf),
+       |fsrc AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |fseed AS (
+       |  SELECT cid, cvec FROM (
+       |    SELECT CAST(row_number() OVER (ORDER BY $fSeedOrder) - 1 AS BIGINT) AS cid,
+       |      embedding::DOUBLE[] AS cvec
+       |    FROM embeddings)
+       |  WHERE cid < (SELECT k FROM kf)),
+       |${lloyd(1, "fseed", "fsrc", "f")},
+       |${lloyd(2, "fc1", "fsrc", "f")},
+       |csrc AS (SELECT cid AS id, cvec AS vec FROM fc2),
+       |cseed AS (
+       |  SELECT cid, cvec FROM (
+       |    SELECT CAST(row_number() OVER (ORDER BY $cSeedOrder) - 1 AS BIGINT) AS cid,
+       |      vec AS cvec
+       |    FROM csrc)
+       |  WHERE cid < (SELECT k FROM kc)),
+       |${lloyd(1, "cseed", "csrc", "c")},
+       |${lloyd(2, "cc1", "csrc", "c")},
+       |f2c AS (
+       |  SELECT id AS fcid, cid AS ccid FROM (
+       |    SELECT s.id, c.cid,
+       |      row_number() OVER (PARTITION BY s.id
+       |        ORDER BY -list_dot_product(s.vec, c.cvec), c.cid) AS rn
+       |    FROM csrc s CROSS JOIN cc2 c)
+       |  WHERE rn = 1),
+       |vc AS (
+       |  SELECT id AS vec_id, cid AS ccid FROM (
+       |    SELECT s.id, c.cid,
+       |      row_number() OVER (PARTITION BY s.id
+       |        ORDER BY -list_dot_product(s.vec, c.cvec), c.cid) AS rn
+       |    FROM fsrc s CROSS JOIN cc2 c)
+       |  WHERE rn <= 4),
+       |fin AS (
+       |  SELECT vec_id, fcid FROM (
+       |    SELECT v.vec_id, f.fcid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY -list_dot_product(e.vec, fc.cvec), f.fcid) AS rn
+       |    FROM vc v
+       |    JOIN f2c f USING (ccid)
+       |    JOIN fc2 fc ON fc.cid = f.fcid
+       |    JOIN fsrc e ON e.id = v.vec_id)
+       |  WHERE rn = 1),
+       |flat AS (
+       |  SELECT id AS vec_id, cid AS fcid_flat FROM (
+       |    SELECT s.id, c.cid,
+       |      row_number() OVER (PARTITION BY s.id
+       |        ORDER BY -list_dot_product(s.vec, c.cvec), c.cid) AS rn
+       |    FROM fsrc s CROSS JOIN fc2 c)
+       |  WHERE rn = 1)
+       |SELECT f.vec_id, f2.ccid, f.fcid, (f.fcid = fl.fcid_flat) AS agree
+       |FROM fin f
+       |JOIN f2c f2 USING (fcid)
+       |JOIN flat fl USING (vec_id)""".stripMargin
+  }
+
   /** One unrolled Lloyd iteration: nearest-centroid assignment (argmin of
     * −dot with cid tie-break, the same ordering Spark's min-over-struct
     * produces), then per-(cid, dim) means over 6-decimal DECIMAL sums —

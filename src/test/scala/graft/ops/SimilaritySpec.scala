@@ -283,6 +283,47 @@ class SimilaritySpec extends SparkSpec {
     survivors.foreach { case (id, cid) => assert(asg(id) === cid) }
   }
 
+  test("two-level IVF: assignment bounded by probed cells, agrees with flat on clustered data") {
+    // 8 well-separated modes x 25 members: fine centroids land on modes,
+    // the coarse level groups them, and the coarse->fine path must find
+    // the same fine cell as the flat scan for every vector
+    val dim = 16
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def mode(s: Int): Array[Float] = Array.tabulate(dim) { d =>
+      val dg = md.digest(s"tl:$s:$d".getBytes("UTF-8")); dg(0) / 16.0f
+    }
+    val v = (0 until 200).map { i =>
+      val m = mode(i % 8)
+      (i.toLong, m.zipWithIndex.map { case (x, d) =>
+        x + (if ((i + d) % 5 == 0) 0.01f else -0.01f) }.toSeq)
+    }.toDF("id", "vec")
+    val tmpF = java.nio.file.Files.createTempDirectory("graft_tl_f").toString + "/f"
+    val tmpC = java.nio.file.Files.createTempDirectory("graft_tl_c").toString + "/c"
+    val fine = Similarity.centroidCodebook(v, tmpF, k = 16, iters = 2, init = "sample")
+    val fineDf = fine.toSeq.toDF("id", "vec")
+    val coarse = Similarity.centroidCodebook(fineDf, tmpC, k = 4, iters = 2, init = "sample")
+    // every fine centroid maps to exactly one coarse cell
+    val f2c = Similarity.fineToCoarse(fine, coarse)
+    assert(f2c.length === fine.length)
+    assert(f2c.map(_._2).toSet.subsetOf(coarse.map(_._1).toSet))
+    val two = Similarity.twoLevelAssign(v, fine, coarse, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(two.size === 200, "every vector must be assigned")
+    // ccid must be consistent with the chosen fine centroid's mapping
+    val f2cMap = f2c.toMap
+    two.foreach { case (_, (ccid, fcid)) => assert(f2cMap(fcid) === ccid) }
+    // flat-scan agreement on cleanly clustered data: the probed path must
+    // find the true cell for the overwhelming majority (boundary cases
+    // only exist when modes straddle coarse cells)
+    val fs = fine.sortBy(_._1)
+    val flat = v.select(col("id"),
+      graft.functions.VectorFunctions.nearest_centroids(col("vec"),
+        fs.map(_._2.toArray), fs.map(_._1), 1).getItem(0).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = two.count { case (id, (_, fcid)) => flat(id) == fcid }
+    assert(agree >= 190, s"expected >=95% flat agreement on separated modes, got $agree/200")
+  }
+
   test("semDedup planted megacluster: per-cluster pair work bounded, min-id survives") {
     // one semantic mode 3x over the split cap (60 near-identical vectors,
     // cap = splitFactor 2 x target 10 = 20), plus 20 well-spread singles.
