@@ -270,7 +270,7 @@ object Embeddings {
          |  SELECT a.cid, CAST(generate_subscripts(s.vec, 1) - 1 AS BIGINT) AS dim,
          |    CAST(round(CAST(unnest(s.vec) AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
          |  FROM ${pfx}asg$i a JOIN $src s ON s.id = a.id),
-         |${pfx}c$i AS (
+         |${pfx}c$i AS MATERIALIZED (
          |  SELECT p.cid, COALESCE(u.cvec, p.cvec) AS cvec
          |  FROM $prev p LEFT JOIN (
          |    SELECT cid, list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY dim) AS cvec FROM (
@@ -279,8 +279,8 @@ object Embeddings {
     s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
        |kf AS (SELECT LEAST(4096, GREATEST(4, (n + 9) // 10)) AS k FROM nn),
        |kc AS (SELECT LEAST(4096, GREATEST(4, (k + 15) // 16)) AS k FROM kf),
-       |fsrc AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
-       |fseed AS (
+       |fsrc AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |fseed AS MATERIALIZED (
        |  SELECT cid, cvec FROM (
        |    SELECT CAST(row_number() OVER (ORDER BY $fSeedOrder) - 1 AS BIGINT) AS cid,
        |      embedding::DOUBLE[] AS cvec
@@ -288,8 +288,8 @@ object Embeddings {
        |  WHERE cid < (SELECT k FROM kf)),
        |${lloyd(1, "fseed", "fsrc", "f")},
        |${lloyd(2, "fc1", "fsrc", "f")},
-       |csrc AS (SELECT cid AS id, cvec AS vec FROM fc2),
-       |cseed AS (
+       |csrc AS MATERIALIZED (SELECT cid AS id, cvec AS vec FROM fc2),
+       |cseed AS MATERIALIZED (
        |  SELECT cid, cvec FROM (
        |    SELECT CAST(row_number() OVER (ORDER BY $cSeedOrder) - 1 AS BIGINT) AS cid,
        |      vec AS cvec
@@ -297,7 +297,7 @@ object Embeddings {
        |  WHERE cid < (SELECT k FROM kc)),
        |${lloyd(1, "cseed", "csrc", "c")},
        |${lloyd(2, "cc1", "csrc", "c")},
-       |f2c AS (
+       |f2c AS MATERIALIZED (
        |  SELECT id AS fcid, cid AS ccid FROM (
        |    SELECT s.id, c.cid,
        |      row_number() OVER (PARTITION BY s.id

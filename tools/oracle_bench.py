@@ -31,6 +31,10 @@ def main():
     with open(sql_path) as f:
         oracle_sql = json.load(f)
     con = duckdb.connect()
+    # explicit limit: the default auto-detected budget mis-accounts the
+    # list-heavy k-means replays (q92) and dies on a 256 KB allocation
+    # with >100 GB free; a fixed generous limit is stable
+    con.execute("SET memory_limit='48GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
