@@ -707,6 +707,7 @@ object TextFunctions {
       "fingerprint_md5" -> (es => FingerprintMd5Expr(es(0))),
       "distinct_shingles" -> (es => DistinctShinglesExpr(es(0), intArg(es(1)))),
       "shingle_hashes" -> (es => ShingleHashesExpr(es(0), intArg(es(1)))),
+      "span_keys" -> (es => SpanKeysExpr(es(0), intArg(es(1)))),
       "repetition_stats" -> (es => RepetitionStatsExpr(es(0))),
       // aggregate, not scalar: the analyzer wraps the bare AggregateFunction
       // in an AggregateExpression at resolution, so GROUP BY ... in SQL works

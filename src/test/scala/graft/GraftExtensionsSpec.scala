@@ -29,6 +29,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val rep = spark.sql(
       "SELECT repetition_stats('a b a b a').max_run AS r").collect().head.getLong(0)
     assert(rep === 1L)
+    // span_keys: n - span + 1 keys; the repeated window collides
+    val sk = spark.sql(
+      "SELECT span_keys(split('p q r s p q r', ' '), 3) AS k")
+      .collect().head.getSeq[Long](0)
+    assert(sk.length === 5 && sk(0) === sk(4))
   }
 
   test("bloom primitives are callable from SQL") {
