@@ -63,8 +63,12 @@ object SpanDedup {
     *         token; `covered` counts positions under ≥1 duplicated
     *         window
     */
-  def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
-      spanTokens: Int): DataFrame = {
+  /** The shared gram pipeline: tokenization, the singleton-pruned
+    * rolling-key gram stream, and the exact duplicated-gram set. Returned
+    * as (toks, lens, grams, dup) for [[dupSpanCoverage]] (measure) and
+    * [[removeDupSpans]] (clean) to build on. */
+  private def gramPipeline(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(spanTokens >= 1, "spanTokens must be >= 1")
     val toks = docs.select(col(idCol),
       filter(split(col(textCol), " "), t => t =!= "").as("toks"))
@@ -111,6 +115,20 @@ object SpanDedup {
     // 1 and fall
     val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).select(col("g"))
+    (toks, lens, grams, dup)
+  }
+
+  /** Per-document duplicated-span coverage (the MEASURE side).
+    *
+    * @param spanTokens window width in tokens (Lee et al. use 50; small
+    *                   corpora want less)
+    * @return (idCol, n_tok, covered, dup_frac) for every doc with ≥1
+    *         token; `covered` counts positions under ≥1 duplicated
+    *         window
+    */
+  def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    val (_, lens, grams, dup) = gramPipeline(docs, idCol, textCol, spanTokens)
     val cov = grams.join(dup, Seq("g"), "left_semi")
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + lit(spanTokens - 1))).as("p"))
@@ -121,5 +139,47 @@ object SpanDedup {
         coalesce(col("covered"), lit(0L)).as("covered"),
         (coalesce(col("covered"), lit(0L)).cast("double") / col("n_tok"))
           .as("dup_frac"))
+  }
+
+  /** Duplicated-span REMOVAL (the CLEAN side of Lee et al.'s ExactSubstr:
+    * q79 measures, this rewrites): every token position covered by a
+    * duplicated n-token window is dropped, and the document is rebuilt
+    * from the surviving tokens (single-space joined) — the aggressive
+    * boilerplate-strip variant, deterministic and engine-replayable
+    * (keep-first-occurrence needs a global occurrence order; the strip
+    * form needs none, which is also what makes it embarrassingly
+    * parallel at 100 TB).
+    *
+    * Scale shape: the covered-position set rides back to the document as
+    * one (id → sorted positions array) join — token-level rows exist
+    * only inside the per-doc rebuild projection, never in a shuffle. The
+    * rebuild's `array_contains` per token costs O(n_tok · |cov|) in the
+    * worst (fully-duplicated) document; typical covered fractions keep
+    * it linear, and the gram stream above it is the q79 singleton-pruned
+    * one.
+    *
+    * @return (idCol, clean_text, n_tok, n_removed) for every doc with
+    *         ≥1 token; `clean_text` is "" when everything was removed
+    */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    val (toks, lens, grams, dup) = gramPipeline(docs, idCol, textCol, spanTokens)
+    val covered = grams.join(dup, Seq("g"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(spanTokens - 1))).as("p"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("p")).as("cov"))
+    toks.filter(size(col("toks")) >= 1)
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("toks"),
+        coalesce(col("cov"), array().cast("array<int>")).as("cov"))
+      .select(col(idCol),
+        concat_ws(" ", filter(
+          zip_with(col("toks"), sequence(lit(1), size(col("toks"))),
+            (t, i) => struct(t.as("t"), i.as("i"))),
+          x => !array_contains(col("cov"), x.getField("i")))
+          .getField("t")).as("clean_text"),
+        size(col("toks")).cast("long").as("n_tok"),
+        size(col("cov")).cast("long").as("n_removed"))
   }
 }

@@ -385,6 +385,54 @@ object DedupQueries {
       |FROM lens l LEFT JOIN cov c USING (doc_id)""".stripMargin
   }
 
+  /** Duplicated-span REMOVAL gate ([[graft.ops.SpanDedup.removeDupSpans]]):
+    * the CLEAN side of q79 — tokens under any duplicated window are
+    * stripped and the doc is rebuilt from the survivors. The oracle
+    * replays the plain md5-gram construction and the string_agg rebuild,
+    * certifying the pruned rolling-key plan as a rewrite identity (the
+    * q86/q79 discipline). */
+  def q93StripSpans(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.ops.SpanDedup.removeDupSpans(
+      graft.core.Tables.documents(spark, dir), "doc_id", "text", SpanWidth)
+
+  val q93StripSpansSql: String = {
+    val w = SpanWidth
+    s"""WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, pos, md5(array_to_string(toks[pos:pos + ${w - 1}], ' ')) AS g
+      |  FROM (
+      |    SELECT doc_id, toks,
+      |      unnest(generate_series(1, len(toks) - ${w - 1})) AS pos
+      |    FROM t WHERE len(toks) >= $w)),
+      |dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, p FROM (
+      |    SELECT doc_id, unnest(generate_series(pos, pos + ${w - 1})) AS p
+      |    FROM grams WHERE g IN (SELECT g FROM dup))),
+      |toksp AS (
+      |  SELECT doc_id, unnest(toks) AS tok,
+      |    CAST(generate_subscripts(toks, 1) AS INT) AS pos
+      |  FROM t WHERE len(toks) >= 1),
+      |kept AS (
+      |  SELECT tp.doc_id, tp.tok, tp.pos
+      |  FROM toksp tp LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.p = tp.pos
+      |  WHERE c.doc_id IS NULL)
+      |SELECT l.doc_id,
+      |  COALESCE(k.clean_text, '') AS clean_text,
+      |  l.n_tok,
+      |  CAST(COALESCE(cv.n_removed, 0) AS BIGINT) AS n_removed
+      |FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM t
+      |      WHERE len(toks) >= 1) l
+      |LEFT JOIN (
+      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      |  FROM kept GROUP BY doc_id) k USING (doc_id)
+      |LEFT JOIN (
+      |  SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id) cv
+      |  USING (doc_id)""".stripMargin
+  }
+
   /** Bloom-pruned ingest anti-join gate ([[graft.ops.Bloom.prunedAntiJoin]]):
     * "batch" = every 5th document, "corpus" = documents off the 3-grid,
     * keyed by content hash — overlap is partial, so the gate exercises

@@ -7,22 +7,32 @@ import graft.core.GraftSession
   * belongs in ScaleSmoke / SCALING notes, not here. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    import org.apache.spark.sql.functions._
-    val spark = GraftSession.local("scratch", 32)
-    for (dir <- Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")) {
-      val v = graft.core.Tables.embeddings(spark, dir)
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val n = v.count()
-      val k = graft.ops.Similarity.autoK(n)
-      val path = java.nio.file.Files.createTempDirectory("scratch_cents").toString + "/c"
-      val cents = graft.ops.Similarity.centroidCodebook(v, path, k, 2, "sample")
-      val sorted = cents.sortBy(_._1)
-      val asg = v.select(col("id"),
-        graft.functions.VectorFunctions.nearest_centroids(col("vec"),
-          sorted.map(_._2.toArray), sorted.map(_._1), 1).getItem(0).as("cid"))
-      val sizes = asg.groupBy("cid").count().select(col("count")).collect().map(_.getLong(0))
-      val pairs = sizes.map(c => c * (c - 1) / 2).sum
-      println(s"SCRATCH dir=$dir n=$n k=$k maxCluster=${sizes.max} pairs=$pairs pairsPerRow=${pairs.toDouble / n}")
+    val dir = "/root/testdata/sf0.1"
+    val spark = GraftSession.tunedLocal("scratch", dir, 32)
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.put(j.jobId, (System.nanoTime(),
+          Option(j.properties.getProperty("spark.job.description")).getOrElse("?").take(60)))
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val s = jobs.remove(j.jobId)
+        if (s != null) done.add((j.jobId, System.nanoTime() - s._1, s._2))
+      }
+    })
+    val g = graft.queries.Registry.byName("q74_fast_agreement")
+    for (i <- 1 to 8) {
+      spark.catalog.clearCache()
+      done.clear()
+      val t0 = System.nanoTime()
+      g.df(spark, dir).write.mode("overwrite").format("noop").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val slow = {
+        import scala.jdk.CollectionConverters._
+        done.asScala.toSeq.sortBy(-_._2).take(3)
+          .map(j => f"job${j._1}:${j._2 / 1e9}%.2f").mkString(" ")
+      }
+      println(f"SCRATCH run=$i t=$dt%6.2f s slowest: $slow")
     }
     spark.stop()
   }

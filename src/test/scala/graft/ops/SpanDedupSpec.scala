@@ -44,6 +44,36 @@ class SpanDedupSpec extends SparkSpec {
     assert(got === Map(1L -> ((2L, 0L, 0.0)), 2L -> ((2L, 0L, 0.0))))
   }
 
+  test("removeDupSpans strips exactly the covered positions, rebuilds the rest") {
+    val got = SpanDedup.removeDupSpans(Seq(
+      (1L, "a b x y z c"),
+      (2L, "x y z q r s"),
+      (3L, "k l m n o p")).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // "x y z" duplicated: doc 1 loses positions 3..5, doc 2 loses 1..3
+    assert(got(1L) === (("a b c", 6L, 3L)))
+    assert(got(2L) === (("q r s", 6L, 3L)))
+    assert(got(3L) === (("k l m n o p", 6L, 0L)))
+  }
+
+  test("removeDupSpans: fully duplicated doc becomes empty, short docs survive") {
+    val got = SpanDedup.removeDupSpans(Seq(
+      (1L, "w w w"), (2L, "w w w"), (3L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("", 3L, 3L)))
+    assert(got(2L) === (("", 3L, 3L)))
+    assert(got(3L) === (("a b", 2L, 0L)))
+    // removal is consistent with the coverage measure
+    val cov = SpanDedup.dupSpanCoverage(Seq(
+      (1L, "w w w"), (2L, "w w w"), (3L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cov(1L) === 3L && cov(3L) === 0L)
+  }
+
   test("span-keys kernel: identical windows identical keys, distinct differ, shape") {
     import graft.functions.SpanKeysUtil
     import org.apache.spark.sql.catalyst.util.GenericArrayData
