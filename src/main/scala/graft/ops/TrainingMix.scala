@@ -115,6 +115,61 @@ object TrainingMix {
       .select(col(idCol), col(strataCol), col(weightCol))
   }
 
+  /** Temperature-balanced source mixing (the multilingual/source
+    * rebalancing step of XLM-R / mT5-style pipelines, public method):
+    * per-source sampling mass ∝ n_s^α with α ∈ (0, 1], normalized to a
+    * row budget — α < 1 flattens the source distribution, upsampling
+    * the relative share of rare sources without ever repeating a row
+    * (targets cap at n_s; every source keeps ≥ 1 row).
+    *
+    * Determinism (the Det discipline): n_s^α rounds to 6 decimals into
+    * DECIMAL before the normalizing sum (order-free, engine-exact); the
+    * final target is one double multiply+divide+round on those exact
+    * inputs. Row selection within a source is the [[capPerStratum]]
+    * hash-rank draw — uniform without replacement and reproducible at
+    * any parallelism.
+    *
+    * Distributed shape: the per-source target table is driver-bounded
+    * by SOURCE cardinality (the codebook argument — thousands, not
+    * rows) and broadcasts; the window ranks with the LITERAL max target
+    * so Spark's `WindowGroupLimit` still caps every partition before
+    * the exchange, and the exact per-source filter applies after.
+    *
+    * @return (idCol, srcCol, rk, t_src): survivors with their in-source
+    *         rank and the source's target
+    */
+  def temperatureMix(df: DataFrame, idCol: String, srcCol: String,
+      alpha: Double, budgetRows: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(budgetRows > 0, "budgetRows must be positive")
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_src"))
+      .select(col(srcCol), col("n_src"),
+        round(pow(col("n_src").cast("double"), lit(alpha)), 6)
+          .cast("decimal(28,6)").as("p"))
+    val tot = counts.agg(sum(col("p")).as("s"))
+    val targets = counts.crossJoin(broadcast(tot))
+      .select(col(srcCol), col("n_src"),
+        least(col("n_src"), greatest(lit(1L),
+          round(lit(budgetRows.toDouble) *
+            (col("p").cast("double") / col("s").cast("double")))
+            .cast("long"))).as("t_src"))
+      .collect().map(r => (r.get(0), r.getLong(2)))
+    val maxT = targets.map(_._2).max
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tDf = targets.map { case (s, t) => (String.valueOf(s), t) }
+      .toSeq.toDF(srcCol, "t_src")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol))
+      .orderBy(hex8(concat(col(idCol).cast("string"), lit("#tmp"))), col(idCol))
+    df.select(col(idCol), col(srcCol))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= lit(maxT)) // literal: WindowGroupLimit pushdown
+      .join(broadcast(tDf), Seq(srcCol))
+      .filter(col("rk") <= col("t_src"))
+      .select(col(idCol), col(srcCol), col("rk"), col("t_src"))
+  }
+
   /** Cap each stratum at `cap` rows — the per-domain/per-source cap of
     * web-corpus curation (no single domain may dominate the mix): rows
     * rank within their stratum by the md5-derived hash (tie-break id),

@@ -203,6 +203,38 @@ object MixQueries {
       |  FROM documents)
       |SELECT doc_id, source, rk FROM ranked WHERE rk <= 20""".stripMargin
 
+  /** Temperature-mix gate ([[TrainingMix.temperatureMix]]): α = 0.5
+    * source rebalancing to a 300-row budget — rare sources' SHARE rises
+    * (mass ∝ √n_s), no row repeats, every source keeps ≥ 1 row. The
+    * oracle replays the decimal-rounded power weights, the normalized
+    * targets, and the hash-rank draw. */
+  def q94TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    TrainingMix.temperatureMix(docs, "doc_id", "source",
+      alpha = 0.5, budgetRows = 300L)
+  }
+
+  val q94TemperatureMixSql: String =
+    s"""WITH counts AS (
+      |  SELECT source, COUNT(*) AS n_src,
+      |    CAST(round(pow(COUNT(*)::DOUBLE, 0.5), 6) AS DECIMAL(28,6)) AS p
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT SUM(p) AS s FROM counts),
+      |targets AS (
+      |  SELECT source,
+      |    LEAST(n_src, GREATEST(1,
+      |      CAST(round(300.0 * (p::DOUBLE / (SELECT s FROM tot)::DOUBLE))
+      |        AS BIGINT))) AS t_src
+      |  FROM counts),
+      |ranked AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY ${hex8Sql("doc_id::VARCHAR || '#tmp'")}, doc_id) AS rk
+      |  FROM documents)
+      |SELECT r.doc_id, r.source, r.rk, t.t_src
+      |FROM ranked r JOIN targets t USING (source)
+      |WHERE r.rk <= t.t_src""".stripMargin
+
   private val splitFracs =
     Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1)
 

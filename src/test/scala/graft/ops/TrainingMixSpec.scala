@@ -108,6 +108,37 @@ class TrainingMixSpec extends SparkSpec {
     assert(got.sorted.toSeq === again.sorted.toSeq)
   }
 
+  test("temperatureMix: alpha<1 flattens shares, targets cap at n_s, deterministic") {
+    // skewed sources: 1000 / 100 / 10 rows
+    val df = ((0 until 1000).map(i => (i.toLong, "big")) ++
+      (1000 until 1100).map(i => (i.toLong, "mid")) ++
+      (1100 until 1110).map(i => (i.toLong, "rare"))).toDF("doc_id", "src")
+    val out = TrainingMix.temperatureMix(df, "doc_id", "src", 0.5, 200L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // sqrt weights: 31.62/10/3.16 -> targets ~141/45/14, rare capped at 10
+    assert(bySrc("rare") === 10, s"rare source must keep all (cap at n_s): $bySrc")
+    assert(bySrc("mid") > 30 && bySrc("mid") < 60, bySrc.toString)
+    assert(bySrc("big") > 100 && bySrc("big") < 180, bySrc.toString)
+    // alpha=0.5 flattens: rare share 1% of corpus, but > 4% of the sample
+    val total = out.length.toDouble
+    assert(bySrc("rare") / total > 0.04)
+    // rank contract: per-source rk is 1..t_src, t_src constant per source
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val ts = rows.map(_._4).distinct
+      assert(ts.length === 1 && rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // deterministic
+    val again = TrainingMix.temperatureMix(df, "doc_id", "src", 0.5, 200L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again === out.map(t => (t._1, t._2)).toSet)
+    // alpha=1 recovers proportional sampling (no flattening)
+    val prop = TrainingMix.temperatureMix(df, "doc_id", "src", 1.0, 200L)
+      .collect().map(r => r.getString(1))
+    val propBig = prop.count(_ == "big").toDouble / prop.length
+    assert(propBig > 0.8, s"alpha=1 must keep the big source's ~90% share: $propBig")
+  }
+
   test("assignSplits: total partition, stable under append, ~right fractions") {
     val splits = Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1)
     val df = (1L to 2000L).toDF("id")
