@@ -226,11 +226,14 @@ object TextQueries {
     graft.ops.TextRank.bm25TopK(
       Tables.documents(spark, dir), Bm25Queries, "doc_id", "text", k = 10)
 
-  val q76Bm25Sql: String = {
+  /** The q76 BM25 CTE chain up to ranked lists (ends with CTE `lex`
+    * holding (query_id, doc_id, score_fp6, rank ≤ k)) — shared by the
+    * q76 gate and the q95 RRF fusion. */
+  private[graft] def bm25Ctes(k: Int): String = {
     val qvals = Bm25Queries
       .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
       .mkString(", ")
-    s"""WITH qt(query_id, term) AS (VALUES $qvals),
+    s"""qt(query_id, term) AS (VALUES $qvals),
       |tok AS (
       |  SELECT doc_id, t AS term
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
@@ -253,16 +256,83 @@ object TextQueries {
       |  JOIN dfs d USING (term)
       |  JOIN lens l ON l.doc_id = tf.doc_id
       |  CROSS JOIN stats s),
-      |scores AS (
+      |bm25scores AS (
       |  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_fp6
-      |  FROM contrib GROUP BY 1, 2)
-      |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id, score_fp6
-      |FROM (
-      |  SELECT query_id, doc_id, score_fp6,
+      |  FROM contrib GROUP BY 1, 2),
+      |lex AS (
+      |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_fp6,
       |    CAST(row_number() OVER (PARTITION BY query_id
       |      ORDER BY score_fp6 DESC, doc_id) AS BIGINT) AS rank
-      |  FROM scores)
-      |WHERE rank <= 10""".stripMargin
+      |  FROM bm25scores
+      |  QUALIFY rank <= $k)""".stripMargin
+  }
+
+  val q76Bm25Sql: String =
+    s"""WITH ${bm25Ctes(10)}
+      |SELECT query_id, rank, doc_id, score_fp6 FROM lex""".stripMargin
+
+
+  /** Hybrid-retrieval fusion gate: reciprocal-rank fusion (Cormack et
+    * al. 2009, the standard hybrid-search combiner) of the q76 BM25
+    * lists and brute-force cosine lists over the embedding table —
+    * score = Σ_lists 1/(60 + rank), summed over whichever lists the doc
+    * appears in (no id-alignment assumption between the doc and vector
+    * universes: at sf0.1 only 2000 of 5000 docs have vectors, and RRF's
+    * per-list contributions make that well-defined). Query ids are the
+    * four q76 queries; the vector side probes those ids' embeddings.
+    * Both constituent rankings are integer ranks from already-certified
+    * constructions; the fused score is a fixed-order two-term double sum
+    * — bit-identical cross-engine, so the gate hash-compares raw. */
+  def q95RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val lex = graft.ops.TextRank.bm25TopK(
+      Tables.documents(spark, dir), Bm25Queries, "doc_id", "text", k = 20)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lrank"))
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = v.filter(col("id").isInCollection(Bm25Queries.map(_._1)))
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val vec = graft.ops.Similarity.bruteForceTopK(v, q, 20)
+      .select(col("qid").as("query_id"), col("id").as("doc_id"),
+        col("rank").as("vrank"))
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60.0) + col("lrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("vrank")), lit(0.0))).as("rrf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= 10)
+      .select(col("query_id"), col("fused_rank"), col("doc_id"), col("rrf"))
+  }
+
+  val q95RrfFusionSql: String = {
+    val qids = Bm25Queries.map(_._1).mkString(", ")
+    s"""WITH ${bm25Ctes(20)},
+      |q AS (
+      |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      |  FROM embeddings WHERE vec_id IN ($qids)),
+      |vs AS (
+      |  SELECT qid, vec_id AS doc_id,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |      ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC,
+      |               vec_id) AS BIGINT) AS vrank
+      |  FROM embeddings, q WHERE vec_id <> qid
+      |  QUALIFY vrank <= 20),
+      |fused AS (
+      |  SELECT COALESCE(l.query_id, v.qid) AS query_id,
+      |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+      |    COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + l.rank),
+      |             CAST(0.0 AS DOUBLE)) +
+      |    COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + v.vrank),
+      |             CAST(0.0 AS DOUBLE)) AS rrf
+      |  FROM lex l FULL OUTER JOIN vs v
+      |    ON v.qid = l.query_id AND v.doc_id = l.doc_id)
+      |SELECT query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS fused_rank,
+      |  doc_id, rrf
+      |FROM fused
+      |QUALIFY fused_rank <= 10""".stripMargin
   }
 
   /** TextRank keyword gate ([[graft.ops.TextRank.textRankKeywords]]):
