@@ -178,6 +178,43 @@ object Similarity {
     lshNearDupCandidates(vectors, nTables,
       autoBits(vectors.count(), targetBucketRows), dim, threshold)
 
+  /** Approximate kNN GRAPH over the whole corpus — every vector's top-k
+    * cosine neighbors among its LSH-bucket candidates (the structure
+    * graph-based curation builds on: degree/connectivity audits,
+    * diversity sampling, SemDeDup-style neighborhood analysis). Unlike
+    * [[lshTopK]] there is no broadcastable query side — every vector is
+    * a query — so candidates come from the symmetric bucket join
+    * (distinct (a,b) pairs in BOTH directions), exact cosine re-ranks
+    * them, and a per-vector window keeps k. Signature width follows the
+    * [[autoBits]] density rule, so candidate work stays linear in n;
+    * the shuffles carry (id, id, sim) triples, never vectors.
+    *
+    * Recall caveat (the q21 note): vectors whose true neighbors never
+    * share a bucket miss them — candidates-then-rerank is the blocking
+    * scheme, and isolated vectors may return < k (or zero) rows. */
+  def knnGraphLsh(vectors: DataFrame, k: Int, nTables: Int = 16,
+      dim: Int = 64, targetBucketRows: Int = 30): DataFrame = {
+    val bits = autoBits(vectors.count(), targetBucketRows)
+    val sigs = withSignatures(vectors, "id", "vec", nTables, bits, dim)
+      .select(col("table"), col("sig"), col("id"))
+    val a = sigs.select(col("table"), col("sig"), col("id").as("id_a"))
+    val b = sigs.select(col("table"), col("sig"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("table", "sig"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val scored = cand
+      .join(vectors.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(vectors.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("sim"))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("sim").desc, col("id_b"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id_a").as("id"), col("rank"),
+        col("id_b").as("neighbor_id"), col("sim"))
+  }
+
   /** Loser ids for keep-first near-dup dedup at bucket granularity: each
     * vector is verified only against the MIN-id member of each bucket it
     * lands in (≤ nTables comparisons per vector), never pair-exhaustively.

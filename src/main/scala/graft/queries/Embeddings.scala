@@ -528,6 +528,33 @@ object Embeddings {
        |WHERE w.id NOT IN (SELECT id FROM losers)""".stripMargin
   }
 
+  /** kNN-graph gate ([[Similarity.knnGraphLsh]]): every vector's top-5
+    * cosine neighbors among its auto-geometry LSH candidates — the
+    * corpus-wide neighborhood structure graph-based curation reads. The
+    * oracle rebuilds the symmetric candidate set from the same
+    * density-ruled signatures and re-ranks per vector. */
+  def q96KnnGraph(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraphLsh(vectors(spark, dir), k = 5)
+
+  val q96KnnGraphSql: String =
+    s"""WITH ${sigCtesAuto(16, 64)},
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig
+      |  WHERE a.id <> b.id),
+      |scored AS (
+      |  SELECT c.id_a, c.id_b,
+      |    list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS sim
+      |  FROM cand c
+      |  JOIN embeddings ea ON ea.vec_id = c.id_a
+      |  JOIN embeddings eb ON eb.vec_id = c.id_b)
+      |SELECT id_a AS id,
+      |  CAST(row_number() OVER (PARTITION BY id_a
+      |    ORDER BY sim DESC, id_b) AS BIGINT) AS rank,
+      |  id_b AS neighbor_id, sim
+      |FROM scored
+      |QUALIFY rank <= 5""".stripMargin
+
   val q49AnnRecallSql: String =
     s"""WITH ${sigCtes(16, 6, 64)},
       |q AS (

@@ -283,6 +283,27 @@ class SimilaritySpec extends SparkSpec {
     survivors.foreach { case (id, cid) => assert(asg(id) === cid) }
   }
 
+  test("kNN graph: planted dups are each other's top-1, ranks contiguous, k respected") {
+    val g = Similarity.knnGraphLsh(planted(), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byId = g.groupBy(_._1)
+    // every planted (base i, dup 100+i) pair ranks the other first with sim ~ 1
+    (0 until 5).foreach { i =>
+      val top = byId(i.toLong).minBy(_._2)
+      assert(top._3 === 100L + i && top._4 > 0.99,
+        s"base $i top-1 should be its planted dup: $top")
+      val dtop = byId(100L + i).minBy(_._2)
+      assert(dtop._3 === i.toLong && dtop._4 > 0.99)
+    }
+    // per-vector contract: <= k rows, ranks 1..m contiguous, sims non-increasing
+    byId.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.length <= 3)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.map(_._4).toSeq.reverse.sorted.reverse === sorted.map(_._4).toSeq)
+    }
+  }
+
   test("two-level IVF: assignment bounded by probed cells, agrees with flat on clustered data") {
     // 8 well-separated modes x 25 members: fine centroids land on modes,
     // the coarse level groups them, and the coarse->fine path must find
