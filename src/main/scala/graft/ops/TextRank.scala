@@ -170,15 +170,16 @@ object TextRank {
     val wtot = edges.groupBy(col("src")).agg(sum(col("w")).as("wsrc"))
     // auto rule: interleaved in-process A/B at sf0.1 (same session,
     // alternating modes, 3 runs each) measured partitioned FASTER even at
-    // a 600 KB corpus (median 1.54 s vs 1.78 s) — the per-round broadcast
-    // rebuild costs more than the reused exchange. Broadcast keeps only
-    // the truly tiny regime (one hash build beats two base exchanges when
-    // the whole graph is a few thousand edges)
+    // a 594 KB-stats corpus (median 1.54 s vs 1.78 s) — the per-round
+    // broadcast rebuild costs more than the reused exchange. Broadcast
+    // keeps only the truly tiny regime (one hash build beats two base
+    // exchanges when the whole graph is a few thousand edges; the gate
+    // corpora at sf0.001/sf0.01 sit at ~65 KB)
     val partitioned = mode match {
       case "broadcast" => false
       case "partitioned" => true
       case "auto" =>
-        docs.queryExecution.optimizedPlan.stats.sizeInBytes > (1L << 20)
+        docs.queryExecution.optimizedPlan.stats.sizeInBytes > (256L << 10)
       case other => throw new IllegalArgumentException(
         s"unknown mode '$other' (broadcast|partitioned|auto)")
     }
