@@ -9,13 +9,21 @@ import graft.core.GraftSession
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated gate names — builder-side fast
+    // iteration on a subset; the driver's 2-arg call dumps everything
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)       => (s, o, None)
+      case Array(s, o, sub)  => (s, o, Some(sub.split(',').toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     // same corpus-sized session as Bench: the correctness gate then
     // certifies results under the exact conf the bench measures
     val spark = GraftSession.tunedLocal("graft-verify", sfDir, cpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected = SparkEntry.queries.filter {
+      case (name, _) => only.forall(_.contains(name))
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -40,6 +48,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

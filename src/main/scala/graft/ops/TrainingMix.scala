@@ -317,4 +317,42 @@ object TrainingMix {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Length-bucketed inference/training batching: group docs into
+    * homogeneous-length batches so a serving fleet pads each batch only to
+    * its bucket cap, not the corpus max (the standard dynamic-batching
+    * prep for batch embedding / scoring runs).
+    *
+    * Buckets are FIXED pow-2 token caps (32…`maxCap`) — a transcendental-
+    * free CASE chain, engine-reproducible. Within a bucket, docs are
+    * sharded by a deterministic md5 hash into `shards` independent
+    * streams and batches of `batchSize` are cut per (bucket, shard) by
+    * doc-id order. Batches only need homogeneous LENGTH, not a global
+    * order, so sharding multiplies window parallelism by `shards` — the
+    * same escape from the single-partition window q52 uses; at 100 TB,
+    * raise `shards` so each (bucket, shard) stream fits one task.
+    *
+    * Output: (id, tokens, cap, shard, seq, slot, pad) — `seq` is the
+    * batch index within (cap, shard), `slot` the position in its batch,
+    * `pad` = cap − tokens the padding waste the bucketing saves vs a
+    * corpus-max pad. */
+  def lengthBucketBatches(df: DataFrame, idCol: String, textCol: String,
+      batchSize: Int, shards: Int, maxCap: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val caps = Iterator.iterate(32)(_ * 2).takeWhile(_ < maxCap).toSeq
+    val toks = size(TextOps.tokenize(col(textCol))).cast("long")
+    val cap = caps.reverse.foldLeft(lit(maxCap.toLong)) {
+      case (acc, c) => when(col("tokens") <= c, lit(c.toLong)).otherwise(acc)
+    }
+    val shard = pmod(hex8(concat(col(idCol).cast("string"), lit("#batch"))),
+      lit(shards.toLong))
+    val w = Window.partitionBy(col("cap"), col("shard")).orderBy(col("id"))
+    df.select(col(idCol).as("id"), toks.as("tokens"), shard.as("shard"))
+      .withColumn("cap", cap)
+      .withColumn("rn", row_number().over(w).cast("long") - 1L)
+      .select(col("id"), col("tokens"), col("cap"), col("shard"),
+        expr(s"rn div $batchSize").as("seq"),
+        pmod(col("rn"), lit(batchSize.toLong)).as("slot"),
+        (col("cap") - col("tokens")).as("pad"))
+  }
 }

@@ -280,4 +280,34 @@ object MixQueries {
       |FROM keyed
       |ORDER BY key_fp12 DESC, doc_id
       |LIMIT 100""".stripMargin
+
+  /** q98: length-bucketed batch assignment
+    * ([[TrainingMix.lengthBucketBatches]]) — pow-2 token caps, 4
+    * deterministic shards per cap, batches of 8 cut by doc-id order.
+    * `pad` certifies the padding saved vs corpus-max padding. */
+  def q98LengthBatching(spark: SparkSession, dir: String): DataFrame =
+    TrainingMix.lengthBucketBatches(Tables.documents(spark, dir),
+        "doc_id", "text", batchSize = 8, shards = 4)
+      .withColumnRenamed("id", "doc_id")
+
+  val q98LengthBatchingSql: String = {
+    val caseCaps = Iterator.iterate(32)(_ * 2).takeWhile(_ < 4096)
+      .map(c => s"WHEN tokens <= $c THEN $c").mkString(" ")
+    s"""WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+      |    ${hex8Sql("doc_id::VARCHAR || '#batch'")} % 4 AS shard
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, tokens, shard,
+      |    CAST(CASE $caseCaps ELSE 4096 END AS BIGINT) AS cap
+      |  FROM t),
+      |r AS (
+      |  SELECT doc_id, tokens, cap, shard,
+      |    CAST(row_number() OVER (PARTITION BY cap, shard ORDER BY doc_id)
+      |      AS BIGINT) - 1 AS rn
+      |  FROM b)
+      |SELECT doc_id, tokens, cap, shard,
+      |  rn // 8 AS seq, rn % 8 AS slot, cap - tokens AS pad
+      |FROM r""".stripMargin
+  }
 }

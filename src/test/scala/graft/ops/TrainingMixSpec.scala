@@ -187,4 +187,31 @@ class TrainingMixSpec extends SparkSpec {
     assert(hits.contains(100L) && hits(100L) >= 1)
     assert(!hits.contains(101L))
   }
+
+  test("length batching: caps are pow-2 bounds, batches dense and in order") {
+    val docs = (0 until 500).map { i =>
+      (i.toLong, Seq.fill(1 + i % 100)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TrainingMix.lengthBucketBatches(docs, "doc_id", "text",
+      batchSize = 8, shards = 4).cache()
+    val rows = out.as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 500)
+    rows.foreach { case (_, tokens, cap, shard, seq, slot, pad) =>
+      assert(Set(32L, 64L, 128L)(cap), s"cap=$cap")
+      assert(tokens <= cap && pad == cap - tokens)
+      assert(shard >= 0 && shard < 4 && slot >= 0 && slot < 8 && seq >= 0)
+    }
+    // within each (cap, shard): slots/seqs are the dense doc-id ranking
+    rows.groupBy(r => (r._3, r._4)).foreach { case (_, g) =>
+      val ordered = g.sortBy(_._1).map(r => r._5 * 8 + r._6)
+      assert(ordered.toSeq == ordered.indices.map(_.toLong).toSeq,
+        "batch numbering must be the dense per-(cap,shard) doc-id rank")
+    }
+    // every batch except possibly the last per stream is exactly full
+    rows.groupBy(r => (r._3, r._4)).foreach { case (_, g) =>
+      val bySeq = g.groupBy(_._5).map { case (s, b) => s -> b.length }
+      val maxSeq = bySeq.keys.max
+      bySeq.foreach { case (s, n) => if (s < maxSeq) assert(n == 8) }
+    }
+  }
 }
