@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.TextFunctions.sqlBuilders.foreach {
       case (name, builder) => inject(name, builder)
     }
+    // mergeable KLL quantile sketches (build / union / query)
+    graft.functions.KllFunctions.sqlBuilders.foreach {
+      case (name, builder) => inject(name, builder)
+    }
     // whole-operator extension: the native as-of join's planner strategy
     // (logical node graft.plans.AsOfJoinPlan → merge-based AsOfJoinExec)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

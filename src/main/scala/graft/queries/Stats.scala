@@ -256,6 +256,57 @@ object Stats {
       |  TRUE AS single_ok, TRUE AS merged_ok
       |FROM documents""".stripMargin
 
+  /** q99: mergeable KLL quantile-sketch artifact
+    * ([[graft.functions.KllFunctions]]) — the rank analogue of the q87 HLL
+    * gate. Per-source sketches over document length are UNIONED (no raw
+    * re-scan) and the merged estimates at p25/p50/p75/p95 are certified
+    * against the corpus by their exact bracketing ranks: for target rank q
+    * and estimate e, count(x < e) ≤ (q+ε)·n AND count(x ≤ e) ≥ (q−ε)·n,
+    * with ε = 0.05 ≫ the k=200 theoretical ~1.65% @99% — tie-robust, so
+    * the contract holds on discrete data where a single value carries
+    * visible rank mass. The single-pass sketch is certified identically,
+    * and the merged sketch's exact n must equal COUNT(*). */
+  def q99KllQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KllFunctions._
+    val x = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").cast("double").as("x"))
+    val merged = x.groupBy(col("source"))
+      .agg(kll_sketch_agg(col("x"), 200).as("sk"))
+      .agg(kll_merge_agg(col("sk"), 200).as("sk_m"))
+    val single = x.agg(kll_sketch_agg(col("x"), 200).as("sk_s"))
+    val ests = broadcast(merged).crossJoin(broadcast(single))
+      .select(explode(array(Seq(0.25, 0.5, 0.75, 0.95).map(lit): _*)).as("q"),
+        col("sk_m"), col("sk_s"))
+      .select(col("q"),
+        kll_quantile(col("sk_m"), col("q")).as("est_m"),
+        kll_quantile(col("sk_s"), col("q")).as("est_s"),
+        kll_sketch_n(col("sk_m")).as("sketch_n"))
+    val eps = 0.05
+    val ranks = x.crossJoin(broadcast(ests))
+      .groupBy(col("q"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("x") < col("est_m"), 1L).otherwise(0L)).as("lt_m"),
+        sum(when(col("x") <= col("est_m"), 1L).otherwise(0L)).as("le_m"),
+        sum(when(col("x") < col("est_s"), 1L).otherwise(0L)).as("lt_s"),
+        sum(when(col("x") <= col("est_s"), 1L).otherwise(0L)).as("le_s"),
+        first(col("sketch_n")).as("sketch_n"))
+    ranks.select(
+      round(col("q") * 100).cast("long").as("q_fp2"),
+      col("n"),
+      (col("lt_m") <= (col("q") + eps) * col("n") &&
+        col("le_m") >= (col("q") - eps) * col("n")).as("merged_ok"),
+      (col("lt_s") <= (col("q") + eps) * col("n") &&
+        col("le_s") >= (col("q") - eps) * col("n")).as("single_ok"),
+      (col("sketch_n") === col("n")).as("n_ok"))
+  }
+
+  val q99KllQuantilesSql: String =
+    """SELECT CAST(t.q_fp2 AS BIGINT) AS q_fp2,
+      |  (SELECT COUNT(*) FROM documents) AS n,
+      |  TRUE AS merged_ok, TRUE AS single_ok, TRUE AS n_ok
+      |FROM (VALUES (25), (50), (75), (95)) t(q_fp2)""".stripMargin
+
   val q30MomentsSql: String =
     """WITH g AS (
       |  SELECT l_returnflag, COUNT(*) AS n,
