@@ -230,4 +230,34 @@ object TextOps {
         acc * lit(1000003L) +
           pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(2147483647L)),
         lit(2147483647L)))
+
+  /** BPE pair induction: corpus-weighted counts of adjacent symbol pairs —
+    * the statistic the first byte-pair-encoding merge maximizes (Sennrich
+    * et al., ACL'16). Classic BPE pre-tokenizes on whitespace and appends
+    * an end-of-word marker, so pairs never cross word boundaries; both
+    * forms are emitted here (in-word char pairs + `last-char</w>`).
+    *
+    * Scale shape: the corpus is touched ONCE (word count shuffle); pair
+    * generation runs on the DISTINCT-word table, which Heaps' law keeps
+    * orders of magnitude smaller than the corpus, and the pair key space
+    * is at most alphabet² + alphabet markers — the final aggregate is
+    * KB-sized. A full BPE trainer is this statistic in a loop with a
+    * vocab rewrite between rounds; the per-round cost is this one
+    * vocab-local pass, never a corpus re-scan. */
+  def bpePairCounts(df: DataFrame, textCol: String): DataFrame = {
+    val words = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val inner = words
+      .filter(length(col("w")) >= 2)
+      .select(col("wc"), col("w"),
+        explode(expr("sequence(1, length(w) - 1)")).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"), col("wc"))
+    val ends = words
+      .select(concat(expr("substring(w, length(w), 1)"), lit("</w>")).as("pair"),
+        col("wc"))
+    inner.union(ends)
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n_occ"))
+  }
 }

@@ -475,4 +475,39 @@ object TextQueries {
       |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phone
       |FROM aug""".stripMargin
   }
+
+  /** q100: BPE pair induction ([[graft.ops.TextOps.bpePairCounts]]) — the
+    * top-20 merge candidates of the first byte-pair-encoding round
+    * (corpus-weighted adjacent char pairs + end-of-word markers), ranked
+    * with a deterministic (count desc, pair) tiebreak. */
+  def q100BpePairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.ops.TextOps.bpePairCounts(Tables.documents(spark, dir), "text")
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(20)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("n_occ").desc, col("pair"))).cast("long"))
+      .select(col("rank"), col("pair"), col("n_occ"))
+  }
+
+  val q100BpePairsSql: String =
+    """WITH words AS (
+      |  SELECT w, COUNT(*) AS wc FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY w),
+      |inner_pairs AS (
+      |  SELECT substr(w, CAST(i AS INT), 2) AS pair, wc
+      |  FROM (SELECT w, wc, unnest(range(1, length(w))) AS i FROM words
+      |        WHERE length(w) >= 2)),
+      |end_pairs AS (
+      |  SELECT substr(w, length(w), 1) || '</w>' AS pair, wc FROM words),
+      |agg AS (
+      |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS n_occ
+      |  FROM (SELECT * FROM inner_pairs UNION ALL SELECT * FROM end_pairs)
+      |  GROUP BY pair)
+      |SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, pair) AS BIGINT) AS rank,
+      |  pair, n_occ
+      |FROM agg
+      |ORDER BY n_occ DESC, pair
+      |LIMIT 20""".stripMargin
 }

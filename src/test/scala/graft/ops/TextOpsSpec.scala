@@ -228,4 +228,20 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(4))).sorted.toSeq
     assert(got === again)
   }
+
+  test("bpePairCounts: hand-checked pair weights, word-boundary isolation") {
+    // "ab ab cd" ×2 docs: 'ab' wc=4, 'cd' wc=2
+    val df = Seq((1L, "ab ab cd"), (2L, "ab ab cd")).toDF("id", "text")
+    val pairs = TextOps.bpePairCounts(df, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pairs("ab") == 4L) // in-word pair from every 'ab' occurrence
+    assert(pairs("cd") == 2L)
+    assert(pairs("b</w>") == 4L && pairs("d</w>") == 2L) // end markers
+    // no cross-word pair ("ba", "bc", "da"...) may ever appear
+    assert(!pairs.contains("ba") && !pairs.contains("bc"))
+    // single-char words produce only their end-marker pair
+    val single = TextOps.bpePairCounts(Seq((1L, "x x y")).toDF("id", "text"), "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(single == Map("x</w>" -> 2L, "y</w>" -> 1L))
+  }
 }
