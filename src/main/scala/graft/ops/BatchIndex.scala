@@ -1,0 +1,116 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Generic exactly-once batch-append parquet index — the file protocol the
+  * incremental MinHash index proved out ([[Dedup.appendToSignatureIndex]]),
+  * extracted so other incremental artifacts (the IVF posting index, any
+  * future per-ingest state) get the same crash-safety without re-deriving
+  * it:
+  *
+  *   - a batch's rows are STAGED to a hidden temp dir, moved into the
+  *     index under a `b<batchId>_` filename prefix, and committed by
+  *     writing the `_graft_batch_<batchId>` marker LAST;
+  *   - a replay of a committed batch returns without writing;
+  *   - a retry of a CRASHED attempt first deletes the uncommitted
+  *     prefixed files, so rows land exactly once no matter where the
+  *     previous attempt died;
+  *   - serve paths read only committed files — a crashed ingest's
+  *     partials are invisible.
+  *
+  * A `meta` fingerprint written on first append guards against mixing
+  * incompatibly-parameterized batches in one index (same discipline as
+  * the signature index's parameter guard). Single-writer per index, like
+  * every ingest loop here; 100 TB shape: per-ingest cost ∝ batch, the
+  * index is never read or rewritten on append.
+  */
+object BatchIndex {
+
+  private def hPath(s: String) = new Path(s)
+  private def hFs(spark: SparkSession, path: String) =
+    hPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def marker(batchId: Long) = s"_graft_batch_$batchId"
+  private def prefix(batchId: Long) = s"b${batchId}_"
+  private val BatchFileRe = "^b([0-9]+)_.*".r
+  private val metaName = "_graft_index_meta"
+
+  /** True iff `batchId` has already been committed to the index. */
+  def isCommitted(spark: SparkSession, path: String, batchId: Long): Boolean = {
+    val fs = hFs(spark, path)
+    fs.exists(hPath(path)) && fs.exists(new Path(path, marker(batchId)))
+  }
+
+  /** Exactly-once append of one batch (see object doc for the protocol).
+    * No-op when the batch is already committed. */
+  def appendBatch(df: DataFrame, path: String, batchId: Long,
+      meta: String): Unit = {
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    val spark = df.sparkSession
+    val fs = hFs(spark, path)
+    fs.mkdirs(hPath(path))
+    val metaPath = new Path(path, metaName)
+    if (fs.exists(metaPath)) {
+      val in = fs.open(metaPath)
+      val stored =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          StandardCharsets.UTF_8)
+        finally in.close()
+      require(stored == meta,
+        s"batch index at $path was built with [$stored] but is being " +
+          s"appended with [$meta]; rebuild the index or match the parameters")
+    }
+    if (fs.exists(new Path(path, marker(batchId)))) return // replayed commit
+    val staging = new Path(path, s".staging_$batchId")
+    fs.delete(staging, true)
+    df.write.mode("overwrite").parquet(staging.toString)
+    // deterministic retry cleanup: drop uncommitted files a crashed
+    // previous attempt moved in, so the re-move below can't double them
+    fs.listStatus(hPath(path)).map(_.getPath)
+      .filter(_.getName.startsWith(prefix(batchId)))
+      .foreach(p => fs.delete(p, false))
+    fs.listStatus(staging).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach { p =>
+        if (!fs.rename(p, new Path(path, prefix(batchId) + p.getName)))
+          throw new java.io.IOException(s"failed to move $p into index $path")
+      }
+    fs.delete(staging, true)
+    if (!fs.exists(metaPath)) {
+      val out = fs.create(metaPath, true)
+      try out.write(meta.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    fs.create(new Path(path, marker(batchId)), true).close()
+  }
+
+  private def committedFiles(fs: FileSystem, path: String): Seq[String] = {
+    if (!fs.exists(hPath(path))) return Seq.empty
+    val statuses = fs.listStatus(hPath(path))
+    val names = statuses.map(_.getPath.getName).toSet
+    statuses.iterator.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .filter(p => p.getName match {
+        case BatchFileRe(id) => names.contains(marker(id.toLong))
+        case _ => true
+      })
+      .map(_.toString).toSeq
+  }
+
+  /** The committed view of the index — the only read serve paths may use
+    * (`spark.read.parquet(dir)` would surface crashed partials). Memoized
+    * on the exact committed file list, so an append changes the cache key
+    * and can never serve stale. */
+  def readCommitted(spark: SparkSession, path: String): DataFrame = {
+    val fs = hFs(spark, path)
+    val files = committedFiles(fs, path)
+    require(files.nonEmpty,
+      s"batch index at $path has no committed data files — append a batch " +
+        "before serving")
+    graft.core.Tables.readCachedParquet(spark, files)
+  }
+}

@@ -379,6 +379,31 @@ object Similarity {
     * against the driver-held centroid matrix (sorted by cid, so the
     * kernel's position tie-break equals the (−dot, cid) struct-min
     * ordering of [[assign]], which specs cross-check). */
+  /** Incremental IVF ingest: assign a NEW embedding batch to an EXISTING
+    * codebook (no retrain — the codebook is the stable artifact; postings
+    * accrue per ingest) and append (id, cid, batch_id) posting rows to the
+    * index at `indexPath` with the exactly-once [[BatchIndex]] protocol.
+    * Re-ingesting a committed batch is a no-op; a crashed ingest's
+    * partial files are invisible to serving and cleaned on retry.
+    *
+    * 100 TB shape: per-ingest cost is ONE projection over the batch
+    * against the driver-held k-row matrix — the corpus-sized index is
+    * never read, rewritten, or shuffled on append. Serving reads the
+    * committed posting rows ([[readIvfIndex]]) and joins them to vectors
+    * on id, or keeps vectors alongside postings by widening the batch
+    * frame before ingest. */
+  def ivfIngest(batch: DataFrame, indexPath: String,
+      cents: Array[(Long, Seq[Float])], batchId: Long): Unit =
+    BatchIndex.appendBatch(
+      assignByMatrix(batch, cents.toSeq)
+        .withColumn("batch_id", lit(batchId)),
+      indexPath, batchId, meta = s"ivf_postings k=${cents.length}")
+
+  /** Committed view of an [[ivfIngest]] posting index. */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame =
+    BatchIndex.readCommitted(spark, indexPath)
+
   private def assignByMatrix(vectors: DataFrame,
       cents: Seq[(Long, Seq[Float])]): DataFrame = {
     val sorted = cents.sortBy(_._1)

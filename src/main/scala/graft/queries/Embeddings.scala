@@ -334,6 +334,78 @@ object Embeddings {
        |JOIN flat fl USING (vec_id)""".stripMargin
   }
 
+  /** q101: incremental IVF ingest ([[Similarity.ivfIngest]]) — the ANN
+    * analogue of the q68 incremental dedup index. The codebook trains
+    * ONCE on the first batch (even vec_ids, the q35-certified
+    * deterministic pipeline) and becomes the stable artifact; each later
+    * batch is assigned against it and APPENDED to a posting index under
+    * the exactly-once [[graft.ops.BatchIndex]] protocol — the gate
+    * replays batch 2's ingest to certify idempotence (a doubled row
+    * would double the output and hash-fail). The oracle replays the
+    * batch-1 training and both assignments; per-ingest cost ∝ batch,
+    * the index is never rewritten. */
+  def q101IvfIngest(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val b1 = v.filter(col("id") % 2 === 0)
+    val b2 = v.filter(col("id") % 2 === 1)
+    val cents = Similarity.centroidCodebook(b1,
+      graft.core.Artifacts.path(spark, s"$dir/embeddings.parquet",
+        "ivf_ingest_cb_k16_i2_sample"),
+      k = 16, iters = 2, init = "sample")
+    val idx = graft.core.Artifacts.path(spark, s"$dir/embeddings.parquet",
+      "ivf_ingest_idx_k16")
+    Similarity.ivfIngest(b1, idx, cents, batchId = 1L)
+    Similarity.ivfIngest(b2, idx, cents, batchId = 2L)
+    Similarity.ivfIngest(b2, idx, cents, batchId = 2L) // replay: no-op
+    Similarity.readIvfIndex(spark, idx)
+      .select(col("id").as("vec_id"), col("cid"), col("batch_id"))
+  }
+
+  val q101IvfIngestSql: String = {
+    val seedOrder = s"${OracleFragments.hex8Sql("vec_id::VARCHAR || '#ivf'")}, vec_id"
+    // one Lloyd round over the batch-1 source, keep-previous-on-empty
+    // (same convention the q92 oracle makes explicit)
+    def lloyd(i: Int, prev: String): String =
+      s"""iasg$i AS (
+         |  SELECT id, cid FROM (
+         |    SELECT s.id, c.cid,
+         |      row_number() OVER (PARTITION BY s.id
+         |        ORDER BY -list_dot_product(s.vec, c.cvec), c.cid) AS rn
+         |    FROM b1 s CROSS JOIN $prev c)
+         |  WHERE rn = 1),
+         |iupd$i AS (
+         |  SELECT a.cid, CAST(generate_subscripts(s.vec, 1) - 1 AS BIGINT) AS dim,
+         |    CAST(round(CAST(unnest(s.vec) AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+         |  FROM iasg$i a JOIN b1 s ON s.id = a.id),
+         |ic$i AS MATERIALIZED (
+         |  SELECT p.cid, COALESCE(u.cvec, p.cvec) AS cvec
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cid, list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY dim) AS cvec FROM (
+         |      SELECT cid, dim, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m
+         |      FROM iupd$i GROUP BY cid, dim) GROUP BY cid) u USING (cid))""".stripMargin
+    s"""WITH b1 AS MATERIALIZED (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+       |  FROM embeddings WHERE vec_id % 2 = 0),
+       |seed AS MATERIALIZED (
+       |  SELECT cid, cvec FROM (
+       |    SELECT CAST(row_number() OVER (ORDER BY $seedOrder) - 1 AS BIGINT) AS cid,
+       |      embedding::DOUBLE[] AS cvec
+       |    FROM embeddings WHERE vec_id % 2 = 0)
+       |  WHERE cid < 16),
+       |${lloyd(1, "seed")},
+       |${lloyd(2, "ic1")},
+       |all_v AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+       |    CAST(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS batch_id
+       |  FROM embeddings)
+       |SELECT id AS vec_id, cid, batch_id FROM (
+       |  SELECT s.id, c.cid, s.batch_id,
+       |    row_number() OVER (PARTITION BY s.id
+       |      ORDER BY -list_dot_product(s.vec, c.cvec), c.cid) AS rn
+       |  FROM all_v s CROSS JOIN ic2 c)
+       |WHERE rn = 1""".stripMargin
+  }
+
   /** One unrolled Lloyd iteration: nearest-centroid assignment (argmin of
     * −dot with cid tie-break, the same ordering Spark's min-over-struct
     * produces), then per-(cid, dim) means over 6-decimal DECIMAL sums —

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BatchIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def idx(name: String) = tmpDir(name) + "/index"
+
+  test("append + read roundtrip; replayed commit is a no-op") {
+    val path = idx("bi_replay")
+    val b1 = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    BatchIndex.appendBatch(b1, path, 1L, "test v1")
+    BatchIndex.appendBatch(b1, path, 1L, "test v1") // replay
+    assert(BatchIndex.isCommitted(spark, path, 1L))
+    assert(!BatchIndex.isCommitted(spark, path, 2L))
+    val rows = BatchIndex.readCommitted(spark, path)
+      .as[(Long, Long)].collect().sorted
+    assert(rows.toSeq == Seq((1L, 10L), (2L, 20L)), "replay must not double rows")
+  }
+
+  test("crashed attempt's uncommitted files are invisible and cleaned on retry") {
+    val path = idx("bi_crash")
+    BatchIndex.appendBatch(Seq((1L, 1L)).toDF("id", "v"), path, 1L, "test v1")
+    // simulate a crash mid-batch-2: prefixed data file present, NO marker
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = tmpDir("bi_stage")
+    Seq((99L, 99L)).toDF("id", "v").write.mode("overwrite").parquet(stage)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.rename(part, new org.apache.hadoop.fs.Path(path, "b2_" + part.getName))
+    // serving sees only batch 1
+    assert(BatchIndex.readCommitted(spark, path).count() == 1L)
+    // retry of batch 2 lands its rows exactly once (the planted orphan dies)
+    BatchIndex.appendBatch(Seq((2L, 2L)).toDF("id", "v"), path, 2L, "test v1")
+    val rows = BatchIndex.readCommitted(spark, path)
+      .as[(Long, Long)].collect().sorted
+    assert(rows.toSeq == Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("meta fingerprint guard rejects incompatible appends") {
+    val path = idx("bi_meta")
+    BatchIndex.appendBatch(Seq((1L, 1L)).toDF("id", "v"), path, 1L, "k=16")
+    val e = intercept[IllegalArgumentException] {
+      BatchIndex.appendBatch(Seq((2L, 2L)).toDF("id", "v"), path, 2L, "k=32")
+    }
+    assert(e.getMessage.contains("k=16") && e.getMessage.contains("k=32"))
+  }
+
+  test("reading an empty index fails fast") {
+    val e = intercept[IllegalArgumentException] {
+      BatchIndex.readCommitted(spark, idx("bi_empty"))
+    }
+    assert(e.getMessage.contains("no committed data files"))
+  }
+
+  test("ivfIngest postings: batch-proportional append, idempotent replay") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(4)(((i % 5) + 1).toFloat))).toDF("id", "vec")
+    val cents = Array(
+      (0L, Seq(1f, 1f, 1f, 1f)), (1L, Seq(5f, 5f, 5f, 5f)))
+    val path = idx("bi_ivf")
+    Similarity.ivfIngest(vecs.filter(col("id") < 20), path, cents, 1L)
+    Similarity.ivfIngest(vecs.filter(col("id") >= 20), path, cents, 2L)
+    Similarity.ivfIngest(vecs.filter(col("id") >= 20), path, cents, 2L)
+    val out = Similarity.readIvfIndex(spark, path)
+    assert(out.count() == 40L)
+    assert(out.columns.toSet == Set("id", "cid", "batch_id"))
+    // every posting's cid is a real codebook entry
+    assert(out.filter(!col("cid").isin(0L, 1L)).count() == 0L)
+  }
+}
