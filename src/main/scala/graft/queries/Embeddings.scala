@@ -406,6 +406,68 @@ object Embeddings {
        |WHERE rn = 1""".stripMargin
   }
 
+  /** q102: per-cluster label entropy — the diversity diagnostic a
+    * curation pipeline runs over its embedding clusters (a near-zero-
+    * entropy cluster is single-topic; a max-entropy one is a mixing
+    * hub — both drive SemDeDup-threshold and sampling decisions). Reuses
+    * the q35 centroid ARTIFACT (same path, zero retrain — artifact reuse
+    * is the point of the train/serve split) and certifies Shannon entropy
+    * per cluster with the per-term fp9 integer-sum discipline (order-
+    * free). One assignment projection + one (cid, label) aggregate;
+    * grid-sized downstream. */
+  def q102ClusterEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val cents = Similarity.centroidCodebook(v, ivfArtifactPath(spark, dir),
+      k = 16, iters = 2, init = "sample")
+    val fs = cents.sortBy(_._1)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+    val asg = e.select(col("id"), col("label"),
+      graft.functions.VectorFunctions.nearest_centroids(col("vec"),
+        fs.map(_._2.toArray), fs.map(_._1), 1).getItem(0).as("cid"))
+    val cl = asg.groupBy(col("cid"), col("label")).agg(count(lit(1)).as("c"))
+    val n = cl.groupBy(col("cid")).agg(sum(col("c")).as("n"))
+    cl.join(n, "cid")
+      .select(col("cid"), col("n"),
+        round(-(col("c") / col("n")) * log(col("c") / col("n")) * lit(1e9))
+          .cast("long").as("term_fp9"))
+      .groupBy(col("cid"))
+      .agg(first(col("n")).as("n"),
+        count(lit(1)).as("n_labels"),
+        sum(col("term_fp9")).as("entropy_fp9"))
+  }
+
+  val q102ClusterEntropySql: String = {
+    val seedOrder = s"${OracleFragments.hex8Sql("vec_id::VARCHAR || '#ivf'")}, vec_id"
+    s"""WITH seed AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY $seedOrder) - 1 AS BIGINT) AS cid,
+       |    embedding::DOUBLE[] AS cvec
+       |  FROM embeddings
+       |  ORDER BY $seedOrder LIMIT 16),
+       |${lloydCtes(1, "seed")},
+       |${lloydCtes(2, "c1")},
+       |asg3 AS (
+       |  SELECT id, cid FROM (
+       |    SELECT e.vec_id AS id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY -list_dot_product(e.embedding::DOUBLE[], c.cvec), c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c)
+       |  WHERE rn = 1),
+       |cl AS (
+       |  SELECT a.cid, e.label, COUNT(*) AS c
+       |  FROM asg3 a JOIN embeddings e ON e.vec_id = a.id
+       |  GROUP BY 1, 2),
+       |nn AS (SELECT cid, CAST(SUM(c) AS BIGINT) AS n FROM cl GROUP BY cid),
+       |terms AS (
+       |  SELECT cl.cid, nn.n,
+       |    CAST(round(-(CAST(cl.c AS DOUBLE) / nn.n)
+       |      * ln(CAST(cl.c AS DOUBLE) / nn.n) * 1e9) AS BIGINT) AS term_fp9
+       |  FROM cl JOIN nn USING (cid))
+       |SELECT cid, MAX(n) AS n, COUNT(*) AS n_labels,
+       |  CAST(SUM(term_fp9) AS BIGINT) AS entropy_fp9
+       |FROM terms GROUP BY cid""".stripMargin
+  }
+
   /** One unrolled Lloyd iteration: nearest-centroid assignment (argmin of
     * −dot with cid tie-break, the same ordering Spark's min-over-struct
     * produces), then per-(cid, dim) means over 6-decimal DECIMAL sums —
