@@ -122,4 +122,85 @@ object Events {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
       |FROM numbered
       |GROUP BY user_id, sess""".stripMargin
+
+  /** q103: strict ordered funnel (view → click → purchase) — each stage
+    * counts users whose FIRST qualifying event follows their previous
+    * stage's timestamp, the standard product-analytics funnel. Each step
+    * is a filtered min-aggregate plus an equi-join on user_id; after the
+    * first shuffle every later join reuses the user_id partitioning, and
+    * stage tables only shrink. Conversion is a ratio of exact counts
+    * (IEEE division — engine-identical). */
+  def q103Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def firstAfter(evType: String, prev: DataFrame, prevT: String, t: String) =
+      e.filter(col("event_type") === evType)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevT))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(t))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = firstAfter("click", s1, "t1", "t2")
+    val s3 = firstAfter("purchase", s2, "t2", "t3")
+    val Seq(n1, n2, n3) = Seq(s1, s2, s3).map(_.count())
+    import spark.implicits._
+    Seq(
+      (1L, "view", n1, 1.0),
+      (2L, "click_after_view", n2, n2.toDouble / n1),
+      (3L, "purchase_after_click", n3, n3.toDouble / n2))
+      .toDF("stage", "step", "n_users", "conversion")
+  }
+
+  val q103FunnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |  GROUP BY e.user_id),
+      |n AS (SELECT (SELECT COUNT(*) FROM s1) AS n1,
+      |             (SELECT COUNT(*) FROM s2) AS n2,
+      |             (SELECT COUNT(*) FROM s3) AS n3)
+      |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
+      |  n1 AS n_users, 1.0::DOUBLE AS conversion FROM n
+      |UNION ALL
+      |SELECT 2, 'click_after_view', n2, CAST(n2 AS DOUBLE) / n1 FROM n
+      |UNION ALL
+      |SELECT 3, 'purchase_after_click', n3, CAST(n3 AS DOUBLE) / n2 FROM n""".stripMargin
+
+  /** q104: weekly retention cohorts — users grouped by first-seen ISO
+    * week, distinct-user activity counted per later week offset: the
+    * standard cohort-retention grid. Two user-keyed aggregates and one
+    * co-partitioned join; the grid output is weeks² rows. */
+  def q104Retention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val cohort = e.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    e.select(col("user_id"), date_trunc("week", col("ts")).as("activity_week"))
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("activity_week"), col("cohort_week")) / 7)
+          .cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(
+        date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+  }
+
+  val q104RetentionSql: String =
+    """WITH cohort AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      |  FROM events GROUP BY user_id)
+      |SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+      |  CAST(date_diff('day', c.cohort_week,
+      |    date_trunc('week', e.ts)) // 7 AS BIGINT) AS week_offset,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM events e JOIN cohort c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
 }
