@@ -17,8 +17,10 @@ import graft.queries.Registry
 object ScaleSweep {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(Sf1Gen.DefaultOut)
+    // optional 2nd arg: comma-separated gate names to sweep (default all)
+    val only = args.drop(1).headOption.map(_.split(',').toSet)
     val spark = GraftSession.local("graft-scale-sweep", 32)
-    Registry.all.foreach { g =>
+    Registry.all.filter(g => only.forall(_.contains(g.name))).foreach { g =>
       try {
         def run(): Double = {
           val t0 = System.nanoTime()
