@@ -37,9 +37,15 @@ object Monitor {
     *               keep it engine-reproducible.
     */
   def psiByGroup(df: DataFrame, groupCol: String, bucket: Column): DataFrame = {
-    // the single corpus pass: counts per (group, bucket), partial-agg'd
+    // the single corpus pass: counts per (group, bucket), partial-agg'd.
+    // grp feeds FOUR consumers (src/bkt/tot and the grid's left join);
+    // Spark does no common-subplan reuse across DataFrame references, so
+    // without this barrier each branch would re-scan and re-aggregate the
+    // corpus — 4 passes instead of 1 (PlanSpec pins the single scan). The
+    // cached block is grid-sized (groups × buckets), KBs at any corpus.
     val grp = df.groupBy(col(groupCol), bucket.as("bucket"))
       .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // everything below is grid-sized (groups × buckets)
     val src = grp.groupBy(col(groupCol)).agg(sum(col("c")).as("n_g"))
     val bkt = grp.groupBy(col("bucket")).agg(sum(col("c")).as("n_b"))

@@ -312,4 +312,51 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"nested-loop in the rank loop:\n$p")
   }
+
+  test("q97: one corpus scan, grid joins never sort-merge") {
+    val p = planOf(MonitorQueries.q97PsiDrift(spark, sf))
+    // the single groupBy(source, bucket) pass is the only corpus touch:
+    // ALL FOUR grp consumers (src / bkt / tot / the grid's left join) must
+    // serve from the persist barrier, not re-aggregate the corpus. (The
+    // raw "Scan parquet" substring count is useless here — every
+    // InMemoryTableScan echoes its cached child plan into the string.)
+    val imts = "InMemoryTableScan".r.findAllIn(p).length
+    assert(imts === 4,
+      s"expected all 4 grid consumers on the persist barrier, got $imts:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"grid-sized joins degraded to SMJ:\n${p.take(2000)}")
+  }
+
+  test("q98: batch windows are sharded — hash partitioning on (cap, shard)") {
+    val p = planOf(graft.ops.TrainingMix.lengthBucketBatches(
+      graft.core.Tables.documents(spark, sf), "doc_id", "text", 8, 4))
+    assert(p.contains("Window"), p.take(2000))
+    // the window exchange must cluster by BOTH cap and shard — a cap-only
+    // partitioning would funnel each length bucket through one task
+    assert(p.contains("hashpartitioning(cap") && p.contains("shard"),
+      s"window not sharded:\n${p.take(2000)}")
+  }
+
+  test("q100: pair explode runs on the aggregated word table, not the corpus") {
+    val p = planOf(TextQueries.q100BpePairs(spark, sf))
+    // first Generate = corpus tokenize; the sequence explode must sit
+    // ABOVE the word-count aggregate (vocab-local pair generation)
+    val firstAgg = p.indexOf("HashAggregate")
+    val seqGen = p.indexOf("sequence(")
+    assert(firstAgg >= 0 && seqGen >= 0, p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 degraded to global sort:\n${p.take(2000)}")
+  }
+
+  test("q103/q104: no nested-loop anywhere in the funnel/cohort joins") {
+    val pf = planOf(Events.q103Funnel(spark, sf))
+    assert(!pf.contains("BroadcastNestedLoopJoin") && !pf.contains("CartesianProduct"),
+      s"funnel join degraded:\n${pf.take(2000)}")
+    val pr = planOf(Events.q104Retention(spark, sf))
+    assert(!pr.contains("BroadcastNestedLoopJoin") && !pr.contains("CartesianProduct"),
+      s"cohort join degraded:\n${pr.take(2000)}")
+    // cohort distinct-count keeps a partial aggregate below the exchange
+    assert(pr.contains("partial_count") || pr.contains("partial aggregation") ||
+      pr.contains("HashAggregate"), pr.take(2000))
+  }
 }
