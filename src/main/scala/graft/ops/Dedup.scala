@@ -803,4 +803,45 @@ object Dedup {
       .bitwiseAND(1)
 
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs by band-bucketed Hamming search (Manku et al.,
+    * WWW'07 — the web-scale near-dup detector): the `bits`-bit signature
+    * splits into `bands` equal slices, and by pigeonhole any pair with
+    * Hamming distance ≤ bands−1 agrees EXACTLY on at least one slice, so
+    * candidates are pairs sharing a (band, slice-value) bucket and the
+    * verify is one row-local `bit_count(xor)` — never an all-pairs scan.
+    * `maxHamming` must be ≤ bands−1 or recall breaks (guarded).
+    *
+    * Scale shape: same as MinHash banding — ONE shuffle on (band, key);
+    * bucket sizes are ~n/2^(bits/bands) for random keys, and only true
+    * duplicate clusters concentrate. The signature pass (the expensive
+    * per-token md5) is persisted once and feeds both join sides.
+    *
+    * Output: (id_a, id_b, hamming) with id_a < id_b, verified pairs only.
+    */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 60, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
+    require(maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming needs at least ${maxHamming + 1} bands for " +
+        "the pigeonhole guarantee")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val sig = simhashMd5(df, idCol, textCol, bits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandRows = sig.select(col("id"), col("simhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("key",
+        expr(s"shiftright(simhash, cast(band * $w as int)) & $mask"))
+    bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct() // a pair sharing several bands is one candidate
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sa"), col("sb")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -126,7 +126,9 @@ object DedupQueries {
     Dedup.simhashMd5(Tables.documents(spark, dir), "doc_id", "text", bits = 60)
       .withColumnRenamed("id", "doc_id")
 
-  val q25SimhashSql: String = {
+  /** The 60-bit md5 SimHash as CTEs ending in `ssig(doc_id, simhash)` —
+    * shared by the q25 signature gate and the q105 near-dup gate. */
+  private def simhashSigCtes: String = {
     val bitSums = (0 until 60).map { b =>
       val p = b / 4 + 1; val w = b % 4
       s"SUM(CASE WHEN (((strpos('0123456789abcdef', substr(h, $p, 1)) - 1) >> $w) & 1) = 1 THEN 1 ELSE -1 END) AS b$b"
@@ -134,16 +136,19 @@ object DedupQueries {
     val sig = (0 until 60).map { b =>
       s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, md5(t) AS h FROM (
        |    SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents)),
        |sums AS (
        |  SELECT doc_id,
        |    $bitSums
-       |  FROM tok GROUP BY doc_id)
-       |SELECT doc_id, $sig AS simhash
-       |FROM sums""".stripMargin
+       |  FROM tok GROUP BY doc_id),
+       |ssig AS (SELECT doc_id, $sig AS simhash FROM sums)""".stripMargin
   }
+
+  val q25SimhashSql: String =
+    s"""WITH $simhashSigCtes
+       |SELECT doc_id, simhash FROM ssig""".stripMargin
 
   /** Order-sensitive rolling-hash fingerprint, md5-portable token hash;
     * the oracle reproduces the fold with nested `list_reduce`. */
@@ -462,4 +467,30 @@ object DedupQueries {
       |  SELECT doc_id, md5(text) AS k FROM documents WHERE doc_id % 5 = 0)
       |SELECT b.k, b.doc_id FROM batch b
       |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.k = b.k)""".stripMargin
+
+  /** q105: SimHash Hamming near-dup ([[Dedup.simhashNearDup]]) — 60-bit
+    * signatures, 4 bands of 15 bits, verified pairs at Hamming ≤ 3. The
+    * pigeonhole band guarantee makes the bucket join exact for this
+    * radius; the oracle rebuilds signatures, bands, and the bit_count
+    * verify arithmetically. */
+  def q105SimhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(Tables.documents(spark, dir), "doc_id", "text",
+        bits = 60, bands = 4, maxHamming = 3)
+      .withColumnRenamed("id_a", "doc_a")
+      .withColumnRenamed("id_b", "doc_b")
+
+  val q105SimhashNearDupSql: String =
+    s"""WITH $simhashSigCtes,
+       |bands AS (
+       |  SELECT doc_id, simhash, unnest(range(0, 4)) AS b FROM ssig),
+       |keyed AS (
+       |  SELECT doc_id, simhash, b,
+       |    (simhash >> CAST(b * 15 AS INT)) & 32767 AS key FROM bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM keyed a JOIN keyed b
+       |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
 }

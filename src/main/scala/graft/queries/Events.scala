@@ -193,6 +193,61 @@ object Events {
         col("week_offset"), col("n_users"))
   }
 
+  /** q106: daily event-volume anomaly z-scores — each (event_type, day)
+    * count scored against the trailing-7-observed-days mean/stddev, the
+    * standard ops-monitoring shape ("did clicks spike today?"). Variance
+    * comes from exact integer power sums over the window (the q30 moment
+    * discipline: counts are integers, products stay exact in doubles, and
+    * the few finishing double ops are IEEE-identical across engines), so
+    * no fixed-point rounding is needed. One shuffle to daily counts; the
+    * window runs over the tiny (type × day) grid. z is NULL until 2 prior
+    * days exist or when the trailing window is constant. */
+  def q106Anomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val daily = e.groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    val stats = daily.select(
+      col("event_type"), col("day"), col("n_events"),
+      count(col("n_events")).over(w).as("n_prev"),
+      sum(col("n_events")).over(w).as("s"),
+      sum(col("n_events") * col("n_events")).over(w).as("sq"))
+    val mean = col("s").cast("double") / col("n_prev")
+    val variance = (col("n_prev") * col("sq") - col("s") * col("s"))
+      .cast("double") / (col("n_prev") * (col("n_prev") - 1))
+    stats.select(
+      col("event_type"),
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      col("n_events"), col("n_prev"),
+      when(col("n_prev") >= 2 && variance > 0,
+        (col("n_events") - mean) / sqrt(variance)).as("z"))
+  }
+
+  val q106AnomalySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, day, n_events,
+      |    COUNT(n_events) OVER w AS n_prev,
+      |    SUM(n_events) OVER w AS s,
+      |    SUM(n_events * n_events) OVER w AS sq
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+      |  n_events, CAST(n_prev AS BIGINT) AS n_prev,
+      |  CASE WHEN n_prev >= 2
+      |        AND CAST(n_prev * sq - s * s AS DOUBLE)
+      |          / (n_prev * (n_prev - 1)) > 0
+      |    THEN (n_events - CAST(s AS DOUBLE) / n_prev)
+      |      / sqrt(CAST(n_prev * sq - s * s AS DOUBLE) / (n_prev * (n_prev - 1)))
+      |    ELSE NULL END AS z
+      |FROM stats""".stripMargin
+
   val q104RetentionSql: String =
     """WITH cohort AS (
       |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week

@@ -374,4 +374,33 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       "rank-1 argmax must prune per-partition before the exchange\n" + plan.take(1500))
   }
+
+  test("simhashNearDup: exact dups at hamming 0, banding loses nothing <= bands-1") {
+    // 3 exact copies + 1 distinct doc: the copy pairs MUST appear at 0
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "totally different words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDup(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0L)) && pairs.contains((1L, 3L, 0L)) &&
+      pairs.contains((2L, 3L, 0L)), pairs)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated doc joined a near-dup pair: $pairs")
+    // recall identity vs the exact all-pairs scan at the same radius: the
+    // pigeonhole guarantee says banding may never MISS a <=3 pair
+    val sig = Dedup.simhashMd5(docs, "doc_id", "text", 60)
+    val exact = sig.as("a").join(sig.as("b"), $"a.id" < $"b.id")
+      .select($"a.id", $"b.id",
+        Dedup.hammingDistance($"a.simhash", $"b.simhash").cast("long").as("h"))
+      .filter($"h" <= 3).as[(Long, Long, Long)].collect().toSet
+    assert(pairs == exact, s"banding missed pairs: ${exact diff pairs}")
+    // misconfiguration (radius beyond the band guarantee) fails fast
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDup(docs, "doc_id", "text", bits = 60, bands = 4,
+        maxHamming = 4)
+    }
+  }
 }
