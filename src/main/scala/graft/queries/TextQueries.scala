@@ -490,6 +490,49 @@ object TextQueries {
       .select(col("rank"), col("pair"), col("n_occ"))
   }
 
+  /** q107: batch model scoring — a fixed logistic quality classifier
+    * (fastText-style quality-filter shape: bias + log-length + stopword
+    * ratio + chars/token + type-token ratio against frozen weights)
+    * applied corpus-wide as ONE codegen'd projection: zero shuffles, the
+    * 100 TB "inference" pattern when the model is a broadcastable linear
+    * head. Scores are fp6-fixed-pointed (the transcendental-guard
+    * discipline); `kept` is the downstream filter decision. */
+  def q107ModelScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val stopRatio = size(filter(toks, t => t.isin("the", "a"))).cast("double") / nTok
+    val charsPerTok = col("n_chars").cast("double") / nTok
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    // frozen weights: an offline-trained linear head, shipped as literals
+    // (on a cluster: a broadcast variable / artifact — same shape)
+    val z = lit(-2.0) + lit(0.45) * log(lit(1.0) + nTok) +
+      lit(-3.0) * stopRatio + lit(0.3) * charsPerTok + lit(1.5) * ttr
+    val score = lit(1.0) / (lit(1.0) + exp(-z))
+    d.select(col("doc_id"),
+      round(score * 1e6).cast("long").as("score_fp6"),
+      (round(score * 1e6) >= 500000).as("kept"))
+  }
+
+  val q107ModelScoreSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the', 'a'))) AS DOUBLE) AS n_stop,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_dist,
+      |    CAST(n_chars AS DOUBLE) AS n_chars
+      |  FROM documents),
+      |z AS (
+      |  SELECT doc_id,
+      |    -2.0 + 0.45 * ln(1.0 + n_tok) - 3.0 * (n_stop / n_tok)
+      |      + 0.3 * (n_chars / n_tok) + 1.5 * (n_dist / n_tok) AS z
+      |  FROM f)
+      |SELECT doc_id,
+      |  CAST(round(1.0 / (1.0 + exp(-z)) * 1e6) AS BIGINT) AS score_fp6,
+      |  round(1.0 / (1.0 + exp(-z)) * 1e6) >= 500000 AS kept
+      |FROM z""".stripMargin
+
   val q100BpePairsSql: String =
     """WITH words AS (
       |  SELECT w, COUNT(*) AS wc FROM (

@@ -346,6 +346,51 @@ object DocStream {
       .toDF("doc_id", "ts", "text")
       .unionByName(short)
   }
+
+  /** Continuous corpus monitoring: per micro-batch, ONE (batch_id, KLL
+    * sketch, exact count) row is appended to a [[graft.ops.BatchIndex]]
+    * artifact — `foreachBatch` may replay a batch after a crash, and the
+    * index's commit markers make the replay a no-op, so the monitor is
+    * exactly-once without any output-side dedup. "Corpus length quantiles
+    * so far" is then [[corpusLengthQuantiles]]: a union of kilobyte
+    * sketch blobs, NEVER a re-scan of ingested data — the q99 artifact
+    * pattern running continuously. */
+  def sketchMonitorIngest(docs: DataFrame, sketchPath: String,
+      checkpoint: String, k: Int = 200)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sketchBatch(batch, id, sketchPath, k)
+      }
+      .start()
+
+  /** One monitor append (exactly-once per `batchId`; see
+    * [[sketchMonitorIngest]]). Public so a non-streaming ingest loop can
+    * reuse the same artifact protocol. */
+  def sketchBatch(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long, sketchPath: String, k: Int): Unit = {
+    import graft.functions.KllFunctions._
+    val row = batch.agg(
+        kll_sketch_agg(length(col("text")).cast("double"), k).as("sk"),
+        count(col("text")).as("n"))
+      .withColumn("batch_id", lit(batchId))
+    graft.ops.BatchIndex.appendBatch(row, sketchPath, batchId,
+      meta = s"kll_monitor k=$k")
+  }
+
+  /** Serve the monitor: union all committed per-batch sketches and read
+    * quantiles — O(batches) kilobyte blobs, independent of corpus size. */
+  def corpusLengthQuantiles(spark: SparkSession, sketchPath: String,
+      ranks: Seq[Double], k: Int = 200): DataFrame = {
+    import graft.functions.KllFunctions._
+    val merged = graft.ops.BatchIndex.readCommitted(spark, sketchPath)
+      .agg(kll_merge_agg(col("sk"), k).as("sk"),
+        org.apache.spark.sql.functions.sum(col("n")).as("n"))
+    merged.select(col("n") +:
+      ranks.map(r => kll_quantile(col("sk"), lit(r))
+        .as(s"p${math.round(r * 100)}")): _*)
+  }
 }
 
 /** Stateless collapse stage of the multi-probe chain: emits the FIRST row

@@ -335,4 +335,33 @@ class DocStreamSpec extends SparkSpec {
     assert(kept.contains(100L) && kept.contains(200L)) // near-dups differ -> kept
     assert(originals.subsetOf(kept))
   }
+
+  test("sketch monitor: per-batch KLL appends, exactly-once under replay") {
+    val dir = tmpDir("docs-kll")
+    val sketchPath = tmpDir("kll-art") + "/sketches"
+    val ckpt = tmpDir("kll-ckpt")
+    // three single-file micro-batches (maxFilesPerTrigger=1), doc length
+    // = text char length; plant known lengths via exact-char texts
+    def textOf(len: Int) = "x" * len
+    (0 until 3).foreach { b =>
+      (0 until 50).map { i =>
+        ((b * 50 + i).toLong, ts(b), textOf(1 + (b * 50 + i) % 300))
+      }.toDF("doc_id", "ts", "text").coalesce(1).write.mode("append").parquet(dir)
+    }
+    val q = DocStream.sketchMonitorIngest(DocStream.read(spark, dir),
+      sketchPath, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val served = DocStream.corpusLengthQuantiles(spark, sketchPath,
+      Seq(0.5)).collect().head
+    assert(served.getLong(0) == 150L, "merged exact count must cover all batches")
+    val p50 = served.getDouble(1)
+    assert(p50 > 0 && p50 <= 300, s"p50=$p50")
+    // a crash-replay of an already-committed micro-batch must be a no-op
+    val replay = (0 until 50).map(i => (i.toLong, ts(0), textOf(999)))
+      .toDF("doc_id", "ts", "text")
+    DocStream.sketchBatch(replay, 0L, sketchPath, 200)
+    val after = DocStream.corpusLengthQuantiles(spark, sketchPath,
+      Seq(0.5)).collect().head
+    assert(after.getLong(0) == 150L, "replayed batch must not double-count")
+  }
 }
