@@ -479,6 +479,51 @@ object DedupQueries {
       .withColumnRenamed("id_a", "doc_a")
       .withColumnRenamed("id_b", "doc_b")
 
+  /** q108: cross-source duplication matrix — for every source pair, how
+    * many DOC PAIRS share the same leading 8-token prefix across them
+    * (and within-source pairs on the diagonal): the provenance diagnostic
+    * that tells a curation team WHICH feeds re-crawl or template each
+    * other. The prefix fingerprint (rather than whole-content md5) also
+    * catches shared boilerplate heads ahead of exact duplication. One
+    * hash shuffle (fingerprint → per-source counts); pair counts are then
+    * c_a·c_b / C(c,2) arithmetic on the tiny (hash, source) aggregate —
+    * the corpus is never self-joined. */
+  def q108CrossSourceDup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val perSrc = d.groupBy(
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))).as("h"),
+        col("source"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cross = perSrc.as("a")
+      .join(perSrc.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(sum(col("a.c") * col("b.c")).as("n_pairs"))
+    val within = perSrc.filter(col("c") >= 2)
+      .groupBy(col("source").as("source_a"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("n_pairs"))
+      .select(col("source_a"), col("source_a").as("source_b"), col("n_pairs"))
+    cross.unionByName(within)
+  }
+
+  val q108CrossSourceDupSql: String =
+    """WITH perSrc AS (
+      |  SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h,
+      |    source, COUNT(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |cross_pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(SUM(a.c * b.c) AS BIGINT) AS n_pairs
+      |  FROM perSrc a JOIN perSrc b
+      |    ON a.h = b.h AND a.source < b.source
+      |  GROUP BY 1, 2),
+      |within AS (
+      |  SELECT source AS source_a, source AS source_b,
+      |    CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_pairs
+      |  FROM perSrc WHERE c >= 2 GROUP BY source)
+      |SELECT * FROM cross_pairs UNION ALL SELECT * FROM within""".stripMargin
+
   val q105SimhashNearDupSql: String =
     s"""WITH $simhashSigCtes,
        |bands AS (

@@ -533,6 +533,70 @@ object TextQueries {
       |  round(1.0 / (1.0 + exp(-z)) * 1e6) >= 500000 AS kept
       |FROM z""".stripMargin
 
+  /** q109: collocation mining — adjacent-bigram pointwise mutual
+    * information over the corpus token stream, the classic phrase-miner
+    * ("new york" scores high because it co-occurs far above chance).
+    * PMI = ln(N·c_ab / (c_a·c_b)) over unigram/bigram counts, support-
+    * filtered (≥ 5) and fp6-fixed-pointed; top-50 by (pmi, bigram). Token
+    * and bigram streams are zero-shuffle projections; two hash aggregates
+    * (vocab- and bigram-sized) and grid joins do the rest. */
+  def q109Collocations(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+    val toks = d.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val total = uni.agg(sum(col("cw")).as("n"))
+    val bi = toks
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 5)
+    val scored = bi
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c1"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c2"), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("cab"),
+        // doubles BEFORE the products (mirrors the oracle exactly and
+        // avoids long overflow on n·cab at corpus scale)
+        round(log(col("n").cast("double") * col("cab") /
+          (col("c1").cast("double") * col("c2"))) * 1e6).cast("long").as("pmi_fp6"))
+    scored.orderBy(col("pmi_fp6").desc, col("w1"), col("w2")).limit(50)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi_fp6").desc, col("w1"), col("w2"))).cast("long"))
+      .select(col("rank"), col("w1"), col("w2"), col("cab"), col("pmi_fp6"))
+  }
+
+  val q109CollocationsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |uni AS (
+      |  SELECT w, COUNT(*) AS cw FROM (SELECT unnest(ts) AS w FROM toks)
+      |  GROUP BY w),
+      |total AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM uni),
+      |bi AS (
+      |  SELECT ts[CAST(i AS INT) + 1] AS w1, ts[CAST(i AS INT) + 2] AS w2
+      |  FROM (SELECT ts, unnest(range(0, len(ts) - 1)) AS i FROM toks)),
+      |bic AS (
+      |  SELECT w1, w2, COUNT(*) AS cab FROM bi GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 5),
+      |scored AS (
+      |  SELECT b.w1, b.w2, b.cab,
+      |    CAST(round(ln(CAST(t.n AS DOUBLE) * b.cab
+      |      / (CAST(u1.cw AS DOUBLE) * u2.cw)) * 1e6) AS BIGINT) AS pmi_fp6
+      |  FROM bic b
+      |  JOIN uni u1 ON u1.w = b.w1
+      |  JOIN uni u2 ON u2.w = b.w2
+      |  CROSS JOIN total t)
+      |SELECT CAST(row_number() OVER (ORDER BY pmi_fp6 DESC, w1, w2) AS BIGINT) AS rank,
+      |  w1, w2, cab, pmi_fp6
+      |FROM scored
+      |ORDER BY pmi_fp6 DESC, w1, w2
+      |LIMIT 50""".stripMargin
+
   val q100BpePairsSql: String =
     """WITH words AS (
       |  SELECT w, COUNT(*) AS wc FROM (
