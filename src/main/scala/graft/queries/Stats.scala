@@ -256,6 +256,94 @@ object Stats {
       |  TRUE AS single_ok, TRUE AS merged_ok
       |FROM documents""".stripMargin
 
+  /** q111: sketch-based audience overlap — |A∩B| for every event-type
+    * pair by inclusion–exclusion over HLL sketches (est_A + est_B −
+    * est_union), the standard "shared users between surfaces" analytics
+    * question answered WITHOUT a pairwise distinct-count job per cell.
+    * The gate certifies each estimated overlap against the exact overlap
+    * within the compounded HLL bound (3 estimates × 1.04·3.5/√2¹² each,
+    * scaled by the union size — generous but honest). One pass builds the
+    * per-type sketches; the pair grid is types². */
+  def q111AudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val sk = e.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = sk.as("a").join(sk.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        expr("hll_sketch_estimate(a.sk)").as("est_a"),
+        expr("hll_sketch_estimate(b.sk)").as("est_b"),
+        expr("hll_sketch_estimate(hll_union(a.sk, b.sk))").as("est_u"))
+      .select(col("type_a"), col("type_b"),
+        (col("est_a") + col("est_b") - col("est_u")).as("est_overlap"))
+    val users = e.select(col("event_type"), col("user_id")).distinct()
+    val exact = users.as("a")
+      .join(users.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_exact"))
+    val bound = 3 * 3.5 * 1.04 / math.sqrt(1 << 12)
+    pairs.join(exact, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        (abs(col("est_overlap") - coalesce(col("n_exact"), lit(0L))) <=
+          lit(bound) * (col("est_overlap") + coalesce(col("n_exact"), lit(0L)) + 1))
+          .as("within_bound"))
+  }
+
+  val q111AudienceOverlapSql: String =
+    """WITH u AS (SELECT DISTINCT event_type, user_id FROM events)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  COUNT(*) AS n_exact, TRUE AS within_bound
+      |FROM u a JOIN u b
+      |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q112: weighted median document length per source (weights =
+    * n_chars): the "how long is the typical BYTE of this source" skew
+    * statistic, exact via the cumulative-weight crossing rule (first
+    * value whose running weight reaches half the total — integer
+    * comparisons only, no interpolation). Windows partition by source, so
+    * the sort parallelizes across sources; one corpus shuffle. */
+  def q112WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+    val t = d.select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("tokens"),
+      col("n_chars").as("w"))
+    val wOrd = Window.partitionBy(col("source"))
+      .orderBy(col("tokens"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    val c = t.withColumn("cum", sum(col("w")).over(wOrd))
+      .withColumn("tot", sum(col("w")).over(wAll))
+      .filter(col("cum") * 2 >= col("tot"))
+    c.groupBy(col("source"))
+      .agg(min(col("tokens")).as("w_median_tokens"),
+        first(col("tot")).as("total_chars"))
+  }
+
+  val q112WeightedMedianSql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+      |    n_chars AS w
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, tokens, w,
+      |    SUM(w) OVER (PARTITION BY source ORDER BY tokens, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(w) OVER (PARTITION BY source) AS tot
+      |  FROM t)
+      |SELECT source, MIN(tokens) AS w_median_tokens,
+      |  CAST(MIN(tot) AS BIGINT) AS total_chars
+      |FROM c WHERE cum * 2 >= tot
+      |GROUP BY source""".stripMargin
+
   /** q99: mergeable KLL quantile-sketch artifact
     * ([[graft.functions.KllFunctions]]) — the rank analogue of the q87 HLL
     * gate. Per-source sketches over document length are UNIONED (no raw
