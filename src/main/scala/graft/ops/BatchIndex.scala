@@ -45,6 +45,57 @@ object BatchIndex {
     fs.exists(hPath(path)) && fs.exists(new Path(path, marker(batchId)))
   }
 
+  /** Heal the [[compact]] crash window (same two-rename swap as the
+    * signature index): if the published path is missing but
+    * `.compact_old` exists, the old directory is restored — the
+    * compaction simply never happened. Every entry point calls this
+    * first; without it the next append would silently bootstrap a fresh
+    * index and abandon all committed batches. */
+  private def recoverCompaction(fs: FileSystem, path: String): Unit = {
+    val old = hPath(path + ".compact_old")
+    if (!fs.exists(hPath(path)) && fs.exists(old)) {
+      // a failed rename is not necessarily a failed recovery: a racing
+      // entry point may have restored the path first
+      if (!fs.rename(old, hPath(path)) && !fs.exists(hPath(path)))
+        throw new java.io.IOException(
+          s"failed to restore interrupted compaction of $path from $old")
+      fs.delete(hPath(path + ".compact_tmp"), true): Unit
+    }
+  }
+
+  /** Rewrite the index to `targetFiles` files, preserving the meta
+    * fingerprint and every batch-commit marker (a late replay of an
+    * already-compacted batch is still skipped). Only COMMITTED rows are
+    * carried — a crashed ingest's uncommitted `b<id>_*` files drop with
+    * the old directory; that batch has no marker, so its retry re-stages
+    * from scratch and loses nothing. Single-writer, like append. Without
+    * periodic compaction a long-lived ingest loop accretes one file set
+    * per batch and every serve pays the listing/footer tax. */
+  def compact(spark: SparkSession, path: String, targetFiles: Int = 8): Unit = {
+    val fs = hFs(spark, path)
+    recoverCompaction(fs, path)
+    val tmp = hPath(path + ".compact_tmp")
+    val old = hPath(path + ".compact_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    readCommitted(spark, path)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val keep = fs.listStatus(hPath(path)).map(_.getPath.getName)
+      .filter(n => n == metaName || n.startsWith("_graft_batch_"))
+    keep.foreach { n =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(path, n),
+        fs, new Path(tmp.toString, n), false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    if (!fs.rename(hPath(path), old)) throw new java.io.IOException(
+      s"compaction failed to move $path aside")
+    if (!fs.rename(tmp, hPath(path))) {
+      fs.rename(old, hPath(path)) // restore — the new dir never became live
+      throw new java.io.IOException(s"compaction failed to publish $tmp")
+    }
+    fs.delete(old, true): Unit
+  }
+
   /** Exactly-once append of one batch (see object doc for the protocol).
     * No-op when the batch is already committed. */
   def appendBatch(df: DataFrame, path: String, batchId: Long,
@@ -52,6 +103,7 @@ object BatchIndex {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     val spark = df.sparkSession
     val fs = hFs(spark, path)
+    recoverCompaction(fs, path)
     fs.mkdirs(hPath(path))
     val metaPath = new Path(path, metaName)
     if (fs.exists(metaPath)) {
@@ -107,6 +159,7 @@ object BatchIndex {
     * and can never serve stale. */
   def readCommitted(spark: SparkSession, path: String): DataFrame = {
     val fs = hFs(spark, path)
+    recoverCompaction(fs, path)
     val files = committedFiles(fs, path)
     require(files.nonEmpty,
       s"batch index at $path has no committed data files — append a batch " +

@@ -57,6 +57,44 @@ class BatchIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("no committed data files"))
   }
 
+  test("compact: rows and markers preserved, replay still skipped, fewer files") {
+    val path = idx("bi_compact")
+    (1L to 6L).foreach { b =>
+      BatchIndex.appendBatch(Seq((b, b * 10)).toDF("id", "v"), path, b, "test v1")
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).count(_.endsWith(".parquet"))
+    val before = dataFiles()
+    BatchIndex.compact(spark, path, targetFiles = 2)
+    assert(dataFiles() < before, s"compaction did not shrink: $before files")
+    val rows = BatchIndex.readCommitted(spark, path)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(rows == (1L to 6L).map(b => (b, b * 10)).toSeq)
+    // a late replay of a pre-compaction batch must STILL be a no-op
+    BatchIndex.appendBatch(Seq((1L, 999L)).toDF("id", "v"), path, 1L, "test v1")
+    assert(BatchIndex.readCommitted(spark, path).count() == 6L)
+    // and new batches append normally after compaction
+    BatchIndex.appendBatch(Seq((7L, 70L)).toDF("id", "v"), path, 7L, "test v1")
+    assert(BatchIndex.readCommitted(spark, path).count() == 7L)
+  }
+
+  test("interrupted compaction swap is healed on the next entry") {
+    val path = idx("bi_heal")
+    BatchIndex.appendBatch(Seq((1L, 1L)).toDF("id", "v"), path, 1L, "test v1")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between the two swap renames: index moved aside,
+    // replacement never published
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".compact_old")))
+    val rows = BatchIndex.readCommitted(spark, path) // heals first
+      .as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 1L)))
+    assert(BatchIndex.isCommitted(spark, path, 1L))
+  }
+
   test("ivfIngest postings: batch-proportional append, idempotent replay") {
     val vecs = (0L until 40L).map(i =>
       (i, Seq.fill(4)(((i % 5) + 1).toFloat))).toDF("id", "vec")
