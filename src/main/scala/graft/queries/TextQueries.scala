@@ -429,6 +429,82 @@ object TextQueries {
       |    AS chunk_text
       |FROM ks""".stripMargin
 
+  /** Deterministic stub encoder for the RAG chain: component j of the
+    * `dim`-vector is the md5-uniform of (text, j) mapped to [−1, 1),
+    * stored as float. A REAL model is a per-partition-initialized scorer
+    * (the multimodal decode pattern); the stub keeps every downstream
+    * Spark surface — schema, norms, kernels, top-k — real and
+    * oracle-replayable. */
+  private def stubEmbed(s: org.apache.spark.sql.Column, dim: Int) =
+    array((0 until dim).map { j =>
+      ((graft.ops.TrainingMix.hex8(concat(s, lit(s"#e$j"))).cast("double") /
+        lit(4294967296.0)) * 2 - 1).cast("float")
+    }: _*)
+
+  /** q113: the RAG indexing/retrieval CHAIN as one gate — chunk (q82's
+    * 64/16 splitter) → embed every chunk (stub encoder above) → exact
+    * cosine top-5 chunks for two query strings embedded the same way.
+    * Certifies the full chunk→vector→retrieve pipeline end-to-end: the
+    * oracle re-derives chunking, embeddings, norms, and ranking. Chunk
+    * ids offset by 1000 so the engine's self-pair guard can never
+    * collide with a query id. */
+  def q113RagPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.ops.TextOps.chunkDocuments(
+        Tables.documents(spark, dir), "doc_id", "text", 64, 16)
+      .select(
+        (col("doc_id") * 100 + col("chunk_idx") + 1000).as("id"),
+        col("doc_id"), col("chunk_idx"),
+        stubEmbed(col("chunk_text"), 8).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import spark.implicits._
+    val queries = Seq((0L, "table scan fast"), (1L, "stream window batch"))
+      .toDF("qid", "qtext")
+      .select(col("qid"), stubEmbed(col("qtext"), 8).as("qvec"))
+    graft.ops.Similarity
+      .bruteForceTopK(chunks.select(col("id"), col("vec")), queries, 5)
+      .join(chunks.select(col("id"), col("doc_id"), col("chunk_idx")), "id")
+      .select(col("qid"), col("rank"), col("doc_id"), col("chunk_idx"), col("sim"))
+  }
+
+  val q113RagPipelineSql: String = {
+    import OracleFragments.hex8Sql
+    def vecOf(texpr: String) = "[" + (0 until 8).map { j =>
+      s"CAST(CAST((${hex8Sql(s"$texpr || '#e$j'")} / 4294967296.0) * 2 - 1 AS REAL) AS DOUBLE)"
+    }.mkString(", ") + "]"
+    s"""WITH docs AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |d2 AS (
+      |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok
+      |  FROM docs WHERE len(toks) > 0),
+      |ks AS (
+      |  SELECT doc_id, toks, n_tok,
+      |    unnest(generate_series(0, greatest(n_tok - 17, 0) // 48)) AS k
+      |  FROM d2),
+      |chunks AS (
+      |  SELECT doc_id, k AS chunk_idx,
+      |    array_to_string(list_slice(toks, k * 48 + 1, least(n_tok, k * 48 + 64)), ' ')
+      |      AS chunk_text
+      |  FROM ks),
+      |cvec AS (
+      |  SELECT doc_id, chunk_idx, ${vecOf("chunk_text")} AS v
+      |  FROM chunks),
+      |qvec AS (
+      |  SELECT qid, ${vecOf("qtext")} AS qv
+      |  FROM (VALUES (0, 'table scan fast'), (1, 'stream window batch')) q(qid, qtext)),
+      |scored AS (
+      |  SELECT q.qid, c.doc_id, c.chunk_idx,
+      |    list_cosine_similarity(c.v, q.qv) AS sim
+      |  FROM cvec c CROSS JOIN qvec q),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY sim DESC, doc_id * 100 + chunk_idx + 1000) AS rn
+      |  FROM scored)
+      |SELECT CAST(qid AS BIGINT) AS qid, CAST(rn AS BIGINT) AS rank,
+      |  doc_id, chunk_idx, sim
+      |FROM r WHERE rn <= 5""".stripMargin
+  }
+
   /** Feature-hashing TF-IDF gate ([[graft.ops.Features.hashedTfIdf]]):
     * dim=16 over a 31-term vocabulary, so bucket collisions genuinely
     * occur and the gate certifies the collision-SUM semantics, the
