@@ -844,4 +844,50 @@ object Dedup {
         hammingDistance(col("sa"), col("sb")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Paragraph/block-level dedup with document reconstruction (the C4/
+    * RefinedWeb line-dedup move, on fixed `blockTokens`-token blocks since
+    * the corpus carries no sentence punctuation): a block whose text
+    * appears anywhere earlier in corpus order — in ANOTHER document or
+    * earlier in the SAME one — is dropped; the first occurrence (min
+    * (doc_id, block_idx) per block hash) survives. Each document is then
+    * re-assembled from its surviving blocks in order.
+    *
+    * Scale shape: block texts never shuffle — the first-occurrence window
+    * runs over (md5, doc_id, idx) triples only, and reconstruction joins
+    * the winners back semi-style on (doc_id, idx) before a single per-doc
+    * aggregate. One window shuffle on the 16-byte hash + one groupBy on
+    * doc_id; no all-pairs, no corpus-wide text movement.
+    *
+    * Output: (doc_id, kept, dropped, text_clean).
+    */
+  def blockDedup(docs: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int = 16): DataFrame = {
+    val blocks = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ts"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, cast(ceil(size(ts) / $blockTokens.0) as int) - 1), " +
+          s"i -> struct(cast(i as bigint) as bi, " +
+          s"array_join(slice(ts, i * $blockTokens + 1, $blockTokens), ' ') as bt))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.bi").as("bi"), col("b.bt").as("bt"))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("bi"))
+    // winner rows only carry (hash, doc_id, idx) through the shuffle
+    val keep = blocks.select(md5(col("bt")).as("h"), col("doc_id"), col("bi"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bi"), lit(true).as("keep"))
+    blocks.join(keep, Seq("doc_id", "bi"), "left")
+      .withColumn("keep", coalesce(col("keep"), lit(false)))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("dropped"),
+        // collect_list skips the nulls the `when` leaves for dropped
+        // blocks; sort by bi restores document order
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("bi"), col("bt"))))),
+          x => x.getField("bt")), " ").as("text_clean"))
+  }
 }

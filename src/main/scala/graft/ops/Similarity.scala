@@ -215,6 +215,47 @@ object Similarity {
         col("id_b").as("neighbor_id"), col("sim"))
   }
 
+  /** Contrastive hard-negative mining: for each vector, the `k` most
+    * cosine-similar vectors carrying a DIFFERENT label — the standard
+    * candidate generator for metric-learning / contrastive training sets
+    * (a near neighbor under a conflicting label is exactly the pair the
+    * loss needs most). Candidates come from the same symmetric
+    * auto-geometry bucket join as [[knnGraphLsh]]; the label rides the
+    * signature rows (one int per row) so conflicting-label filtering runs
+    * on the bucket join output BEFORE any vector re-join — same-label
+    * pairs (the vast majority inside a semantic bucket) are never scored.
+    * Shuffles carry (id, label, id, label) quads and then scored triples,
+    * never vectors. Same recall caveat as [[knnGraphLsh]]: this is
+    * blocking + rerank, not exact search.
+    *
+    * @param vectors (id, vec, label)
+    */
+  def hardNegatives(vectors: DataFrame, k: Int, nTables: Int = 16,
+      dim: Int = 64, targetBucketRows: Int = 30): DataFrame = {
+    val bits = autoBits(vectors.count(), targetBucketRows)
+    val sigs = vectors.select(col("id"), col("label"),
+      posexplode(graft.functions.VectorFunctions.lsh_signatures(
+        col("vec"), nTables, bits, dim)).as(Seq("table", "sig")))
+    val a = sigs.select(col("table"), col("sig"), col("id"), col("label"))
+    val b = sigs.select(col("table"), col("sig"),
+      col("id").as("neg_id"), col("label").as("neg_label"))
+    val cand = a.join(b, Seq("table", "sig"))
+      .filter(col("label") =!= col("neg_label"))
+      .select(col("id"), col("label"), col("neg_id"), col("neg_label"))
+      .distinct()
+    val scored = cand
+      .join(vectors.select(col("id"), col("vec")), Seq("id"))
+      .join(vectors.select(col("id").as("neg_id"), col("vec").as("neg_vec")),
+        Seq("neg_id"))
+      .select(col("id"), col("label"), col("neg_id"), col("neg_label"),
+        cosine(col("vec"), col("neg_vec")).as("sim"))
+    val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("neg_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("label"), col("rank"),
+        col("neg_id"), col("neg_label"), col("sim"))
+  }
+
   /** Loser ids for keep-first near-dup dedup at bucket granularity: each
     * vector is verified only against the MIN-id member of each bucket it
     * lands in (≤ nTables comparisons per vector), never pair-exhaustively.

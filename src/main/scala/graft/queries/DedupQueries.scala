@@ -538,4 +538,75 @@ object DedupQueries {
        |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
+
+  /** Paragraph/block dedup with reconstruction ([[Dedup.blockDedup]]):
+    * 16-token blocks, first corpus occurrence wins, documents rebuilt
+    * from their surviving blocks. The oracle replays the block split, the
+    * per-hash first-occurrence window, and the ordered re-assembly. */
+  def q115ParaDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.blockDedup(Tables.documents(spark, dir), "doc_id", "text")
+
+  val q115ParaDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |blocks AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS bi,
+      |    array_to_string(ts[CAST(i * 16 + 1 AS INT) : CAST(i * 16 + 16 AS INT)], ' ') AS bt
+      |  FROM (SELECT doc_id, ts,
+      |          unnest(range(0, CAST(ceil(len(ts) / 16.0) AS BIGINT))) AS i
+      |        FROM toks)),
+      |flagged AS (
+      |  SELECT doc_id, bi, bt,
+      |    row_number() OVER (PARTITION BY md5(bt) ORDER BY doc_id, bi) = 1 AS keep
+      |  FROM blocks)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS kept,
+      |  CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS dropped,
+      |  COALESCE(string_agg(bt, ' ' ORDER BY bi) FILTER (WHERE keep), '') AS text_clean
+      |FROM flagged
+      |GROUP BY doc_id""".stripMargin
+
+  /** Corpus snapshot diff — the data-versioning primitive an incremental
+    * 100 TB pipeline audits re-crawls with: two deterministic snapshot
+    * views of `documents` (v1 drops doc_id % 11 = 3; v2 drops
+    * doc_id % 13 = 5 and revises the text of doc_id % 7 = 2) are
+    * full-outer-joined on the key and compared BY CONTENT HASH, so the
+    * diff shuffles 16-byte digests, never document bodies. Output:
+    * added/removed/changed/unchanged counts per source. */
+  def q116SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val v1 = d.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"), col("source").as("source_old"),
+        md5(col("text")).as("h_old"))
+    val v2 = d.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"), col("source").as("source_new"),
+        md5(when(col("doc_id") % 7 === 2, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("h_new"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("source_old"), col("source_new")).as("source"),
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  val q116SnapshotDiffSql: String =
+    """WITH v1 AS (
+      |  SELECT doc_id, source AS source_old, md5(text) AS h_old
+      |  FROM documents WHERE doc_id % 11 <> 3),
+      |v2 AS (
+      |  SELECT doc_id, source AS source_new,
+      |    md5(CASE WHEN doc_id % 7 = 2 THEN text || ' rev2' ELSE text END) AS h_new
+      |  FROM documents WHERE doc_id % 13 <> 5)
+      |SELECT COALESCE(source_old, source_new) AS source,
+      |  CASE WHEN h_old IS NULL THEN 'added'
+      |       WHEN h_new IS NULL THEN 'removed'
+      |       WHEN h_old <> h_new THEN 'changed'
+      |       ELSE 'unchanged' END AS status,
+      |  COUNT(*) AS cnt
+      |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+      |GROUP BY 1, 2""".stripMargin
 }

@@ -689,6 +689,41 @@ object Embeddings {
       |FROM scored
       |QUALIFY rank <= 5""".stripMargin
 
+  /** Hard-negative mining for contrastive training: per vector, the top-3
+    * most-similar vectors under a DIFFERENT label, candidates from the
+    * q96 auto-geometry symmetric bucket join. The oracle replays the
+    * signature construction, the conflicting-label filter, and the
+    * rerank, so the blocking itself is certified (the q21/q96
+    * discipline). */
+  def q114HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+    Similarity.hardNegatives(v, k = 3)
+  }
+
+  val q114HardNegativesSql: String =
+    s"""WITH ${sigCtesAuto(16, 64)},
+      |lab AS (SELECT vec_id AS id, label FROM embeddings),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id, la.label AS label,
+      |    b.id AS neg_id, lb.label AS neg_label
+      |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig
+      |  JOIN lab la ON la.id = a.id
+      |  JOIN lab lb ON lb.id = b.id
+      |  WHERE la.label <> lb.label),
+      |scored AS (
+      |  SELECT c.id, c.label, c.neg_id, c.neg_label,
+      |    list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS sim
+      |  FROM cand c
+      |  JOIN embeddings ea ON ea.vec_id = c.id
+      |  JOIN embeddings eb ON eb.vec_id = c.neg_id)
+      |SELECT id, label,
+      |  CAST(row_number() OVER (PARTITION BY id
+      |    ORDER BY sim DESC, neg_id) AS BIGINT) AS rank,
+      |  neg_id, neg_label, sim
+      |FROM scored
+      |QUALIFY rank <= 3""".stripMargin
+
   val q49AnnRecallSql: String =
     s"""WITH ${sigCtes(16, 6, 64)},
       |q AS (

@@ -35,6 +35,24 @@ class DedupSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("block dedup: first occurrence wins, documents rebuilt in order") {
+    def block(tag: Int) = (0 until 16).map(j => s"w${tag}_$j").mkString(" ")
+    val docs = Seq(
+      (0L, block(0) + " " + block(1)),             // all first occurrences
+      (1L, block(2) + " " + block(1)),             // block(1) repeated → dropped
+      (2L, block(0) + " " + block(0)),             // both copies repeats → empty
+      (3L, block(3) + " " + block(4).split(" ").take(8).mkString(" ")) // ragged tail
+    ).toDF("doc_id", "text")
+    val out = Dedup.blockDedup(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) === ((0L, 2L, 0L, block(0) + " " + block(1))))
+    assert(out(1L) === ((1L, 1L, 1L, block(2))))
+    assert(out(2L) === ((2L, 0L, 2L, "")))
+    // ragged last block (8 tokens) survives as its own block
+    assert(out(3L)._2 === 2L && out(3L)._4 === docs.filter(col("doc_id") === 3L)
+      .select("text").as[String].head())
+  }
+
   test("minhash candidates find planted near-dups with high est_jaccard") {
     val cand = Dedup.minhashCandidates(corpus(), "doc_id", "text")
     val hits = cand.filter(col("est_jaccard") >= 0.5)

@@ -47,6 +47,33 @@ class SimilaritySpec extends SparkSpec {
     (base ++ dups).toDF("id", "vec")
   }
 
+  test("hard negatives: top-k conflicting-label neighbors, planted pair found") {
+    // planted near-dup pairs with CONFLICTING labels: the canonical hard
+    // negative — must surface as each other's rank-1 negative
+    val withLabels = planted().withColumn("label",
+      (col("id") % 2).cast("int"))
+      .withColumn("label",
+        when(col("id") >= 100L, lit(9)).otherwise(col("label")))
+    val out = Similarity.hardNegatives(withLabels, k = 3,
+      targetBucketRows = 64)
+    val rows = out.select("id", "label", "rank", "neg_id", "neg_label", "sim")
+      .as[(Long, Int, Long, Long, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    // never a same-label row; never more than k per id; rank contiguous
+    assert(rows.forall { case (_, l, _, _, nl, _) => l != nl })
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+    // each planted dup (label 9) finds its base (label 0/1) at rank 1
+    val rank1 = rows.filter(r => r._1 >= 100L && r._3 == 1L)
+      .map(r => r._1 -> r._4).toMap
+    (0 until 5).foreach { i =>
+      assert(rank1.get(100L + i).contains(i.toLong),
+        s"dup ${100 + i} should have base $i as its top hard negative")
+    }
+  }
+
   test("LSH near-dup candidates find planted duplicates (high-sim regime)") {
     val found = Similarity.lshNearDupCandidates(planted(), nTables = 4,
         bitsPerTable = 12, threshold = 0.9)
