@@ -260,4 +260,40 @@ object TextOps {
     inner.union(ends)
       .groupBy(col("pair")).agg(sum(col("wc")).as("n_occ"))
   }
+
+  /** Tokenizer vocabulary-coverage report per source: OOV rate against the
+    * corpus top-`vocabSize` token vocabulary (cnt desc, token asc
+    * tie-break) and chars-per-token fertility — the go/no-go check before
+    * committing a tokenizer to a training corpus.
+    *
+    * Scale shape: the corpus shuffles ONCE to the (source, token)
+    * aggregate; global token counts, the vocabulary cut, and the OOV sums
+    * all derive from that aggregate (no second corpus scan), and the
+    * vocabulary joins back broadcast. The top-cut sort runs on the
+    * distinct-token table, which is vocabulary-sized, not corpus-sized.
+    *
+    * Output: (source, n_docs, n_tokens, n_oov, oov_rate_fp6,
+    * chars_per_token_fp6). */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val docStats = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("text")).cast("long")).as("n_chars"))
+    val srcTok = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = srcTok.groupBy(col("tok")).agg(sum(col("c")).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    val agg = srcTok.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source")).agg(
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("c")).otherwise(0L)).as("n_oov"))
+    docStats.join(agg, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_oov"),
+        round(lit(1e6) * col("n_oov") / col("n_tokens")).cast("long")
+          .as("oov_rate_fp6"),
+        round(lit(1e6) * col("n_chars") / col("n_tokens")).cast("long")
+          .as("chars_per_token_fp6"))
+  }
 }

@@ -724,6 +724,64 @@ object Embeddings {
       |FROM scored
       |QUALIFY rank <= 3""".stripMargin
 
+  /** Product-quantization ANN serving ([[graft.ops.Quantize]] PQ kernel):
+    * 4 subspaces × 16 codewords over the 64-dim embeddings, deterministic
+    * '#pq' seed codebook, argmax-dot encode, fp9 ADC lookup-table top-10
+    * for the three q20 probe vectors. The oracle replays seed selection,
+    * per-subspace assignment, the LUT, and the order-free integer score
+    * sum — the full PQ serving path is certified, not just the ranking. */
+  def q117PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val cb = graft.ops.Quantize.pqCodebook(v, m = 4, k = 16, dim = 64)
+    val codes = graft.ops.Quantize.pqEncode(v, cb, dim = 64)
+    val queries = v.filter(col("id") < 3)
+      .select(col("id"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+    graft.ops.Quantize.pqAdcTopK(codes, queries, cb, k = 10)
+  }
+
+  val q117PqAdcSql: String = {
+    val seedOrder = OracleFragments.hex8Sql("vec_id::VARCHAR || '#pq'")
+    s"""WITH seeds AS (
+      |  SELECT embedding::DOUBLE[] AS v,
+      |    row_number() OVER (ORDER BY $seedOrder, vec_id) AS rn
+      |  FROM embeddings QUALIFY rn <= 16),
+      |cb AS (
+      |  SELECT s, rn - 1 AS c,
+      |    v[CAST(s * 16 + 1 AS INT) : CAST(s * 16 + 16 AS INT)] AS cv
+      |  FROM seeds, range(4) t(s)),
+      |sub AS (
+      |  SELECT vec_id, s,
+      |    (embedding::DOUBLE[])[CAST(s * 16 + 1 AS INT) : CAST(s * 16 + 16 AS INT)] AS sv
+      |  FROM embeddings, range(4) t(s)),
+      |codes AS (
+      |  SELECT vec_id, s, c FROM (
+      |    SELECT b.vec_id, b.s, cb.c,
+      |      row_number() OVER (PARTITION BY b.vec_id, b.s
+      |        ORDER BY -list_dot_product(b.sv, cb.cv), cb.c) AS rn
+      |    FROM sub b JOIN cb ON cb.s = b.s)
+      |  WHERE rn = 1),
+      |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      |      FROM embeddings WHERE vec_id < 3),
+      |lut AS (
+      |  SELECT q.qid, cb.s, cb.c,
+      |    CAST(round(list_dot_product(
+      |      q.qv[CAST(cb.s * 16 + 1 AS INT) : CAST(cb.s * 16 + 16 AS INT)],
+      |      cb.cv) * 1e9) AS BIGINT) AS w
+      |  FROM q, cb),
+      |scored AS (
+      |  SELECT l.qid, co.vec_id, CAST(SUM(l.w) AS BIGINT) AS score_fp9
+      |  FROM codes co JOIN lut l ON l.s = co.s AND l.c = co.c
+      |  WHERE co.vec_id <> l.qid
+      |  GROUP BY 1, 2)
+      |SELECT qid,
+      |  CAST(row_number() OVER (PARTITION BY qid
+      |    ORDER BY score_fp9 DESC, vec_id) AS BIGINT) AS rank,
+      |  vec_id, score_fp9
+      |FROM scored
+      |QUALIFY rank <= 10""".stripMargin
+  }
+
   val q49AnnRecallSql: String =
     s"""WITH ${sigCtes(16, 6, 64)},
       |q AS (

@@ -693,4 +693,34 @@ object TextQueries {
       |FROM agg
       |ORDER BY n_occ DESC, pair
       |LIMIT 20""".stripMargin
+
+  /** Vocabulary-coverage / tokenizer-fertility report
+    * ([[TextOps.vocabCoverage]]) against the corpus top-16 vocabulary
+    * (16 of the 31 distinct corpus tokens, so the OOV path is
+    * exercised). */
+  def q118VocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextOps.vocabCoverage(Tables.documents(spark, dir), vocabSize = 16)
+
+  val q118VocabCoverageSql: String =
+    """WITH srctok AS (
+      |  SELECT source, tok, COUNT(*) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY 1, 2),
+      |vocab AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, SUM(c) AS cnt FROM srctok GROUP BY tok)
+      |  QUALIFY row_number() OVER (ORDER BY cnt DESC, tok) <= 16),
+      |docstats AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(length(text)) AS BIGINT) AS n_chars
+      |  FROM documents GROUP BY source),
+      |agg AS (
+      |  SELECT s.source, CAST(SUM(s.c) AS BIGINT) AS n_tokens,
+      |    CAST(COALESCE(SUM(s.c) FILTER (WHERE v.tok IS NULL), 0) AS BIGINT) AS n_oov
+      |  FROM srctok s LEFT JOIN vocab v ON v.tok = s.tok
+      |  GROUP BY s.source)
+      |SELECT d.source, d.n_docs, a.n_tokens, a.n_oov,
+      |  CAST(round(1e6 * a.n_oov / a.n_tokens) AS BIGINT) AS oov_rate_fp6,
+      |  CAST(round(1e6 * d.n_chars / a.n_tokens) AS BIGINT) AS chars_per_token_fp6
+      |FROM docstats d JOIN agg a USING (source)""".stripMargin
 }

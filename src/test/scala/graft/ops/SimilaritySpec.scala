@@ -264,6 +264,29 @@ class SimilaritySpec extends SparkSpec {
     assert(top1 === (0 until 5).map(i => (i.toLong, 100L + i)).toSet)
   }
 
+  test("PQ: codes well-formed, dup encodes identically, ADC ranks planted dup top") {
+    val v = planted()
+    val cb = graft.ops.Quantize.pqCodebook(v, m = 4, k = 16, dim = 64)
+    assert(cb.length === 4 && cb.forall(_.length === 16) &&
+      cb.forall(_.forall(_.length === 16)))
+    val codes = graft.ops.Quantize.pqEncode(v, cb, dim = 64)
+    val byId = codes.as[(Long, Seq[Long])].collect().toMap
+    assert(byId.values.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 16)))
+    // a near-identical duplicate must land on the same codewords
+    (0 until 5).foreach(i => assert(byId(i.toLong) === byId(100L + i),
+      s"dup ${100 + i} should encode like base $i"))
+    // ADC: the planted dup of each query shares its codes, so it scores the
+    // maximum possible LUT sum and must appear in the top ranks
+    val queries = v.filter(col("id") < 3).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+    val top = graft.ops.Quantize.pqAdcTopK(codes, queries, cb, k = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0 until 3).foreach(i =>
+      assert(top(i.toLong).contains(100L + i),
+        s"ADC top-3 of query $i should contain its planted dup"))
+  }
+
   test("near-dup pairs: threshold filters and i<j ordering") {
     val pairs = Similarity.nearDupPairs(planted(), 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect()

@@ -163,6 +163,20 @@ class TextOpsSpec extends SparkSpec {
     assert(r(2).getLong(2) === 1L)
   }
 
+  test("vocab coverage: hand-checked OOV and fertility on a tiny corpus") {
+    val docs = Seq(
+      (1L, "A", "a a b"), (2L, "A", "a b"), (3L, "B", "c c"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.vocabCoverage(docs, vocabSize = 1)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // vocab = {a} (count 3 beats b=2, c=2)
+    // A: 2 docs, 5 tokens, 2 oov (the b's), chars 5+3=8
+    assert(out("A") === (("A", 2L, 5L, 2L, 400000L, 1600000L)))
+    // B: 1 doc, 2 tokens, both oov, chars 3
+    assert(out("B") === (("B", 1L, 2L, 2L, 1000000L, 1500000L)))
+  }
+
   test("token novelty: document-frequency stats on a hand corpus") {
     val d = Seq((0L, "a b c"), (1L, "a b"), (2L, "a x"))
       .toDF("doc_id", "text")
