@@ -756,6 +756,35 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
+  /** Exact CONTAINMENT verify over candidate pairs: |A∩B|/|A| and |A∩B|/|B|
+    * over distinct shingle sets. Containment is the asymmetric complement
+    * to [[verifyJaccard]]'s symmetric score — a short document quoted
+    * wholesale inside a long one has containment ≈ 1 from the short side
+    * while Jaccard stays low (the intersection is diluted by the long
+    * side's union), so near-subset/template-inclusion pairs only surface
+    * under this metric (Broder's containment, the C4/CCNet partial-dup
+    * case). Same candidate-pruned scale shape as verifyJaccard: shingling
+    * is semi-join-pruned to pair endpoints, sets never shuffle beyond the
+    * two endpoint joins. */
+  def verifyContainment(df: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, shingleWidth: Int = 3): DataFrame = {
+    val candIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val candDocs = df.select(col(idCol).as("id"), col(textCol))
+      .join(candIds, Seq("id"), "left_semi")
+    val sh = candDocs.select(col("id"),
+      graft.functions.TextFunctions.distinct_shingles(col(textCol), shingleWidth).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_common"))
+      .withColumn("cont_a", col("n_common").cast("double") / col("n_a"))
+      .withColumn("cont_b", col("n_common").cast("double") / col("n_b"))
+  }
+
   /** SimHash fingerprint per document: signature whose bit b is the sign of
     * Σ_tokens (±1 by bit b of the token hash). Near-dups differ in few
     * bits; compare with [[hammingDistance]]. Computed via explode + per-bit

@@ -539,6 +539,44 @@ object DedupQueries {
        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
 
+  /** Shingle containment over MinHash candidates ([[Dedup.verifyContainment]]):
+    * the asymmetric near-subset detector — candidates from the q24 md5
+    * family at est ≥ 0.5, then exact |A∩B|/|A| and /|B| over distinct
+    * 3-shingle sets. The oracle replays candidates AND the exact set
+    * intersection. */
+  def q119Containment(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val cand = Dedup.minhashCandidates(d, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    Dedup.verifyContainment(d, cand, "doc_id", "text")
+  }
+
+  val q119ContainmentSql: String =
+    s"""WITH ${OracleFragments.minhashSigCtes("documents")},
+      |cand AS (
+      |  SELECT s1.doc_id AS id_a, s2.doc_id AS id_b
+      |  FROM sig s1
+      |  JOIN sig s2 ON s1.seed = s2.seed AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) / 8.0 >= 0.5),
+      |dsh AS (SELECT DISTINCT doc_id, sh FROM shingles),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+      |common AS (
+      |  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      |  FROM cand c
+      |  JOIN dsh a ON a.doc_id = c.id_a
+      |  JOIN dsh b ON b.doc_id = c.id_b AND b.sh = a.sh
+      |  GROUP BY 1, 2)
+      |SELECT c.id_a, c.id_b,
+      |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+      |  CAST(COALESCE(cm.n_common, 0) AS BIGINT) AS n_common,
+      |  CAST(COALESCE(cm.n_common, 0) AS DOUBLE) / sa.n AS cont_a,
+      |  CAST(COALESCE(cm.n_common, 0) AS DOUBLE) / sb.n AS cont_b
+      |FROM cand c
+      |JOIN sizes sa ON sa.doc_id = c.id_a
+      |JOIN sizes sb ON sb.doc_id = c.id_b
+      |LEFT JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b""".stripMargin
+
   /** Paragraph/block dedup with reconstruction ([[Dedup.blockDedup]]):
     * 16-token blocks, first corpus occurrence wins, documents rebuilt
     * from their surviving blocks. The oracle replays the block split, the

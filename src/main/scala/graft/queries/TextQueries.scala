@@ -694,6 +694,53 @@ object TextQueries {
       |ORDER BY n_occ DESC, pair
       |LIMIT 20""".stripMargin
 
+  /** c-TF-IDF class labeling (the BERTopic topic-labeling statistic,
+    * classes = sources): W(t,c) = tf(t,c) · ln(1 + A / f(t)) with A the
+    * mean class token mass and f(t) the corpus term frequency; top-5
+    * terms per source. ONE corpus shuffle to the (source, term)
+    * aggregate; f, A, and the scores all derive from that aggregate (no
+    * second corpus scan), and the rank window runs on the class×vocab
+    * table, not the corpus. Score is fp6 fixed-point so the hash compare
+    * is exact. */
+  def q120CtfidfLabels(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+    val st = d.select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val f = st.groupBy(col("term")).agg(sum(col("tf")).as("f"))
+    val a = st.groupBy(col("source")).agg(sum(col("tf")).as("n"))
+      .agg(avg(col("n")).as("aa"))
+    val scored = st.join(f, Seq("term")).crossJoin(broadcast(a))
+      .select(col("source"), col("term"), col("tf"),
+        round(col("tf") * log(lit(1.0) + col("aa") / col("f")) * lit(1e6))
+          .cast("long").as("score_fp6"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score_fp6").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("term"), col("tf"), col("score_fp6"))
+  }
+
+  val q120CtfidfLabelsSql: String =
+    """WITH st AS (
+      |  SELECT source, term, COUNT(*) AS tf FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  GROUP BY 1, 2),
+      |f AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS f FROM st GROUP BY term),
+      |a AS (SELECT AVG(n) AS aa FROM (
+      |  SELECT CAST(SUM(tf) AS BIGINT) AS n FROM st GROUP BY source)),
+      |scored AS (
+      |  SELECT s.source, s.term, s.tf,
+      |    CAST(round(s.tf * ln(1 + a.aa / f.f) * 1e6) AS BIGINT) AS score_fp6
+      |  FROM st s JOIN f USING (term) CROSS JOIN a)
+      |SELECT source,
+      |  CAST(row_number() OVER (PARTITION BY source
+      |    ORDER BY score_fp6 DESC, term) AS BIGINT) AS rank,
+      |  term, CAST(tf AS BIGINT) AS tf, score_fp6
+      |FROM scored
+      |QUALIFY rank <= 5""".stripMargin
+
   /** Vocabulary-coverage / tokenizer-fertility report
     * ([[TextOps.vocabCoverage]]) against the corpus top-16 vocabulary
     * (16 of the 31 distinct corpus tokens, so the OOV path is

@@ -35,6 +35,25 @@ class DedupSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("containment verify: subset doc scores 1.0 from its side, Jaccard stays low") {
+    val a = (0 until 30).map(i => s"a$i").mkString(" ")
+    val c = (0 until 30).map(i => s"c$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, a + " " + c), (3L, c)).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.verifyContainment(docs, pairs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // doc 1 (28 distinct shingles) is a prefix of doc 2 (58): full
+    // containment from the short side, diluted from the long side
+    val (_, _, nA, nB, nC, contA, contB) = out((1L, 2L))
+    assert(nA === 28L && nB === 58L && nC === 28L)
+    assert(contA === 1.0 && contB === 28.0 / 58.0)
+    // the symmetric Jaccard the same pair would score: 28/58 ≈ 0.48 — the
+    // asymmetric signal (1.0) is what flags the near-subset
+    val (_, _, _, n3, nc3, ca3, _) = out((1L, 3L))
+    assert(n3 === 28L && nc3 === 0L && ca3 === 0.0)
+  }
+
   test("block dedup: first occurrence wins, documents rebuilt in order") {
     def block(tag: Int) = (0 until 16).map(j => s"w${tag}_$j").mkString(" ")
     val docs = Seq(
