@@ -577,6 +577,40 @@ object DedupQueries {
       |JOIN sizes sb ON sb.doc_id = c.id_b
       |LEFT JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b""".stripMargin
 
+  /** Source-level MinHash similarity matrix: one 8-seed signature per
+    * SOURCE (min over the source's shingle union — computed as min-of-mins
+    * over the per-doc native signatures, exploiting min's composability so
+    * the corpus still signs in ONE codegen'd pass), then the est-Jaccard
+    * matrix over all source pairs. Corpus-level overlap diagnostics at the
+    * feed granularity: which two crawls/feeds carry near-identical
+    * content. The source count is small by nature, so the pair join is a
+    * few hundred rows however big the corpus. */
+  def q121SourceMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val sigs = Dedup.minhashSignatures(
+        d.select(col("source"), col("text")), "source", "text")
+      .groupBy(col("id"), col("seed")).agg(min(col("mh")).as("mh"))
+    val a = sigs.select(col("seed"), col("mh").as("mh_a"), col("id").as("source_a"))
+    val b = sigs.select(col("seed"), col("mh").as("mh_b"), col("id").as("source_b"))
+    a.join(b, Seq("seed"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg((sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L))
+        .cast("double") / 8).as("est_jaccard"))
+  }
+
+  val q121SourceMinhashSql: String =
+    s"""WITH ${OracleFragments.minhashSigCtes("documents")},
+      |ssig AS (
+      |  SELECT d.source AS sid, s.seed, MIN(s.mh) AS mh
+      |  FROM sig s JOIN documents d USING (doc_id)
+      |  GROUP BY 1, 2)
+      |SELECT a.sid AS source_a, b.sid AS source_b,
+      |  CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 8
+      |    AS est_jaccard
+      |FROM ssig a JOIN ssig b ON b.seed = a.seed AND a.sid < b.sid
+      |GROUP BY 1, 2""".stripMargin
+
   /** Paragraph/block dedup with reconstruction ([[Dedup.blockDedup]]):
     * 16-token blocks, first corpus occurrence wins, documents rebuilt
     * from their surviving blocks. The oracle replays the block split, the

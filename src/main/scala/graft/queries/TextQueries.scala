@@ -694,6 +694,53 @@ object TextQueries {
       |ORDER BY n_occ DESC, pair
       |LIMIT 20""".stripMargin
 
+  /** Corpus novelty-saturation curve: per 100-doc crawl bucket, the share
+    * of its distinct 3-shingles never seen in ANY earlier bucket — the
+    * diminishing-returns diagnostic that tells a crawl team when more of
+    * the same feed stops adding training signal. First-occurrence is a
+    * single gram-keyed aggregate (min doc_id per shingle hash — the q79
+    * gram-shuffle shape, prunable the same Bloom way at 100 TB); bucket
+    * rollups run on the per-bucket distinct table. */
+  def q122NoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val dsh = d.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.distinct_shingles(col("text"), 3)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = dsh.groupBy(col("sh")).agg(min(col("doc_id")).as("fd"))
+    val seen = dsh.select(expr("doc_id DIV 100").as("bucket"), col("sh"))
+      .distinct()
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_seen"))
+    val novel = first.select(expr("fd DIV 100").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new"))
+    seen.join(novel, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_seen"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        round(lit(1e6) * coalesce(col("n_new"), lit(0L)) / col("n_seen"))
+          .cast("long").as("novelty_fp6"))
+  }
+
+  val q122NoveltyCurveSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+      |         unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |shingles AS (
+      |  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+      |  FROM toks a
+      |  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+      |dsh AS (SELECT DISTINCT doc_id, sh FROM shingles),
+      |first AS (SELECT sh, MIN(doc_id) AS fd FROM dsh GROUP BY sh),
+      |seen AS (
+      |  SELECT bucket, COUNT(*) AS n_seen FROM (
+      |    SELECT DISTINCT doc_id // 100 AS bucket, sh FROM dsh)
+      |  GROUP BY bucket),
+      |novel AS (SELECT fd // 100 AS bucket, COUNT(*) AS n_new FROM first GROUP BY 1)
+      |SELECT s.bucket, CAST(s.n_seen AS BIGINT) AS n_seen,
+      |  CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+      |  CAST(round(1e6 * COALESCE(n.n_new, 0) / s.n_seen) AS BIGINT) AS novelty_fp6
+      |FROM seen s LEFT JOIN novel n USING (bucket)""".stripMargin
+
   /** c-TF-IDF class labeling (the BERTopic topic-labeling statistic,
     * classes = sources): W(t,c) = tf(t,c) · ln(1 + A / f(t)) with A the
     * mean class token mass and f(t) the corpus term frequency; top-5
