@@ -359,4 +359,53 @@ class PlanSpec extends SparkSpec {
     assert(pr.contains("partial_count") || pr.contains("partial aggregation") ||
       pr.contains("HashAggregate"), pr.take(2000))
   }
+
+  test("q114: hard negatives use the bucketed LSH join, top-k pushed down") {
+    val p = planOf(Embeddings.q114HardNegatives(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucket join degraded to nested-loop:\n${p.take(2000)}")
+    assert(p.contains("lshsignatures"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"), "rank<=k not pushed into the window")
+  }
+
+  test("q115: first-occurrence window ships hashes, not block texts") {
+    val p = planOf(DedupQueries.q115ParaDedup(spark, sf))
+    // the winner window's exchange must carry the md5 key — block text
+    // stays on the reconstruction side of the semi join
+    assert(p.contains("md5"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"), "rn=1 not pushed into the window")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q116: snapshot diff is one co-partitioned full-outer join on the key") {
+    val p = planOf(DedupQueries.q116SnapshotDiff(spark, sf))
+    assert(p.contains("FullOuter"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"diff join degraded:\n${p.take(2000)}")
+  }
+
+  test("q117: PQ encode is the native kernel; ADC scoring is a projection + top-k") {
+    val p = planOf(Embeddings.q117PqAdc(spark, sf))
+    assert(p.contains("nearestcentroids"), "PQ encode not using the native kernel")
+    assert(p.contains("WindowGroupLimit"), "ADC top-k not pushed into the window")
+    // the only nested-loop is the broadcast of the 3-row LUT table
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q118/q120: vocab and stats join back broadcast — corpus never re-sorts") {
+    val p1 = planOf(TextQueries.q118VocabCoverage(spark, sf))
+    assert(p1.contains("BroadcastHashJoin"), p1.take(2000))
+    val p2 = planOf(TextQueries.q120CtfidfLabels(spark, sf))
+    assert(!p2.contains("CartesianProduct"), p2.take(2000))
+    // both serve the corpus-derived aggregate from the persist barrier
+    assert(p1.contains("InMemoryTableScan"), "q118 re-scans the corpus")
+    assert(p2.contains("InMemoryTableScan"), "q120 re-scans the corpus")
+  }
+
+  test("q122: novelty curve serves both rollups from the persisted gram table") {
+    val p = planOf(TextQueries.q122NoveltyCurve(spark, sf))
+    assert(p.contains("InMemoryTableScan"), "gram table re-derived per branch")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
 }
