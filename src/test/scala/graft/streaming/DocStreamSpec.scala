@@ -364,4 +364,46 @@ class DocStreamSpec extends SparkSpec {
       Seq(0.5)).collect().head
     assert(after.getLong(0) == 150L, "replayed batch must not double-count")
   }
+
+  test("streaming novelty monitor: Bloom state recognizes repeats, replay scores zero") {
+    withRocksDb {
+      val dir = tmpDir("novelty-src")
+      val b1 = (0 until 10).map(i => (i.toLong, ts(i), doc(40)))
+      b1.toDF("doc_id", "ts", "text").coalesce(1).write.mode("overwrite").parquet(dir)
+      val t0 = System.currentTimeMillis() - 120000
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => assert(f.setLastModified(t0)))
+      val q = NoveltyStream.noveltyStats(spark, DocStream.read(spark, dir))
+        .writeStream.format("memory").queryName("novelty")
+        .outputMode("append").start()
+      def totals(): (Long, Long) = {
+        val r = spark.table("novelty")
+          .agg(sum(col("n_grams")), sum(col("n_new"))).collect().head
+        (r.getLong(0), r.getLong(1))
+      }
+      try {
+        q.processAllAvailable()
+        val (g1, n1) = totals()
+        // first batch: every distinct gram is new by definition
+        assert(g1 > 0 && n1 === g1, s"batch1 g=$g1 new=$n1")
+        // batch 2: five exact repeats of batch-1 docs + five fresh docs —
+        // repeats must contribute ZERO new grams
+        val b2 = b1.take(5) ++ (20 until 25).map(i => (i.toLong, ts(i), doc(40)))
+        val f2 = b2.toDF("doc_id", "ts", "text")
+        f2.coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+        val (g2, n2) = totals()
+        val (dg2, dn2) = (g2 - g1, n2 - n1)
+        assert(dg2 > 0 && dn2 > 0 && dn2 < dg2,
+          s"batch2 grams=$dg2 new=$dn2 — repeats should halve novelty")
+        // batch 3: an exact replay of batch 2 — novelty must be EXACTLY 0
+        // (every gram's bits are set; Bloom can only under-count)
+        f2.coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+        val (g3, n3) = totals()
+        assert(g3 - g2 === dg2 && n3 - n2 === 0L,
+          s"replayed batch scored ${n3 - n2} novel grams")
+      } finally q.stop()
+    }
+  }
 }
