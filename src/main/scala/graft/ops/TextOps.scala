@@ -261,6 +261,81 @@ object TextOps {
       .groupBy(col("pair")).agg(sum(col("wc")).as("n_occ"))
   }
 
+  /** BPE learn + encode ([[bpePairCounts]] completed into a working
+    * tokenizer): greedily learn `rounds` merges on the distinct-word
+    * table, apply them, and report per-source fertility (tokens per
+    * word). One corpus pass builds the weighted word table; every learn
+    * round then runs on that vocabulary-sized table (driver receives ONE
+    * argmax row per round — bounded by contract); the final encode is a
+    * broadcast join of the ≤vocab-row symbol counts back to the corpus.
+    *
+    * Merge application is the standard greedy-left pass, spelled as a
+    * position-indexed flatten (hit i emits the merged symbol, position
+    * i+1 is consumed, everything else passes through). Self-pairs (a,a)
+    * are excluded from merge candidates so hits can never overlap — the
+    * property that makes the single-pass application exact on BOTH
+    * engines (the oracle replays the same lead/lag construction).
+    *
+    * Output: (source, n_words, n_tokens, tokens_per_word_fp6, merges) —
+    * `merges` carries the learned sequence, so the gate certifies the
+    * training trajectory, not just the end statistics.
+    */
+  def bpeFertility(docs: DataFrame, rounds: Int): DataFrame = {
+    val words0 = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .withColumn("syms", split(col("w"), ""))
+    var words = words0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    for (_ <- 1 to rounds) {
+      val best = words
+        // single-symbol words carry no pairs (and sequence(0, -1) would
+        // run DESCENDING and index out of bounds under ANSI)
+        .filter(size(col("syms")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("cnt"))
+        .filter(col("a") =!= col("b"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((a, b))
+        val aL = lit(a); val bL = lit(b)
+        val applied = words.withColumn("syms",
+          flatten(transform(sequence(lit(0), size(col("syms")) - 1), i => {
+            val cur = element_at(col("syms"), (i + 1).cast("int"))
+            // guards keep element_at in [1, n] under ANSI; && short-circuits
+            val consumed = (i > 0) &&
+              (element_at(col("syms"), i.cast("int")) === aL) && (cur === bL)
+            val hit = (cur === aL) && (i < size(col("syms")) - 1) &&
+              (element_at(col("syms"), (i + 2).cast("int")) === bL)
+            when(consumed, array().cast("array<string>"))
+              .when(hit, array(concat(aL, bL)))
+              .otherwise(array(cur))
+          })))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        applied.count() // materialize before unpersisting the parent
+        words.unpersist()
+        words = applied
+      }
+    }
+    val mergeStr = merges.map { case (a, b) => s"$a+$b" }.mkString("|")
+    val nSym = words.select(col("w"), size(col("syms")).cast("long").as("n_sym"))
+    docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(nSym), Seq("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_tokens"))
+      .select(col("source"), col("n_words"), col("n_tokens"),
+        round(lit(1e6) * col("n_tokens") / col("n_words")).cast("long")
+          .as("tokens_per_word_fp6"),
+        lit(mergeStr).as("merges"))
+  }
+
   /** Tokenizer vocabulary-coverage report per source: OOV rate against the
     * corpus top-`vocabSize` token vocabulary (cnt desc, token asc
     * tie-break) and chars-per-token fertility — the go/no-go check before

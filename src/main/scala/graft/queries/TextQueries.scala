@@ -741,6 +741,68 @@ object TextQueries {
       |  CAST(round(1e6 * COALESCE(n.n_new, 0) / s.n_seen) AS BIGINT) AS novelty_fp6
       |FROM seen s LEFT JOIN novel n USING (bucket)""".stripMargin
 
+  /** BPE learn + encode ([[graft.ops.TextOps.bpeFertility]]): 4 greedy
+    * merges learned on the weighted distinct-word table, applied, and the
+    * corpus re-encoded — per-source fertility plus the learned merge
+    * sequence itself. The oracle replays every round: pair argmax
+    * (cnt desc, a, b tie-break), the lead/lag single-pass merge
+    * application, and the final fertility join. */
+  def q123BpeFertility(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextOps.bpeFertility(Tables.documents(spark, dir), rounds = 4)
+
+  val q123BpeFertilitySql: String = {
+    val rounds = 4
+    def bestCte(r: Int, syms: String) =
+      s"""best$r AS (
+         |  SELECT a, b FROM (
+         |    SELECT a, b, SUM(wc) AS cnt FROM (
+         |      SELECT w, wc, sym AS a,
+         |        lead(sym) OVER (PARTITION BY w ORDER BY pos) AS b
+         |      FROM $syms)
+         |    WHERE b IS NOT NULL AND a <> b
+         |    GROUP BY a, b)
+         |  ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
+    def applyCte(r: Int, syms: String) =
+      s"""app$r AS (
+         |  SELECT s.w, s.wc, s.pos,
+         |    CASE WHEN s.sym = m.a AND
+         |              lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) = m.b
+         |         THEN m.a || m.b ELSE s.sym END AS sym,
+         |    CASE WHEN lag(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) = m.a
+         |              AND s.sym = m.b THEN 1 ELSE 0 END AS consumed
+         |  FROM $syms s CROSS JOIN best$r m),
+         |syms$r AS (
+         |  SELECT w, wc,
+         |    row_number() OVER (PARTITION BY w ORDER BY pos) AS pos, sym
+         |  FROM app$r WHERE consumed = 0)""".stripMargin
+    val roundCtes = (1 to rounds)
+      .map(r => bestCte(r, s"syms${r - 1}") + ",\n" + applyCte(r, s"syms${r - 1}"))
+      .mkString(",\n")
+    val mergesExpr = (1 to rounds)
+      .map(r => s"(SELECT a || '+' || b FROM best$r)").mkString(" || '|' || ")
+    s"""WITH words AS (
+      |  SELECT w, COUNT(*) AS wc FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY w),
+      |syms0 AS (
+      |  SELECT w, wc, CAST(i AS BIGINT) AS pos, substr(w, CAST(i AS INT), 1) AS sym
+      |  FROM (SELECT w, wc, unnest(range(1, length(w) + 1)) AS i FROM words)),
+      |$roundCtes,
+      |nsym AS (SELECT w, COUNT(*) AS n_sym FROM syms$rounds GROUP BY w),
+      |fert AS (
+      |  SELECT t.source, COUNT(*) AS n_words, SUM(n.n_sym) AS n_tokens
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+      |        FROM documents) t
+      |  JOIN nsym n ON n.w = t.w
+      |  WHERE t.w <> ''
+      |  GROUP BY t.source)
+      |SELECT source, CAST(n_words AS BIGINT) AS n_words,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(round(1e6 * n_tokens / n_words) AS BIGINT) AS tokens_per_word_fp6,
+      |  $mergesExpr AS merges
+      |FROM fert""".stripMargin
+  }
+
   /** c-TF-IDF class labeling (the BERTopic topic-labeling statistic,
     * classes = sources): W(t,c) = tf(t,c) · ln(1 + A / f(t)) with A the
     * mean class token mass and f(t) the corpus term frequency; top-5

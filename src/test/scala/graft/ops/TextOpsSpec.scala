@@ -177,6 +177,23 @@ class TextOpsSpec extends SparkSpec {
     assert(out("B") === (("B", 1L, 2L, 2L, 1000000L, 1500000L)))
   }
 
+  test("BPE learn+encode: hand-traced merges, greedy-left application") {
+    val docs = Seq(
+      (1L, "A", "ab ab ab cd"),
+      (2L, "B", "abc cd xy"),
+      (3L, "C", "aab")
+    ).toDF("doc_id", "source", "text")
+    // round 1: pair (a,b) weight 3(ab)+1(abc)+1(aab)=5 wins → merge a+b
+    //   ab→[ab], abc→[ab,c], aab→[a,ab] (hit consumes position 2 only)
+    // round 2: (c,d) weight 2 beats (ab,c)=1 and (a,ab)=1 → merge c+d
+    val out = TextOps.bpeFertility(docs, rounds = 2)
+      .as[(String, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("A") === (("A", 4L, 4L, 1000000L, "a+b|c+d")))
+    assert(out("B") === (("B", 3L, 5L, 1666667L, "a+b|c+d"))) // abc=2,cd=1,xy=2
+    assert(out("C") === (("C", 1L, 2L, 2000000L, "a+b|c+d"))) // aab→[a,ab]
+  }
+
   test("token novelty: document-frequency stats on a hand corpus") {
     val d = Seq((0L, "a b c"), (1L, "a b"), (2L, "a x"))
       .toDF("doc_id", "text")
