@@ -302,6 +302,54 @@ object DedupQueries {
       |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS rep_id
       |FROM reach GROUP BY id""".stripMargin
 
+  /** Dedup-aware training weights: every document weighted 1/|near-dup
+    * cluster| (singletons = 1) — the soft alternative to dropping
+    * duplicates outright (repeated content contributes ONE document's
+    * worth of gradient in aggregate, preserving coverage while killing
+    * memorization pressure). Clusters from the q62 CC over MinHash
+    * candidates; the weight join adds one count + one co-partitioned join
+    * on the representative key. */
+  def q124DedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cand = Dedup.minhashCandidates(Tables.spread(docs), "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val comp = Dedup.connectedComponents(cand)
+      .select(col("id").as("doc_id"), col("rep").as("rep_id"))
+    val full = docs.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
+    val sizes = full.groupBy(col("rep_id")).agg(count(lit(1)).as("csize"))
+    full.join(sizes, Seq("rep_id"))
+      .select(col("doc_id"), col("rep_id"), col("csize"),
+        round(lit(1e6) / col("csize")).cast("long").as("weight_fp6"))
+  }
+
+  val q124DedupWeightsSql: String =
+    s"""WITH RECURSIVE ${OracleFragments.minhashSigCtes("documents")},
+      |cand AS (
+      |  SELECT s1.doc_id AS id_a, s2.doc_id AS id_b
+      |  FROM sig s1
+      |  JOIN sig s2 ON s1.seed = s2.seed AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) / 8.0 >= 0.5),
+      |sym AS (
+      |  SELECT id_a AS src, id_b AS dst FROM cand
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM cand),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT src, src FROM sym
+      |  UNION
+      |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
+      |comp AS (SELECT id AS doc_id, MIN(r) AS rep_id FROM reach GROUP BY id),
+      |full_docs AS (
+      |  SELECT d.doc_id, COALESCE(c.rep_id, d.doc_id) AS rep_id
+      |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+      |sizes AS (SELECT rep_id, COUNT(*) AS csize FROM full_docs GROUP BY rep_id)
+      |SELECT f.doc_id, CAST(f.rep_id AS BIGINT) AS rep_id,
+      |  CAST(s.csize AS BIGINT) AS csize,
+      |  CAST(round(1e6 / s.csize) AS BIGINT) AS weight_fp6
+      |FROM full_docs f JOIN sizes s USING (rep_id)""".stripMargin
+
   /** Canonical-selection gate ([[graft.ops.Dedup.canonicalByScore]]):
     * q62's duplicate components re-labeled under the keep-longest policy
     * (score = token count, the "most complete version" proxy; tie-break
