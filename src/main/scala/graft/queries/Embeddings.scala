@@ -528,6 +528,66 @@ object Embeddings {
        |FROM r WHERE rn <= 10""".stripMargin
   }
 
+  /** Metadata-FILTERED vector search: the q35 IVF serving path with a
+    * label predicate (label ≤ 2) applied to the posting side BEFORE
+    * ranking — pre-filtering, the semantics a retrieval stack needs when
+    * the query carries an access or freshness constraint. The codebook is
+    * the UNCHANGED q35 artifact (trained on the full corpus, served
+    * filtered — the production shape: one index, many predicates); the
+    * filter prunes the bucket scan, so selective predicates make the
+    * search CHEAPER, never a post-rank re-query. Oracle replays training,
+    * probing, and the filtered rerank. */
+  def q125FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val v = vectors(spark, dir)
+    val q = v.filter(col("id") < 3).select(col("id").as("qid"), col("vec").as("qvec"))
+    val cents = Similarity.centroidCodebook(v, ivfArtifactPath(spark, dir),
+      k = 16, iters = 2, init = "sample")
+    val allowed = v.join(
+      e.filter(col("label") <= 2).select(col("vec_id").as("id")), Seq("id"), "left_semi")
+    Similarity.ivfTopK(allowed, q, 10, cents, nprobe = 4)
+      .withColumnRenamed("id", "neighbor_id")
+  }
+
+  val q125FilteredAnnSql: String = {
+    val seedOrder = s"${OracleFragments.hex8Sql("vec_id::VARCHAR || '#ivf'")}, vec_id"
+    s"""WITH seed AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY $seedOrder) - 1 AS BIGINT) AS cid,
+       |    embedding::DOUBLE[] AS cvec
+       |  FROM embeddings
+       |  ORDER BY $seedOrder LIMIT 16),
+       |${lloydCtes(1, "seed")},
+       |${lloydCtes(2, "c1")},
+       |asg3 AS (
+       |  SELECT id, cid FROM (
+       |    SELECT e.vec_id AS id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY -list_dot_product(e.embedding::DOUBLE[], c.cvec), c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c)
+       |  WHERE rn = 1),
+       |buckets AS (
+       |  SELECT a.id, a.cid, e.embedding::DOUBLE[] AS vec,
+       |    sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS norm
+       |  FROM asg3 a JOIN embeddings e ON e.vec_id = a.id
+       |  WHERE e.label <= 2),
+       |probes AS (
+       |  SELECT qid, qvec, cid, sqrt(list_dot_product(qvec, qvec)) AS qnorm FROM (
+       |    SELECT e.vec_id AS qid, e.embedding::DOUBLE[] AS qvec, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY -list_dot_product(e.embedding::DOUBLE[], c.cvec), c.cid) AS pr
+       |    FROM embeddings e CROSS JOIN c2 c WHERE e.vec_id < 3)
+       |  WHERE pr <= 4),
+       |cand AS (
+       |  SELECT p.qid, b.id,
+       |    list_dot_product(b.vec, p.qvec) / (b.norm * p.qnorm) AS sim
+       |  FROM buckets b JOIN probes p USING (cid) WHERE b.id <> p.qid),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
+       |  FROM cand)
+       |SELECT qid, CAST(rn AS BIGINT) AS rank, id AS neighbor_id, sim
+       |FROM r WHERE rn <= 10""".stripMargin
+  }
+
   /** Approximate top-k via random-hyperplane LSH (the scale path). The
     * md5-derived signatures made this oracle-expressible: the SQL rebuilds
     * the same candidate buckets and re-ranks with exact cosine. */
