@@ -106,6 +106,76 @@ object MixQueries {
       |GROUP BY 1, 2
       |HAVING COUNT(*)/8.0 >= 0.5""".stripMargin
 
+  /** Tiered contamination REPORT — q53's exact 5-gram tier and q89's
+    * fuzzy MinHash tier combined into one per-document verdict over the
+    * corpus slice: 'exact' (any shared benchmark 5-gram), else 'fuzzy'
+    * (max est-Jaccard vs any benchmark doc ≥ 0.5), else 'clean'. This is
+    * the decontamination decision table a training run actually consumes;
+    * both tiers reuse their gate-certified constructions, and the fuzzy
+    * tier keeps ALL candidate pairs (no threshold) so the report carries
+    * the borderline max_est evidence, not just the binary call. */
+  def q126ContamReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") >= 50)
+    val exact = TrainingMix.contamination(
+        corpus, docs.filter(col("doc_id") < 50), "doc_id", "text", n = 5)
+      .withColumnRenamed("id", "doc_id")
+    val spread = Tables.spread(docs)
+    val fuzzy = graft.ops.Dedup.minhashCrossCandidates(
+        spread.filter(col("doc_id") >= 50), spread.filter(col("doc_id") < 50),
+        "doc_id", "text")
+      .groupBy(col("corpus_id").as("doc_id"))
+      .agg(max(col("est_jaccard")).as("max_est"))
+    corpus.select(col("doc_id"), col("source"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(fuzzy, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("max_est"), lit(0.0)).as("max_est"),
+        when(col("n_shared") >= 1, lit("exact"))
+          .when(col("max_est") >= 0.5, lit("fuzzy"))
+          .otherwise(lit("clean")).as("verdict"))
+  }
+
+  val q126ContamReportSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+      |         unnest(string_split(text,' ')) AS tok
+      |  FROM documents),
+      |led AS (
+      |  SELECT doc_id, tok,
+      |    lead(tok,1) OVER w AS l1, lead(tok,2) OVER w AS l2,
+      |    lead(tok,3) OVER w AS l3, lead(tok,4) OVER w AS l4
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, tok||' '||l1||' '||l2||' '||l3||' '||l4 AS sh
+      |  FROM led WHERE l4 IS NOT NULL),
+      |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 50),
+      |ex AS (
+      |  SELECT s.doc_id, COUNT(*) AS n_shared
+      |  FROM sh s JOIN bench USING (sh)
+      |  WHERE s.doc_id >= 50
+      |  GROUP BY s.doc_id),
+      |${OracleFragments.minhashSigCtes("documents", p = "m")},
+      |fz AS (
+      |  SELECT doc_id, MAX(est) AS max_est FROM (
+      |    SELECT s1.doc_id AS doc_id, s2.doc_id AS bid, COUNT(*)/8.0 AS est
+      |    FROM msig s1
+      |    JOIN msig s2 ON s1.seed = s2.seed AND s1.mh = s2.mh
+      |    WHERE s1.doc_id >= 50 AND s2.doc_id < 50
+      |    GROUP BY 1, 2)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, d.source,
+      |  CAST(COALESCE(e.n_shared, 0) AS BIGINT) AS n_shared,
+      |  COALESCE(f.max_est, 0.0) AS max_est,
+      |  CASE WHEN COALESCE(e.n_shared, 0) >= 1 THEN 'exact'
+      |       WHEN COALESCE(f.max_est, 0.0) >= 0.5 THEN 'fuzzy'
+      |       ELSE 'clean' END AS verdict
+      |FROM documents d
+      |LEFT JOIN ex e ON e.doc_id = d.doc_id
+      |LEFT JOIN fz f ON f.doc_id = d.doc_id
+      |WHERE d.doc_id >= 50""".stripMargin
+
   /** Curriculum-phase gate ([[TrainingMix.curriculumPhases]]): documents
     * bucketed by exact token-count quartiles — short (easy) docs phase 0,
     * longest quartile phase 3. Counts per (source, phase) certify every
