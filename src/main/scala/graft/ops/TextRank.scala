@@ -98,6 +98,78 @@ object TextRank {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_fp6"))
   }
 
+  /** Graded-relevance cap for [[ndcgAtK]]: term-frequency-derived labels
+    * saturate at this grade (the usual 0..4 editorial scale). */
+  val MaxRel = 4L
+
+  /** Rank-position discounts 1/log2(r+1) for r = 1..k, computed ONCE on
+    * the driver. Embedding these as literals on BOTH engines (a broadcast
+    * lookup here, a VALUES list in the oracle) removes the only
+    * transcendental from the nDCG expression tree — no runtime log2 whose
+    * last ulp could differ between Java's Math.log and DuckDB's libm. */
+  def ndcgDiscounts(k: Int): Seq[(Long, Double)] =
+    (1 to k).map(r => (r.toLong, 1.0 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** nDCG@k evaluation of the [[bm25TopK]] ranking — the standard offline
+    * retrieval-quality metric (Järvelin & Kekäläinen 2002), run here with
+    * deterministic graded relevance derived from the corpus itself:
+    * rel(q, d) = min(total occurrences of q's terms in d, [[MaxRel]]).
+    * A retrieval/RAG pipeline runs exactly this shape of job to regression-
+    * test its index after every rebuild; swapping the qrels source for a
+    * human-labeled table changes one join input, not the plan.
+    *
+    * Scale shape: the relevance table is the semi-join-pruned token stream
+    * aggregated per (query, doc) — the same bounded intermediate bm25TopK
+    * already builds; DCG/IDCG are k-row-per-query window aggregations.
+    * Nothing here scans the corpus a second time beyond the token pass.
+    *
+    * Determinism: gains (2^rel − 1) are exact integers, discounts are
+    * shared literals, per-rank contributions round to 1e-9 fixed-point
+    * longs before the per-query sum, and the final ratio is one double
+    * division — hash-stable cross-engine.
+    *
+    * @return (query_id, dcg_fp9, idcg_fp9, ndcg_fp6)
+    */
+  def ndcgAtK(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val tok = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val rel = tok
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(least(count(lit(1)), lit(MaxRel)).as("rel"))
+    val disc = ndcgDiscounts(k).toDF("rank", "disc")
+    // gain 2^rel − 1 as an exact integer (shiftleft, not pow: no float;
+    // expr form — the Scala shiftleft helper only takes a literal shift)
+    val gain = (expr("shiftleft(1L, cast(rel as int))") - lit(1L)).cast("double")
+    val contrib = round(gain * col("disc") * lit(1e9)).cast("long")
+
+    val sys = bm25TopK(docs, queries, idCol, textCol, k)
+      .join(rel, Seq("query_id", "doc_id"), "left")
+      .na.fill(0L, Seq("rel"))
+      .join(broadcast(disc), Seq("rank"))
+      .groupBy(col("query_id")).agg(sum(contrib).as("dcg_fp9"))
+
+    val wIdeal = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("doc_id"))
+    val idcg = rel
+      .withColumn("rank", row_number().over(wIdeal).cast("long"))
+      .filter(col("rank") <= k)
+      .join(broadcast(disc), Seq("rank"))
+      .groupBy(col("query_id")).agg(sum(contrib).as("idcg_fp9"))
+
+    sys.join(idcg, Seq("query_id"))
+      .select(col("query_id"), col("dcg_fp9"), col("idcg_fp9"),
+        round(col("dcg_fp9").cast("double") / col("idcg_fp9") * lit(1e6))
+          .cast("long").as("ndcg_fp6"))
+  }
+
   /** TextRank damping factor (Mihalcea & Tarau 2004 use PageRank's 0.85). */
   val Damping = 0.85
 

@@ -729,4 +729,40 @@ object DedupQueries {
       |  COUNT(*) AS cnt
       |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
       |GROUP BY 1, 2""".stripMargin
+
+  /** q127: blocked entity resolution over the part catalog — candidate
+    * pairs only within (brand, size-bucket, type-word) blocks, scored by
+    * normalized Levenshtein similarity on the full name, matched at
+    * ≥ 0.6. The record-linkage counterpart of document dedup: same-entity
+    * listings under slightly different names. Blocking bounds pair work
+    * to Σ_b n_b² (max block 9 at sf0.1 — measured); the threshold is
+    * applied to the fixed-point score so no float boundary can flip a
+    * row cross-engine. See [[graft.ops.EntityRes]] for the scale shape. */
+  def q127EntityMatch(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select(
+      col("p_partkey").as("id"),
+      lower(col("p_name")).as("name"),
+      col("p_brand").as("brand"),
+      element_at(split(lower(col("p_name")), " "), 2).as("blk_word"),
+      floor(col("p_size") / 10).as("blk_size"))
+    graft.ops.EntityRes.blockedMatches(
+      p, "id", "name", Seq("brand", "blk_word", "blk_size"), minSim = 0.6)
+  }
+
+  val q127EntityMatchSql: String =
+    """WITH recs AS (
+      |  SELECT p_partkey AS id, lower(p_name) AS name, p_brand AS brand,
+      |    split_part(lower(p_name), ' ', 2) AS blk_word,
+      |    CAST(floor(p_size / 10) AS BIGINT) AS blk_size
+      |  FROM part)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST(round((1.0 - CAST(levenshtein(a.name, b.name) AS DOUBLE)
+      |    / greatest(length(a.name), length(b.name))) * 1000000.0) AS BIGINT)
+      |    AS sim_fp6
+      |FROM recs a JOIN recs b
+      |  ON a.brand = b.brand AND a.blk_word = b.blk_word
+      | AND a.blk_size = b.blk_size AND a.id < b.id
+      |WHERE CAST(round((1.0 - CAST(levenshtein(a.name, b.name) AS DOUBLE)
+      |    / greatest(length(a.name), length(b.name))) * 1000000.0) AS BIGINT)
+      |  >= 600000""".stripMargin
 }

@@ -875,4 +875,49 @@ object Embeddings {
       |  CAST(COUNT(ap.id) AS DOUBLE) / 10.0 AS recall_at_10
       |FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.id = ex.id
       |GROUP BY ex.qid""".stripMargin
+
+  /** q131: per-dimension embedding column profile — n / mean / min / max
+    * for every coordinate. The health check an embedding pipeline runs
+    * after every encoder change or ingest batch: a collapsed dimension
+    * (≈0 variance), a mis-scaled batch, or a NaN-poisoned coordinate all
+    * surface here before they silently break every downstream ANN/dedup
+    * job. Scale shape: posexplode fans out n·d rows but partial
+    * aggregation reduces them to d partials per task BEFORE the shuffle —
+    * the exchange carries only (dim × tasks) rows; d tiny groups would
+    * skew a naive plan but the map-side combine makes the reduce trivial.
+    * Determinism: float32→double widening is exact; per-value 1e-9
+    * fixed-point longs make the sum order-free; mean is one double
+    * division chain mirrored in the oracle. */
+  def q131DimStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    e.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"), col("v").cast("double").as("v"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("v") * lit(1e9)).cast("long")).as("sum_fp9"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .select(col("dim"), col("n"), col("sum_fp9"),
+        round(col("sum_fp9").cast("double") / col("n") / lit(1000.0))
+          .cast("long").as("mean_fp6"),
+        col("min_v"), col("max_v"))
+  }
+
+  val q131DimStatsSql: String =
+    """WITH vals AS (
+      |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |agg AS (
+      |  SELECT dim, COUNT(*) AS n,
+      |    CAST(SUM(CAST(round(v * 1000000000.0) AS BIGINT)) AS BIGINT)
+      |      AS sum_fp9,
+      |    MIN(v) AS min_v, MAX(v) AS max_v
+      |  FROM vals GROUP BY dim)
+      |SELECT dim, n, sum_fp9,
+      |  CAST(round(CAST(sum_fp9 AS DOUBLE) / n / 1000.0) AS BIGINT)
+      |    AS mean_fp6,
+      |  min_v, max_v
+      |FROM agg""".stripMargin
 }

@@ -306,4 +306,110 @@ object Events {
       |  COUNT(DISTINCT e.user_id) AS n_users
       |FROM events e JOIN cohort c USING (user_id)
       |GROUP BY 1, 2""".stripMargin
+
+  /** q129: HOPPING (sliding) event-time windows — 6-hour windows every
+    * 3 hours, so each event lands in exactly duration/slide = 2 windows.
+    * The overlapping complement of q13's tumbling gate; identical
+    * transform under Structured Streaming (Spark's `window()` is the
+    * same expression in both modes). The oracle replays Spark's
+    * epoch-aligned window assignment arithmetically: the covering window
+    * starts are floor(epoch/slide)·slide − i·slide for i ∈ {0,1}.
+    * Scale shape: `window()` expands each row to 2 window rows BEFORE
+    * the partial aggregation, so the shuffle carries only (window, type)
+    * partial sums — never the 2× row expansion. */
+  def q129Hopping(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(window(col("ts"), "6 hours", "3 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+
+  val q129HoppingSql: String =
+    """SELECT strftime(
+      |    TIMESTAMP '1970-01-01 00:00:00'
+      |      + (CAST(floor(epoch(ts) / 10800) AS BIGINT) * 10800
+      |         - i.i * 10800) * INTERVAL 1 SECOND,
+      |    '%Y-%m-%d %H:%M') AS window_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) i
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q132: item-item co-occurrence similarity ("users who touched A also
+    * touched B") over the event stream — the item-based collaborative-
+    * filtering neighborhood build (Sarwar et al. 2001). Items are the
+    * `props.k` values; the CRITICAL scale move is the per-user item cap
+    * BEFORE pair generation: each user contributes at most cap·(cap−1)/2
+    * pairs (cap = 20, picked by interaction count with a deterministic
+    * tie-break), so pair volume is O(users · cap²) — never corpus² —
+    * and heavy users (the power-law tail that breaks naive CF at scale)
+    * are exactly the ones truncated. Jaccard over capped item-user sets;
+    * top-5 neighbors per item, both directions of each pair. */
+  def q132Cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val ui = e.select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .groupBy(col("user_id"), col("item")).agg(count(lit(1)).as("cnt"))
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("cnt").desc, col("item"))
+    val capped = ui.withColumn("rn", row_number().over(wCap))
+      .filter(col("rn") <= 20).select(col("user_id"), col("item"))
+    val sizes = capped.groupBy(col("item")).agg(count(lit(1)).as("n_u"))
+    val inter = capped.select(col("user_id"), col("item").as("item_a"))
+      .join(capped.select(col("user_id"), col("item").as("item_b")), Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("inter"))
+    val scored = inter
+      .join(broadcast(sizes.select(col("item").as("item_a"), col("n_u").as("n_a"))), Seq("item_a"))
+      .join(broadcast(sizes.select(col("item").as("item_b"), col("n_u").as("n_b"))), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("inter"),
+        (col("n_a") + col("n_b") - col("inter")).as("union_n"))
+    val sym = scored.select(col("item_a").as("item"), col("item_b").as("neighbor"),
+        col("inter"), col("union_n"))
+      .unionAll(scored.select(col("item_b").as("item"), col("item_a").as("neighbor"),
+        col("inter"), col("union_n")))
+      .withColumn("jacc_fp6",
+        round(col("inter").cast("double") * lit(1e6) / col("union_n")).cast("long"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item")).orderBy(col("jacc_fp6").desc, col("neighbor"))
+    sym.withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("item"), col("rank"), col("neighbor"), col("inter"),
+        col("union_n"), col("jacc_fp6"))
+  }
+
+  val q132CooccurrenceSql: String =
+    """WITH ui AS (
+      |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |capped AS (
+      |  SELECT user_id, item FROM ui
+      |  QUALIFY row_number() OVER (PARTITION BY user_id
+      |    ORDER BY cnt DESC, item) <= 20),
+      |sizes AS (SELECT item, COUNT(*) AS n_u FROM capped GROUP BY item),
+      |inter AS (
+      |  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS inter
+      |  FROM capped a JOIN capped b ON a.user_id = b.user_id
+      |  WHERE a.item < b.item GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT i.item_a, i.item_b, i.inter,
+      |    sa.n_u + sb.n_u - i.inter AS union_n
+      |  FROM inter i
+      |  JOIN sizes sa ON sa.item = i.item_a
+      |  JOIN sizes sb ON sb.item = i.item_b),
+      |sym AS (
+      |  SELECT item_a AS item, item_b AS neighbor, inter, union_n FROM scored
+      |  UNION ALL
+      |  SELECT item_b AS item, item_a AS neighbor, inter, union_n FROM scored)
+      |SELECT item, CAST(row_number() OVER (PARTITION BY item
+      |    ORDER BY CAST(round(CAST(inter AS DOUBLE) * 1000000.0 / union_n)
+      |      AS BIGINT) DESC, neighbor) AS BIGINT) AS rank,
+      |  neighbor, inter, union_n,
+      |  CAST(round(CAST(inter AS DOUBLE) * 1000000.0 / union_n) AS BIGINT)
+      |    AS jacc_fp6
+      |FROM sym
+      |QUALIFY rank <= 5""".stripMargin
 }

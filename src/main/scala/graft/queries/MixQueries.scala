@@ -380,4 +380,60 @@ object MixQueries {
       |  rn // 8 AS seq, rn % 8 AS slot, cap - tokens AS pad
       |FROM r""".stripMargin
   }
+
+  /** q130: per-source rank-normalized quality blend — raw quality signals
+    * (length, lexical diversity) are incomparable across sources (a long
+    * web page and a long code file mean different things), so curation
+    * pipelines rank-normalize each signal WITHIN its source
+    * (percent_rank), blend the normalized ranks, and take the top slice
+    * per source. Selection thresholds on the fixed-point blend keep every
+    * comparison integer-exact cross-engine. Scale shape: both windows
+    * share one `source` hash-partitioning (one shuffle, two in-partition
+    * sorts), and the final per-source top-k is a WindowGroupLimit —
+    * no global sort anywhere. */
+  def q130QualityBlend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val base = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      size(toks).cast("long").as("n_tokens"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("diversity"))
+    val wLen = Window.partitionBy(col("source")).orderBy(col("n_tokens"))
+    val wDiv = Window.partitionBy(col("source")).orderBy(col("diversity"))
+    val blended = base
+      .withColumn("pr_len", percent_rank().over(wLen))
+      .withColumn("pr_div", percent_rank().over(wDiv))
+      .withColumn("blend_fp6",
+        round((lit(0.5) * col("pr_len") + lit(0.5) * col("pr_div")) * lit(1e6))
+          .cast("long"))
+    val wTop = Window.partitionBy(col("source"))
+      .orderBy(col("blend_fp6").desc, col("doc_id"))
+    blended.withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("source"), col("rank"), col("doc_id"), col("blend_fp6"))
+  }
+
+  val q130QualityBlendSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS diversity
+      |  FROM documents),
+      |pr AS (
+      |  SELECT doc_id, source,
+      |    percent_rank() OVER (PARTITION BY source ORDER BY n_tokens) AS pr_len,
+      |    percent_rank() OVER (PARTITION BY source ORDER BY diversity) AS pr_div
+      |  FROM base),
+      |blended AS (
+      |  SELECT doc_id, source,
+      |    CAST(round((0.5 * pr_len + 0.5 * pr_div) * 1000000.0) AS BIGINT)
+      |      AS blend_fp6
+      |  FROM pr)
+      |SELECT source,
+      |  CAST(row_number() OVER (PARTITION BY source
+      |    ORDER BY blend_fp6 DESC, doc_id) AS BIGINT) AS rank,
+      |  doc_id, blend_fp6
+      |FROM blended
+      |QUALIFY rank <= 10""".stripMargin
 }

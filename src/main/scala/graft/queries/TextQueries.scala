@@ -879,4 +879,50 @@ object TextQueries {
       |  CAST(round(1e6 * a.n_oov / a.n_tokens) AS BIGINT) AS oov_rate_fp6,
       |  CAST(round(1e6 * d.n_chars / a.n_tokens) AS BIGINT) AS chars_per_token_fp6
       |FROM docstats d JOIN agg a USING (source)""".stripMargin
+
+  /** q128: nDCG@10 evaluation of the q76 BM25 ranking against corpus-
+    * derived graded relevance (rel = min(query-term occurrences, 4)) —
+    * the standard offline retrieval-quality regression a RAG/search
+    * pipeline runs after every index rebuild. The oracle replays the
+    * whole chain: the BM25 ranking (shared [[bm25Ctes]]), the qrels
+    * derivation, and the DCG/IDCG sums with the SAME driver-computed
+    * discount literals (no runtime log2 on either engine — see
+    * [[graft.ops.TextRank.ndcgDiscounts]]). */
+  def q128Ndcg(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextRank.ndcgAtK(
+      Tables.documents(spark, dir), Bm25Queries, "doc_id", "text", k = 10)
+
+  val q128NdcgSql: String = {
+    val discVals = graft.ops.TextRank.ndcgDiscounts(10)
+      .map { case (r, d) => s"($r, ${java.lang.Double.toString(d)})" }
+      .mkString(", ")
+    s"""WITH ${bm25Ctes(10)},
+      |disc(rank, disc) AS (VALUES $discVals),
+      |rel AS (
+      |  SELECT query_id, doc_id, CAST(least(SUM(tf), 4) AS BIGINT) AS rel
+      |  FROM tf GROUP BY 1, 2),
+      |sysd AS (
+      |  SELECT l.query_id,
+      |    CAST(SUM(CAST(round(CAST((1 << COALESCE(r.rel, 0)) - 1 AS DOUBLE)
+      |      * d.disc * 1000000000.0) AS BIGINT)) AS BIGINT) AS dcg_fp9
+      |  FROM lex l
+      |  LEFT JOIN rel r ON r.query_id = l.query_id AND r.doc_id = l.doc_id
+      |  JOIN disc d ON d.rank = l.rank
+      |  GROUP BY 1),
+      |ideal AS (
+      |  SELECT query_id, rel,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rel DESC, doc_id) AS rank
+      |  FROM rel QUALIFY rank <= 10),
+      |idcg AS (
+      |  SELECT i.query_id,
+      |    CAST(SUM(CAST(round(CAST((1 << i.rel) - 1 AS DOUBLE)
+      |      * d.disc * 1000000000.0) AS BIGINT)) AS BIGINT) AS idcg_fp9
+      |  FROM ideal i JOIN disc d ON d.rank = i.rank
+      |  GROUP BY 1)
+      |SELECT s.query_id, s.dcg_fp9, i.idcg_fp9,
+      |  CAST(round(CAST(s.dcg_fp9 AS DOUBLE) / i.idcg_fp9 * 1000000.0)
+      |    AS BIGINT) AS ndcg_fp6
+      |FROM sysd s JOIN idcg i USING (query_id)""".stripMargin
+  }
 }

@@ -127,4 +127,36 @@ class TextRankSpec extends SparkSpec {
       .collect().toSet[Row]
     assert(a === b && a.size === 3)
   }
+
+  test("ndcgAtK: hand-computed DCG/IDCG on a 2-doc ranking") {
+    import spark.implicits._
+    // rel(q1): doc1 = common(1) + rare(1) = 2; doc2..3 = 1; doc4 = min(7,4)=4
+    val got = TextRank.ndcgAtK(corpus(), Seq(1L -> Seq("rare", "common")),
+        "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 1)
+    val disc = TextRank.ndcgDiscounts(10).toMap
+    def c(rel: Long, rank: Long): Long =
+      math.round(((1L << rel) - 1).toDouble * disc(rank) * 1e9)
+    // system ranking (from the bm25 spec above): doc1, doc4, doc3, doc2
+    val dcg = c(2, 1) + c(4, 2) + c(1, 3) + c(1, 4)
+    // ideal: rel desc, doc_id asc → doc4(4), doc1(2), doc2(1), doc3(1)
+    val idcg = c(4, 1) + c(2, 2) + c(1, 3) + c(1, 4)
+    val ndcg = math.round(dcg.toDouble / idcg * 1e6)
+    assert(got.head == ((1L, dcg, idcg, ndcg)))
+  }
+
+  test("ndcgAtK is 1.0 when the system ranking is the ideal ranking") {
+    import spark.implicits._
+    // single term, tf-ordered docs of equal length: bm25 ranks by tf,
+    // rel is capped tf → system order == ideal order
+    val docs = Seq(
+      (1L, "t t t t x x x x"),
+      (2L, "t t t x x x x x"),
+      (3L, "t x x x x x x x")).toDF("doc_id", "text")
+    val got = TextRank.ndcgAtK(docs, Seq(7L -> Seq("t")), "doc_id", "text", k = 5)
+      .collect().head
+    assert(got.getLong(3) == 1000000L)
+    assert(got.getLong(1) == got.getLong(2))
+  }
 }
