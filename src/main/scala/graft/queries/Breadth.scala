@@ -231,4 +231,31 @@ object Breadth {
       |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
       |FROM orders
       |GROUP BY nullif(o_orderstatus, 'P')""".stripMargin
+
+  /** q133: skyline (Pareto frontier) over the part catalog — parts where
+    * no other part is both cheaper and larger (min price, max size with
+    * one strict). The classic multi-criteria shortlist operator
+    * (Börzsönyi et al. 2001). The engine runs the distributed two-level
+    * prefix-max ([[graft.ops.Skyline]] — no global sort); the oracle runs
+    * the semantically-identical single-window form, so the gate also
+    * certifies the scan decomposition. Comparisons only — no float
+    * arithmetic to mirror. */
+  def q133Skyline(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Skyline.skyline2D(
+      Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"), col("p_size")),
+      costCol = "p_retailprice", gainCol = "p_size",
+      bucketOf = c => floor(c / 100))
+
+  val q133SkylineSql: String =
+    """WITH percost AS (
+      |  SELECT p_retailprice AS c, MAX(p_size) AS mg
+      |  FROM part GROUP BY 1),
+      |pref AS (
+      |  SELECT c, mg, MAX(mg) OVER (ORDER BY c
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM percost)
+      |SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+      |FROM part p JOIN pref f ON p.p_retailprice = f.c
+      |WHERE p.p_size = f.mg AND (f.pm IS NULL OR f.pm < p.p_size)""".stripMargin
 }

@@ -347,7 +347,11 @@ object Events {
     * and heavy users (the power-law tail that breaks naive CF at scale)
     * are exactly the ones truncated. Jaccard over capped item-user sets;
     * top-5 neighbors per item, both directions of each pair. */
-  def q132Cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-user capped (user, item) interactions and their co-occurrence
+    * pair counts — shared by q132 (CF neighborhoods) and q134 (community
+    * detection); the per-user cap is what bounds pair volume. */
+  private def cappedItemPairs(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val e = Tables.events(spark, dir)
     val ui = e.select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("long").as("item"))
@@ -356,11 +360,31 @@ object Events {
       .partitionBy(col("user_id")).orderBy(col("cnt").desc, col("item"))
     val capped = ui.withColumn("rn", row_number().over(wCap))
       .filter(col("rn") <= 20).select(col("user_id"), col("item"))
-    val sizes = capped.groupBy(col("item")).agg(count(lit(1)).as("n_u"))
     val inter = capped.select(col("user_id"), col("item").as("item_a"))
       .join(capped.select(col("user_id"), col("item").as("item_b")), Seq("user_id"))
       .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("inter"))
+    (capped, inter)
+  }
+
+  /** The q132/q134 shared oracle CTEs: `ui`, `capped`, `inter`. */
+  private val cappedPairCtes: String =
+    """ui AS (
+      |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |capped AS (
+      |  SELECT user_id, item FROM ui
+      |  QUALIFY row_number() OVER (PARTITION BY user_id
+      |    ORDER BY cnt DESC, item) <= 20),
+      |inter AS (
+      |  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS inter
+      |  FROM capped a JOIN capped b ON a.user_id = b.user_id
+      |  WHERE a.item < b.item GROUP BY 1, 2)""".stripMargin
+
+  def q132Cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val (capped, inter) = cappedItemPairs(spark, dir)
+    val sizes = capped.groupBy(col("item")).agg(count(lit(1)).as("n_u"))
     val scored = inter
       .join(broadcast(sizes.select(col("item").as("item_a"), col("n_u").as("n_a"))), Seq("item_a"))
       .join(broadcast(sizes.select(col("item").as("item_b"), col("n_u").as("n_b"))), Seq("item_b"))
@@ -381,19 +405,8 @@ object Events {
   }
 
   val q132CooccurrenceSql: String =
-    """WITH ui AS (
-      |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
-      |    COUNT(*) AS cnt
-      |  FROM events GROUP BY 1, 2),
-      |capped AS (
-      |  SELECT user_id, item FROM ui
-      |  QUALIFY row_number() OVER (PARTITION BY user_id
-      |    ORDER BY cnt DESC, item) <= 20),
+    s"""WITH $cappedPairCtes,
       |sizes AS (SELECT item, COUNT(*) AS n_u FROM capped GROUP BY item),
-      |inter AS (
-      |  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS inter
-      |  FROM capped a JOIN capped b ON a.user_id = b.user_id
-      |  WHERE a.item < b.item GROUP BY 1, 2),
       |scored AS (
       |  SELECT i.item_a, i.item_b, i.inter,
       |    sa.n_u + sb.n_u - i.inter AS union_n
@@ -412,4 +425,89 @@ object Events {
       |    AS jacc_fp6
       |FROM sym
       |QUALIFY rank <= 5""".stripMargin
+
+  /** q134: weighted label-propagation communities over the q132 item
+    * co-occurrence graph (edges = capped pair counts ≥ 2, both
+    * directions) — 3 synchronous rounds, min-label tie-break. The
+    * community layer above q132's per-item neighbor lists: which item
+    * clusters move together. The oracle unrolls the same three rounds as
+    * chained CTEs (the q77 PageRank discipline). See
+    * [[graft.ops.LabelProp]] for the per-round scale shape. */
+  def q134Communities(spark: SparkSession, dir: String): DataFrame = {
+    val (capped, inter) = cappedItemPairs(spark, dir)
+    val heavy = inter.filter(col("inter") >= 2)
+    val edges = heavy
+      .select(col("item_a").as("src"), col("item_b").as("dst"), col("inter").as("w"))
+      .unionAll(heavy
+        .select(col("item_b").as("src"), col("item_a").as("dst"), col("inter").as("w")))
+    val nodes = capped.select(col("item").as("node")).distinct()
+    graft.ops.LabelProp.propagate(edges, nodes, iters = 3)
+      .select(col("node").as("item"), col("label").as("community"))
+  }
+
+  val q134CommunitiesSql: String = {
+    def round(i: Int): String = {
+      val prev = s"l${i - 1}"
+      s"""u$i AS (
+        |  SELECT e.src AS node, l.label, SUM(e.w) AS wsum
+        |  FROM edges e JOIN $prev l ON l.node = e.dst GROUP BY 1, 2),
+        |b$i AS (
+        |  SELECT node, label FROM u$i
+        |  QUALIFY row_number() OVER (PARTITION BY node
+        |    ORDER BY wsum DESC, label) = 1),
+        |l$i AS (
+        |  SELECT p.node, COALESCE(b.label, p.label) AS label
+        |  FROM $prev p LEFT JOIN b$i b USING (node))""".stripMargin
+    }
+    s"""WITH $cappedPairCtes,
+      |heavy AS (SELECT * FROM inter WHERE inter >= 2),
+      |edges AS (
+      |  SELECT item_a AS src, item_b AS dst, inter AS w FROM heavy
+      |  UNION ALL
+      |  SELECT item_b AS src, item_a AS dst, inter AS w FROM heavy),
+      |l0 AS (
+      |  SELECT item AS node, item AS label
+      |  FROM (SELECT DISTINCT item FROM capped)),
+      |${round(1)},
+      |${round(2)},
+      |${round(3)}
+      |SELECT node AS item, label AS community FROM l3""".stripMargin
+  }
+
+  /** q135: first-order Markov transition matrix over per-user event
+    * sequences — P(next event type | current type), the sequence-level
+    * audit (and feature) behind session modeling and next-action
+    * prediction. One lead() window over the user/time ordering (the q15
+    * sessionize partitioning), one (from, to) aggregate; the row-
+    * probability is a window sum over the 5×5 transition table — nothing
+    * after the lead touches corpus-sized data. */
+  def q135Transitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val wSeq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = e
+      .withColumn("to_type", lead(col("event_type"), 1).over(wSeq))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wTot = Window.partitionBy(col("from_type"))
+    trans.select(col("from_type"), col("to_type"), col("n"),
+      round(col("n").cast("double") * lit(1e6) / sum(col("n")).over(wTot))
+        .cast("long").as("p_fp6"))
+  }
+
+  val q135TransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |trans AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(round(CAST(n AS DOUBLE) * 1000000.0
+      |    / SUM(n) OVER (PARTITION BY from_type)) AS BIGINT) AS p_fp6
+      |FROM trans""".stripMargin
 }

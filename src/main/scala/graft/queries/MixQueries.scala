@@ -436,4 +436,45 @@ object MixQueries {
       |  doc_id, blend_fp6
       |FROM blended
       |QUALIFY rank <= 10""".stripMargin
+
+  /** q136: signal-calibration report — duplicate rate per lexical-
+    * diversity band. The sanity check behind every heuristic quality
+    * filter: does the cheap signal (distinct-token ratio) actually
+    * separate the behavior it claims to proxy (exact duplication)?
+    * Bucketing is a pure row-local projection (floor of an exact
+    * integer-ratio double — no global ntile sort, so it scales as a
+    * projection); duplicate flags come from one md5 groupBy (the q16
+    * pipeline); the report is a 10-row aggregate. */
+  def q136Calibration(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      md5(col("text")).as("h"),
+      least(floor(
+        (size(array_distinct(toks)).cast("double") / size(toks)) * lit(10)),
+        lit(9L)).cast("long").as("band"))
+    val dupCnt = d.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    d.join(dupCnt, Seq("h"))
+      .withColumn("is_dup", (col("c") > 1).cast("long"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), sum(col("is_dup")).as("n_dup"))
+      .select(col("band"), col("n"), col("n_dup"),
+        round(col("n_dup").cast("double") * lit(1e6) / col("n"))
+          .cast("long").as("dup_rate_fp6"))
+  }
+
+  val q136CalibrationSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, md5(text) AS h,
+      |    CAST(least(floor(
+      |      (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |        / len(string_split(text, ' '))) * 10), 9) AS BIGINT) AS band
+      |  FROM documents),
+      |dupcnt AS (SELECT h, COUNT(*) AS c FROM d GROUP BY h)
+      |SELECT band, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  CAST(round(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    * 1000000.0 / COUNT(*)) AS BIGINT) AS dup_rate_fp6
+      |FROM d JOIN dupcnt USING (h)
+      |GROUP BY band""".stripMargin
 }

@@ -408,4 +408,84 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(2000))
   }
+
+  test("q127: blocked ER is one equi-join on the blocking key — never all-pairs") {
+    val p = planOf(DedupQueries.q127EntityMatch(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation degraded to all-pairs:\n${p.take(2000)}")
+  }
+
+  test("q128: nDCG joins broadcast the query/discount sides; no nested-loop beyond 1-row stats") {
+    val p = planOf(TextQueries.q128Ndcg(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q129: hopping windows partially aggregate BEFORE the exchange") {
+    val p = planOf(Events.q129Hopping(spark, sf))
+    // Expand (2 windows/row) must feed a partial HashAggregate under the
+    // exchange — the shuffle carries (window, type) partials, not rows
+    // plan prints top-down: partial agg must sit BETWEEN the exchange and
+    // the expand (exchange < partialAgg < expand in string order)
+    val expand = p.indexOf("Expand")
+    val partialAgg = p.lastIndexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(expand >= 0, s"no window Expand in plan:\n${p.take(2000)}")
+    assert(exchange < partialAgg && partialAgg < expand,
+      s"no partial aggregate between exchange and expand:\n${p.take(2000)}")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"hopping agg should shuffle once:\n${p.take(2000)}")
+  }
+
+  test("q130: both signal windows share one source partitioning; top-k is WindowGroupLimit") {
+    val p = planOf(MixQueries.q130QualityBlend(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      s"per-source top-k not pushed down:\n${p.take(2000)}")
+    val exchanges = "Exchange hashpartitioning\\(source".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected one shared source exchange, got $exchanges:\n${p.take(2000)}")
+  }
+
+  test("q131: dim stats partial-aggregate under the exchange (d tiny groups)") {
+    val p = planOf(Embeddings.q131DimStats(spark, sf))
+    assert("Exchange".r.findAllIn(p).length == 1, p.take(2000))
+    // partial HashAggregate must sit below the exchange (map-side combine)
+    val ex = p.indexOf("Exchange")
+    assert(p.lastIndexOf("HashAggregate") > ex,
+      s"no map-side combine before the dim shuffle:\n${p.take(2000)}")
+  }
+
+  test("q132: item sizes broadcast; per-user cap is WindowGroupLimit; no all-pairs") {
+    val p = planOf(Events.q132Cooccurrence(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"),
+      s"per-user cap not pushed down:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("q133: skyline never nest-loops; the bucket carry broadcasts back") {
+    val p = planOf(Breadth.q133Skyline(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"skyline degraded to all-pairs dominance:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket carry not broadcast:\n${p.take(2000)}")
+  }
+
+  test("q134: label-prop rounds serve edges from the persist barrier; argmax pushed down") {
+    val p = planOf(Events.q134Communities(spark, sf))
+    assert(p.contains("InMemoryTableScan"),
+      s"edge table re-derived per round:\n${p.take(2000)}")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-node argmax not pushed down:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("q135: transitions are one user-partitioned lead window + tiny aggregates") {
+    val p = planOf(Events.q135Transitions(spark, sf))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).nonEmpty,
+      s"lead window not user-partitioned:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
