@@ -358,8 +358,12 @@ object Events {
       .groupBy(col("user_id"), col("item")).agg(count(lit(1)).as("cnt"))
     val wCap = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("cnt").desc, col("item"))
+    // persist: q132 consumes capped three times (sizes + both self-join
+    // sides) and q134 twice more (edges via inter, nodes) — without the
+    // barrier every consumer replays the corpus groupBy + cap window
     val capped = ui.withColumn("rn", row_number().over(wCap))
       .filter(col("rn") <= 20).select(col("user_id"), col("item"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = capped.select(col("user_id"), col("item").as("item_a"))
       .join(capped.select(col("user_id"), col("item").as("item_b")), Seq("user_id"))
       .filter(col("item_a") < col("item_b"))
@@ -510,4 +514,72 @@ object Events {
       |  CAST(round(CAST(n AS DOUBLE) * 1000000.0
       |    / SUM(n) OVER (PARTITION BY from_type)) AS BIGINT) AS p_fp6
       |FROM trans""".stripMargin
+
+  /** q138: telemetry debounce — an event is suppressed when the SAME
+    * (user, type) fired within the preceding 5 minutes (at-least-once
+    * clients and UI double-fires both produce this shape). Lag-based
+    * reference (previous event, kept or not): one window over the
+    * (user_id, event_type) partitioning, microsecond-exact timestamp
+    * arithmetic — no chained keep-state, so the batch form is a pure
+    * window and the streaming form is `dropDuplicatesWithinWatermark`
+    * territory. Report per type: total / kept / suppressed. */
+  def q138Debounce(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("kept",
+        (col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > lit(300L * 1000000))
+          .cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+      .select(col("event_type"), col("n_total"), col("n_kept"),
+        (col("n_total") - col("n_kept")).as("n_suppressed"))
+  }
+
+  val q138DebounceSql: String =
+    """WITH lagged AS (
+      |  SELECT event_type, epoch_us(ts) AS us,
+      |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT event_type,
+      |    CASE WHEN prev_us IS NULL OR us - prev_us > 300000000
+      |      THEN 1 ELSE 0 END AS kept
+      |  FROM lagged)
+      |SELECT event_type, COUNT(*) AS n_total,
+      |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+      |  COUNT(*) - CAST(SUM(kept) AS BIGINT) AS n_suppressed
+      |FROM flagged
+      |GROUP BY event_type""".stripMargin
+
+  /** q139: time-decayed item popularity — the feature-store "recency-
+    * weighted count": each interaction contributes 0.5^(age/7d half-lives)
+    * toward its item's score, so last week's fad and last year's staple
+    * separate cleanly. Determinism: the exponent is an INTEGER number of
+    * half-lives (floor of day-age / 7) against a FIXED reference date, so
+    * 0.5^k is an exact binary double in any engine; per-event weights
+    * round to 1e-9 fixed-point longs and sum exactly. One projection +
+    * one item aggregate — nothing else touches the corpus. */
+  def q139DecayedPopularity(spark: SparkSession, dir: String): DataFrame = {
+    val refDate = lit(java.sql.Date.valueOf("2024-02-01"))
+    val halfLives = floor(datediff(refDate, to_date(col("ts"))) / 7)
+    Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+        round(pow(lit(0.5), halfLives) * lit(1e9)).cast("long").as("w_fp9"))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("n_events"), sum(col("w_fp9")).as("decayed_fp9"))
+  }
+
+  val q139DecayedPopularitySql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(round(pow(0.5, floor(
+      |    date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') / 7))
+      |    * 1000000000.0) AS BIGINT)) AS BIGINT) AS decayed_fp9
+      |FROM events
+      |GROUP BY 1""".stripMargin
 }

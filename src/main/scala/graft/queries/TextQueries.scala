@@ -925,4 +925,64 @@ object TextQueries {
       |    AS BIGINT) AS ndcg_fp6
       |FROM sysd s JOIN idcg i USING (query_id)""".stripMargin
   }
+
+  /** q137: Zipf-slope audit per source — the least-squares slope of
+    * ln(freq) vs ln(rank) over each source's top-200 terms. Natural text
+    * sits near −1; a source drifting far off (template spam, tag soup,
+    * machine-generated filler) flags itself in one number, which makes
+    * this a standard corpus-health panel entry alongside q19/q97.
+    * Scale shape: one (source, term) count (THE corpus shuffle), a
+    * per-source top-200 rank that compiles to WindowGroupLimit, and a
+    * 200-row-per-source regression. Determinism: the two ln() calls are
+    * rounded to 1e-6 fixed-point longs per term, all regression sums are
+    * exact integer sums of their products (magnitudes < 2⁶³ by
+    * construction: |x_fp6| ≤ ln(200)·1e6, 200 terms), and the slope is
+    * one double division of exact integers. */
+  def q137ZipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("freq"))
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("freq").desc, col("tok"))
+    val pts = tf
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 200)
+      .select(col("source"),
+        round(log(col("rank").cast("double")) * lit(1e6)).cast("long").as("x"),
+        round(log(col("freq").cast("double")) * lit(1e6)).cast("long").as("y"))
+    pts.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n_terms"),
+        round((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n_terms") * col("sxx") - col("sx") * col("sx")) * lit(1e6))
+          .cast("long").as("slope_fp6"))
+  }
+
+  val q137ZipfSlopeSql: String =
+    """WITH tf AS (
+      |  SELECT source, tok, COUNT(*) AS freq FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok <> '' GROUP BY 1, 2),
+      |pts AS (
+      |  SELECT source,
+      |    CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+      |    CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+      |  FROM (
+      |    SELECT source, freq,
+      |      CAST(row_number() OVER (PARTITION BY source
+      |        ORDER BY freq DESC, tok) AS BIGINT) AS rank
+      |    FROM tf QUALIFY rank <= 200)),
+      |agg AS (
+      |  SELECT source, COUNT(*) AS n_terms,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM pts GROUP BY source)
+      |SELECT source, n_terms,
+      |  CAST(round(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+      |    / (n_terms * sxx - sx * sx) * 1000000.0) AS BIGINT) AS slope_fp6
+      |FROM agg""".stripMargin
 }

@@ -43,6 +43,18 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Hopping 6-hour/3-hour counts per event type (streaming form of the
+    * batch q129 gate — the identical `window()` expression): each event
+    * contributes to duration/slide = 2 overlapping windows; the 2-hour
+    * watermark finalizes a window once event time passes its end. */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
   /** Session windows per user (30-minute gap), streaming form of the batch
     * q15 gate query. */
   def sessionized(events: DataFrame): DataFrame =

@@ -152,4 +152,24 @@ class EventsStreamSpec extends SparkSpec {
     assert(tws === fmgs)
     assert(tws.nonEmpty)
   }
+
+  test("streaming hopping counts converge to the batch q129 answer") {
+    val (dir, batch) = mkSource()
+    val q = EventsStream.hoppingCounts(EventsStream.read(spark, dir))
+      .writeStream.format("memory").queryName("hopping")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("hopping")
+    val expected = batch
+      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+    // append mode emits only watermark-closed windows; every emitted
+    // window must match the batch count exactly
+    val joined = got.alias("g").join(expected.alias("e"),
+      Seq("window_start", "event_type"))
+    assert(joined.filter(col("g.n_events") =!= col("e.n_events")).isEmpty)
+    assert(got.count() > 0)
+  }
 }
