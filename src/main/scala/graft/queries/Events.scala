@@ -358,12 +358,14 @@ object Events {
       .groupBy(col("user_id"), col("item")).agg(count(lit(1)).as("cnt"))
     val wCap = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("cnt").desc, col("item"))
-    // persist: q132 consumes capped three times (sizes + both self-join
-    // sides) and q134 twice more (edges via inter, nodes) — without the
-    // barrier every consumer replays the corpus groupBy + cap window
+    // NO persist barrier here, by measurement: q132/q134 consume capped
+    // multiple times, but Spark's ReuseExchange already shares the cap
+    // window's exchange across the self-join sides, and an explicit
+    // persist measured SLOWER on both gates (sf0.1 interleaved sweeps:
+    // q132 1.2→2.0-3.4 s, q134 2.1→4.5-4.8 s) — the InMemoryRelation
+    // barrier costs more than the plan reuse it buys
     val capped = ui.withColumn("rn", row_number().over(wCap))
       .filter(col("rn") <= 20).select(col("user_id"), col("item"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = capped.select(col("user_id"), col("item").as("item_a"))
       .join(capped.select(col("user_id"), col("item").as("item_b")), Seq("user_id"))
       .filter(col("item_a") < col("item_b"))
