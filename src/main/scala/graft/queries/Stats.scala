@@ -406,4 +406,66 @@ object Stats {
       |  (n * sum_x2 - sum_x * sum_x) / (n * (n - 1)) AS var_qty,
       |  sqrt((n * sum_x2 - sum_x * sum_x) / (n * (n - 1))) AS stddev_qty
       |FROM g""".stripMargin
+
+  /** q140: rolling 7-day active users (DAU/WAU) by SKETCH COMPOSITION —
+    * one HLL sketch per day, each day's WAU = union of its trailing 7
+    * daily sketches. This is THE pattern that makes rolling distinct
+    * counts tractable at 100 TB: the corpus is scanned once (daily
+    * sketches are kilobytes), and every window estimate is a union of 7
+    * binaries — where the exact form re-counts each user up to 7 times
+    * across overlapping windows. Gate discipline = q87/q111: exact
+    * counts are computed on both engines; the sketch estimates are
+    * asserted within the 3.5σ HLL bound as booleans (estimates
+    * themselves are merge-order-dependent and ungateable). */
+  def q140RollingActive(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val daily = du.groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+        count(lit(1)).as("dau_exact"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val off = spark.range(0, 7).select(col("id").cast("int").as("off"))
+    // each day's sketch contributes to windows ending day..day+6; keep
+    // only window-end days that exist in the corpus
+    val contrib = daily.crossJoin(broadcast(off))
+      .select(date_add(col("day"), col("off")).as("day"), col("sk"))
+    val wauEst = contrib
+      .join(daily.select(col("day")), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("wau_est"))
+    val wauExact = du.crossJoin(broadcast(off))
+      .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+      .join(daily.select(col("day")), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("wau_exact"))
+    val bound = 3.5 * 1.04 / math.sqrt(1 << 12)
+    daily
+      .select(col("day"), col("dau_exact"),
+        expr("hll_sketch_estimate(sk)").as("dau_est"))
+      .join(wauEst, Seq("day")).join(wauExact, Seq("day"))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau_exact"), col("wau_exact"),
+        (abs(col("dau_est").cast("double") - col("dau_exact")) <=
+          lit(bound) * col("dau_exact")).as("dau_ok"),
+        (abs(col("wau_est").cast("double") - col("wau_exact")) <=
+          lit(bound) * col("wau_exact")).as("wau_ok"))
+  }
+
+  val q140RollingActiveSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |days AS (SELECT DISTINCT day FROM du),
+      |dau AS (
+      |  SELECT day, COUNT(DISTINCT user_id) AS dau_exact FROM du GROUP BY day),
+      |wau AS (
+      |  SELECT d.day, COUNT(DISTINCT u.user_id) AS wau_exact
+      |  FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+      |  GROUP BY d.day)
+      |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+      |  dau.dau_exact, wau.wau_exact,
+      |  TRUE AS dau_ok, TRUE AS wau_ok
+      |FROM days d
+      |JOIN dau ON dau.day = d.day
+      |JOIN wau ON wau.day = d.day""".stripMargin
 }
