@@ -459,6 +459,52 @@ case class DistinctShinglesExpr(child: Expression, width: Int)
     copy(child = newChild)
 }
 
+object CharNgramUtil {
+  /** Distinct character n-grams of `t`, first-occurrence order (order is
+    * irrelevant downstream — consumers explode into joins/counts — but a
+    * deterministic order keeps the kernel replayable). Char-positional
+    * (UTF8String.substring is code-point-based), so the oracle's
+    * `substr(text, i, n)` replays it exactly. */
+  def distinctCharNgrams(t: UTF8String, n: Int): ArrayData = {
+    val len = t.numChars()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + n <= len) {
+      seen.add(t.substring(i, i + n))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(Array.empty[AnyRef]))
+  }
+}
+
+/** Codegen'd distinct character-n-gram builder — the posting kernel of
+  * the trigram inverted index ([[graft.ops.NgramIndex]]). A declarative
+  * `array_distinct(transform(sequence(...), substring))` computes the
+  * same set but the higher-order function is interpreted per element;
+  * this kernel is one static call inside whole-stage codegen. */
+case class CharNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any =
+    CharNgramUtil.distinctCharNgrams(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CharNgramUtil.distinctCharNgrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramsExpr =
+    copy(child = newChild)
+}
+
 object RepetitionUtil {
 
   /** Gopher-style repetition statistics over whitespace tokens, one pass:
@@ -675,6 +721,10 @@ object TextFunctions {
   def distinct_shingles(text: Column, width: Int): Column =
     Bridge.column(DistinctShinglesExpr(Bridge.expression(text), width))
 
+  /** Per-row distinct character n-gram set (trigram-index kernel). */
+  def char_ngrams(text: Column, n: Int): Column =
+    Bridge.column(CharNgramsExpr(Bridge.expression(text), n))
+
   /** Per-row repetition statistics struct (top-bigram fraction, duplicate-
     * trigram fraction, longest identical-token run). */
   def repetition_stats(text: Column): Column =
@@ -706,6 +756,7 @@ object TextFunctions {
       "lang_id" -> (es => LangIdExpr(es(0), graft.ops.TextOps.langProfiles)),
       "fingerprint_md5" -> (es => FingerprintMd5Expr(es(0))),
       "distinct_shingles" -> (es => DistinctShinglesExpr(es(0), intArg(es(1)))),
+      "char_ngrams" -> (es => CharNgramsExpr(es(0), intArg(es(1)))),
       "shingle_hashes" -> (es => ShingleHashesExpr(es(0), intArg(es(1)))),
       "span_keys" -> (es => SpanKeysExpr(es(0), intArg(es(1)))),
       "repetition_stats" -> (es => RepetitionStatsExpr(es(0))),

@@ -962,6 +962,63 @@ object TextQueries {
           .cast("long").as("slope_fp6"))
   }
 
+  /** q141 search patterns — one deliberately unmatchable (gram misses). */
+  val SearchPatterns: Seq[(Long, String)] = Seq(
+    1L -> "key order", 2L -> "spark stream", 3L -> "window dup",
+    4L -> "zzz qqq")
+
+  /** q141: trigram-inverted-index substring search (the pg_trgm/LIKE-
+    * acceleration pattern): distinct (trigram, doc) postings built once;
+    * each query prunes to docs containing ALL its trigrams (k-way posting
+    * intersection as one aggregation) before the exact contains() verify
+    * reads any text. The oracle replays postings, intersection, and
+    * verify — certifying both the index construction and the necessary-
+    * condition logic (candidates ⊇ matches, including the zero-match
+    * pattern). See [[graft.ops.NgramIndex]] for the scale shape. */
+  def q141TrigramSearch(spark: SparkSession, dir: String): DataFrame =
+    // spread: the gram kernel is compute-bound and runs pre-shuffle — on a
+    // single-row-group corpus one task would build every posting (the q24
+    // discipline)
+    graft.ops.NgramIndex.substringSearch(
+      Tables.spread(Tables.documents(spark, dir)), "doc_id", "text",
+      SearchPatterns)
+
+  val q141TrigramSearchSql: String = {
+    val patVals = SearchPatterns
+      .map { case (pid, p) => s"($pid, '$p')" }.mkString(", ")
+    val pgVals = SearchPatterns
+      .flatMap { case (pid, p) => p.sliding(3).toSeq.distinct.map(g => s"($pid, '$g')") }
+      .mkString(", ")
+    s"""WITH pat(pattern_id, pat) AS (VALUES $patVals),
+      |pg(pattern_id, g) AS (VALUES $pgVals),
+      |ng AS (SELECT pattern_id, COUNT(*) AS ng FROM pg GROUP BY 1),
+      |pos AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(1, length(text) - 2)) AS i
+      |  FROM documents WHERE length(text) >= 3),
+      |grams AS (SELECT DISTINCT doc_id, substr(text, i, 3) AS g FROM pos),
+      |hits AS (
+      |  SELECT p.pattern_id, g.doc_id, COUNT(*) AS hit
+      |  FROM grams g JOIN pg p USING (g) GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT h.pattern_id, h.doc_id
+      |  FROM hits h JOIN ng USING (pattern_id) WHERE h.hit = ng.ng),
+      |ver AS (
+      |  SELECT c.pattern_id, c.doc_id
+      |  FROM cand c
+      |  JOIN documents d ON d.doc_id = c.doc_id
+      |  JOIN pat p ON p.pattern_id = c.pattern_id
+      |  WHERE contains(d.text, p.pat)),
+      |ccount AS (SELECT pattern_id, COUNT(*) AS n_candidates FROM cand GROUP BY 1),
+      |vcount AS (SELECT pattern_id, COUNT(*) AS n_matched FROM ver GROUP BY 1)
+      |SELECT CAST(p.pattern_id AS BIGINT) AS pattern_id,
+      |  COALESCE(c.n_candidates, 0) AS n_candidates,
+      |  COALESCE(v.n_matched, 0) AS n_matched
+      |FROM pat p
+      |LEFT JOIN ccount c ON c.pattern_id = p.pattern_id
+      |LEFT JOIN vcount v ON v.pattern_id = p.pattern_id""".stripMargin
+  }
+
   val q137ZipfSlopeSql: String =
     """WITH tf AS (
       |  SELECT source, tok, COUNT(*) AS freq FROM (
