@@ -77,4 +77,69 @@ object LangModel {
     val (counts, totals) = unigramCounts(docs, textCol)
     scoreBitsPerToken(docs, counts, totals, idCol, textCol)
   }
+
+  /** Adjacent-token bigram stream `(idCol, w1, w2)` — a PER-ROW projection
+    * (`transform` over an index sequence, then one explode): the token
+    * array is built once per document and indexed in place, so bigram
+    * extraction costs zero shuffles and no token-level self-join. */
+  def bigramStream(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    df.filter(size(toks) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2")))).as("b"))
+      .select(col(idCol), col("b.w1"), col("b.w2"))
+  }
+
+  /** Bigram model counts trained on `train`: the `(w1, w2) → c12` table
+    * plus the unigram artifacts of [[unigramCounts]] (for interpolation
+    * smoothing). One additional groupBy over the bigram stream. */
+  def bigramModel(train: DataFrame, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (counts, totals) = unigramCounts(train, textCol)
+    val bi = bigramStream(train.select(lit(0L).as("_id"), col(textCol)),
+        "_id", textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    (bi, counts, totals)
+  }
+
+  /** Interpolated-bigram bits-per-token: per bigram,
+    * `p = λ·c(w1,w2)/c(w1) + (1−λ)·(c(w2)+1)/(N+V+1)` (Jelinek–Mercer
+    * interpolation with the [[unigramCounts]] add-one unigram as the
+    * backoff mass; λ = 0.9) — the CCNet perplexity filter upgraded one
+    * Markov order. Unseen `w1` drops the ML term entirely; unseen `w2`
+    * still scores via the OOV share, so foreign-reference scoring stays
+    * well-defined.
+    *
+    * Scale shape: the score join hits the bigram table on `(w1, w2)` and
+    * the unigram table on each side — model-sized tables that broadcast
+    * when small and hash-join when not; the corpus-sized stream is
+    * touched once. Determinism: per-bigram `−log2 p × 1e6` rounds to a
+    * long before the per-doc sum (the q78 discipline).
+    *
+    * @return (idCol, n_bigrams, bits_fp6)
+    */
+  def scoreBitsPerBigram(docs: DataFrame, bi: DataFrame, counts: DataFrame,
+      totals: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = bigramStream(docs, idCol, textCol)
+    val c1 = counts.select(col("term").as("w1"), col("ct").as("c1"))
+    val cu2 = counts.select(col("term").as("w2"), col("ct").as("cu2"))
+    val ml = when(col("c1").isNull, lit(0.0))
+      .otherwise(lit(0.9) * (coalesce(col("c12"), lit(0L)).cast("double") / col("c1")))
+    val backoff = lit(0.1) *
+      ((coalesce(col("cu2"), lit(0L)) + lit(1L)).cast("double") /
+        (col("n_train") + col("v_train") + lit(1L)))
+    val costs = bg
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(cu2, Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        round(-log2(ml + backoff) * lit(1e6)).cast("long").as("c"))
+    costs.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_bigrams"),
+      round(sum(col("c")).cast("double") / count(lit(1))).cast("long")
+        .as("bits_fp6"))
+  }
 }

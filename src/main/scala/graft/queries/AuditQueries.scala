@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Corpus-audit gates: rule-based quality filtering (q142), bigram
+  * language-model scoring (q144), and information-theoretic metadata
+  * association (q147). All three are dataset-card material — the numbers a
+  * curation team reads before deciding mix weights and filter thresholds.
+  */
+object AuditQueries {
+
+  /** Per-document top token frequency as a PURE PROJECTION: sort the
+    * token array, then one sequential fold tracking the current and best
+    * run length — the max run of a sorted array IS the max multiplicity.
+    * O(n log n) per row, zero shuffles; the alternative (explode →
+    * groupBy(doc, tok) → max) shuffles the whole token stream twice. */
+  private def topTokenFreq(toks: Column): Column =
+    aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(run, acc.getField("best")).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** q142: Gopher-style rule-based quality report (Rae et al. 2021,
+    * "Scaling Language Models: … Gopher", Table A1 — the repetition and
+    * quality heuristics, adapted to this corpus's signals): per document,
+    * token-count bounds, mean-token-length bounds, stopword floor, top-
+    * token repetition cap, and a type-token-ratio floor; reported as
+    * per-source pass/fail counts (the form a mix-weight decision reads).
+    *
+    * Scale shape: every signal INCLUDING the top-token frequency is a
+    * per-row projection ([[topTokenFreq]] — the oracle certifies the
+    * sorted-run rewrite against the explode/groupBy form), so the only
+    * shuffle is the final source-sized aggregate. All rule arithmetic is
+    * integer cross-multiplication — no floating point anywhere. */
+  def q142GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val d = Tables.documents(spark, dir).select(
+      col("source"),
+      size(toks).cast("long").as("n_tok"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      size(filter(toks, t => t.isin("the", "a"))).cast("long").as("n_stop"),
+      (col("n_chars") - size(toks) + 1).cast("long").as("tokchars"),
+      topTokenFreq(toks).as("top_freq"))
+    val pLen  = (col("n_tok") >= 20 && col("n_tok") <= 1000).cast("long")
+    val pWl   = (col("n_tok") * 3 <= col("tokchars") &&
+                 col("tokchars") <= col("n_tok") * 5).cast("long")
+    val pStop = (col("n_stop") >= 2).cast("long")
+    val pRep  = (col("top_freq") * 8 <= col("n_tok")).cast("long")
+    val pTtr  = (col("n_distinct") * 10 >= col("n_tok") * 3).cast("long")
+    d.select(col("source"), pLen.as("p_len"), pWl.as("p_wl"),
+        pStop.as("p_stop"), pRep.as("p_rep"), pTtr.as("p_ttr"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("p_len") * col("p_wl") * col("p_stop") * col("p_rep") *
+          col("p_ttr")).as("n_pass"),
+        (count(lit(1)) - sum(col("p_len"))).as("n_fail_len"),
+        (count(lit(1)) - sum(col("p_wl"))).as("n_fail_wordlen"),
+        (count(lit(1)) - sum(col("p_stop"))).as("n_fail_stop"),
+        (count(lit(1)) - sum(col("p_rep"))).as("n_fail_rep"),
+        (count(lit(1)) - sum(col("p_ttr"))).as("n_fail_ttr"))
+  }
+
+  val q142GopherRulesSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop,
+      |    n_chars - CAST(len(string_split(text, ' ')) AS BIGINT) + 1 AS tokchars
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, MAX(c) AS top_freq FROM (
+      |    SELECT doc_id, tok, COUNT(*) AS c FROM (
+      |      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |    GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |flags AS (
+      |  SELECT source,
+      |    CASE WHEN n_tok >= 20 AND n_tok <= 1000 THEN 1 ELSE 0 END AS p_len,
+      |    CASE WHEN n_tok * 3 <= tokchars AND tokchars <= n_tok * 5
+      |      THEN 1 ELSE 0 END AS p_wl,
+      |    CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS p_stop,
+      |    CASE WHEN top_freq * 8 <= n_tok THEN 1 ELSE 0 END AS p_rep,
+      |    CASE WHEN n_distinct * 10 >= n_tok * 3 THEN 1 ELSE 0 END AS p_ttr
+      |  FROM s JOIN tf USING (doc_id))
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(p_len * p_wl * p_stop * p_rep * p_ttr) AS BIGINT) AS n_pass,
+      |  COUNT(*) - CAST(SUM(p_len) AS BIGINT) AS n_fail_len,
+      |  COUNT(*) - CAST(SUM(p_wl) AS BIGINT) AS n_fail_wordlen,
+      |  COUNT(*) - CAST(SUM(p_stop) AS BIGINT) AS n_fail_stop,
+      |  COUNT(*) - CAST(SUM(p_rep) AS BIGINT) AS n_fail_rep,
+      |  COUNT(*) - CAST(SUM(p_ttr) AS BIGINT) AS n_fail_ttr
+      |FROM flags GROUP BY source""".stripMargin
+
+  /** q144: interpolated-bigram LM scoring of a held-out split (docs with
+    * `doc_id % 10 ≥ 8`) against a model trained on the rest — the CCNet
+    * perplexity filter one Markov order up from q78's unigram
+    * ([[graft.ops.LangModel.scoreBitsPerBigram]] for the smoothing and
+    * the scale shape). The deterministic modulo split keeps both engines
+    * on the identical train corpus without any hash-function contract. */
+  def q144BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val (bi, counts, totals) =
+      graft.ops.LangModel.bigramModel(d.filter(col("doc_id") % 10 < 8), "text")
+    graft.ops.LangModel.scoreBitsPerBigram(
+      d.filter(col("doc_id") % 10 >= 8), bi, counts, totals, "doc_id", "text")
+  }
+
+  val q144BigramLmSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM (
+      |    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+      |    FROM toks WHERE len(t) >= 2)),
+      |train_bg AS (
+      |  SELECT w1, w2, COUNT(*) AS c12 FROM bg
+      |  WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+      |train_tok AS (
+      |  SELECT tok AS term, COUNT(*) AS ct FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      |    WHERE doc_id % 10 < 8)
+      |  WHERE tok <> '' GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(ct) AS BIGINT) AS n_train, COUNT(*) AS v_train
+      |  FROM train_tok),
+      |costs AS (
+      |  SELECT b.doc_id,
+      |    CAST(round(-log2(
+      |      (CASE WHEN c1.ct IS NULL THEN 0.0
+      |        ELSE 0.9 * (CAST(COALESCE(tb.c12, 0) AS DOUBLE) / c1.ct) END)
+      |      + 0.1 * (CAST(COALESCE(cu.ct, 0) + 1 AS DOUBLE)
+      |               / (t.n_train + t.v_train + 1))
+      |    ) * 1000000.0) AS BIGINT) AS c
+      |  FROM bg b
+      |  LEFT JOIN train_bg tb ON tb.w1 = b.w1 AND tb.w2 = b.w2
+      |  LEFT JOIN train_tok c1 ON c1.term = b.w1
+      |  LEFT JOIN train_tok cu ON cu.term = b.w2
+      |  CROSS JOIN tot t
+      |  WHERE b.doc_id % 10 >= 8)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(round(CAST(SUM(c) AS DOUBLE) / COUNT(*)) AS BIGINT) AS bits_fp6
+      |FROM costs GROUP BY doc_id""".stripMargin
+
+  /** q147: mutual information between `lang` and `source` (plus both
+    * marginal entropies) — the metadata-association audit: MI ≈ 0 means
+    * language is balanced across sources (stratified sampling on either
+    * is safe); MI near min(H) means one predicts the other and per-source
+    * language filters are redundant. Exact counts → cell-sized tables →
+    * per-term fp9 longs summed (order-free); the corpus is touched by
+    * exactly one (lang, source) aggregate, everything after is
+    * grid-sized. */
+  def q147MutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+    val nl = cells.groupBy(col("lang")).agg(sum(col("c")).as("cl"))
+    val ns = cells.groupBy(col("source")).agg(sum(col("c")).as("cs"))
+    val tot = cells.agg(sum(col("c")).as("n"), count(lit(1)).as("n_cells"))
+    val miTerm = round(col("c").cast("double") / col("n") *
+      log(col("c").cast("double") * col("n") /
+        (col("cl").cast("double") * col("cs"))) * lit(1e9)).cast("long")
+    val mi = cells.join(nl, "lang").join(ns, "source")
+      .crossJoin(broadcast(tot))
+      .agg(sum(miTerm).as("mi_fp9"))
+    def hTerm(m: Column): Column =
+      round(-(m.cast("double") / col("n")) *
+        log(m.cast("double") / col("n")) * lit(1e9)).cast("long")
+    val hl = nl.crossJoin(broadcast(tot)).agg(sum(hTerm(col("cl"))).as("h_lang_fp9"))
+    val hs = ns.crossJoin(broadcast(tot)).agg(sum(hTerm(col("cs"))).as("h_source_fp9"))
+    tot.select(col("n").as("n_docs"), col("n_cells"))
+      .crossJoin(mi).crossJoin(hl).crossJoin(hs)
+  }
+
+  val q147MutualInfoSql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+      |nl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS cl FROM cells GROUP BY 1),
+      |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cs FROM cells GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_cells FROM cells),
+      |mi AS (
+      |  SELECT CAST(SUM(CAST(round(CAST(c.c AS DOUBLE) / t.n
+      |    * ln(CAST(c.c AS DOUBLE) * t.n / (CAST(l.cl AS DOUBLE) * s.cs))
+      |    * 1000000000.0) AS BIGINT)) AS BIGINT) AS mi_fp9
+      |  FROM cells c JOIN nl l USING (lang) JOIN ns s USING (source)
+      |  CROSS JOIN tot t),
+      |hl AS (
+      |  SELECT CAST(SUM(CAST(round(-(CAST(cl AS DOUBLE) / t.n)
+      |    * ln(CAST(cl AS DOUBLE) / t.n) * 1000000000.0) AS BIGINT)) AS BIGINT)
+      |    AS h_lang_fp9
+      |  FROM nl CROSS JOIN tot t),
+      |hs AS (
+      |  SELECT CAST(SUM(CAST(round(-(CAST(cs AS DOUBLE) / t.n)
+      |    * ln(CAST(cs AS DOUBLE) / t.n) * 1000000000.0) AS BIGINT)) AS BIGINT)
+      |    AS h_source_fp9
+      |  FROM ns CROSS JOIN tot t)
+      |SELECT t.n AS n_docs, t.n_cells, mi.mi_fp9, hl.h_lang_fp9, hs.h_source_fp9
+      |FROM tot t CROSS JOIN mi CROSS JOIN hl CROSS JOIN hs""".stripMargin
+}

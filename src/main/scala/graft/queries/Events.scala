@@ -584,4 +584,104 @@ object Events {
       |    * 1000000000.0) AS BIGINT)) AS BIGINT) AS decayed_fp9
       |FROM events
       |GROUP BY 1""".stripMargin
+
+  /** q143: per-item triangle participation + local clustering coefficient
+    * over the q132/q134 co-occurrence graph (capped pairs with support
+    * ≥ 2) — the graph-structure audit above q134's communities: high
+    * clustering = tightly-knit item neighborhoods (bundle candidates),
+    * near-zero = hub-and-spoke. The Spark side runs the degree-ORIENTED
+    * enumeration ([[graft.ops.Triangles]] — wedge volume O(m^1.5), hubs
+    * never the last reducer); the oracle counts the same triangles with
+    * the simple id-ordered triple join, certifying the orientation
+    * rewrite as a semantic identity. */
+  def q143Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val (_, inter) = cappedItemPairs(spark, dir)
+    val edges = inter.filter(col("inter") >= 2)
+      .select(col("item_a").as("u"), col("item_b").as("v"))
+    graft.ops.Triangles.nodeTriangles(edges)
+      .select(col("node").as("item"), col("deg"), col("n_tri"),
+        col("clustering_fp6"))
+  }
+
+  val q143TrianglesSql: String =
+    s"""WITH $cappedPairCtes,
+      |edges AS (SELECT item_a AS u, item_b AS v FROM inter WHERE inter >= 2),
+      |deg AS (
+      |  SELECT node, COUNT(*) AS deg FROM (
+      |    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+      |  GROUP BY node),
+      |tri AS (
+      |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      |  FROM edges e1
+      |  JOIN edges e2 ON e2.u = e1.v
+      |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |per_node AS (
+      |  SELECT node, COUNT(*) AS n_tri FROM (
+      |    SELECT unnest([x, y, z]) AS node FROM tri)
+      |  GROUP BY node)
+      |SELECT d.node AS item, d.deg,
+      |  COALESCE(p.n_tri, 0) AS n_tri,
+      |  CAST(round(CAST(COALESCE(p.n_tri, 0) AS DOUBLE) * 2000000.0
+      |    / (d.deg * (d.deg - 1))) AS BIGINT) AS clustering_fp6
+      |FROM deg d LEFT JOIN per_node p USING (node)
+      |WHERE d.deg >= 2""".stripMargin
+
+  /** q146: last-touch purchase attribution — each purchase credits the
+    * user's most recent preceding click or view within a 7-day lookback
+    * (tie → click), the standard marketing-attribution primitive. The
+    * whole computation is ONE window pass over the (user_id, ts)
+    * ordering: `max(CASE WHEN type = c THEN µs END)` over ROWS …
+    * 1 PRECEDING gives the latest prior touch per channel without any
+    * self-join (max ignores nulls — no IGNORE NULLS portability hazard),
+    * and the report aggregate is channel-sized. Scale: the window reuses
+    * the q15/q135 user partitioning; nothing corpus-sized is joined. */
+  def q146Attribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val us = unix_micros(col("ts"))
+    val week = 7L * 86400L * 1000000L
+    val touched = Tables.events(spark, dir)
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", us)).over(w))
+      .withColumn("last_view_us",
+        max(when(col("event_type") === "view", us)).over(w))
+      .filter(col("event_type") === "purchase")
+    val clickOk = col("last_click_us").isNotNull &&
+      us - col("last_click_us") <= week
+    val viewOk = col("last_view_us").isNotNull &&
+      us - col("last_view_us") <= week
+    touched
+      .withColumn("channel",
+        when(clickOk && (!viewOk || col("last_click_us") >= col("last_view_us")),
+          lit("click"))
+          .when(viewOk, lit("view"))
+          .otherwise(lit("none")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("total_value"))
+  }
+
+  val q146AttributionSql: String =
+    """WITH touched AS (
+      |  SELECT event_type, value, epoch_us(ts) AS us,
+      |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us,
+      |    max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT value,
+      |    CASE
+      |      WHEN last_click_us IS NOT NULL AND us - last_click_us <= 604800000000
+      |        AND (last_view_us IS NULL OR us - last_view_us > 604800000000
+      |             OR last_click_us >= last_view_us) THEN 'click'
+      |      WHEN last_view_us IS NOT NULL AND us - last_view_us <= 604800000000
+      |        THEN 'view'
+      |      ELSE 'none' END AS channel
+      |  FROM touched WHERE event_type = 'purchase')
+      |SELECT channel, COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM flagged GROUP BY channel""".stripMargin
 }

@@ -52,4 +52,32 @@ class LangModelSpec extends SparkSpec {
     val b = LangModel.selfScore(big.coalesce(1), "doc_id", "text").collect().toSet[Row]
     assert(a === b)
   }
+
+  test("bigram stream is the adjacent-pair projection; <2-token docs absent") {
+    val docs = Seq((1L, "a b c"), (2L, "x"), (3L, "p q")).toDF("doc_id", "text")
+    val got = LangModel.bigramStream(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set((1L, "a", "b"), (1L, "b", "c"), (3L, "p", "q")))
+  }
+
+  test("interpolated bigram score matches the hand-computed mixture") {
+    // train "a b a b c": bigrams (a,b)×2 (b,a) (b,c); unigrams a=2 b=2 c=1
+    val train = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val (bi, counts, totals) = LangModel.bigramModel(train, "text")
+    def cost(c12: Long, c1: Option[Long], cu2: Long): Long = {
+      val ml = c1.fold(0.0)(c => 0.9 * (c12.toDouble / c))
+      val p = ml + 0.1 * ((cu2 + 1).toDouble / (5 + 3 + 1))
+      math.round(-(math.log(p) / math.log(2.0)) * 1e6)
+    }
+    val target = Seq((9L, "a b c"), (10L, "z a")).toDF("doc_id", "text")
+    val got = LangModel.scoreBitsPerBigram(target, bi, counts, totals,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val d9 = math.round(
+      (cost(2, Some(2), 2) + cost(1, Some(2), 1)).toDouble / 2)
+    val d10 = cost(0, None, 2) // unseen w1 'z': pure backoff on 'a'
+    assert(got === Map(9L -> ((2L, d9)), 10L -> ((1L, d10))))
+    // a high-ML bigram is strictly cheaper than a backoff-only one
+    assert(cost(2, Some(2), 2) < cost(0, None, 2))
+  }
 }
