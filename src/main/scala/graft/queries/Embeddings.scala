@@ -468,6 +468,74 @@ object Embeddings {
        |FROM terms GROUP BY cid""".stripMargin
   }
 
+  /** q145: simplified (centroid-based) silhouette per cluster — the
+    * standard cluster-quality audit (Rousseeuw 1987, medoid form replaced
+    * by centroids as in scikit-learn's `silhouette` sampling guidance):
+    * for each vector, `a` = cosine distance to its OWN centroid, `b` =
+    * distance to the nearest OTHER centroid, `s = (b−a)/max(a,b)`; with
+    * unit vectors and argmax-dot assignment this reduces to
+    * `s = (d1−d2)/(1−d2)` where d1 ≥ d2 are the two largest centroid
+    * dots. Near-0 mean silhouette flags clusters that blur into a
+    * neighbor (SemDeDup-threshold and k-choice input); near-1 means
+    * well-separated. Reuses the q35/q102 centroid ARTIFACT (zero
+    * retrain); all 16 dots are ONE codegen'd projection per vector
+    * ([[graft.functions.DotProductF]] per centroid literal), so the only
+    * shuffle is the k-sized final aggregate. The oracle replays the
+    * deterministic Lloyd pipeline and ranks the same dots. */
+  def q145Silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val cents = Similarity.centroidCodebook(v, ivfArtifactPath(spark, dir),
+      k = 16, iters = 2, init = "sample")
+    val fs = cents.sortBy(_._1)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val dots = fs.map { case (_, c) =>
+      graft.functions.VectorFunctions.dot_f(col("vec"), lit(c.toArray)) }
+    val sorted = array_sort(array(dots: _*))
+    val scored = e.select(
+      graft.functions.VectorFunctions.nearest_centroids(col("vec"),
+        fs.map(_._2.toArray), fs.map(_._1), 1).getItem(0).as("cid"),
+      element_at(sorted, -1).as("d1"), element_at(sorted, -2).as("d2"))
+    scored
+      .select(col("cid"),
+        round((col("d1") - col("d2")) / (lit(1.0) - col("d2")) * lit(1e6))
+          .cast("long").as("s_fp6"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("s_fp6")).cast("double") / count(lit(1))).cast("long")
+          .as("mean_sil_fp6"))
+  }
+
+  val q145SilhouetteSql: String = {
+    val seedOrder = s"${OracleFragments.hex8Sql("vec_id::VARCHAR || '#ivf'")}, vec_id"
+    s"""WITH seed AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY $seedOrder) - 1 AS BIGINT) AS cid,
+       |    embedding::DOUBLE[] AS cvec
+       |  FROM embeddings
+       |  ORDER BY $seedOrder LIMIT 16),
+       |${lloydCtes(1, "seed")},
+       |${lloydCtes(2, "c1")},
+       |d AS (
+       |  SELECT e.vec_id AS id, c.cid,
+       |    list_dot_product(e.embedding::DOUBLE[], c.cvec) AS dot,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY -list_dot_product(e.embedding::DOUBLE[], c.cvec), c.cid)
+       |      AS rn
+       |  FROM embeddings e CROSS JOIN c2 c),
+       |top2 AS (
+       |  SELECT a.id, a.cid, a.dot AS d1, b.dot AS d2
+       |  FROM d a JOIN d b ON b.id = a.id AND b.rn = 2
+       |  WHERE a.rn = 1),
+       |sil AS (
+       |  SELECT cid,
+       |    CAST(round((d1 - d2) / (1.0 - d2) * 1000000.0) AS BIGINT) AS s_fp6
+       |  FROM top2)
+       |SELECT cid, COUNT(*) AS n,
+       |  CAST(round(CAST(SUM(s_fp6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+       |    AS mean_sil_fp6
+       |FROM sil GROUP BY cid""".stripMargin
+  }
+
   /** One unrolled Lloyd iteration: nearest-centroid assignment (argmin of
     * −dot with cid tie-break, the same ordering Spark's min-over-struct
     * produces), then per-(cid, dim) means over 6-decimal DECIMAL sums —
