@@ -161,49 +161,52 @@ object AuditQueries {
     * exactly one (lang, source) aggregate, everything after is
     * grid-sized. */
   def q147MutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // margins as WINDOW sums over the grid-sized cell table — one linear
+    // plan, so the corpus is scanned exactly once (the branch-per-margin
+    // form re-derived the aggregate per branch); entropies decompose into
+    // per-CELL terms (−(c/n)·ln(cl/n) summed over a language's cells is
+    // exactly −(cl/n)·ln(cl/n)), so one final aggregate emits everything
     val cells = Tables.documents(spark, dir)
       .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
-    val nl = cells.groupBy(col("lang")).agg(sum(col("c")).as("cl"))
-    val ns = cells.groupBy(col("source")).agg(sum(col("c")).as("cs"))
-    val tot = cells.agg(sum(col("c")).as("n"), count(lit(1)).as("n_cells"))
-    val miTerm = round(col("c").cast("double") / col("n") *
-      log(col("c").cast("double") * col("n") /
-        (col("cl").cast("double") * col("cs"))) * lit(1e9)).cast("long")
-    val mi = cells.join(nl, "lang").join(ns, "source")
-      .crossJoin(broadcast(tot))
-      .agg(sum(miTerm).as("mi_fp9"))
-    def hTerm(m: Column): Column =
-      round(-(m.cast("double") / col("n")) *
-        log(m.cast("double") / col("n")) * lit(1e9)).cast("long")
-    val hl = nl.crossJoin(broadcast(tot)).agg(sum(hTerm(col("cl"))).as("h_lang_fp9"))
-    val hs = ns.crossJoin(broadcast(tot)).agg(sum(hTerm(col("cs"))).as("h_source_fp9"))
-    tot.select(col("n").as("n_docs"), col("n_cells"))
-      .crossJoin(mi).crossJoin(hl).crossJoin(hs)
+    val t = cells.select(col("c"),
+      sum(col("c")).over(Window.partitionBy(col("lang"))).as("cl"),
+      sum(col("c")).over(Window.partitionBy(col("source"))).as("cs"),
+      sum(col("c")).over(Window.partitionBy()).as("n"),
+      count(lit(1)).over(Window.partitionBy()).as("n_cells"))
+    def fp9(x: Column): Column = round(x * lit(1e9)).cast("long")
+    t.agg(
+      max(col("n")).as("n_docs"),
+      max(col("n_cells")).as("n_cells"),
+      sum(fp9(col("c").cast("double") / col("n") *
+        log(col("c").cast("double") * col("n") /
+          (col("cl").cast("double") * col("cs"))))).as("mi_fp9"),
+      sum(fp9(-(col("c").cast("double") / col("n")) *
+        log(col("cl").cast("double") / col("n")))).as("h_lang_fp9"),
+      sum(fp9(-(col("c").cast("double") / col("n")) *
+        log(col("cs").cast("double") / col("n")))).as("h_source_fp9"))
   }
 
   val q147MutualInfoSql: String =
     """WITH cells AS (
       |  SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY 1, 2),
-      |nl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS cl FROM cells GROUP BY 1),
-      |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cs FROM cells GROUP BY 1),
-      |tot AS (
-      |  SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_cells FROM cells),
-      |mi AS (
-      |  SELECT CAST(SUM(CAST(round(CAST(c.c AS DOUBLE) / t.n
-      |    * ln(CAST(c.c AS DOUBLE) * t.n / (CAST(l.cl AS DOUBLE) * s.cs))
-      |    * 1000000000.0) AS BIGINT)) AS BIGINT) AS mi_fp9
-      |  FROM cells c JOIN nl l USING (lang) JOIN ns s USING (source)
-      |  CROSS JOIN tot t),
-      |hl AS (
-      |  SELECT CAST(SUM(CAST(round(-(CAST(cl AS DOUBLE) / t.n)
-      |    * ln(CAST(cl AS DOUBLE) / t.n) * 1000000000.0) AS BIGINT)) AS BIGINT)
-      |    AS h_lang_fp9
-      |  FROM nl CROSS JOIN tot t),
-      |hs AS (
-      |  SELECT CAST(SUM(CAST(round(-(CAST(cs AS DOUBLE) / t.n)
-      |    * ln(CAST(cs AS DOUBLE) / t.n) * 1000000000.0) AS BIGINT)) AS BIGINT)
+      |t AS (
+      |  SELECT c,
+      |    SUM(c) OVER (PARTITION BY lang) AS cl,
+      |    SUM(c) OVER (PARTITION BY source) AS cs,
+      |    SUM(c) OVER () AS n,
+      |    COUNT(*) OVER () AS n_cells
+      |  FROM cells)
+      |SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+      |  CAST(MAX(n_cells) AS BIGINT) AS n_cells,
+      |  CAST(SUM(CAST(round(CAST(c AS DOUBLE) / n
+      |    * ln(CAST(c AS DOUBLE) * n / (CAST(cl AS DOUBLE) * cs))
+      |    * 1000000000.0) AS BIGINT)) AS BIGINT) AS mi_fp9,
+      |  CAST(SUM(CAST(round(-(CAST(c AS DOUBLE) / n)
+      |    * ln(CAST(cl AS DOUBLE) / n) * 1000000000.0) AS BIGINT)) AS BIGINT)
+      |    AS h_lang_fp9,
+      |  CAST(SUM(CAST(round(-(CAST(c AS DOUBLE) / n)
+      |    * ln(CAST(cs AS DOUBLE) / n) * 1000000000.0) AS BIGINT)) AS BIGINT)
       |    AS h_source_fp9
-      |  FROM ns CROSS JOIN tot t)
-      |SELECT t.n AS n_docs, t.n_cells, mi.mi_fp9, hl.h_lang_fp9, hs.h_source_fp9
-      |FROM tot t CROSS JOIN mi CROSS JOIN hl CROSS JOIN hs""".stripMargin
+      |FROM t""".stripMargin
 }

@@ -488,4 +488,53 @@ class PlanSpec extends SparkSpec {
       s"lead window not user-partitioned:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("q142: every quality signal is a projection — one corpus scan, one exchange") {
+    val p = planOf(AuditQueries.q142GopherRules(spark, sf))
+    // the sorted-run top-frequency fold keeps the corpus out of a
+    // (doc, token) shuffle: the only exchange is the source-sized aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"expected exactly one exchange (the source aggregate):\n${p.take(2000)}")
+    assert(!p.contains("Generate"), // no explode — signals never leave the row
+      s"token stream exploded:\n${p.take(2000)}")
+    assert("documents\\.parquet".r.findAllIn(p).length === 1, p.take(2000))
+  }
+
+  test("q143: oriented triangle join — hash joins only, no cartesian") {
+    val p = planOf(Events.q143Triangles(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(p.contains("LeftSemi"), // wedge closure is a semi-join, not a count
+      s"closing-edge check not a semi-join:\n${p.take(2000)}")
+  }
+
+  test("q144: bigram scoring touches the held-out corpus once; model joins hash/broadcast") {
+    val p = planOf(AuditQueries.q144BigramLm(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // doc_id split predicates reach the scans
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id)"), p.take(2000))
+  }
+
+  test("q145: all centroid dots in one codegen projection; no corpus cross join") {
+    val p = planOf(Embeddings.q145Silhouette(spark, sf))
+    assert(p.contains("dotproductf"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"expected only the cid aggregate exchange:\n${p.take(2000)}")
+  }
+
+  test("q146: attribution is one user-partitioned window pass") {
+    val p = planOf(Events.q146Attribution(spark, sf))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length === 1,
+      s"touch windows not sharing the user partitioning:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q147: the corpus feeds one (lang, source) aggregate; downstream is grid-sized") {
+    val p = planOf(AuditQueries.q147MutualInfo(spark, sf))
+    // the cells subplan appears in four branches — exchange reuse must
+    // collapse them to a single corpus scan
+    assert("documents\\.parquet".r.findAllIn(p).length === 1,
+      s"corpus scanned more than once:\n${p.take(3000)}")
+  }
 }
