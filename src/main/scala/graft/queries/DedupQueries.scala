@@ -765,4 +765,73 @@ object DedupQueries {
       |WHERE CAST(round((1.0 - CAST(levenshtein(a.name, b.name) AS DOUBLE)
       |    / greatest(length(a.name), length(b.name))) * 1000000.0) AS BIGINT)
       |  >= 600000""".stripMargin
+
+  /** q148: dedup savings report — the dataset-card table a curation run
+    * publishes after near-dup clustering: per CLUSTER SIZE, how many
+    * clusters, how many documents, total bytes, and bytes saved by
+    * keeping only each cluster's canonical (min-id rep) document.
+    * Singletons (docs in no q62 component) get the size-1 row, so the
+    * histogram partitions the whole corpus. Downstream of the q62
+    * clusters everything is cluster-sized: one doc_id join for byte
+    * counts, one rep aggregate, one size-keyed histogram, one anti-join
+    * for the singleton row — no new quadratic surface. */
+  def q148DupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = q62DedupGroups(spark, dir)
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val per = clusters.join(d, "doc_id")
+      .groupBy(col("rep_id"))
+      .agg(count(lit(1)).as("sz"), sum(col("n_chars")).as("bt"),
+        sum(when(col("doc_id") === col("rep_id"), col("n_chars"))
+          .otherwise(lit(0L))).as("rep_bytes"))
+    val hist = per.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+        sum(col("bt")).as("bytes_total"),
+        sum(col("bt") - col("rep_bytes")).as("bytes_saved"))
+    val singles = d.join(clusters, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("bytes_total"))
+      .select(lit(1L).as("cluster_size"), col("n_clusters"),
+        col("n_clusters").as("n_docs"), col("bytes_total"),
+        lit(0L).as("bytes_saved"))
+    hist.unionByName(singles)
+  }
+
+  val q148DupSavingsSql: String =
+    s"""WITH RECURSIVE ${OracleFragments.minhashSigCtes("documents")},
+      |cand AS (
+      |  SELECT s1.doc_id AS id_a, s2.doc_id AS id_b
+      |  FROM sig s1
+      |  JOIN sig s2 ON s1.seed = s2.seed AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) / 8.0 >= 0.5),
+      |sym AS (
+      |  SELECT id_a AS src, id_b AS dst FROM cand
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM cand),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT src, src FROM sym
+      |  UNION
+      |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
+      |clusters AS (
+      |  SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS rep_id
+      |  FROM reach GROUP BY id),
+      |per AS (
+      |  SELECT c.rep_id, COUNT(*) AS sz, CAST(SUM(d.n_chars) AS BIGINT) AS bt,
+      |    CAST(SUM(CASE WHEN c.doc_id = c.rep_id THEN d.n_chars ELSE 0 END)
+      |      AS BIGINT) AS rep_bytes
+      |  FROM clusters c JOIN documents d USING (doc_id) GROUP BY 1),
+      |hist AS (
+      |  SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+      |    CAST(SUM(sz) AS BIGINT) AS n_docs,
+      |    CAST(SUM(bt) AS BIGINT) AS bytes_total,
+      |    CAST(SUM(bt - rep_bytes) AS BIGINT) AS bytes_saved
+      |  FROM per GROUP BY 1),
+      |singles AS (
+      |  SELECT CAST(1 AS BIGINT) AS cluster_size, COUNT(*) AS n_clusters,
+      |    COUNT(*) AS n_docs,
+      |    CAST(COALESCE(SUM(d.n_chars), 0) AS BIGINT) AS bytes_total,
+      |    CAST(0 AS BIGINT) AS bytes_saved
+      |  FROM documents d
+      |  WHERE NOT EXISTS (SELECT 1 FROM clusters c WHERE c.doc_id = d.doc_id))
+      |SELECT * FROM hist UNION ALL SELECT * FROM singles""".stripMargin
 }
