@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed triangle counting with degree orientation — the canonical
@@ -30,10 +30,15 @@ object Triangles {
     *         deg ≥ 2 — local clustering coefficient
     *         `2·n_tri / (deg·(deg−1))` rounded at 1e−6
     */
-  def nodeTriangles(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("u").as("node"))
+  /** Per-node degree table of a canonical edge list. */
+  private def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /** Closed wedges `(src, w1, w2)` — one row per triangle, enumerated at
+    * the triangle's lowest-(deg, id) vertex via degree orientation. */
+  private def closedWedges(edges: DataFrame, deg: DataFrame): DataFrame = {
     // attach endpoint degrees, then orient low-(deg, id) → high-(deg, id);
     // ddeg rides along so wedge endpoints can be ordered by the SAME total
     // order the orientation used (otherwise the closing edge lookup misses)
@@ -53,9 +58,14 @@ object Triangles {
       .filter(col("d1") < col("d2") || (col("d1") === col("d2") && col("w1") < col("w2")))
     // a wedge closes iff the oriented edge w1 → w2 exists (w1 precedes w2
     // in the orientation order by construction)
-    val tris = wedges.join(
+    wedges.join(
       oriented.select(col("dst").as("w2"), col("src").as("w1")),
       Seq("w1", "w2"), "left_semi")
+  }
+
+  def nodeTriangles(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    val tris = closedWedges(edges, deg)
     val perNode = tris
       .select(explode(array(col("src"), col("w1"), col("w2"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
@@ -65,5 +75,41 @@ object Triangles {
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         round(coalesce(col("n_tri"), lit(0L)).cast("double") * lit(2e6) /
           (col("deg") * (col("deg") - 1))).cast("long").as("clustering_fp6"))
+  }
+
+  /** Per-edge triangle support (edges in ≥1 triangle only): each closed
+    * wedge charges its three edges, re-canonicalized to (min, max) id
+    * order. Same oriented enumeration as [[nodeTriangles]]. */
+  def edgeSupport(edges: DataFrame): DataFrame = {
+    def canon(x: Column, y: Column) =
+      struct(least(x, y).as("u"), greatest(x, y).as("v"))
+    closedWedges(edges, degrees(edges))
+      .select(explode(array(
+        canon(col("src"), col("w1")),
+        canon(col("src"), col("w2")),
+        canon(col("w1"), col("w2")))).as("e"))
+      .select(col("e.u"), col("e.v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+  }
+
+  /** Bounded-round k-truss peel: `rounds` iterations of "drop every edge
+    * in fewer than `minSupport` triangles" (the k-truss condition with
+    * k = minSupport + 2). True truss decomposition iterates to fixpoint;
+    * a FIXED round count keeps the computation oracle-unrollable (the
+    * label-propagation discipline) and is how bounded-round peeling runs
+    * at scale anyway — each round is one triangle enumeration plus one
+    * edge-keyed aggregate, and the edge set only shrinks.
+    *
+    * @return surviving edges `(u, v, support)` with the support computed
+    *         in the final round
+    */
+  def trussPeel(edges: DataFrame, minSupport: Long, rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one peel round")
+    var sup = edgeSupport(edges).filter(col("support") >= minSupport)
+    (2 to rounds).foreach { _ =>
+      sup = edgeSupport(sup.select(col("u"), col("v")))
+        .filter(col("support") >= minSupport)
+    }
+    sup
   }
 }

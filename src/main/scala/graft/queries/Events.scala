@@ -626,6 +626,43 @@ object Events {
       |FROM deg d LEFT JOIN per_node p USING (node)
       |WHERE d.deg >= 2""".stripMargin
 
+  /** q149: bounded-round k-truss (k = 4) over the q143 co-occurrence
+    * graph — the edge-level community core: an edge survives only while
+    * it sits in ≥ 2 triangles, and two peel rounds strip the tree-like
+    * periphery that node-level clustering (q143) cannot separate from
+    * genuine cores. Spark runs [[graft.ops.Triangles.trussPeel]] (two
+    * degree-oriented enumerations, edge set only shrinks); the oracle
+    * unrolls both rounds over the simple id-ordered triple join. */
+  def q149Truss(spark: SparkSession, dir: String): DataFrame = {
+    val (_, inter) = cappedItemPairs(spark, dir)
+    val edges = inter.filter(col("inter") >= 2)
+      .select(col("item_a").as("u"), col("item_b").as("v"))
+    graft.ops.Triangles.trussPeel(edges, minSupport = 2L, rounds = 2)
+      .select(col("u").as("item_a"), col("v").as("item_b"), col("support"))
+  }
+
+  val q149TrussSql: String = {
+    def round(i: Int, prev: String): String =
+      s"""tri$i AS (
+        |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM $prev e1
+        |  JOIN $prev e2 ON e2.u = e1.v
+        |  JOIN $prev e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |e$i AS (
+        |  SELECT u, v, COUNT(*) AS support FROM (
+        |    SELECT x AS u, y AS v FROM tri$i
+        |    UNION ALL SELECT y, z FROM tri$i
+        |    UNION ALL SELECT x, z FROM tri$i)
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 2)""".stripMargin
+    s"""WITH $cappedPairCtes,
+      |e0 AS (SELECT item_a AS u, item_b AS v FROM inter WHERE inter >= 2),
+      |${round(1, "e0")},
+      |${round(2, "e1")}
+      |SELECT u AS item_a, v AS item_b, CAST(support AS BIGINT) AS support
+      |FROM e2""".stripMargin
+  }
+
   /** q146: last-touch purchase attribution — each purchase credits the
     * user's most recent preceding click or view within a 7-day lookback
     * (tie → click), the standard marketing-attribution primitive. The

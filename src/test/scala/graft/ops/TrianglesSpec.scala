@@ -35,6 +35,27 @@ class TrianglesSpec extends SparkSpec {
     assert(!got.contains(3L))                // degree 1: undefined, excluded
   }
 
+  test("edge support: K4 edges sit in 2 triangles; pendant edge absent") {
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("u", "v")
+    val sup = Triangles.edgeSupport(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sup.size === 6)                      // pendant (4,5): no row
+    assert(sup.values.forall(_ === 2L))
+  }
+
+  test("truss peel: the shared edge of two triangles dies once its mates peel") {
+    // round 1 keeps only (2,3) (support 2); round 2 has no triangles left
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val r1 = Triangles.trussPeel(g, minSupport = 2L, rounds = 1).collect()
+    assert(r1.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((2L, 3L)))
+    assert(Triangles.trussPeel(g, minSupport = 2L, rounds = 2).count() === 0L)
+    // a K4 is a 4-truss: stable under any number of peels
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    assert(Triangles.trussPeel(k4, minSupport = 2L, rounds = 2).count() === 6L)
+  }
+
   test("two triangles sharing an edge") {
     // (1,2,3) and (2,3,4): shared edge (2,3)
     val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
