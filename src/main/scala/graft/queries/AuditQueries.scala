@@ -209,4 +209,45 @@ object AuditQueries {
       |    * ln(CAST(cs AS DOUBLE) / n) * 1000000000.0) AS BIGINT)) AS BIGINT)
       |    AS h_source_fp9
       |FROM t""".stripMargin
+
+  /** q150: single-pass data-quality report (the Deequ/Great-Expectations
+    * shape, via [[graft.ops.Validate.violations]]): range, ordering,
+    * null, format, and referential-integrity expectations all counted in
+    * ONE scan of the fact table — the RI check rides the same pass as a
+    * left join instead of a second anti-join scan. One row out; every
+    * column is a violation count a pipeline can alert on. */
+  def q150DqReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Validate
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), lit(1L).as("_ok"))
+    val joined = li.join(ord, Seq("l_orderkey"), "left")
+    Validate.violations(joined, Seq(
+      Validate.Rule("discount_le_8pct", col("l_discount") <= 0.08),
+      Validate.Rule("quantity_le_45", col("l_quantity") <= 45),
+      Validate.inRange("l_tax", 0.0, 0.06),
+      Validate.notNull("l_shipdate"),
+      Validate.matches("l_returnflag", "^[ANR]$"),
+      Validate.Rule("price_positive", col("l_extendedprice") > 0),
+      Validate.Rule("orderkey_resolves", col("_ok").isNotNull)))
+  }
+
+  val q150DqReportSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN NOT COALESCE(l_discount <= 0.08, FALSE)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS discount_le_8pct,
+      |  CAST(SUM(CASE WHEN NOT COALESCE(l_quantity <= 45, FALSE)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS quantity_le_45,
+      |  CAST(SUM(CASE WHEN NOT COALESCE(l_tax BETWEEN 0.0 AND 0.06, FALSE)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS l_tax_in_range,
+      |  CAST(SUM(CASE WHEN l_shipdate IS NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS l_shipdate_not_null,
+      |  CAST(SUM(CASE WHEN NOT COALESCE(
+      |      regexp_matches(l_returnflag, '^[ANR]$'), FALSE)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS l_returnflag_format,
+      |  CAST(SUM(CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS price_positive,
+      |  CAST(SUM(CASE WHEN o.o_orderkey IS NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS orderkey_resolves
+      |FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey""".stripMargin
 }
