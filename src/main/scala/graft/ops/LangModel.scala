@@ -97,7 +97,14 @@ object LangModel {
     * smoothing). One additional groupBy over the bigram stream. */
   def bigramModel(train: DataFrame, textCol: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val (counts, totals) = unigramCounts(train, textCol)
+    val (counts0, _) = unigramCounts(train, textCol)
+    // barrier on the unigram table: the score join consumes it THREE ways
+    // (c(w1), c(w2), and the (N, V) totals) — un-truncated, each consumer
+    // re-runs the corpus token aggregate. The table is vocabulary-sized,
+    // so the checkpoint is cheap where the re-scans are not.
+    val counts = counts0.localCheckpoint()
+    val totals = counts.agg(
+      sum(col("ct")).as("n_train"), count(lit(1)).as("v_train"))
     val bi = bigramStream(train.select(lit(0L).as("_id"), col(textCol)),
         "_id", textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
