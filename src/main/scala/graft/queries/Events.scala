@@ -663,6 +663,44 @@ object Events {
       |FROM e2""".stripMargin
   }
 
+  /** q151: top event paths — the product-analytics "path analysis" view:
+    * every 3 consecutive events of a user form a path (two lead()
+    * columns over the q15/q135 user ordering — order-2 sequence info the
+    * q135 Markov matrix cannot see), counted globally, top-10 by count.
+    * The global rank runs on the path-cardinality table (≤ |types|³
+    * rows), never the corpus; WindowGroupLimit caps the sort. */
+  def q151EventPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSeq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val paths = Tables.events(spark, dir)
+      .withColumn("t2", lead(col("event_type"), 1).over(wSeq))
+      .withColumn("t3", lead(col("event_type"), 2).over(wSeq))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+    val wTop = Window.orderBy(col("n").desc, col("path"))
+    paths.withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("rank"), col("path"), col("n"))
+  }
+
+  val q151EventPathsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS t1,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS t2,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS t3
+      |  FROM events),
+      |paths AS (
+      |  SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+      |  FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1)
+      |SELECT CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank,
+      |  path, n
+      |FROM paths
+      |QUALIFY rank <= 10""".stripMargin
+
   /** q146: last-touch purchase attribution — each purchase credits the
     * user's most recent preceding click or view within a 7-day lookback
     * (tie → click), the standard marketing-attribution primitive. The

@@ -178,4 +178,58 @@ object WarehouseQueries {
       |SELECT c.source, c.tok, c.n_true, TRUE AS found, TRUE AS bounded
       |FROM c JOIN g USING (source)
       |WHERE c.n_true > g.n_tok / 26.0""".stripMargin
+
+  /** q152: financial reconciliation — does `o_totalprice` equal the sum
+    * of its line items' `price·(1−disc)·(1+tax)`? The classic warehouse
+    * cross-table audit, in EXACT fixed-point: all three measures carry
+    * ≤2 decimals, so `cents · (100−d₁₀₀) · (100+t₁₀₀)` is an exact long
+    * in 1e-6 currency units — the mismatch test is integer equality, no
+    * tolerance knob, no float drift, identical in any engine. One
+    * orderkey aggregate over lineitem, one co-keyed LEFT join from
+    * orders (orders without lines are their own violation class), one
+    * status-sized report. */
+  def q152Reconcile(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (c: String) => round(col(c) * 100).cast("long")
+    val lsum = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(cents("l_extendedprice") *
+        (lit(100L) - cents("l_discount")) *
+        (lit(100L) + cents("l_tax"))).as("recomputed_u6"))
+    val j = Tables.orders(spark, dir)
+      .join(lsum, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderstatus"),
+        (cents("o_totalprice") * lit(10000L)).as("stated_u6"),
+        coalesce(col("recomputed_u6"), lit(0L)).as("recomputed_u6"),
+        col("l_orderkey").isNull.cast("long").as("no_lines"))
+    j.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("no_lines")).as("n_no_lineitems"),
+        sum(when(col("no_lines") === 0 &&
+          col("stated_u6") =!= col("recomputed_u6"), 1L).otherwise(0L))
+          .as("n_mismatch"),
+        sum(when(col("no_lines") === 0,
+          abs(col("stated_u6") - col("recomputed_u6"))).otherwise(0L))
+          .as("abs_diff_u6"))
+  }
+
+  val q152ReconcileSql: String =
+    """WITH lsum AS (
+      |  SELECT l_orderkey,
+      |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |      * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS recomputed_u6
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT o.o_orderstatus,
+      |    CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000 AS stated_u6,
+      |    COALESCE(l.recomputed_u6, 0) AS recomputed_u6,
+      |    CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END AS no_lines
+      |  FROM orders o LEFT JOIN lsum l ON l.l_orderkey = o.o_orderkey)
+      |SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(no_lines) AS BIGINT) AS n_no_lineitems,
+      |  CAST(SUM(CASE WHEN no_lines = 0 AND stated_u6 <> recomputed_u6
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+      |  CAST(SUM(CASE WHEN no_lines = 0 THEN abs(stated_u6 - recomputed_u6)
+      |    ELSE 0 END) AS BIGINT) AS abs_diff_u6
+      |FROM j GROUP BY 1""".stripMargin
 }
