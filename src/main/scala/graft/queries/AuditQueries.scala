@@ -210,6 +210,46 @@ object AuditQueries {
       |    AS h_source_fp9
       |FROM t""".stripMargin
 
+  /** q154: source-balance Lorenz table — token mass per source, ranked,
+    * with cumulative share: the concentration audit behind temperature
+    * mixing (q94) and source caps (q83). "Top 2 sources hold 60% of
+    * tokens" is read directly off `cum_share_fp6`. One corpus aggregate;
+    * the ranking window runs on the source-cardinality table. */
+  def q154SourceBalance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val wRank = Window.orderBy(col("n_tokens").desc, col("source"))
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    s.select(
+      row_number().over(wRank).cast("long").as("rank"),
+      col("source"), col("n_docs"), col("n_tokens"),
+      round(col("n_tokens").cast("double") * lit(1e6) /
+        sum(col("n_tokens")).over(wAll)).cast("long").as("share_fp6"),
+      round(sum(col("n_tokens")).over(wCum).cast("double") * lit(1e6) /
+        sum(col("n_tokens")).over(wAll)).cast("long").as("cum_share_fp6"))
+  }
+
+  val q154SourceBalanceSql: String =
+    """WITH s AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1)
+      |SELECT
+      |  CAST(row_number() OVER (ORDER BY n_tokens DESC, source) AS BIGINT)
+      |    AS rank,
+      |  source, n_docs, n_tokens,
+      |  CAST(round(CAST(n_tokens AS DOUBLE) * 1000000.0
+      |    / SUM(n_tokens) OVER ()) AS BIGINT) AS share_fp6,
+      |  CAST(round(CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    * 1000000.0 / SUM(n_tokens) OVER ()) AS BIGINT) AS cum_share_fp6
+      |FROM s""".stripMargin
+
   /** q150: single-pass data-quality report (the Deequ/Great-Expectations
     * shape, via [[graft.ops.Validate.violations]]): range, ordering,
     * null, format, and referential-integrity expectations all counted in

@@ -663,6 +663,67 @@ object Events {
       |FROM e2""".stripMargin
   }
 
+  /** q153: time-to-conversion percentiles — exact p50/p90/p99 of the
+    * view→purchase lag (7-day lookback, q146's window machinery). The
+    * scale move: percentiles of an INTEGER measure come from a cumulative
+    * sum over its value HISTOGRAM (≤ 604 800 distinct second values by
+    * construction), not from a global sort of the conversion stream —
+    * the single-partition window runs on the bounded histogram, the
+    * corpus only feeds one groupBy. Integer cumulative-count thresholds
+    * (`cum·100 ≥ q·n`), no interpolation convention to disagree on. */
+  def q153ConversionLag(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val us = unix_micros(col("ts"))
+    val week = 7L * 86400L * 1000000L
+    val lags = Tables.events(spark, dir)
+      .withColumn("last_view_us",
+        max(when(col("event_type") === "view", us)).over(w))
+      .filter(col("event_type") === "purchase" &&
+        col("last_view_us").isNotNull && us - col("last_view_us") <= week)
+      .select(floor((us - col("last_view_us")) / 1000000L).as("lag_s"))
+    val hist = lags.groupBy(col("lag_s")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("lag_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    h.agg(max(col("n")).as("n_conversions"),
+      min(when(col("cum") * 100 >= col("n") * 50, col("lag_s"))).as("p50_s"),
+      min(when(col("cum") * 100 >= col("n") * 90, col("lag_s"))).as("p90_s"),
+      min(when(col("cum") * 100 >= col("n") * 99, col("lag_s"))).as("p99_s"),
+      max(col("lag_s")).as("max_s"))
+  }
+
+  val q153ConversionLagSql: String =
+    """WITH lagd AS (
+      |  SELECT event_type, epoch_us(ts) AS us,
+      |    max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_us
+      |  FROM events),
+      |lags AS (
+      |  SELECT CAST(floor((us - last_view_us) / 1000000) AS BIGINT) AS lag_s
+      |  FROM lagd
+      |  WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
+      |    AND us - last_view_us <= 604800000000),
+      |hist AS (SELECT lag_s, COUNT(*) AS cnt FROM lags GROUP BY 1),
+      |h AS (
+      |  SELECT lag_s, cnt,
+      |    SUM(cnt) OVER (ORDER BY lag_s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(cnt) OVER () AS n
+      |  FROM hist)
+      |SELECT CAST(MAX(n) AS BIGINT) AS n_conversions,
+      |  MIN(CASE WHEN cum * 100 >= n * 50 THEN lag_s END) AS p50_s,
+      |  MIN(CASE WHEN cum * 100 >= n * 90 THEN lag_s END) AS p90_s,
+      |  MIN(CASE WHEN cum * 100 >= n * 99 THEN lag_s END) AS p99_s,
+      |  MAX(lag_s) AS max_s
+      |FROM h""".stripMargin
+
   /** q151: top event paths — the product-analytics "path analysis" view:
     * every 3 consecutive events of a user form a path (two lead()
     * columns over the q15/q135 user ordering — order-2 sequence info the
