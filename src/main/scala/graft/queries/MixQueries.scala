@@ -477,4 +477,62 @@ object MixQueries {
       |    * 1000000.0 / COUNT(*)) AS BIGINT) AS dup_rate_fp6
       |FROM d JOIN dupcnt USING (h)
       |GROUP BY band""".stripMargin
+
+  /** q155: leakage-free split — the q84 assignment keyed by the DEDUP
+    * GROUP (q62 near-dup cluster rep; singletons key on themselves), so
+    * every near-duplicate family lands in ONE split and test data cannot
+    * leak into train through a paraphrase (Lee et al. 2022's
+    * deduplication-before-splitting argument). Same md5 hash rule and
+    * thresholds as q84 — only the key changes; the per-split group and
+    * doc counts certify that group-keyed assignment moved WHOLE clusters
+    * (any straddler would change two rows). */
+  def q155LeakFreeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = DedupQueries.q62DedupGroups(spark, dir)
+    val keyed = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep_id"), col("doc_id")).as("grp"))
+    TrainingMix.assignSplits(keyed, "grp", splitFracs)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_groups"),
+        sum(col("doc_id")).as("id_sum"))
+  }
+
+  val q155LeakFreeSplitSql: String = {
+    val thrs = TrainingMix.splitThresholds(splitFracs)
+    val cases = thrs.init
+      .map { case (name, thr) => s"WHEN u < $thr THEN '$name'" }
+      .mkString(" ")
+    s"""WITH RECURSIVE ${OracleFragments.minhashSigCtes("documents")},
+      |cand AS (
+      |  SELECT s1.doc_id AS id_a, s2.doc_id AS id_b
+      |  FROM sig s1
+      |  JOIN sig s2 ON s1.seed = s2.seed AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) / 8.0 >= 0.5),
+      |sym AS (
+      |  SELECT id_a AS src, id_b AS dst FROM cand
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM cand),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT src, src FROM sym
+      |  UNION
+      |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
+      |clusters AS (
+      |  SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS rep_id
+      |  FROM reach GROUP BY id),
+      |keyed AS (
+      |  SELECT d.doc_id, COALESCE(c.rep_id, d.doc_id) AS grp
+      |  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id),
+      |labeled AS (
+      |  SELECT doc_id, grp,
+      |    CASE $cases ELSE '${thrs.last._1}' END AS split
+      |  FROM (SELECT doc_id, grp,
+      |          ${hex8Sql("grp::VARCHAR || '#split'")} AS u
+      |        FROM keyed))
+      |SELECT split, COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM labeled GROUP BY split""".stripMargin
+  }
 }
