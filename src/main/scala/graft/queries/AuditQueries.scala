@@ -250,6 +250,40 @@ object AuditQueries {
       |    * 1000000.0 / SUM(n_tokens) OVER ()) AS BIGINT) AS cum_share_fp6
       |FROM s""".stripMargin
 
+  /** q157: token-exclusivity audit — per source: total token mass,
+    * distinct vocabulary, and how much of that vocabulary appears in NO
+    * other source. High exclusivity = the source contributes genuinely
+    * novel text (cutting it shrinks the effective dataset); near-zero =
+    * it re-treads the shared vocabulary (a dedup/cap candidate). Two
+    * linear aggregates: the token stream folds to (source, term) counts
+    * once; the term-spread table is vocabulary-sized. */
+  def q157TokenExclusivity(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val spread = st.groupBy(col("term")).agg(count(lit(1)).as("n_sources"))
+    st.join(spread, "term")
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("n_sources") === 1, 1L).otherwise(0L)).as("n_exclusive"))
+  }
+
+  val q157TokenExclusivitySql: String =
+    """WITH st AS (
+      |  SELECT source, term, COUNT(*) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  WHERE term <> '' GROUP BY 1, 2),
+      |spread AS (SELECT term, COUNT(*) AS n_sources FROM st GROUP BY 1)
+      |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_distinct,
+      |  CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_exclusive
+      |FROM st JOIN spread USING (term)
+      |GROUP BY source""".stripMargin
+
   /** q150: single-pass data-quality report (the Deequ/Great-Expectations
     * shape, via [[graft.ops.Validate.violations]]): range, ordering,
     * null, format, and referential-integrity expectations all counted in

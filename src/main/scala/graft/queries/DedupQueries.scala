@@ -766,6 +766,28 @@ object DedupQueries {
       |    / greatest(length(a.name), length(b.name))) * 1000000.0) AS BIGINT)
       |  >= 600000""".stripMargin
 
+  /** q156: cross-language duplicate audit — exact-duplicate groups
+    * (md5 of the full text) bucketed by how many DISTINCT `lang` tags
+    * their members carry: `n_langs > 1` rows are metadata-inconsistent
+    * duplicates (the mC4-style lang-tag noise that poisons per-language
+    * mixing if deduped per-language instead of globally). One md5-keyed
+    * aggregate — the corpus shuffles 16-byte keys, never text. */
+  def q156CrossLangDups(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("nd"), countDistinct(col("lang")).as("n_langs"))
+      .filter(col("nd") > 1)
+      .groupBy(col("n_langs"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("nd")).as("n_docs"))
+
+  val q156CrossLangDupsSql: String =
+    """WITH g AS (
+      |  SELECT md5(text) AS h, COUNT(*) AS nd,
+      |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      |  FROM documents GROUP BY 1)
+      |SELECT n_langs, COUNT(*) AS n_groups, CAST(SUM(nd) AS BIGINT) AS n_docs
+      |FROM g WHERE nd > 1 GROUP BY n_langs""".stripMargin
+
   /** q148: dedup savings report — the dataset-card table a curation run
     * publishes after near-dup clustering: per CLUSTER SIZE, how many
     * clusters, how many documents, total bytes, and bytes saved by
