@@ -737,6 +737,57 @@ object Embeddings {
       |SELECT qid, CAST(rn AS BIGINT) AS rank, id AS neighbor_id, sim
       |FROM r WHERE rn <= 10""".stripMargin
 
+  /** q158: int8 quantization reconstruction-error audit — per label, the
+    * mean |v − q/scale| over all dimensions: the number that says whether
+    * the q54 quarter-bandwidth path is safe for a given embedding
+    * population (theory bounds it by 0.5/scale; a label whose vectors
+    * have one dominant dimension quantizes worse everywhere else). The
+    * per-element error folds to an fp9 long INSIDE the row (sequential
+    * index fold — no shuffle), so the corpus contributes one label-keyed
+    * integer aggregate. */
+  def q158QuantError(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("vec"), col("label"))
+    val q = graft.ops.Quantize.quantize(e, "vec")
+    val v = col("vec")
+    val rowErr = aggregate(
+      sequence(lit(1), size(v)), lit(0L),
+      (acc, i) => acc +
+        round(abs(element_at(v, i).cast("double") -
+          element_at(col("qvec"), i).cast("double") / col("qscale")) *
+          lit(1e9)).cast("long"))
+    q.select(col("label"), size(v).cast("long").as("dims"),
+        rowErr.as("err_fp9"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("dims")).as("n_dims"),
+        sum(col("err_fp9")).as("sum_err_fp9"),
+        round(sum(col("err_fp9")).cast("double") / sum(col("dims")))
+          .cast("long").as("mean_err_fp9"))
+  }
+
+  val q158QuantErrorSql: String =
+    """WITH q0 AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |q1 AS (
+      |  SELECT vec_id, label, v,
+      |    127.0 / greatest(list_max(list_transform(v, y -> abs(y))), 1e-30) AS s
+      |  FROM q0),
+      |errs AS (
+      |  SELECT label, CAST(len(v) AS BIGINT) AS dims,
+      |    list_reduce(list_concat([CAST(0 AS BIGINT)],
+      |      list_transform(generate_series(1, len(v)),
+      |        i -> CAST(round(abs(v[i] - floor(v[i] * s + 0.5) / s)
+      |               * 1000000000.0) AS BIGINT))),
+      |      (a, b) -> a + b) AS err_fp9
+      |  FROM q1)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  CAST(SUM(dims) AS BIGINT) AS n_dims,
+      |  CAST(SUM(err_fp9) AS BIGINT) AS sum_err_fp9,
+      |  CAST(round(CAST(SUM(err_fp9) AS DOUBLE) / SUM(dims)) AS BIGINT)
+      |    AS mean_err_fp9
+      |FROM errs GROUP BY label""".stripMargin
+
   /** SemDeDup gate ([[Similarity.semDedup]]): k-means cluster (k chosen
     * by the [[Similarity.autoK]] density rule from COUNT(*)), then
     * keep-first semantic dedup WITHIN clusters at cosine > 0.5. The
