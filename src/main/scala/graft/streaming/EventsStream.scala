@@ -20,6 +20,14 @@ object EventsStream {
     * derivation doesn't work for method-local case classes). */
   case class E(event_id: Long, user_id: Long, value: Double)
 
+  /** Typed row for [[attributionTws]] (µs event time). */
+  case class AE(event_id: Long, user_id: Long, event_type: String, us: Long)
+
+  /** 7-day attribution lookback in µs — shared with the batch gate
+    * (`queries/Events.q146Attribution`) so the two surfaces cannot
+    * drift. */
+  val AttributionLookbackUs: Long = 7L * 86400L * 1000000L
+
   /** Event schema as the file stream source expects it (ts in µs). */
   val schema: StructType = StructType.fromDDL(
     "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, " +
@@ -142,6 +150,22 @@ object EventsStream {
     * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`)
     * — the only provider backing transformWithState, set BEFORE the query
     * starts; the HDFS-backed default throws at plan time. */
+  /** Streaming last-touch attribution — the q146 batch semantics as a
+    * `transformWithState` operator ([[AttributionProcessor]]): per-user
+    * keyed state holds only TWO timestamps (latest click, latest view),
+    * so state is O(users) regardless of event volume, and every purchase is
+    * attributed the moment it arrives. Spec proves channel-count
+    * convergence with the batch gate under ordered delivery. */
+  def attributionTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us")).as[AE]
+    typed.groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+      .toDF("event_id", "user_id", "channel")
+  }
+
   def runningTotalsTws(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     val typed = events.selectExpr("event_id", "user_id", "value").as[E]
@@ -149,6 +173,55 @@ object EventsStream {
       .transformWithState(new RunningTotalsProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
       .toDF("user_id", "n_events", "total_value")
+  }
+}
+
+/** transformWithState processor for [[EventsStream.attributionTws]]: one
+  * (lastClickUs, lastViewUs) ValueState per user (−1 = never seen); each
+  * purchase emits its channel under the SAME rule as the batch gate
+  * (7-day lookback, click wins ties). Rows are sorted by (us, event_id)
+  * INSIDE each batch, so the processor is correct whenever batches arrive
+  * in event-time order per user (the file-per-trigger test discipline);
+  * a production deployment would put a watermark-sized reorder buffer in
+  * front, exactly like dropDuplicatesWithinWatermark does for q138. */
+final class AttributionProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, EventsStream.AE, (Long, Long, String)] {
+
+  @transient private var touch: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    touch = getHandle.getValueState[(Long, Long)]("touch",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[EventsStream.AE],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, String)] = {
+    val week = EventsStream.AttributionLookbackUs
+    var (lastClick, lastView) =
+      if (touch.exists()) touch.get() else (-1L, -1L)
+    val out = Seq.newBuilder[(Long, Long, String)]
+    rows.toSeq.sortBy(r => (r.us, r.event_id)).foreach { r =>
+      r.event_type match {
+        case "purchase" =>
+          val clickOk = lastClick >= 0 && r.us - lastClick <= week
+          val viewOk = lastView >= 0 && r.us - lastView <= week
+          val channel =
+            if (clickOk && (!viewOk || lastClick >= lastView)) "click"
+            else if (viewOk) "view"
+            else "none"
+          out += ((r.event_id, user, channel))
+        case "click" => lastClick = r.us
+        case "view"  => lastView = r.us
+        case _       => ()
+      }
+    }
+    touch.update((lastClick, lastView))
+    out.result().iterator
   }
 }
 

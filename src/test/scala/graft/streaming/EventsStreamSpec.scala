@@ -172,4 +172,43 @@ class EventsStreamSpec extends SparkSpec {
     assert(joined.filter(col("g.n_events") =!= col("e.n_events")).isEmpty)
     assert(got.count() > 0)
   }
+
+  test("streaming last-touch attribution converges to the batch q146 channels") {
+    // ordered delivery: split the corpus at the median ts and feed the
+    // two halves as SEPARATE triggers (write → drain → write → drain), so
+    // per-user state carries early touches across the batch boundary
+    val src = tmpDir("attr-src")
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val cut = batch.selectExpr("percentile_approx(ts, 0.5) AS m").head().getTimestamp(0)
+    batch.filter(col("ts") <= lit(cut)).coalesce(1).write.mode("append").parquet(src)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventsStream.attributionTws(spark, EventsStream.read(spark, src))
+        .writeStream.format("memory").queryName("attr")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        batch.filter(col("ts") > lit(cut)).coalesce(1)
+          .write.mode("append").parquet(src)
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val got = spark.table("attr").groupBy("channel").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = graft.queries.Events
+      .q146Attribution(spark, "/root/testdata/sf0.001")
+      .select(col("channel"), col("n_purchases"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(got.values.sum > 0)
+  }
 }
