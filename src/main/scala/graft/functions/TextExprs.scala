@@ -691,7 +691,61 @@ object SpanKeysUtil {
   }
 }
 
+/** Codegen'd per-row top token multiplicity — the repetition-cap signal
+  * of the q142 Gopher rules as a single projection. Replaces the
+  * `array_sort` + sequential-fold HOF form (interpreted lambda per
+  * element, O(n log n) per row, intermediate array) with ONE static
+  * O(n) hash pass that never leaves codegen. Token semantics match
+  * `split(text, ' ')` exactly — single-space separators, leading/
+  * trailing/internal empty tokens counted — so the substitution is a
+  * semantic identity and the q142 oracle hash-matches across it. */
+case class TopTokenFreqExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"top_token_freq expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(t: Any): Any =
+    TopTokenFreqUtil.compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TopTokenFreqUtil.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopTokenFreqExpr =
+    copy(child = newChild)
+}
+
+object TopTokenFreqUtil {
+  /** Max multiplicity over `split(s, ' ')` tokens (empties included):
+    * one decoded pass, one HashMap — tokens are short, so the map stays
+    * in the young generation; no sort, no per-element virtual calls. */
+  def compute(t: UTF8String): Long = {
+    val s = t.toString
+    val counts = new java.util.HashMap[String, Integer]()
+    var best = 0
+    var start = 0
+    var done = false
+    while (!done) {
+      val sp = s.indexOf(' ', start)
+      val tok = if (sp < 0) s.substring(start) else s.substring(start, sp)
+      val n = counts.getOrDefault(tok, 0) + 1
+      counts.put(tok, n)
+      if (n > best) best = n
+      if (sp < 0) done = true else start = sp + 1
+    }
+    best.toLong
+  }
+}
+
 object TextFunctions {
+
+  /** Per-row top token multiplicity (see [[TopTokenFreqExpr]]). */
+  def top_token_freq(text: Column): Column =
+    Bridge.column(TopTokenFreqExpr(Bridge.expression(text)))
 
   /** Per-row 64-bit span-key array (see [[SpanKeysExpr]]). */
   def span_keys(toks: Column, span: Int): Column =
@@ -760,6 +814,7 @@ object TextFunctions {
       "shingle_hashes" -> (es => ShingleHashesExpr(es(0), intArg(es(1)))),
       "span_keys" -> (es => SpanKeysExpr(es(0), intArg(es(1)))),
       "repetition_stats" -> (es => RepetitionStatsExpr(es(0))),
+      "top_token_freq" -> (es => TopTokenFreqExpr(es(0))),
       // aggregate, not scalar: the analyzer wraps the bare AggregateFunction
       // in an AggregateExpression at resolution, so GROUP BY ... in SQL works
       "graft_heavy_hitters" -> (es => HeavyHittersSketch(es(0), intArg(es(1)))))

@@ -12,23 +12,6 @@ import graft.core.Tables
   */
 object AuditQueries {
 
-  /** Per-document top token frequency as a PURE PROJECTION: sort the
-    * token array, then one sequential fold tracking the current and best
-    * run length — the max run of a sorted array IS the max multiplicity.
-    * O(n log n) per row, zero shuffles; the alternative (explode →
-    * groupBy(doc, tok) → max) shuffles the whole token stream twice. */
-  private def topTokenFreq(toks: Column): Column =
-    aggregate(
-      array_sort(toks),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, t) => {
-        val run = when(t === acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1L))
-        struct(t.as("prev"), run.as("run"),
-          greatest(run, acc.getField("best")).as("best"))
-      },
-      acc => acc.getField("best"))
-
   /** q142: Gopher-style rule-based quality report (Rae et al. 2021,
     * "Scaling Language Models: … Gopher", Table A1 — the repetition and
     * quality heuristics, adapted to this corpus's signals): per document,
@@ -37,8 +20,9 @@ object AuditQueries {
     * per-source pass/fail counts (the form a mix-weight decision reads).
     *
     * Scale shape: every signal INCLUDING the top-token frequency is a
-    * per-row projection ([[topTokenFreq]] — the oracle certifies the
-    * sorted-run rewrite against the explode/groupBy form), so the only
+    * per-row projection — the codegen'd
+    * [[graft.functions.TopTokenFreqExpr]] kernel (one O(n) hash pass; the
+    * oracle certifies it against the explode/groupBy form) — so the only
     * shuffle is the final source-sized aggregate. All rule arithmetic is
     * integer cross-multiplication — no floating point anywhere. */
   def q142GopherRules(spark: SparkSession, dir: String): DataFrame = {
@@ -49,7 +33,7 @@ object AuditQueries {
       size(array_distinct(toks)).cast("long").as("n_distinct"),
       size(filter(toks, t => t.isin("the", "a"))).cast("long").as("n_stop"),
       (col("n_chars") - size(toks) + 1).cast("long").as("tokchars"),
-      topTokenFreq(toks).as("top_freq"))
+      graft.functions.TextFunctions.top_token_freq(col("text")).as("top_freq"))
     val pLen  = (col("n_tok") >= 20 && col("n_tok") <= 1000).cast("long")
     val pWl   = (col("n_tok") * 3 <= col("tokchars") &&
                  col("tokchars") <= col("n_tok") * 5).cast("long")

@@ -34,6 +34,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT span_keys(split('p q r s p q r', ' '), 3) AS k")
       .collect().head.getSeq[Long](0)
     assert(sk.length === 5 && sk(0) === sk(4))
+    // top_token_freq: split(' ') semantics — empties count as tokens
+    val tf = Seq("a b a b a", "x", "", "a  b", "t t t t").map(s =>
+      spark.sql(s"SELECT top_token_freq('$s') AS f").collect().head.getLong(0))
+    assert(tf === Seq(3L, 1L, 1L, 1L, 4L))
+    // 'a  b' splits to [a, '', b]: three distinct tokens, max multiplicity 1
   }
 
   test("bloom primitives are callable from SQL") {

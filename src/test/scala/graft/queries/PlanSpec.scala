@@ -498,6 +498,8 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), // no explode — signals never leave the row
       s"token stream exploded:\n${p.take(2000)}")
     assert("documents\\.parquet".r.findAllIn(p).length === 1, p.take(2000))
+    assert(p.contains("toptokenfreq"), // native kernel, not the HOF fold
+      s"top-token frequency not the codegen kernel:\n${p.take(2000)}")
   }
 
   test("q143: oriented triangle join — hash joins only, no cartesian") {
