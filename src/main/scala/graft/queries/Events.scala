@@ -663,6 +663,42 @@ object Events {
       |FROM e2""".stripMargin
   }
 
+  /** q159: relational division — users whose interaction history covers
+    * ALL of a probe item set (the textbook ÷ operator, Codd 1972; the
+    * "bought the whole bundle" segmentation). Spelled as the scale-safe
+    * count-distinct form: filter to the probe items FIRST (the corpus
+    * shrinks before any aggregate), then `HAVING COUNT(DISTINCT item) =
+    * |probe|`. Report: qualified users vs all interacting users. */
+  def q159Division(spark: SparkSession, dir: String): DataFrame = {
+    val probe = Seq(1L, 2L, 3L)
+    val ui = Tables.events(spark, dir).select(col("user_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("item"))
+    val qualified = ui.filter(col("item").isin(probe: _*))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("item")).as("nd"))
+      .filter(col("nd") === probe.size)
+    val tot = ui.agg(countDistinct(col("user_id")).as("n_users_total"))
+    qualified
+      .agg(count(lit(1)).as("n_qualified"), sum(col("user_id")).as("id_sum"))
+      .crossJoin(broadcast(tot))
+  }
+
+  val q159DivisionSql: String =
+    """WITH ui AS (
+      |  SELECT user_id,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      |  FROM events),
+      |q AS (
+      |  SELECT user_id FROM ui WHERE item IN (1, 2, 3)
+      |  GROUP BY user_id HAVING COUNT(DISTINCT item) = 3),
+      |tot AS (
+      |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_total
+      |  FROM ui)
+      |SELECT qq.n_qualified, qq.id_sum, t.n_users_total
+      |FROM (SELECT COUNT(*) AS n_qualified,
+      |        CAST(SUM(user_id) AS BIGINT) AS id_sum FROM q) qq
+      |CROSS JOIN tot t""".stripMargin
+
   /** q153: time-to-conversion percentiles — exact p50/p90/p99 of the
     * view→purchase lag (7-day lookback, q146's window machinery). The
     * scale move: percentiles of an INTEGER measure come from a cumulative

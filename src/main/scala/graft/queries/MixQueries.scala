@@ -478,6 +478,54 @@ object MixQueries {
       |FROM d JOIN dupcnt USING (h)
       |GROUP BY band""".stripMargin
 
+  /** q160: token-budget epochs planner — given the q94 temperature
+    * weights (α = 0.5 on TOKEN mass) and a fixed training budget, how
+    * many epochs of each source does the mix imply? `epochs > 4` is the
+    * Muennighoff et al. 2023 ("Scaling Data-Constrained Language
+    * Models") diminishing-returns flag — the number a mix designer
+    * checks before committing weights. Same decimal-rounded weight sum
+    * as q94 (order-free); everything downstream is source-sized. */
+  def q160EpochsPlanner(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 1000000.0
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("n_tokens"))
+      .withColumn("p", round(pow(col("n_tokens").cast("double"), 0.5), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+    val tot = counts.agg(sum(col("p")).as("s"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        round(lit(budget) * (col("p").cast("double") / col("s").cast("double")))
+          .cast("long"))
+      .select(col("source"), col("n_tokens"), col("target_tokens"),
+        round(col("target_tokens").cast("double") * lit(1e6) / col("n_tokens"))
+          .cast("long").as("epochs_fp6"))
+      .withColumn("over_4_epochs", col("epochs_fp6") > 4000000L)
+  }
+
+  val q160EpochsPlannerSql: String =
+    """WITH counts AS (
+      |  SELECT source,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, n_tokens,
+      |    CAST(round(pow(n_tokens::DOUBLE, 0.5), 6) AS DECIMAL(28,6)) AS p
+      |  FROM counts),
+      |tot AS (SELECT SUM(p) AS s FROM w),
+      |t AS (
+      |  SELECT source, n_tokens,
+      |    CAST(round(1000000.0 * (p::DOUBLE / (SELECT s FROM tot)::DOUBLE))
+      |      AS BIGINT) AS target_tokens
+      |  FROM w)
+      |SELECT source, n_tokens, target_tokens,
+      |  CAST(round(CAST(target_tokens AS DOUBLE) * 1000000.0 / n_tokens)
+      |    AS BIGINT) AS epochs_fp6,
+      |  CAST(round(CAST(target_tokens AS DOUBLE) * 1000000.0 / n_tokens)
+      |    AS BIGINT) > 4000000 AS over_4_epochs
+      |FROM t""".stripMargin
+
   /** q155: leakage-free split — the q84 assignment keyed by the DEDUP
     * GROUP (q62 near-dup cluster rep; singletons key on themselves), so
     * every near-duplicate family lands in ONE split and test data cannot
