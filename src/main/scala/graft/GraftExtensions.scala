@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.KllFunctions.sqlBuilders.foreach {
       case (name, builder) => inject(name, builder)
     }
+    // mergeable theta set-operation sketches (build / union / intersect)
+    graft.functions.ThetaFunctions.sqlBuilders.foreach {
+      case (name, builder) => inject(name, builder)
+    }
     // whole-operator extension: the native as-of join's planner strategy
     // (logical node graft.plans.AsOfJoinPlan → merge-based AsOfJoinExec)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

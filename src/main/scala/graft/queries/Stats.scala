@@ -256,6 +256,47 @@ object Stats {
       |  TRUE AS single_ok, TRUE AS merged_ok
       |FROM documents""".stripMargin
 
+  /** q161: theta-sketch audience intersection — |A∩B| per event-type pair
+    * via the PRINCIPLED set-operation sketch ([[graft.functions
+    * .ThetaFunctions]]): where q111 compounds three HLL union errors
+    * through inclusion–exclusion, the theta intersection carries its own
+    * proven 2σ bounds, and below nominal capacity (lgK=12) it is EXACT.
+    * One pass builds per-type sketches; the pair grid is types²; the
+    * bounds-contract booleans are the q87 discipline (the oracle derives
+    * the exact overlaps independently and every estimate must bracket
+    * them). */
+  def q161ThetaOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ThetaFunctions._
+    val e = Tables.events(spark, dir)
+    val sk = e.groupBy(col("event_type"))
+      .agg(theta_sketch_agg(col("user_id"), 12).as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = sk.as("a").join(sk.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        theta_summary(theta_intersect(col("a.sk"), col("b.sk"))).as("s"))
+    val ui = e.select(col("event_type"), col("user_id")).distinct()
+    val exact = ui.as("x").join(ui.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_exact"))
+    pairs.join(exact, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("n_exact"),
+        (col("s").getItem(1) <= col("n_exact") &&
+          col("n_exact") <= col("s").getItem(2)).as("in_bounds"))
+  }
+
+  val q161ThetaOverlapSql: String =
+    """WITH ui AS (SELECT DISTINCT event_type, user_id FROM events)
+      |SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |  COUNT(*) AS n_exact, TRUE AS in_bounds
+      |FROM ui x JOIN ui y
+      |  ON y.user_id = x.user_id AND x.event_type < y.event_type
+      |GROUP BY 1, 2""".stripMargin
+
   /** q111: sketch-based audience overlap — |A∩B| for every event-type
     * pair by inclusion–exclusion over HLL sketches (est_A + est_B −
     * est_union), the standard "shared users between surfaces" analytics
