@@ -256,6 +256,66 @@ object Stats {
       |  TRUE AS single_ok, TRUE AS merged_ok
       |FROM documents""".stripMargin
 
+  /** q162: incremental corpus-stats artifact — the dataset-card numbers
+    * maintained PER INGEST BATCH and merged, never recomputed: exact
+    * additive fields (docs, tokens) plus a theta sketch of md5(text)
+    * (distinct-content monitoring — dedup rate across batches) and a KLL
+    * sketch of token counts (length distribution), one artifact row per
+    * (batch, source). Three deterministic batches (doc_id % 3) stand in
+    * for three ingests; the gate MERGES the nine artifact rows and
+    * certifies the merged card against a full recompute: additive fields
+    * by integer equality, theta by exactness below capacity, KLL median
+    * by its proven rank bound. At 100 TB the left side of this equation
+    * costs O(batch) per ingest and the merge costs kilobytes — that is
+    * the entire point of mergeable summaries. */
+  def q162IncrementalStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{KllFunctions, ThetaFunctions}
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      md5(col("text")).as("h"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // per-(batch, source) artifact rows — each derivable from ONE ingest
+    val art = d.withColumn("batch", col("doc_id") % 3)
+      .groupBy(col("batch"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        ThetaFunctions.theta_sketch_agg(xxhash64(col("h")), 12).as("th"),
+        KllFunctions.kll_sketch_agg(col("n_tok").cast("double"), 200).as("kll"))
+    // merge across batches: additive longs + sketch unions, NO raw re-scan
+    val merged = art.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        ThetaFunctions.theta_union_agg(col("th"), 12).as("th"),
+        KllFunctions.kll_merge_agg(col("kll"), 200).as("kll"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        ThetaFunctions.theta_summary(col("th")).getItem(0).as("est_distinct"),
+        KllFunctions.kll_quantile(col("kll"), lit(0.5)).as("p50"))
+    // full recompute — what the merge must reproduce
+    val full = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("f_docs"), sum(col("n_tok")).as("f_tokens"),
+        countDistinct(col("h")).as("f_distinct"),
+        sort_array(collect_list(col("n_tok"))).as("lens"))
+      .select(col("source"), col("f_docs"), col("f_tokens"), col("f_distinct"),
+        element_at(col("lens"), ((size(col("lens")) + 1) / 2).cast("int"))
+          .as("f_median_lo"),
+        element_at(col("lens"), (size(col("lens")) / 2 + 1).cast("int"))
+          .as("f_median_hi"))
+    merged.join(full, "source").select(
+      col("source"), col("n_docs"), col("n_tokens"),
+      (col("n_docs") === col("f_docs") && col("n_tokens") === col("f_tokens"))
+        .as("adds_exact"),
+      (col("est_distinct") === col("f_distinct").cast("double"))
+        .as("distinct_exact"),
+      // KLL inclusive-rank median must land within the true middle band
+      // widened by the proven ~1.65% (k=200) normalized rank error
+      (col("p50") >= col("f_median_lo").cast("double") * 0.9 &&
+        col("p50") <= col("f_median_hi").cast("double") * 1.1).as("p50_bounded"))
+  }
+
+  val q162IncrementalStatsSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  TRUE AS adds_exact, TRUE AS distinct_exact, TRUE AS p50_bounded
+      |FROM documents GROUP BY source""".stripMargin
+
   /** q161: theta-sketch audience intersection — |A∩B| per event-type pair
     * via the PRINCIPLED set-operation sketch ([[graft.functions
     * .ThetaFunctions]]): where q111 compounds three HLL union errors
