@@ -766,6 +766,51 @@ object DedupQueries {
       |    / greatest(length(a.name), length(b.name))) * 1000000.0) AS BIGINT)
       |  >= 600000""".stripMargin
 
+  /** q163: dedup threshold-sensitivity audit — how much duplication a
+    * MinHash pass would remove at each candidate threshold (0.5 / 0.75 /
+    * 1.0), from ONE candidate enumeration: pairs at-or-above each
+    * threshold, and the distinct documents those pairs touch. This is
+    * the knob-tuning table read before committing a dedup threshold —
+    * the jump between rows IS the marginal aggressiveness of lowering
+    * it. The threshold grid replays the same candidate table three ways
+    * (grid-sized fan-out, not re-enumeration). */
+  def q163ThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    val cand = Dedup.minhashCandidates(
+      Tables.spread(Tables.documents(spark, dir)), "doc_id", "text")
+      .select(col("id_a"), col("id_b"),
+        round(col("est_jaccard") * lit(1e6)).cast("long").as("j_fp6"))
+      .localCheckpoint() // three grid consumers; enumeration runs ONCE
+    val thresholds = Seq(500000L, 750000L, 1000000L)
+    thresholds.map { t =>
+      val at = cand.filter(col("j_fp6") >= t)
+      val docs = at.select(col("id_a").as("d")).unionAll(
+        at.select(col("id_b").as("d"))).distinct()
+      at.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(docs.agg(count(lit(1)).as("n_docs_touched")))
+        .select(lit(t).as("threshold_fp6"), col("n_pairs"),
+          col("n_docs_touched"))
+    }.reduce(_ unionByName _)
+  }
+
+  val q163ThresholdCurveSql: String =
+    s"""WITH ${OracleFragments.minhashSigCtes("documents")},
+      |cand AS (
+      |  SELECT s1.doc_id AS id_a, s2.doc_id AS id_b,
+      |    CAST(round(COUNT(*) / 8.0 * 1000000.0) AS BIGINT) AS j_fp6
+      |  FROM sig s1
+      |  JOIN sig s2 ON s1.seed = s2.seed AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id
+      |  GROUP BY 1, 2),
+      |grid(threshold_fp6) AS (VALUES (500000), (750000), (1000000))
+      |SELECT CAST(g.threshold_fp6 AS BIGINT) AS threshold_fp6,
+      |  COUNT(*) FILTER (c.j_fp6 >= g.threshold_fp6) AS n_pairs,
+      |  (SELECT COUNT(*) FROM (
+      |     SELECT id_a AS d FROM cand WHERE j_fp6 >= g.threshold_fp6
+      |     UNION
+      |     SELECT id_b FROM cand WHERE j_fp6 >= g.threshold_fp6))
+      |    AS n_docs_touched
+      |FROM grid g CROSS JOIN cand c
+      |GROUP BY g.threshold_fp6""".stripMargin
+
   /** q156: cross-language duplicate audit — exact-duplicate groups
     * (md5 of the full text) bucketed by how many DISTINCT `lang` tags
     * their members carry: `n_langs > 1` rows are metadata-inconsistent
