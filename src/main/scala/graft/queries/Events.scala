@@ -663,6 +663,48 @@ object Events {
       |FROM e2""".stripMargin
   }
 
+  /** q164: out-of-orderness audit — per event type, how late events
+    * arrive relative to the RUNNING MAX of event time in arrival order
+    * (`event_id`), which is exactly the quantity a Structured Streaming
+    * watermark must cover: `max_late_s` is the smallest watermark delay
+    * with zero drops, and the late-rate says what a tighter one costs.
+    * One arrival-ordered window per type (the q146 max-over-frame trick —
+    * no IGNORE NULLS, no self-join), then a type-sized aggregate of
+    * integer second-floored lateness. */
+  def q164Orderliness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val us = unix_micros(col("ts"))
+    val lateS = greatest(lit(0L),
+      floor((max(us).over(w) - us) / 1000000L).cast("long"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), coalesce(lateS, lit(0L)).as("late_s"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("late_s") > 0).cast("long")).as("n_late"),
+        round(sum((col("late_s") > 0).cast("long")).cast("double") * lit(1e6) /
+          count(lit(1))).cast("long").as("late_rate_fp6"),
+        max(col("late_s")).as("max_late_s"),
+        sum(col("late_s")).as("sum_late_s"))
+  }
+
+  val q164OrderlinessSql: String =
+    """WITH lat AS (
+      |  SELECT event_type,
+      |    COALESCE(greatest(0, CAST(floor((
+      |      max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      - epoch_us(ts)) / 1000000) AS BIGINT)), 0) AS late_s
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(round(CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    * 1000000.0 / COUNT(*)) AS BIGINT) AS late_rate_fp6,
+      |  MAX(late_s) AS max_late_s,
+      |  CAST(SUM(late_s) AS BIGINT) AS sum_late_s
+      |FROM lat GROUP BY event_type""".stripMargin
+
   /** q159: relational division — users whose interaction history covers
     * ALL of a probe item set (the textbook ÷ operator, Codd 1972; the
     * "bought the whole bundle" segmentation). Spelled as the scale-safe

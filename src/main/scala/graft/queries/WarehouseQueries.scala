@@ -179,6 +179,46 @@ object WarehouseQueries {
       |FROM c JOIN g USING (source)
       |WHERE c.n_true > g.n_tok / 26.0""".stripMargin
 
+  /** q165: calendar completeness audit — the warehouse freshness check:
+    * every month between the first and last order must be present, and
+    * months with anomalously thin volume (4× under the peak) are
+    * flagged. The calendar spine is GENERATED (`sequence` over the
+    * 2-row min/max aggregate), so absent months surface as zero rows
+    * instead of silently not existing — the failure mode count-only
+    * monitoring cannot see. Corpus cost: one month-keyed aggregate;
+    * everything else is calendar-sized. */
+  def q165Completeness(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(trunc(col("o_orderdate"), "month").as("m"))
+    val counts = o.groupBy(col("m")).agg(count(lit(1)).as("n_orders"))
+    val spine = o.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 month"))).as("m"))
+    val peak = counts.agg(max(col("n_orders")).as("peak"))
+    spine.join(counts, Seq("m"), "left")
+      .select(date_format(col("m"), "yyyy-MM").as("month"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .crossJoin(broadcast(peak))
+      .select(col("month"), col("n_orders"),
+        (col("n_orders") === 0).as("is_gap"),
+        (col("n_orders") * 4 < col("peak")).as("is_low"))
+  }
+
+  val q165CompletenessSql: String =
+    """WITH m AS (
+      |  SELECT date_trunc('month', o_orderdate) AS m FROM orders),
+      |counts AS (SELECT m, COUNT(*) AS n_orders FROM m GROUP BY m),
+      |spine AS (
+      |  SELECT unnest(generate_series(
+      |    (SELECT MIN(m) FROM m), (SELECT MAX(m) FROM m),
+      |    INTERVAL 1 MONTH)) AS m),
+      |peak AS (SELECT MAX(n_orders) AS peak FROM counts)
+      |SELECT strftime(s.m, '%Y-%m') AS month,
+      |  COALESCE(c.n_orders, 0) AS n_orders,
+      |  COALESCE(c.n_orders, 0) = 0 AS is_gap,
+      |  COALESCE(c.n_orders, 0) * 4 < p.peak AS is_low
+      |FROM spine s LEFT JOIN counts c ON c.m = s.m CROSS JOIN peak p""".stripMargin
+
   /** q152: financial reconciliation — does `o_totalprice` equal the sum
     * of its line items' `price·(1−disc)·(1+tax)`? The classic warehouse
     * cross-table audit, in EXACT fixed-point: all three measures carry
