@@ -202,4 +202,38 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("top-token-freq kernel equals exact multiplicity on random token strings") {
+    val vocab = Vector("a", "bb", "ccc", "dd", "", "ef", "zz")
+    (1 to 200).foreach { round =>
+      val toks = List.fill(rng.nextInt(40))(vocab(rng.nextInt(vocab.size)))
+      val s = toks.mkString(" ")
+      // reference: split-on-space semantics (empties survive)
+      val exact = s.split(" ", -1).groupBy(identity).values.map(_.length).max
+      val got = graft.functions.TopTokenFreqUtil.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      assert(got === exact.toLong, s"round $round: '$s'")
+    }
+  }
+
+  test("theta union is order- and grouping-invariant on random key sets") {
+    import graft.functions.ThetaOps
+    (1 to 5).foreach { round =>
+      val keys = List.fill(500 + rng.nextInt(500))(rng.nextInt(300).toLong)
+      val distinct = keys.distinct.size
+      // one-shot
+      val u1 = ThetaOps.emptyUnion(12)
+      keys.foreach(u1.update)
+      // random 3-way grouping, merged in shuffled order
+      val groups = keys.groupBy(_ => rng.nextInt(3)).values.toList
+      val parts = rng.shuffle(groups).map { g =>
+        val u = ThetaOps.emptyUnion(12); g.foreach(u.update)
+        u.getResult.toByteArray
+      }
+      val merged = ThetaOps.emptyUnion(12)
+      parts.foreach(b => merged.union(ThetaOps.fromBytes(b)))
+      assert(u1.getResult.getEstimate === distinct.toDouble, s"round $round")
+      assert(merged.getResult.getEstimate === distinct.toDouble, s"round $round")
+    }
+  }
 }
