@@ -219,6 +219,57 @@ object WarehouseQueries {
       |  COALESCE(c.n_orders, 0) * 4 < p.peak AS is_low
       |FROM spine s LEFT JOIN counts c ON c.m = s.m CROSS JOIN peak p""".stripMargin
 
+  /** q166: order→ship lead-time percentiles per priority — exact
+    * p50/p90/p99 of `datediff(l_shipdate, o_orderdate)` from a
+    * per-priority cumulative sum over the bounded DAY histogram (the
+    * q153 discipline: the percentile sort runs on distinct day values,
+    * never the fact table). One co-keyed join + one (priority, day)
+    * aggregate touch the corpus; integer cumulative thresholds — no
+    * interpolation convention. The SLA question every warehouse asks. */
+  def q166LeadTime(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val j = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag_d"))
+    val hist = j.groupBy(col("priority"), col("lag_d"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("priority")).orderBy(col("lag_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("priority"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val h = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    h.groupBy(col("priority"))
+      .agg(max(col("n")).as("n_lineitems"),
+        min(when(col("cum") * 100 >= col("n") * 50, col("lag_d"))).as("p50_d"),
+        min(when(col("cum") * 100 >= col("n") * 90, col("lag_d"))).as("p90_d"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("lag_d"))).as("p99_d"),
+        max(col("lag_d")).as("max_d"))
+  }
+
+  val q166LeadTimeSql: String =
+    """WITH j AS (
+      |  SELECT o.o_orderpriority AS priority,
+      |    CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS lag_d
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |hist AS (
+      |  SELECT priority, lag_d, COUNT(*) AS cnt FROM j GROUP BY 1, 2),
+      |h AS (
+      |  SELECT priority, lag_d, cnt,
+      |    SUM(cnt) OVER (PARTITION BY priority ORDER BY lag_d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY priority) AS n
+      |  FROM hist)
+      |SELECT priority, CAST(MAX(n) AS BIGINT) AS n_lineitems,
+      |  MIN(CASE WHEN cum * 100 >= n * 50 THEN lag_d END) AS p50_d,
+      |  MIN(CASE WHEN cum * 100 >= n * 90 THEN lag_d END) AS p90_d,
+      |  MIN(CASE WHEN cum * 100 >= n * 99 THEN lag_d END) AS p99_d,
+      |  MAX(lag_d) AS max_d
+      |FROM h GROUP BY priority""".stripMargin
+
   /** q152: financial reconciliation — does `o_totalprice` equal the sum
     * of its line items' `price·(1−disc)·(1+tax)`? The classic warehouse
     * cross-table audit, in EXACT fixed-point: all three measures carry
