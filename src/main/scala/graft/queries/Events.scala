@@ -663,6 +663,85 @@ object Events {
       |FROM e2""".stripMargin
   }
 
+  /** q167: RFM segmentation — the classic recency/frequency/monetary
+    * customer grid over purchase events: per user, days since last
+    * purchase (vs the corpus max event time — deterministic, no clock),
+    * purchase count, and exact-cents monetary value; each dimension
+    * bucketed on fixed edges and the 3-digit segment counted. Everything
+    * after the per-user aggregate is segment-sized (≤ 27 rows). */
+  def q167Rfm(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val us = unix_micros(col("ts"))
+    val ref = e.agg(max(us).as("ref_us"))
+    val perUser = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(us).as("last_us"), count(lit(1)).as("n_purch"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    val day = 86400L * 1000000L
+    val r = when((col("ref_us") - col("last_us")) <= lit(30L) * day, 0L)
+      .when((col("ref_us") - col("last_us")) <= lit(90L) * day, 1L).otherwise(2L)
+    val f = when(col("n_purch") >= 10, 0L).when(col("n_purch") >= 3, 1L)
+      .otherwise(2L)
+    val m = when(col("cents") >= 50000L, 0L).when(col("cents") >= 10000L, 1L)
+      .otherwise(2L)
+    perUser.crossJoin(broadcast(ref))
+      .select((r * 100 + f * 10 + m).as("segment"), col("cents"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_users"),
+        (sum(col("cents")).cast("double") / 100.0).as("total_value"))
+  }
+
+  val q167RfmSql: String =
+    """WITH ref AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events),
+      |pu AS (
+      |  SELECT user_id, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS n_purch,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |seg AS (
+      |  SELECT
+      |    (CASE WHEN r.ref_us - last_us <= 2592000000000 THEN 0
+      |          WHEN r.ref_us - last_us <= 7776000000000 THEN 1 ELSE 2 END) * 100
+      |    + (CASE WHEN n_purch >= 10 THEN 0
+      |            WHEN n_purch >= 3 THEN 1 ELSE 2 END) * 10
+      |    + (CASE WHEN cents >= 50000 THEN 0
+      |            WHEN cents >= 10000 THEN 1 ELSE 2 END) AS segment,
+      |    cents
+      |  FROM pu CROSS JOIN ref r)
+      |SELECT CAST(segment AS BIGINT) AS segment, COUNT(*) AS n_users,
+      |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value
+      |FROM seg GROUP BY segment""".stripMargin
+
+  /** q168: day-of-week seasonality profile — per event type × weekday,
+    * counts, share, and integer-exact deviation from uniform
+    * (`(7n − N)/N` at fp6): the load-shape audit behind capacity planning
+    * and anomaly baselines. One (type, dow) aggregate; grid downstream. */
+  def q168DowProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.events(spark, dir)
+      .groupBy(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n"))
+    val wT = Window.partitionBy(col("event_type"))
+    d.select(col("event_type"), col("dow"), col("n"),
+      round(col("n").cast("double") * lit(1e6) / sum(col("n")).over(wT))
+        .cast("long").as("share_fp6"),
+      round((col("n") * 7 - sum(col("n")).over(wT)).cast("double") * lit(1e6) /
+        sum(col("n")).over(wT)).cast("long").as("dev_uniform_fp6"))
+  }
+
+  val q168DowProfileSql: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, dow, n,
+      |  CAST(round(CAST(n AS DOUBLE) * 1000000.0
+      |    / SUM(n) OVER (PARTITION BY event_type)) AS BIGINT) AS share_fp6,
+      |  CAST(round(CAST(n * 7 - SUM(n) OVER (PARTITION BY event_type)
+      |      AS DOUBLE) * 1000000.0
+      |    / SUM(n) OVER (PARTITION BY event_type)) AS BIGINT)
+      |    AS dev_uniform_fp6
+      |FROM d""".stripMargin
+
   /** q164: out-of-orderness audit — per event type, how late events
     * arrive relative to the RUNNING MAX of event time in arrival order
     * (`event_id`), which is exactly the quantity a Structured Streaming
