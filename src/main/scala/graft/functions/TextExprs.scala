@@ -720,22 +720,32 @@ case class TopTokenFreqExpr(child: Expression) extends UnaryExpression {
 }
 
 object TopTokenFreqUtil {
-  /** Max multiplicity over `split(s, ' ')` tokens (empties included):
-    * one decoded pass, one HashMap — tokens are short, so the map stays
-    * in the young generation; no sort, no per-element virtual calls. */
+  /** Max multiplicity over `split(s, ' ')` tokens (empties included),
+    * computed directly on the UTF-8 bytes: 0x20 never occurs inside a
+    * multi-byte sequence, so byte-level splitting is identical to
+    * splitting the decoded string at ' ', and [[UTF8String]] equality is
+    * byte equality — no String decode, no per-token char[] copy. Token
+    * keys are zero-copy [[UTF8String]] views over the row's byte array
+    * (`fromBytes(base, off, len)` wraps, never copies); the only
+    * allocations are the view headers and one int[1] cell per DISTINCT
+    * token. One pass, no sort. */
   def compute(t: UTF8String): Long = {
-    val s = t.toString
-    val counts = new java.util.HashMap[String, Integer]()
+    val bytes = t.getBytes // the backing array itself when array-aligned
+    val n = bytes.length
+    val counts = new java.util.HashMap[UTF8String, Array[Int]]()
     var best = 0
     var start = 0
-    var done = false
-    while (!done) {
-      val sp = s.indexOf(' ', start)
-      val tok = if (sp < 0) s.substring(start) else s.substring(start, sp)
-      val n = counts.getOrDefault(tok, 0) + 1
-      counts.put(tok, n)
-      if (n > best) best = n
-      if (sp < 0) done = true else start = sp + 1
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == 0x20) {
+        val tok = UTF8String.fromBytes(bytes, start, i - start)
+        var cell = counts.get(tok)
+        if (cell == null) { cell = new Array[Int](1); counts.put(tok, cell) }
+        cell(0) += 1
+        if (cell(0) > best) best = cell(0)
+        start = i + 1
+      }
+      i += 1
     }
     best.toLong
   }

@@ -28,7 +28,7 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, 
   *   - `theta_sketch_agg(x, lgK)` → binary  (build over long keys)
   *   - `theta_union_agg(bin, lgK)` → binary (merge serialized sketches)
   *   - `theta_intersect(a, b)`    → binary  (set intersection)
-  *   - `theta_summary(bin)`       → array<double> [est, lb2, ub2]
+  *   - `theta_summary(bin)`       → array<double> [est, lb2, ub2, lb3, ub3]
   *
   * Shuffle shape: partials ship as compact sketches (≤ ~16 KB at
   * lgK=12 regardless of input size) — per-batch artifacts union with no
@@ -58,11 +58,17 @@ object ThetaOps {
     it.getResult.toByteArray
   }
 
-  /** [estimate, lowerBound(2σ), upperBound(2σ)] — one call so the three
-    * numbers always come from the same sketch view. */
+  /** [estimate, lowerBound(2σ), upperBound(2σ), lowerBound(3σ),
+    * upperBound(3σ)] — one call so all five numbers always come from the
+    * same sketch view. In exact mode (theta = 1, below nominal capacity)
+    * every bound collapses to the estimate, so `lb3 ≤ truth ≤ ub3`
+    * doubles as an exactness assertion there and a ≥99.7%-coverage
+    * bracket in estimation mode — the contract the q161/q162 gates
+    * certify, robust across scale factors. */
   def summary(bytes: Array[Byte]): Array[Double] = {
     val sk = fromBytes(bytes)
-    Array(sk.getEstimate, sk.getLowerBound(2), sk.getUpperBound(2))
+    Array(sk.getEstimate, sk.getLowerBound(2), sk.getUpperBound(2),
+      sk.getLowerBound(3), sk.getUpperBound(3))
   }
 }
 
@@ -187,7 +193,8 @@ case class ThetaIntersectExpr(left: Expression, right: Expression)
   override def prettyName: String = "theta_intersect"
 }
 
-/** `theta_summary(bin)`: `[estimate, lowerBound(2σ), upperBound(2σ)]`. */
+/** `theta_summary(bin)`:
+  * `[estimate, lowerBound(2σ), upperBound(2σ), lowerBound(3σ), upperBound(3σ)]`. */
 case class ThetaSummaryExpr(child: Expression)
   extends UnaryExpression with UnaryLike[Expression] {
 

@@ -110,6 +110,11 @@ object Triangles {
     */
   def trussPeel(edges: DataFrame, minSupport: Long, rounds: Int): DataFrame = {
     require(rounds >= 1, "need at least one peel round")
+    // edgeSupport only emits edges participating in >=1 triangle, so a
+    // minSupport of 0 could not keep triangle-free edges anyway — reject
+    // it rather than silently behaving like 1 (round-11 advisory)
+    require(minSupport >= 1,
+      s"trussPeel: minSupport must be >= 1 (support-0 edges are always peeled), got $minSupport")
     // barrier per generation (the connected-components discipline): the
     // enumeration references its edge set three times (two degree joins +
     // the closing-edge side), so an un-truncated lineage would re-derive

@@ -801,14 +801,18 @@ object DedupQueries {
       |  JOIN sig s2 ON s1.seed = s2.seed AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id
       |  GROUP BY 1, 2),
       |grid(threshold_fp6) AS (VALUES (500000), (750000), (1000000))
+      |-- LEFT JOIN (not CROSS JOIN + FILTER): on a duplicate-free corpus
+      |-- cand is empty and the cross form would emit zero rows while the
+      |-- agg-with-no-groups Spark side emits one zero row per threshold;
+      |-- the left form keeps every grid row alive (round-11 advisory)
       |SELECT CAST(g.threshold_fp6 AS BIGINT) AS threshold_fp6,
-      |  COUNT(*) FILTER (c.j_fp6 >= g.threshold_fp6) AS n_pairs,
+      |  COUNT(c.id_a) AS n_pairs,
       |  (SELECT COUNT(*) FROM (
       |     SELECT id_a AS d FROM cand WHERE j_fp6 >= g.threshold_fp6
       |     UNION
       |     SELECT id_b FROM cand WHERE j_fp6 >= g.threshold_fp6))
       |    AS n_docs_touched
-      |FROM grid g CROSS JOIN cand c
+      |FROM grid g LEFT JOIN cand c ON c.j_fp6 >= g.threshold_fp6
       |GROUP BY g.threshold_fp6""".stripMargin
 
   /** q156: cross-language duplicate audit — exact-duplicate groups

@@ -498,7 +498,12 @@ object Embeddings {
       element_at(sorted, -1).as("d1"), element_at(sorted, -2).as("d2"))
     scored
       .select(col("cid"),
-        round((col("d1") - col("d2")) / (lit(1.0) - col("d2")) * lit(1e6))
+        // clamped denominator: d2 == 1.0 (vector collinear with its
+        // second-best centroid) would yield NaN/Inf→null in Spark but a
+        // DuckDB division error — clamp identically on both engines so
+        // degenerate embeddings stay cross-engine deterministic
+        round((col("d1") - col("d2")) /
+            greatest(lit(1e-12), lit(1.0) - col("d2")) * lit(1e6))
           .cast("long").as("s_fp6"))
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n"),
@@ -528,7 +533,8 @@ object Embeddings {
        |  WHERE a.rn = 1),
        |sil AS (
        |  SELECT cid,
-       |    CAST(round((d1 - d2) / (1.0 - d2) * 1000000.0) AS BIGINT) AS s_fp6
+       |    CAST(round((d1 - d2) / greatest(1e-12, 1.0 - d2) * 1000000.0)
+       |      AS BIGINT) AS s_fp6
        |  FROM top2)
        |SELECT cid, COUNT(*) AS n,
        |  CAST(round(CAST(SUM(s_fp6) AS DOUBLE) / COUNT(*)) AS BIGINT)

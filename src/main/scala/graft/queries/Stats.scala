@@ -264,7 +264,8 @@ object Stats {
     * (batch, source). Three deterministic batches (doc_id % 3) stand in
     * for three ingests; the gate MERGES the nine artifact rows and
     * certifies the merged card against a full recompute: additive fields
-    * by integer equality, theta by exactness below capacity, KLL median
+    * by integer equality, theta by its exact-mode-collapsing 3σ bracket
+    * (equality below capacity, ≥99.7% coverage above it), KLL median
     * by its proven rank bound. At 100 TB the left side of this equation
     * costs O(batch) per ingest and the merge costs kilobytes — that is
     * the entire point of mergeable summaries. */
@@ -286,7 +287,8 @@ object Stats {
         ThetaFunctions.theta_union_agg(col("th"), 12).as("th"),
         KllFunctions.kll_merge_agg(col("kll"), 200).as("kll"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        ThetaFunctions.theta_summary(col("th")).getItem(0).as("est_distinct"),
+        ThetaFunctions.theta_summary(col("th")).getItem(3).as("lb3"),
+        ThetaFunctions.theta_summary(col("th")).getItem(4).as("ub3"),
         KllFunctions.kll_quantile(col("kll"), lit(0.5)).as("p50"))
     // full recompute — what the merge must reproduce
     val full = d.groupBy(col("source"))
@@ -302,8 +304,13 @@ object Stats {
       col("source"), col("n_docs"), col("n_tokens"),
       (col("n_docs") === col("f_docs") && col("n_tokens") === col("f_tokens"))
         .as("adds_exact"),
-      (col("est_distinct") === col("f_distinct").cast("double"))
-        .as("distinct_exact"),
+      // 3σ bracket, not hard equality: below nominal capacity the theta
+      // bounds collapse to the estimate so this IS an exactness check;
+      // past capacity (large SFs) it degrades to the proven ≥99.7%
+      // bracket instead of flipping spuriously (round-11 advisory).
+      (col("lb3") <= col("f_distinct").cast("double") &&
+        col("f_distinct").cast("double") <= col("ub3"))
+        .as("distinct_ok"),
       // KLL inclusive-rank median must land within the true middle band
       // widened by the proven ~1.65% (k=200) normalized rank error
       (col("p50") >= col("f_median_lo").cast("double") * 0.9 &&
@@ -313,7 +320,7 @@ object Stats {
   val q162IncrementalStatsSql: String =
     """SELECT source, COUNT(*) AS n_docs,
       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
-      |  TRUE AS adds_exact, TRUE AS distinct_exact, TRUE AS p50_bounded
+      |  TRUE AS adds_exact, TRUE AS distinct_ok, TRUE AS p50_bounded
       |FROM documents GROUP BY source""".stripMargin
 
   /** q161: theta-sketch audience intersection — |A∩B| per event-type pair
@@ -345,8 +352,11 @@ object Stats {
       .agg(count(lit(1)).as("n_exact"))
     pairs.join(exact, Seq("type_a", "type_b"))
       .select(col("type_a"), col("type_b"), col("n_exact"),
-        (col("s").getItem(1) <= col("n_exact") &&
-          col("n_exact") <= col("s").getItem(2)).as("in_bounds"))
+        // 3σ bounds (exact-mode-collapsing): below capacity this asserts
+        // exactness; in estimation mode it is a ≥99.7% bracket instead of
+        // the flip-prone 2σ one (round-11 advisory)
+        (col("s").getItem(3) <= col("n_exact") &&
+          col("n_exact") <= col("s").getItem(4)).as("in_bounds"))
   }
 
   val q161ThetaOverlapSql: String =

@@ -34,6 +34,10 @@ class ThetaSpec extends SparkSpec {
       .agg(theta_sketch_agg(col("id"), 12)).head().getAs[Array[Byte]](0)
     val inter = ThetaOps.intersectBytes(sk(1 to 500), sk(301 to 800))
     assert(est(inter) === 200.0)    // |301..500|
+    // exact mode: every bound collapses to the estimate, so the q161/q162
+    // 3-sigma bracket doubles as an exactness assertion below capacity
+    val s = ThetaOps.summary(inter)
+    assert(s(1) === s(0) && s(2) === s(0) && s(3) === s(0) && s(4) === s(0))
   }
 
   test("estimation mode: 2-sigma bounds bracket the truth") {
@@ -41,9 +45,10 @@ class ThetaSpec extends SparkSpec {
     val n = 5000L
     val bytes = (1L to n).toDF("id")
       .agg(theta_sketch_agg(col("id"), 4)).head().getAs[Array[Byte]](0)
-    val Array(e, lb, ub) = ThetaOps.summary(bytes)
+    val Array(e, lb, ub, lb3, ub3) = ThetaOps.summary(bytes)
     assert(lb <= n && n <= ub, s"bounds [$lb, $ub] miss $n")
     assert(lb < e && e < ub)
+    assert(lb3 <= lb && ub <= ub3, "3-sigma bracket must contain 2-sigma")
     assert(math.abs(e - n) / n < 0.9) // sanity: order of magnitude right
   }
 
