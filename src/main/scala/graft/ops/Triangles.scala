@@ -129,4 +129,38 @@ object Triangles {
     }
     sup
   }
+
+  /** Bounded-round k-core peel: `rounds` iterations of "drop every node
+    * with degree < k, then every edge touching a dropped node" — the
+    * degree-based sibling of [[trussPeel]] (triangle support → vertex
+    * degree), and the standard influence/spam-core graph filter
+    * (Batagelj & Zaveršnik 2003). True core decomposition iterates to
+    * fixpoint; the FIXED round count keeps the computation
+    * oracle-unrollable, and each round is ONE degree aggregate plus two
+    * node-keyed semi-joins — no triangle enumeration, so it is the cheap
+    * first pass run before [[trussPeel]] at scale (a node outside the
+    * k-core cannot be in the (k−2)-truss).
+    *
+    * @param edges canonical edge list `(u, v)` with `u < v`, no dups, no
+    *              self-loops (caller's contract)
+    * @return surviving nodes `(node, deg)` with the degree computed in
+    *         the final round
+    */
+  def kCorePeel(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one peel round")
+    require(k >= 1, s"kCorePeel: k must be >= 1, got $k")
+    // same barrier rationale as trussPeel: each round's edge set feeds
+    // the degree aggregate AND two semi-joins next round; localCheckpoint
+    // keeps the lineage one generation deep (graph-sized blocks)
+    var cur = edges.localCheckpoint()
+    var keep = degrees(cur).filter(col("deg") >= k)
+    (2 to rounds).foreach { _ =>
+      cur = cur
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v")).localCheckpoint()
+      keep = degrees(cur).filter(col("deg") >= k)
+    }
+    keep
+  }
 }

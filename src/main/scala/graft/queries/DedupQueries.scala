@@ -905,4 +905,47 @@ object DedupQueries {
       |  FROM documents d
       |  WHERE NOT EXISTS (SELECT 1 FROM clusters c WHERE c.doc_id = d.doc_id))
       |SELECT * FROM hist UNION ALL SELECT * FROM singles""".stripMargin
+
+  /** q172: blocked edit-distance fuzzy join — the record-linkage
+    * workhorse (Levenshtein ≤ 8 over 32-char title prefixes) with the
+    * standard TWO-KEY blocking scheme: candidates must share the title's
+    * first 8 OR last 8 characters, so a single edit burst at either end
+    * cannot hide a match from both blocks, and the join never goes
+    * all-pairs — pair volume is Σ block² over hash-sized blocks, the
+    * same bucketing argument as MinHash bands. The edit distance itself
+    * runs only on candidate pairs (codegen'd `levenshtein`, identical DP
+    * in both engines). At 100 TB the two block maps are one shuffle each
+    * on an 8-byte key; skewed blocks (empty/template titles) salt the
+    * same way any hot MinHash band does. */
+  def q172FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .filter(col("n_chars") >= 32)
+      .select(col("doc_id"), substring(col("text"), 1, 32).as("title"))
+    val blocked = t.select(col("doc_id"), col("title"),
+        substring(col("title"), 1, 8).as("bk"))
+      .unionByName(t.select(col("doc_id"), col("title"),
+        substring(col("title"), 25, 8).as("bk")))
+    val a = blocked.select(col("bk"), col("doc_id").as("id_a"), col("title").as("ta"))
+    val b = blocked.select(col("bk"), col("doc_id").as("id_b"), col("title").as("tb"))
+    a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ta"), col("tb")).distinct()
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+      .filter(col("dist") <= 8)
+  }
+
+  val q172FuzzyJoinSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, substr(text, 1, 32) AS title
+      |  FROM documents WHERE n_chars >= 32),
+      |blocked AS (
+      |  SELECT doc_id, title, substr(title, 1, 8) AS bk FROM t
+      |  UNION ALL
+      |  SELECT doc_id, title, substr(title, 25, 8) AS bk FROM t),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.title AS ta, b.title AS tb
+      |  FROM blocked a JOIN blocked b ON b.bk = a.bk AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+      |FROM cand WHERE levenshtein(ta, tb) <= 8""".stripMargin
 }

@@ -1045,4 +1045,48 @@ object Embeddings {
       |    AS mean_fp6,
       |  min_v, max_v
       |FROM agg""".stripMargin
+
+  /** q171: Matryoshka truncation recall (Kusupati et al. 2022, MRL) — the
+    * "can we search on the first 16 of 64 dims" audit read before buying
+    * the 4× cheaper index: exact cosine top-10 on the full vectors vs the
+    * same search on the dim-prefix, recall@10 per query. Truncation is a
+    * zero-shuffle `slice` projection on BOTH sides of the search, so the
+    * audit costs two q20-shaped passes; at 100 TB the prefix pass scans
+    * 1/4 the bytes (columnar layouts can prune the tail dims entirely
+    * when the prefix is stored as its own column). Integer recall
+    * (overlap count and exact fp6 ratio) — no float compare. */
+  def q171MatryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val q = v.filter(col("id") < 5).select(col("id").as("qid"), col("vec").as("qvec"))
+    val full = Similarity.bruteForceTopK(v, q, 10)
+    val trunc = Similarity.bruteForceTopK(
+      v.select(col("id"), slice(col("vec"), 1, 16).as("vec")),
+      q.select(col("qid"), slice(col("qvec"), 1, 16).as("qvec")), 10)
+    full.select(col("qid"), col("id"))
+      .join(trunc.select(col("qid"), col("id")), Seq("qid", "id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+      .select(col("qid"), col("n_overlap"),
+        (col("n_overlap") * 100000L).as("recall_fp6"))
+  }
+
+  val q171MatryoshkaRecallSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+      |    (embedding[1:16])::DOUBLE[] AS qt
+      |  FROM embeddings WHERE vec_id < 5),
+      |full_r AS (
+      |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+      |    ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC,
+      |             vec_id) AS rn
+      |  FROM embeddings, q WHERE vec_id <> qid),
+      |trunc_r AS (
+      |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+      |    ORDER BY list_cosine_similarity((embedding[1:16])::DOUBLE[], qt) DESC,
+      |             vec_id) AS rn
+      |  FROM embeddings, q WHERE vec_id <> qid)
+      |SELECT f.qid, COUNT(*) AS n_overlap,
+      |  CAST(COUNT(*) * 100000 AS BIGINT) AS recall_fp6
+      |FROM full_r f JOIN trunc_r t ON t.qid = f.qid AND t.vec_id = f.vec_id
+      |WHERE f.rn <= 10 AND t.rn <= 10
+      |GROUP BY f.qid""".stripMargin
 }

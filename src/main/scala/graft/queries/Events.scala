@@ -977,4 +977,37 @@ object Events {
       |SELECT channel, COUNT(*) AS n_purchases,
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM flagged GROUP BY channel""".stripMargin
+
+  /** q170: bounded-round k-core of the item co-occurrence graph
+    * ([[graft.ops.Triangles.kCorePeel]]) — the cheap degree-based core
+    * filter run BEFORE triangle/truss work at scale: a node outside the
+    * k-core cannot be in the (k−2)-truss, and each peel round is one
+    * degree aggregate plus two semi-joins (no triangle enumeration).
+    * Same graph as q143/q149 (per-user top-20 items, co-occurrence ≥ 2),
+    * k = 3, 3 rounds. Returns the surviving items with their final-round
+    * core degree. */
+  def q170Kcore(spark: SparkSession, dir: String): DataFrame = {
+    val (_, inter) = cappedItemPairs(spark, dir)
+    val edges = inter.filter(col("inter") >= 2)
+      .select(col("item_a").as("u"), col("item_b").as("v"))
+    graft.ops.Triangles.kCorePeel(edges, k = 3L, rounds = 3)
+      .select(col("node").as("item"), col("deg"))
+  }
+
+  val q170KcoreSql: String = {
+    def round(i: Int, prev: String): String =
+      s"""d$i AS (
+        |  SELECT node, COUNT(*) AS deg FROM (
+        |    SELECT u AS node FROM $prev UNION ALL SELECT v FROM $prev)
+        |  GROUP BY 1 HAVING COUNT(*) >= 3),
+        |e$i AS (
+        |  SELECT e.u, e.v FROM $prev e
+        |  JOIN d$i a ON a.node = e.u JOIN d$i b ON b.node = e.v)""".stripMargin
+    s"""WITH $cappedPairCtes,
+      |e0 AS (SELECT item_a AS u, item_b AS v FROM inter WHERE inter >= 2),
+      |${round(1, "e0")},
+      |${round(2, "e1")},
+      |${round(3, "e2")}
+      |SELECT node AS item, CAST(deg AS BIGINT) AS deg FROM d3""".stripMargin
+  }
 }

@@ -1042,4 +1042,73 @@ object TextQueries {
       |  CAST(round(CAST(n_terms * sxy - sx * sy AS DOUBLE)
       |    / (n_terms * sxx - sx * sx) * 1000000.0) AS BIGINT) AS slope_fp6
       |FROM agg""".stripMargin
+
+  /** q169: per-source boilerplate-gram report — the RefinedWeb/CCNet
+    * "repeated lines within a domain" curation signal, expressed over
+    * 3-token shingles (this corpus has no line structure): a gram that
+    * recurs across ≥2 DISTINCT documents of the same source is navigation/
+    * template boilerplate, not content, and a doc-level dedup pass never
+    * sees it. Per source: distinct boilerplate grams, the worst gram's
+    * document reach, and how many documents carry at least one.
+    *
+    * Scale shape: the per-doc distinct-shingle kernel
+    * ([[graft.functions.DistinctShinglesExpr]]) is a zero-shuffle
+    * projection; the (source, gram) aggregate shuffles one row per
+    * distinct gram occurrence — WITHIN-source grouping, so the shuffle
+    * key carries the source and per-domain skew salts naturally; the
+    * affected-doc count is a semi-join reusing the same partitioning.
+    * Singleton grams dominate (q79 measurement: ~91%) and prune the same
+    * Bloom way at 100 TB. */
+  def q169Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val dsh = d.select(col("source"), col("doc_id"),
+        explode(graft.functions.TextFunctions.distinct_shingles(col("text"), 3)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boiler = dsh.groupBy(col("source"), col("sh"))
+      .agg(count(lit(1)).as("nd")) // dsh is distinct per doc by kernel contract
+      .filter(col("nd") >= 2)
+    val per = boiler.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_boiler_grams"), max(col("nd")).as("max_gram_docs"))
+    val affected = dsh
+      .join(boiler.select(col("source"), col("sh")), Seq("source", "sh"), "left_semi")
+      .select(col("source"), col("doc_id")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs_affected"))
+    d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(per, Seq("source"), "left")
+      .join(affected, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_boiler_grams"), lit(0L)).as("n_boiler_grams"),
+        coalesce(col("max_gram_docs"), lit(0L)).as("max_gram_docs"),
+        coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"))
+  }
+
+  val q169BoilerplateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+      |         unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |shingles AS (
+      |  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+      |  FROM toks a
+      |  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+      |dsh AS (
+      |  SELECT DISTINCT d.source, s.doc_id, s.sh
+      |  FROM shingles s JOIN documents d USING (doc_id)),
+      |boiler AS (
+      |  SELECT source, sh, COUNT(*) AS nd FROM dsh
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |per AS (
+      |  SELECT source, COUNT(*) AS n_boiler_grams, MAX(nd) AS max_gram_docs
+      |  FROM boiler GROUP BY 1),
+      |aff AS (
+      |  SELECT g.source, COUNT(DISTINCT g.doc_id) AS n_docs_affected
+      |  FROM dsh g JOIN boiler b ON b.source = g.source AND b.sh = g.sh
+      |  GROUP BY 1),
+      |tot AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+      |SELECT t.source, t.n_docs,
+      |  CAST(COALESCE(p.n_boiler_grams, 0) AS BIGINT) AS n_boiler_grams,
+      |  CAST(COALESCE(p.max_gram_docs, 0) AS BIGINT) AS max_gram_docs,
+      |  CAST(COALESCE(a.n_docs_affected, 0) AS BIGINT) AS n_docs_affected
+      |FROM tot t LEFT JOIN per p USING (source) LEFT JOIN aff a USING (source)""".stripMargin
 }

@@ -65,4 +65,34 @@ class TrianglesSpec extends SparkSpec {
     // deg(2)=3, tri=2 → 2·2/(3·2) = 2/3
     assert(got(2L)._3 === 666667L)
   }
+
+  test("k-core peel: tail unravels round by round, core is stable") {
+    // K4 core {1,2,3,4} plus a pendant path 4-5-6: round 1 drops 6 (deg 1)
+    // and 5 survives with deg 2 < 3 → dropped too; round 2 recomputes on
+    // the K4 alone where every degree is 3
+    val g = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))).toDF("u", "v")
+    val r1 = Triangles.kCorePeel(g, k = 3L, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1.keySet === Set(1L, 2L, 3L, 4L))
+    assert(r1(4L) === 4L) // pendant edge still counted in round 1
+    val r2 = Triangles.kCorePeel(g, k = 3L, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // fixpoint: further rounds change nothing
+    val r3 = Triangles.kCorePeel(g, k = 3L, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 === r2)
+  }
+
+  test("k-core peel: k above the max degree empties the graph") {
+    val g = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    assert(Triangles.kCorePeel(g, k = 3L, rounds = 2).count() === 0L)
+    intercept[IllegalArgumentException] {
+      Triangles.kCorePeel(g, k = 0L, rounds = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Triangles.trussPeel(g, minSupport = 0L, rounds = 1)
+    }
+  }
 }
