@@ -308,4 +308,56 @@ object AuditQueries {
       |  CAST(SUM(CASE WHEN o.o_orderkey IS NULL
       |    THEN 1 ELSE 0 END) AS BIGINT) AS orderkey_resolves
       |FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey""".stripMargin
+
+  /** Benford expectation log10(1 + 1/d) at fixed 1e−6 precision — a
+    * LITERAL grid on both engines (never recomputed from `log`, whose
+    * last-ulp could differ across libm builds). The nine values sum to
+    * exactly 1,000,000. */
+  private val benfordFp6: Seq[(Long, Long)] = Seq(
+    1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
+    5L -> 79181L, 6L -> 66947L, 7L -> 57992L, 8L -> 51153L, 9L -> 45757L)
+
+  /** q173: Benford first-digit audit of order amounts — the classic
+    * fabricated-numbers / unit-mixup detector run on financial columns
+    * before they feed revenue reporting: the observed first-significant-
+    * digit distribution against Benford's law, with the deviation per
+    * digit. The digit comes from the exact-cents INTEGER's decimal string
+    * (never float log10, whose boundary cells would be engine-dependent);
+    * the digit grid drives a LEFT join so all nine rows exist even when a
+    * digit never occurs (the q163 empty-group discipline). One scan, one
+    * 9-group aggregate — nothing here grows with data. */
+  def q173Benford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val digits = Tables.orders(spark, dir)
+      .select(substring(round(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+    val tot = Tables.orders(spark, dir).agg(count(lit(1)).as("t"))
+    val grid = benfordFp6.toDF("digit", "benford_fp6")
+    val share = round(lit(1e6) * coalesce(col("n_orders"), lit(0L)) / col("t"))
+      .cast("long")
+    broadcast(grid).join(digits, Seq("digit"), "left").crossJoin(broadcast(tot))
+      .select(col("digit"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        share.as("share_fp6"), col("benford_fp6"),
+        abs(share - col("benford_fp6")).as("dev_fp6"))
+  }
+
+  val q173BenfordSql: String = {
+    val gridRows = benfordFp6.map { case (d, b) => s"($d, $b)" }.mkString(", ")
+    s"""WITH c AS (
+      |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+      |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM orders),
+      |n AS (SELECT digit, COUNT(*) AS n_orders FROM c GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS t FROM orders),
+      |grid(digit, benford_fp6) AS (VALUES $gridRows)
+      |SELECT CAST(g.digit AS BIGINT) AS digit,
+      |  CAST(COALESCE(n.n_orders, 0) AS BIGINT) AS n_orders,
+      |  CAST(round(1e6 * COALESCE(n.n_orders, 0) / t) AS BIGINT) AS share_fp6,
+      |  CAST(g.benford_fp6 AS BIGINT) AS benford_fp6,
+      |  CAST(abs(round(1e6 * COALESCE(n.n_orders, 0) / t) - g.benford_fp6)
+      |    AS BIGINT) AS dev_fp6
+      |FROM grid g LEFT JOIN n USING (digit) CROSS JOIN tot""".stripMargin
+  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -1089,4 +1089,74 @@ object Embeddings {
       |FROM full_r f JOIN trunc_r t ON t.qid = f.qid AND t.vec_id = f.vec_id
       |WHERE f.rn <= 10 AND t.rn <= 10
       |GROUP BY f.qid""".stripMargin
+
+  /** q176: Johnson–Lindenstrauss sign-projection distortion audit — 64
+    * dims down to 8 via the SAME md5-derived ±1 hyperplanes the LSH
+    * family uses ([[Similarity.planes]], engine-portable by
+    * construction), certifying per consecutive-id pair the ratio of the
+    * (1/d′-scaled) projected squared distance to the true squared
+    * distance. This is the decision table read before swapping full
+    * vectors for cheap projections in dedup/blocking. Projection is a
+    * zero-shuffle 8-dot-product projection; pairs come from ONE
+    * consecutive-id self-join (linear, never all-pairs); both squared
+    * distances are per-element fp12 integers summed exactly, so the only
+    * doubles are the final ratio's — identical expression tree both
+    * engines. Denominator clamped to ≥1 (identical-vector pairs). */
+  def q176JlDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val pl = Similarity.planes(1, 8, 64).head
+    val v = vectors(spark, dir)
+    val proj = v.select(col("id"), col("vec"),
+      array(pl.map(p =>
+        graft.functions.VectorFunctions.dot_f(col("vec"), typedlit(p.toSeq))): _*)
+        .as("proj"))
+    def sqDiffFp12(a: Column, b: Column): Column =
+      aggregate(
+        zip_with(a, b, (x, y) => {
+          val d = x.cast("double") - y.cast("double")
+          round(d * d * lit(1e12)).cast("long")
+        }),
+        lit(0L), (acc, x) => acc + x)
+    val a = proj.select(col("id").as("id_a"), col("vec").as("va"), col("proj").as("pa"))
+    val b = proj.select((col("id") - 1).as("id_a"), col("vec").as("vb"), col("proj").as("pb"))
+    a.join(b, Seq("id_a"))
+      .select(col("id_a"), sqDiffFp12(col("pa"), col("pb")).as("num_fp12"),
+        sqDiffFp12(col("va"), col("vb")).as("den_fp12"))
+      .select(col("id_a"), col("num_fp12"), col("den_fp12"),
+        round(lit(1e6) * (col("num_fp12").cast("double") / lit(8.0)) /
+          greatest(lit(1L), col("den_fp12")).cast("double"))
+          .cast("long").as("ratio_fp6"))
+  }
+
+  val q176JlDistortionSql: String =
+    """WITH coeff AS (
+      |  SELECT b, d,
+      |    CASE WHEN (strpos('0123456789abcdef',
+      |                      substr(md5('hp:0:'||b||':'||d), 1, 1)) - 1) % 2 = 1
+      |         THEN 1.0 ELSE -1.0 END AS c
+      |  FROM range(8) r1(b), range(64) r2(d)),
+      |planes AS (SELECT b, list(c ORDER BY d) AS pv FROM coeff GROUP BY b),
+      |proj AS (
+      |  SELECT e.vec_id AS id, p.b,
+      |    list_dot_product(e.embedding::DOUBLE[], p.pv) AS pr
+      |  FROM embeddings e CROSS JOIN planes p),
+      |num AS (
+      |  SELECT a.id AS id_a,
+      |    CAST(SUM(CAST(round((a.pr - b.pr) * (a.pr - b.pr) * 1e12)
+      |      AS BIGINT)) AS BIGINT) AS num_fp12
+      |  FROM proj a JOIN proj b ON b.id = a.id + 1 AND b.b = a.b
+      |  GROUP BY 1),
+      |vals AS (
+      |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS d,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |den AS (
+      |  SELECT a.id AS id_a,
+      |    CAST(SUM(CAST(round((a.x - b.x) * (a.x - b.x) * 1e12)
+      |      AS BIGINT)) AS BIGINT) AS den_fp12
+      |  FROM vals a JOIN vals b ON b.id = a.id + 1 AND b.d = a.d
+      |  GROUP BY 1)
+      |SELECT n.id_a, n.num_fp12, d.den_fp12,
+      |  CAST(round(1e6 * (CAST(n.num_fp12 AS DOUBLE) / 8.0)
+      |    / CAST(greatest(1, d.den_fp12) AS DOUBLE)) AS BIGINT) AS ratio_fp6
+      |FROM num n JOIN den d USING (id_a)""".stripMargin
 }

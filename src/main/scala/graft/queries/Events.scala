@@ -1010,4 +1010,53 @@ object Events {
       |${round(3, "e2")}
       |SELECT node AS item, CAST(deg AS BIGINT) AS deg FROM d3""".stripMargin
   }
+
+  /** q175: inter-arrival burstiness per event type — the Goh–Barabási
+    * coefficient B = (σ − μ)/(σ + μ) over inter-arrival gaps: −1 for a
+    * metronome, 0 for a Poisson stream, → 1 for heavy-tailed bursts; the
+    * traffic-shape signal a capacity planner reads next to raw rates.
+    * Gaps are exact integer microseconds from one lag window pass
+    * (ordered by ts with the event_id tie-break); Σgap fits a long but
+    * Σgap² needs 128 bits, so both engines accumulate exact wide integers
+    * (DECIMAL(38,0) here, HUGEINT in the oracle) and only then derive
+    * (σ, μ, B) through the IDENTICAL double expression tree, fp6-rounded.
+    * One type-keyed sort shuffle; everything after is type-sized. */
+  def q175Burstiness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val us = unix_micros(col("ts"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("event_type"), (us - lag(us, 1).over(w)).as("gap"))
+      .filter(col("gap").isNotNull)
+    val agg = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("s"),
+        sum(col("gap").cast(DecimalType(19, 0)) * col("gap")).as("ss"))
+    val mean = col("s").cast("double") / col("n_gaps")
+    val sd = sqrt(col("ss").cast("double") / col("n_gaps") - mean * mean)
+    agg.select(col("event_type"), col("n_gaps"), col("s").as("sum_gap_us"),
+      round(lit(1e6) * (sd - mean) / (sd + mean)).cast("long").as("burst_fp6"))
+  }
+
+  val q175BurstinessSql: String =
+    """WITH o AS (
+      |  SELECT event_type, epoch_us(ts) AS us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY event_type
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |g AS (SELECT event_type, us - prev AS gap FROM o WHERE prev IS NOT NULL),
+      |a AS (
+      |  SELECT event_type, COUNT(*) AS n_gaps,
+      |    CAST(SUM(gap) AS BIGINT) AS s,
+      |    SUM(CAST(gap AS HUGEINT) * gap) AS ss
+      |  FROM g GROUP BY 1)
+      |SELECT event_type, n_gaps, s AS sum_gap_us,
+      |  CAST(round(1e6 *
+      |    (sqrt(CAST(ss AS DOUBLE) / n_gaps
+      |          - (CAST(s AS DOUBLE) / n_gaps) * (CAST(s AS DOUBLE) / n_gaps))
+      |     - CAST(s AS DOUBLE) / n_gaps)
+      |    / (sqrt(CAST(ss AS DOUBLE) / n_gaps
+      |          - (CAST(s AS DOUBLE) / n_gaps) * (CAST(s AS DOUBLE) / n_gaps))
+      |     + CAST(s AS DOUBLE) / n_gaps)) AS BIGINT) AS burst_fp6
+      |FROM a""".stripMargin
 }
