@@ -785,4 +785,50 @@ object Similarity {
       .select(col("id"), col("min_id"))
       .distinct()
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    * greedily select `k` results maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` — the diversity
+    * re-rank RAG retrieval applies so the context window doesn't fill
+    * with five copies of the same passage.
+    *
+    * Inputs: `cand(qid, id, simq)` — the per-query candidate pool (top-N
+    * from any first-stage retriever) — and `pairSims(qid, id_x, id_y,
+    * sim)` over that pool. The greedy loop is inherently sequential in k
+    * but each round is pool-sized dataframe work partitioned BY QUERY, so
+    * a million queries re-rank in parallel and nothing ever leaves the
+    * executors; k is small and fixed (the oracle unrolls it). Ties break
+    * by id; round 1 has no penalty term by definition.
+    *
+    * @return (qid, sel_rank, id, score) — `score` the raw MMR objective
+    */
+  def mmrSelect(cand: DataFrame, pairSims: DataFrame,
+      lambda: Double, k: Int): DataFrame = {
+    require(k >= 1, s"mmrSelect: k must be >= 1, got $k")
+    val wPick = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id"))
+    def pickTop(scored: DataFrame, r: Int): DataFrame =
+      scored.withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("qid"), lit(r.toLong).as("sel_rank"), col("id"), col("score"))
+    var selected = pickTop(
+      cand.select(col("qid"), col("id"), (lit(lambda) * col("simq")).as("score")), 1)
+      .localCheckpoint() // barrier per round: selected feeds the penalty
+    var remaining = cand.join(
+      selected.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
+    (2 to k).foreach { r =>
+      val penalty = pairSims
+        .join(selected.select(col("qid"), col("id").as("id_y")), Seq("qid", "id_y"))
+        .groupBy(col("qid"), col("id_x").as("id"))
+        .agg(max(col("sim")).as("pen"))
+      val scored = remaining.join(penalty, Seq("qid", "id"))
+        .select(col("qid"), col("id"),
+          (lit(lambda) * col("simq") - lit(1.0 - lambda) * col("pen")).as("score"))
+      val pick = pickTop(scored, r)
+      selected = selected.unionByName(pick).localCheckpoint()
+      remaining = remaining.join(
+        pick.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
+    }
+    selected
+  }
 }

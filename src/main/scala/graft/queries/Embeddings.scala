@@ -1159,4 +1159,150 @@ object Embeddings {
       |  CAST(round(1e6 * (CAST(n.num_fp12 AS DOUBLE) / 8.0)
       |    / CAST(greatest(1, d.den_fp12) AS DOUBLE)) AS BIGINT) AS ratio_fp6
       |FROM num n JOIN den d USING (id_a)""".stripMargin
+
+  /** The q96 LSH kNN graph as shared oracle CTEs ending in
+    * `g(id, neighbor_id, rank)` — the auto-geometry signatures, the
+    * symmetric bucket join, and the per-source top-k rerank. */
+  private def knnGraphCtes(k: Int): String =
+    s"""${sigCtesAuto(16, 64)},
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig
+      |  WHERE a.id <> b.id),
+      |scored AS (
+      |  SELECT c.id_a, c.id_b,
+      |    list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS sim
+      |  FROM cand c
+      |  JOIN embeddings ea ON ea.vec_id = c.id_a
+      |  JOIN embeddings eb ON eb.vec_id = c.id_b),
+      |g AS (
+      |  SELECT id_a AS id, id_b AS neighbor_id,
+      |    row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rank
+      |  FROM scored
+      |  QUALIFY rank <= $k)""".stripMargin
+
+  /** q177: hubness audit of the embedding space (Radovanović et al.
+    * 2010) — the k-occurrence histogram: how many vectors appear in n
+    * other vectors' top-5 lists. High-dim spaces grow hubs (vectors in
+    * thousands of lists) and antihubs (n = 0); a heavy hub tail means
+    * kNN-based dedup/retrieval over-weights a few points and the space
+    * needs centering or csls-style rescaling BEFORE it ships. Built on
+    * the q96 LSH graph: one count per neighbor id plus a LEFT join from
+    * the vector table so antihubs surface as the n_occ = 0 row. The
+    * histogram is occupancy-sized; nothing here is quadratic. */
+  def q177Hubness(spark: SparkSession, dir: String): DataFrame = {
+    val g = Similarity.knnGraphLsh(vectors(spark, dir), k = 5)
+    val occ = g.groupBy(col("neighbor_id").as("id"))
+      .agg(count(lit(1)).as("n_occ"))
+    vectors(spark, dir).select(col("id"))
+      .join(occ, Seq("id"), "left")
+      .select(coalesce(col("n_occ"), lit(0L)).as("n_occ"))
+      .groupBy(col("n_occ")).agg(count(lit(1)).as("n_vectors"))
+  }
+
+  val q177HubnessSql: String =
+    s"""WITH ${knnGraphCtes(5)},
+      |occ AS (SELECT neighbor_id AS id, COUNT(*) AS n_occ FROM g GROUP BY 1)
+      |SELECT CAST(COALESCE(o.n_occ, 0) AS BIGINT) AS n_occ,
+      |  COUNT(*) AS n_vectors
+      |FROM embeddings e LEFT JOIN occ o ON o.id = e.vec_id
+      |GROUP BY 1""".stripMargin
+
+  /** q178: mutual (reciprocal) kNN pairs — edges where each endpoint is
+    * in the OTHER's top-5: the high-precision filter image/text dedup
+    * pipelines apply on top of a raw kNN graph, because one-directional
+    * neighbors are exactly what hubs fabricate (q177's diagnosis; this is
+    * the fix). One self-join of the q96 graph on the reversed key — edge-
+    * count work, no re-scoring — emitting both directional ranks. */
+  def q178MutualKnn(spark: SparkSession, dir: String): DataFrame = {
+    val g = Similarity.knnGraphLsh(vectors(spark, dir), k = 5)
+      .select(col("id"), col("neighbor_id"), col("rank"))
+      .localCheckpoint() // two consumers of one LSH + rerank pass
+    val rev = g.select(col("neighbor_id").as("id"), col("id").as("neighbor_id"),
+      col("rank").as("rank_ba"))
+    g.join(rev, Seq("id", "neighbor_id"))
+      .filter(col("id") < col("neighbor_id"))
+      .select(col("id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("rank").as("rank_ab"), col("rank_ba"))
+  }
+
+  val q178MutualKnnSql: String =
+    s"""WITH ${knnGraphCtes(5)}
+      |SELECT f.id AS id_a, f.neighbor_id AS id_b,
+      |  CAST(f.rank AS BIGINT) AS rank_ab, CAST(r.rank AS BIGINT) AS rank_ba
+      |FROM g f JOIN g r ON r.id = f.neighbor_id AND r.neighbor_id = f.id
+      |WHERE f.id < f.neighbor_id""".stripMargin
+
+  /** q179: MMR diversity re-rank ([[Similarity.mmrSelect]]) — top-20
+    * brute-force retrieval per query re-ranked to 5 diverse results at
+    * λ = 0.7. The oracle unrolls the greedy loop (the Lloyd/k-core
+    * discipline) and replays the identical IEEE objective — the penalty
+    * weight is spelled `(1.0 − 0.7)` on BOTH engines so each computes
+    * the same double. Scores surface fp6; selection order is certified
+    * by `sel_rank`. */
+  def q179Mmr(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val q = v.filter(col("id") < 3).select(col("id").as("qid"), col("vec").as("qvec"))
+    val pool = Similarity.bruteForceTopK(v, q, 20)
+      .select(col("qid"), col("id"), col("sim").as("simq"))
+      .localCheckpoint() // feeds the pair matrix AND every greedy round
+    val withVec = pool.select(col("qid"), col("id")).join(v, Seq("id"))
+    val a = withVec.select(col("qid"), col("id").as("id_x"), col("vec").as("vx"))
+    val b = withVec.select(col("qid"), col("id").as("id_y"), col("vec").as("vy"))
+    val ps = a.join(b, Seq("qid")).filter(col("id_x") =!= col("id_y"))
+      .select(col("qid"), col("id_x"), col("id_y"),
+        Similarity.cosine(col("vx"), col("vy")).as("sim"))
+    Similarity.mmrSelect(pool, ps, lambda = 0.7, k = 5)
+      .select(col("qid"), col("sel_rank"), col("id"),
+        round(col("score") * lit(1e6)).cast("long").as("score_fp6"))
+  }
+
+  val q179MmrSql: String = {
+    def selUnion(r: Int): String =
+      (1 to r).map(i => s"SELECT qid, id FROM s$i").mkString(" UNION ALL ")
+    val stages = (2 to 5).map { r =>
+      s"""pen$r AS (
+         |  SELECT p.qid, p.id_x AS id, MAX(p.sim) AS pen
+         |  FROM ps p JOIN (${selUnion(r - 1)}) s
+         |    ON s.qid = p.qid AND s.id = p.id_y
+         |  GROUP BY 1, 2),
+         |sc$r AS (
+         |  SELECT c.qid, c.id, 0.7 * c.simq - (1.0 - 0.7) * p.pen AS score
+         |  FROM pool c JOIN pen$r p ON p.qid = c.qid AND p.id = c.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM (${selUnion(r - 1)}) s
+         |                    WHERE s.qid = c.qid AND s.id = c.id)),
+         |s$r AS (
+         |  SELECT qid, id, score, $r AS sel_rank FROM sc$r
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY score DESC, id) = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+      |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      |  FROM embeddings WHERE vec_id < 3),
+      |pool AS (
+      |  SELECT qid, vec_id AS id, sim AS simq FROM (
+      |    SELECT q.qid, e.vec_id,
+      |      list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim,
+      |      row_number() OVER (PARTITION BY q.qid
+      |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv)
+      |          DESC, e.vec_id) AS rn
+      |    FROM embeddings e, q WHERE e.vec_id <> q.qid)
+      |  WHERE rn <= 20),
+      |ps AS (
+      |  SELECT a.qid, a.id AS id_x, b.id AS id_y,
+      |    list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS sim
+      |  FROM pool a JOIN pool b ON b.qid = a.qid AND b.id <> a.id
+      |  JOIN embeddings ea ON ea.vec_id = a.id
+      |  JOIN embeddings eb ON eb.vec_id = b.id),
+      |s1 AS (
+      |  SELECT qid, id, 0.7 * simq AS score, 1 AS sel_rank FROM pool
+      |  QUALIFY row_number() OVER (PARTITION BY qid
+      |    ORDER BY score DESC, id) = 1),
+      |$stages
+      |SELECT qid, CAST(sel_rank AS BIGINT) AS sel_rank, id,
+      |  CAST(round(score * 1e6) AS BIGINT) AS score_fp6
+      |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+      |      UNION ALL SELECT * FROM s5)""".stripMargin
+  }
 }

@@ -438,4 +438,28 @@ class SimilaritySpec extends SparkSpec {
     assert(nCand <= 60L * 16, s"candidate count $nCand exceeds n_c*tables")
     assert(nCand < 1770 / 2, s"candidate count $nCand is not bounded below all-pairs")
   }
+
+  test("mmrSelect: relevance leads, diversity penalizes the near-duplicate") {
+    import spark.implicits._
+    // pool for one query: ids 1,2 nearly identical (pair sim 0.99), id 3
+    // less relevant but diverse. Greedy at lambda=0.7:
+    //   r1: 0.7*0.95 = 0.665 -> id 1
+    //   r2: id 2 = 0.7*0.94 - 0.3*0.99 = 0.361  vs id 3 = 0.7*0.80 - 0.3*0.10 = 0.53 -> id 3
+    //   r3: id 2 (last one standing)
+    val cand = Seq((7L, 1L, 0.95), (7L, 2L, 0.94), (7L, 3L, 0.80))
+      .toDF("qid", "id", "simq")
+    val ps = Seq(
+      (7L, 1L, 2L, 0.99), (7L, 2L, 1L, 0.99),
+      (7L, 1L, 3L, 0.10), (7L, 3L, 1L, 0.10),
+      (7L, 2L, 3L, 0.12), (7L, 3L, 2L, 0.12))
+      .toDF("qid", "id_x", "id_y", "sim")
+    val got = Similarity.mmrSelect(cand, ps, lambda = 0.7, k = 3)
+      .orderBy("sel_rank")
+      .select("sel_rank", "id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+    // pure-relevance order would have been 1, 2, 3 — the penalty is live
+    intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(cand, ps, lambda = 0.7, k = 0)
+    }
+  }
 }
