@@ -1059,4 +1059,43 @@ object Events {
       |          - (CAST(s AS DOUBLE) / n_gaps) * (CAST(s AS DOUBLE) / n_gaps))
       |     + CAST(s AS DOUBLE) / n_gaps)) AS BIGINT) AS burst_fp6
       |FROM a""".stripMargin
+
+  /** q181: behavioral-entropy cohort histogram — per-user Shannon entropy
+    * (nats) of the event-type distribution, bucketed at 0.01 nat: the
+    * "bots do one thing, humans do five" segmentation signal, and the
+    * single-pass profile an abuse team reads before picking thresholds.
+    * Entropy terms −p·ln(p) are fp9-rounded per (user, type) BEFORE the
+    * integer sum (the q97 PSI discipline), so the per-user total is
+    * reduction-order-free; p is an exact count ratio, so both engines
+    * feed `ln` the identical double. Two aggregates over the same
+    * user-keyed partitioning; the histogram is bucket-sized. */
+  def q181EntropyCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val perUt = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val wU = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val p = col("c").cast("double") / sum(col("c")).over(wU)
+    val perUser = perUt
+      .withColumn("term_fp9", round(-p * log(p) * lit(1e9)).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("term_fp9")).as("h_fp9"))
+    perUser
+      .select((col("h_fp9") / 10000000L).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_users"))
+  }
+
+  val q181EntropyCohortsSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |terms AS (
+      |  SELECT user_id,
+      |    CAST(round(-(CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY user_id))
+      |      * ln(CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY user_id))
+      |      * 1e9) AS BIGINT) AS term_fp9
+      |  FROM c),
+      |h AS (SELECT user_id, SUM(term_fp9) AS h_fp9 FROM terms GROUP BY 1)
+      |SELECT CAST(h_fp9 // 10000000 AS BIGINT) AS bucket,
+      |  COUNT(*) AS n_users
+      |FROM h GROUP BY 1""".stripMargin
 }

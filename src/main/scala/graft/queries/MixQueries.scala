@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -583,4 +583,50 @@ object MixQueries {
       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
       |FROM labeled GROUP BY split""".stripMargin
   }
+
+  /** q180: rendezvous (highest-random-weight) shard rebalance audit —
+    * the shard-assignment scheme whose defining property is MINIMAL
+    * MOVEMENT: growing 8 → 9 shards must relocate ≈ 1/9 of keys, only
+    * ever INTO the new shard, and a modulo partitioner would relocate
+    * ~8/9 instead. Per document, shard = argmax over shards of
+    * md5(doc_id:shard) (engine-portable, the hyperplane discipline);
+    * both assignments are per-row expressions over a literal shard list
+    * — zero shuffle until the final per-shard count. The gate reports,
+    * per old shard, the exact moved count plus the invariant that every
+    * move targets shard 8. */
+  def q180RendezvousRebalance(spark: SparkSession, dir: String): DataFrame = {
+    def shardOf(n: Int): Column = {
+      val entries = (0 until n).map { s =>
+        struct(md5(concat(col("doc_id").cast("string"), lit(s":$s"))).as("h"),
+          lit(s.toLong).as("shard"))
+      }
+      array_max(array(entries: _*)).getField("shard")
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), shardOf(8).as("s8"), shardOf(9).as("s9"))
+      .groupBy(col("s8").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("s9") =!= col("s8")).cast("long")).as("n_moved"),
+        sum((col("s9") =!= col("s8") && col("s9") =!= 8L).cast("long"))
+          .as("n_moved_elsewhere"),
+        round(lit(1e6) * sum((col("s9") =!= col("s8")).cast("long"))
+          / count(lit(1))).cast("long").as("moved_fp6"))
+  }
+
+  val q180RendezvousRebalanceSql: String =
+    """WITH a8 AS (
+      |  SELECT doc_id, arg_max(s, md5(doc_id || ':' || s)) AS s8
+      |  FROM documents CROSS JOIN range(8) r(s) GROUP BY doc_id),
+      |a9 AS (
+      |  SELECT doc_id, arg_max(s, md5(doc_id || ':' || s)) AS s9
+      |  FROM documents CROSS JOIN range(9) r(s) GROUP BY doc_id)
+      |SELECT CAST(a8.s8 AS BIGINT) AS shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN a9.s9 <> a8.s8 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_moved,
+      |  CAST(SUM(CASE WHEN a9.s9 <> a8.s8 AND a9.s9 <> 8
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_elsewhere,
+      |  CAST(round(1e6 * SUM(CASE WHEN a9.s9 <> a8.s8 THEN 1 ELSE 0 END)
+      |    / COUNT(*)) AS BIGINT) AS moved_fp6
+      |FROM a8 JOIN a9 USING (doc_id)
+      |GROUP BY 1""".stripMargin
 }
