@@ -719,6 +719,93 @@ case class TopTokenFreqExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd Jaro–Winkler similarity (Winkler 1990) — the record-linkage
+  * scorer for SHORT keys (names, titles, codes) where Levenshtein's unit
+  * edit costs over-penalize transpositions. Standard semantics, verified
+  * byte-for-byte against DuckDB's `jaro_winkler_similarity` (the oracle):
+  * match window ⌊max(|a|,|b|)/2⌋−1, half-transposition count, and the
+  * prefix boost `j + ℓ·0.1·(1−j)` (ℓ ≤ 4) applied ONLY when jaro > 0.7.
+  * Byte-level over the UTF-8 encoding — identical to character-level on
+  * ASCII keys, the documented contract (the blocking keys this engine
+  * scores are ASCII title prefixes). */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, _: StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"jaro_winkler expects (string, string), got $other")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerUtil.compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.JaroWinklerUtil.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "jaro_winkler"
+}
+
+object JaroWinklerUtil {
+  /** Jaro similarity over byte arrays; one boolean scratch pass, O(|a|·w)
+    * worst case with w the match window — strings here are bounded keys,
+    * never documents. */
+  def compute(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.getBytes
+    val b = ub.getBytes
+    if (java.util.Arrays.equals(a, b)) return if (a.length == 0) 0.0 else 1.0
+    val l1 = a.length
+    val l2 = b.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(l1, l2) / 2 - 1
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var matches = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2, i + window + 1)
+      var j = lo
+      var found = false
+      while (j < hi && !found) {
+        if (!m2(j) && b(j) == a(i)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (a(i) != b(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val m = matches.toDouble
+    val jaro = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    if (jaro > 0.7) {
+      var l = 0
+      val maxL = math.min(4, math.min(l1, l2))
+      while (l < maxL && a(l) == b(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    } else jaro
+  }
+}
+
 object TopTokenFreqUtil {
   /** Max multiplicity over `split(s, ' ')` tokens (empties included),
     * computed directly on the UTF-8 bytes: 0x20 never occurs inside a
@@ -756,6 +843,10 @@ object TextFunctions {
   /** Per-row top token multiplicity (see [[TopTokenFreqExpr]]). */
   def top_token_freq(text: Column): Column =
     Bridge.column(TopTokenFreqExpr(Bridge.expression(text)))
+
+  /** Pairwise Jaro–Winkler similarity (see [[JaroWinklerExpr]]). */
+  def jaro_winkler(a: Column, b: Column): Column =
+    Bridge.column(JaroWinklerExpr(Bridge.expression(a), Bridge.expression(b)))
 
   /** Per-row 64-bit span-key array (see [[SpanKeysExpr]]). */
   def span_keys(toks: Column, span: Int): Column =
@@ -825,6 +916,7 @@ object TextFunctions {
       "span_keys" -> (es => SpanKeysExpr(es(0), intArg(es(1)))),
       "repetition_stats" -> (es => RepetitionStatsExpr(es(0))),
       "top_token_freq" -> (es => TopTokenFreqExpr(es(0))),
+      "jaro_winkler" -> (es => JaroWinklerExpr(es(0), es(1))),
       // aggregate, not scalar: the analyzer wraps the bare AggregateFunction
       // in an AggregateExpression at resolution, so GROUP BY ... in SQL works
       "graft_heavy_hitters" -> (es => HeavyHittersSketch(es(0), intArg(es(1)))))

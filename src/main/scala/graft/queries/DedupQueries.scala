@@ -948,4 +948,47 @@ object DedupQueries {
       |  FROM blocked a JOIN blocked b ON b.bk = a.bk AND a.doc_id < b.doc_id)
       |SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
       |FROM cand WHERE levenshtein(ta, tb) <= 8""".stripMargin
+
+  /** q182: Jaro–Winkler rerank of the q172 blocked candidates — the
+    * second record-linkage scorer (transposition-tolerant, prefix-
+    * weighted; the one name/title matchers actually ship) via the NATIVE
+    * codegen kernel [[graft.functions.JaroWinklerExpr]], certified
+    * byte-for-byte against DuckDB's built-in `jaro_winkler_similarity`
+    * at 1e−6. Same two-key blocking (never all-pairs); the scorer is a
+    * per-pair projection inside whole-stage codegen. */
+  def q182JaroWinkler(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .filter(col("n_chars") >= 32)
+      .select(col("doc_id"), substring(col("text"), 1, 32).as("title"))
+    val blocked = t.select(col("doc_id"), col("title"),
+        substring(col("title"), 1, 8).as("bk"))
+      .unionByName(t.select(col("doc_id"), col("title"),
+        substring(col("title"), 25, 8).as("bk")))
+    val a = blocked.select(col("bk"), col("doc_id").as("id_a"), col("title").as("ta"))
+    val b = blocked.select(col("bk"), col("doc_id").as("id_b"), col("title").as("tb"))
+    a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ta"), col("tb")).distinct()
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.TextFunctions.jaro_winkler(col("ta"), col("tb"))
+          * lit(1e6)).cast("long").as("jw_fp6"))
+      .filter(col("jw_fp6") >= 800000L)
+  }
+
+  val q182JaroWinklerSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, substr(text, 1, 32) AS title
+      |  FROM documents WHERE n_chars >= 32),
+      |blocked AS (
+      |  SELECT doc_id, title, substr(title, 1, 8) AS bk FROM t
+      |  UNION ALL
+      |  SELECT doc_id, title, substr(title, 25, 8) AS bk FROM t),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.title AS ta, b.title AS tb
+      |  FROM blocked a JOIN blocked b ON b.bk = a.bk AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b,
+      |  CAST(round(jaro_winkler_similarity(ta, tb) * 1e6) AS BIGINT) AS jw_fp6
+      |FROM cand
+      |WHERE CAST(round(jaro_winkler_similarity(ta, tb) * 1e6) AS BIGINT)
+      |  >= 800000""".stripMargin
 }
