@@ -114,4 +114,127 @@ object MonitorQueries {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       |FROM dev d JOIN med m USING (event_type) JOIN mad a USING (event_type)
       |GROUP BY d.event_type""".stripMargin
+
+  /** q183: CUSUM drift monitor over daily event volumes (Page 1954) —
+    * the change-point statistic that catches a slow upward drift a
+    * fixed-threshold alert sleeps through. The textbook recursion
+    * `S_d = max(0, S_{d−1} + (x_d − μ))` looks inherently sequential;
+    * the distributed form is the PREFIX identity
+    * `S_d = cum_d − min_{j≤d} cum_j` (running sum minus running min of
+    * the running sum), which two window passes over the SAME day
+    * ordering compute with no recursion. μ is the per-type mean of the
+    * first-14-day baseline kept as an exact RATIONAL: everything is
+    * multiplied through by the baseline day count, so the gate is
+    * integer end-to-end. Alarm when the scaled statistic exceeds three
+    * baseline-days' worth of volume. One day-keyed aggregate, two
+    * same-partitioning windows; day grid per type, so output is
+    * calendar-sized. */
+  def q183Cusum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val minDay = e.agg(min(to_date(col("ts"))).as("d0"))
+    val daily = e.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .crossJoin(broadcast(minDay))
+      .select(col("event_type"), datediff(col("day"), col("d0")).cast("long").as("d"),
+        col("x"))
+    val base = daily.filter(col("d") < 14)
+      .groupBy(col("event_type"))
+      .agg(sum(col("x")).as("base_sum"), count(lit(1)).as("base_days"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily.join(broadcast(base), "event_type")
+      .filter(col("d") >= 14)
+      .withColumn("y", col("base_days") * col("x") - col("base_sum"))
+      .withColumn("cum", sum(col("y")).over(wOrd))
+      .withColumn("cusum", col("cum") - min(col("cum")).over(wOrd))
+    scored.select(col("event_type"), col("d").as("day_idx"), col("x").as("n_events"),
+      col("cusum").as("cusum_scaled"),
+      (col("cusum") > col("base_sum") * 3).as("alarm"))
+  }
+
+  val q183CusumSql: String =
+    """WITH d0 AS (SELECT MIN(ts::DATE) AS d0 FROM events),
+      |daily AS (
+      |  SELECT event_type, date_diff('day', d0.d0, ts::DATE) AS d,
+      |    COUNT(*) AS x
+      |  FROM events, d0 GROUP BY 1, 2),
+      |base AS (
+      |  SELECT event_type, SUM(x) AS base_sum, COUNT(*) AS base_days
+      |  FROM daily WHERE d < 14 GROUP BY 1),
+      |scored AS (
+      |  SELECT dd.event_type, dd.d, dd.x, b.base_sum,
+      |    b.base_days * dd.x - b.base_sum AS y
+      |  FROM daily dd JOIN base b USING (event_type)
+      |  WHERE dd.d >= 14),
+      |cums AS (
+      |  SELECT event_type, d, x, base_sum,
+      |    SUM(y) OVER (PARTITION BY event_type ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM scored)
+      |SELECT event_type, CAST(d AS BIGINT) AS day_idx, x AS n_events,
+      |  CAST(cum - MIN(cum) OVER (PARTITION BY event_type ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cusum_scaled,
+      |  (cum - MIN(cum) OVER (PARTITION BY event_type ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |    > base_sum * 3 AS alarm
+      |FROM cums""".stripMargin
+
+  /** q184: trimmed mean per event type — the other robust-center
+    * estimator (q174's median sibling): drop the exact ⌊n/20⌋ lowest and
+    * highest values BY RANK (row_number over (value, event_id) — a
+    * deterministic total order, no interpolation, no percentile call)
+    * and average the exact-micro-unit remainder. The plain mean rides
+    * along so the gap — the tail mass the trim removed — is the
+    * reported signal. One sort shuffle; sums are exact integers. */
+  def q184TrimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir).select(col("event_type"),
+      col("event_id"), round(col("value") * 1e6).cast("long").as("v_us"))
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("v_us"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val ranked = e.withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+    // integer division (n DIV 20), NOT double /: for n divisible by 20
+    // the two agree, otherwise the upper cut n - n/20.0 would admit one
+    // fewer row than the oracle's n - n // 20
+    val kept = ranked.filter(col("rn") > expr("n DIV 20") &&
+      col("rn") <= col("n") - expr("n DIV 20"))
+    val all = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v_us")).as("s_all"))
+    kept.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("v_us")).as("s_kept"))
+      .join(all, "event_type")
+      .select(col("event_type"), col("n"), col("n_kept"),
+        round(col("s_all").cast("double") / col("n")).cast("long")
+          .as("mean_us"),
+        round(col("s_kept").cast("double") / col("n_kept")).cast("long")
+          .as("trimmed_mean_us"))
+  }
+
+  val q184TrimmedMeanSql: String =
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(round(value * 1e6) AS BIGINT) AS v_us
+      |  FROM events),
+      |ranked AS (
+      |  SELECT event_type, v_us,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v_us, event_id)
+      |      AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM e),
+      |kept AS (
+      |  SELECT event_type, COUNT(*) AS n_kept,
+      |    CAST(SUM(v_us) AS BIGINT) AS s_kept
+      |  FROM ranked WHERE rn > n // 20 AND rn <= n - n // 20 GROUP BY 1),
+      |allv AS (
+      |  SELECT event_type, COUNT(*) AS n, CAST(SUM(v_us) AS BIGINT) AS s_all
+      |  FROM e GROUP BY 1)
+      |SELECT a.event_type, a.n, k.n_kept,
+      |  CAST(round(CAST(s_all AS DOUBLE) / a.n) AS BIGINT) AS mean_us,
+      |  CAST(round(CAST(s_kept AS DOUBLE) / k.n_kept) AS BIGINT)
+      |    AS trimmed_mean_us
+      |FROM allv a JOIN kept k USING (event_type)""".stripMargin
 }
