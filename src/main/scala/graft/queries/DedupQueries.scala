@@ -917,7 +917,18 @@ object DedupQueries {
     * in both engines). At 100 TB the two block maps are one shuffle each
     * on an 8-byte key; skewed blocks (empty/template titles) salt the
     * same way any hot MinHash band does. */
-  def q172FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared candidate generator for the q172/q182 fuzzy joins: 32-char
+    * title prefixes, two-key (head/tail 8-char) blocking, and the
+    * standard record-linkage BLOCK-SIZE CAP — blocks larger than 256
+    * members are degenerate keys (template/boilerplate text), and
+    * without the cap pair volume is Σ block², which the r12 sf1 sweep
+    * measured going quadratic on fixed-vocabulary corpora (8.9× time for
+    * 10× data). With it, pair work is ≤ 256·n — linear — and the pairs a
+    * hot block would have contributed belong to the MinHash/SimHash
+    * family of gates, which handle exactly that mass without
+    * enumeration. The cap is part of the certified semantics: the oracle
+    * applies the identical rule, at every SF. */
+  private def blockedTitlePairs(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables.documents(spark, dir)
       .filter(col("n_chars") >= 32)
       .select(col("doc_id"), substring(col("text"), 1, 32).as("title"))
@@ -925,27 +936,42 @@ object DedupQueries {
         substring(col("title"), 1, 8).as("bk"))
       .unionByName(t.select(col("doc_id"), col("title"),
         substring(col("title"), 25, 8).as("bk")))
+      // block-size cap: the count window shares the bk partitioning the
+      // join needs anyway — one exchange, reused
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+      .filter(col("bn") <= 256).drop("bn")
     val a = blocked.select(col("bk"), col("doc_id").as("id_a"), col("title").as("ta"))
     val b = blocked.select(col("bk"), col("doc_id").as("id_b"), col("title").as("tb"))
     a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("ta"), col("tb")).distinct()
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
-      .filter(col("dist") <= 8)
   }
 
-  val q172FuzzyJoinSql: String =
-    """WITH t AS (
+  /** The q172/q182 shared oracle CTEs ending in
+    * `cand(id_a, id_b, ta, tb)` — including the 256 block cap. */
+  private val blockedTitleCtes: String =
+    """t AS (
       |  SELECT doc_id, substr(text, 1, 32) AS title
       |  FROM documents WHERE n_chars >= 32),
       |blocked AS (
-      |  SELECT doc_id, title, substr(title, 1, 8) AS bk FROM t
-      |  UNION ALL
-      |  SELECT doc_id, title, substr(title, 25, 8) AS bk FROM t),
+      |  SELECT doc_id, title, bk FROM (
+      |    SELECT doc_id, title, substr(title, 1, 8) AS bk FROM t
+      |    UNION ALL
+      |    SELECT doc_id, title, substr(title, 25, 8) AS bk FROM t)
+      |  QUALIFY COUNT(*) OVER (PARTITION BY bk) <= 256),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
       |    a.title AS ta, b.title AS tb
-      |  FROM blocked a JOIN blocked b ON b.bk = a.bk AND a.doc_id < b.doc_id)
+      |  FROM blocked a JOIN blocked b ON b.bk = a.bk AND a.doc_id < b.doc_id)""".stripMargin
+
+  def q172FuzzyJoin(spark: SparkSession, dir: String): DataFrame =
+    blockedTitlePairs(spark, dir)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+      .filter(col("dist") <= 8)
+
+  val q172FuzzyJoinSql: String =
+    s"""WITH $blockedTitleCtes
       |SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
       |FROM cand WHERE levenshtein(ta, tb) <= 8""".stripMargin
 
@@ -956,39 +982,80 @@ object DedupQueries {
     * byte-for-byte against DuckDB's built-in `jaro_winkler_similarity`
     * at 1e−6. Same two-key blocking (never all-pairs); the scorer is a
     * per-pair projection inside whole-stage codegen. */
-  def q182JaroWinkler(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(spark, dir)
-      .filter(col("n_chars") >= 32)
-      .select(col("doc_id"), substring(col("text"), 1, 32).as("title"))
-    val blocked = t.select(col("doc_id"), col("title"),
-        substring(col("title"), 1, 8).as("bk"))
-      .unionByName(t.select(col("doc_id"), col("title"),
-        substring(col("title"), 25, 8).as("bk")))
-    val a = blocked.select(col("bk"), col("doc_id").as("id_a"), col("title").as("ta"))
-    val b = blocked.select(col("bk"), col("doc_id").as("id_b"), col("title").as("tb"))
-    a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("ta"), col("tb")).distinct()
+  def q182JaroWinkler(spark: SparkSession, dir: String): DataFrame =
+    blockedTitlePairs(spark, dir)
       .select(col("id_a"), col("id_b"),
         round(graft.functions.TextFunctions.jaro_winkler(col("ta"), col("tb"))
           * lit(1e6)).cast("long").as("jw_fp6"))
       .filter(col("jw_fp6") >= 800000L)
-  }
 
   val q182JaroWinklerSql: String =
-    """WITH t AS (
-      |  SELECT doc_id, substr(text, 1, 32) AS title
-      |  FROM documents WHERE n_chars >= 32),
-      |blocked AS (
-      |  SELECT doc_id, title, substr(title, 1, 8) AS bk FROM t
-      |  UNION ALL
-      |  SELECT doc_id, title, substr(title, 25, 8) AS bk FROM t),
-      |cand AS (
-      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-      |    a.title AS ta, b.title AS tb
-      |  FROM blocked a JOIN blocked b ON b.bk = a.bk AND a.doc_id < b.doc_id)
+    s"""WITH $blockedTitleCtes
       |SELECT id_a, id_b,
       |  CAST(round(jaro_winkler_similarity(ta, tb) * 1e6) AS BIGINT) AS jw_fp6
       |FROM cand
       |WHERE CAST(round(jaro_winkler_similarity(ta, tb) * 1e6) AS BIGINT)
       |  >= 800000""".stripMargin
+
+  /** q185: weighted (multiset) Jaccard verify over the MinHash
+    * candidates — `Σ min(tf_a,tf_b) / Σ max(tf_a,tf_b)` on token
+    * MULTISETS, the measure that distinguishes "same words, same
+    * proportions" from the set-Jaccard the signature estimates (a doc
+    * repeated against its own excerpt scores very differently here).
+    * Candidates gate at est ≥ 0.5 (= an INTEGER ≥4-of-8 hash match —
+    * 4/8 is exact in binary, so the cut is engine-stable); the verify
+    * joins per-pair token tf tables FULL OUTER so one-sided tokens
+    * contribute min 0 / max tf. Verify cost is candidate-mass × doc
+    * length — linear in what the LSH admits, never corpus². */
+  def q185WeightedJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val cand = Dedup.minhashCandidates(
+      Tables.spread(Tables.documents(spark, dir)), "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint() // feeds both sides of the tf attach
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val x = cand.join(tf.select(col("doc_id").as("id_a"), col("tok"),
+      col("tf").as("tfa")), Seq("id_a"))
+    val y = cand.join(tf.select(col("doc_id").as("id_b"), col("tok"),
+      col("tf").as("tfb")), Seq("id_b"))
+    x.join(y, Seq("id_a", "id_b", "tok"), "full_outer")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(least(coalesce(col("tfa"), lit(0L)), coalesce(col("tfb"), lit(0L))))
+          .as("s_min"),
+        sum(greatest(coalesce(col("tfa"), lit(0L)), coalesce(col("tfb"), lit(0L))))
+          .as("s_max"))
+      .select(col("id_a"), col("id_b"), col("s_min"), col("s_max"),
+        round(lit(1e6) * col("s_min") / col("s_max")).cast("long").as("wj_fp6"))
+  }
+
+  val q185WeightedJaccardSql: String =
+    s"""WITH ${OracleFragments.minhashSigCtes("documents")},
+      |cand AS (
+      |  SELECT s1.doc_id AS id_a, s2.doc_id AS id_b
+      |  FROM sig s1
+      |  JOIN sig s2 ON s1.seed = s2.seed AND s1.mh = s2.mh
+      |    AND s1.doc_id < s2.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+      |tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |x AS (
+      |  SELECT c.id_a, c.id_b, t.tok, t.tf AS tfa
+      |  FROM cand c JOIN tf t ON t.doc_id = c.id_a),
+      |y AS (
+      |  SELECT c.id_a, c.id_b, t.tok, t.tf AS tfb
+      |  FROM cand c JOIN tf t ON t.doc_id = c.id_b),
+      |m AS (
+      |  SELECT id_a, id_b,
+      |    least(COALESCE(tfa, 0), COALESCE(tfb, 0)) AS mn,
+      |    greatest(COALESCE(tfa, 0), COALESCE(tfb, 0)) AS mx
+      |  FROM x FULL JOIN y USING (id_a, id_b, tok))
+      |SELECT id_a, id_b,
+      |  CAST(SUM(mn) AS BIGINT) AS s_min, CAST(SUM(mx) AS BIGINT) AS s_max,
+      |  CAST(round(1e6 * SUM(mn) / SUM(mx)) AS BIGINT) AS wj_fp6
+      |FROM m GROUP BY 1, 2""".stripMargin
 }

@@ -1257,6 +1257,114 @@ object Embeddings {
         round(col("score") * lit(1e6)).cast("long").as("score_fp6"))
   }
 
+  /** q186: multi-probe LSH recall audit (Lv et al. 2007) — probing each
+    * query's bucket PLUS the `bits` single-bit-flip neighbors in every
+    * table, versus exact-bucket lookup on the SAME geometry (4 tables ×
+    * 8 bits). Multi-probing buys the recall extra tables would, at the
+    * cost of query-side fan-out instead of another corpus index pass —
+    * the trade a billion-vector deployment actually tunes. The query
+    * side (5 ids × 4 tables × 9 probes) is broadcast-sized; the corpus
+    * signature table is computed ONCE by the native kernel and serves
+    * both candidate sets; recall certifies both against brute force,
+    * integer-only. */
+  def q186MultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nT = 4; val bits = 8
+    val v = vectors(spark, dir)
+    val sigs = v.select(col("id"),
+        posexplode(graft.functions.VectorFunctions.lsh_signatures(
+          col("vec"), nT, bits, 64)).as(Seq("tbl", "sig")))
+      .localCheckpoint() // one kernel pass serves query AND corpus sides
+    val qsig = sigs.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("tbl"), col("sig").as("qs"))
+    val probes = qsig.select(col("qid"), col("tbl"),
+      explode(array(col("qs") +:
+        (0 until bits).map(b => col("qs").bitwiseXOR(lit(1L << b))): _*))
+        .as("probe"))
+    def rerank(cand: DataFrame): DataFrame = cand
+      .join(v.select(col("id").as("qid"), col("vec").as("qvec")), Seq("qid"))
+      .join(v.select(col("id"), col("vec")), Seq("id"))
+      .select(col("qid"), col("id"),
+        Similarity.cosine(col("vec"), col("qvec")).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))))
+      .filter(col("rn") <= 10).select(col("qid"), col("id"))
+    val corp = sigs.select(col("tbl").as("ctbl"), col("sig").as("csig"), col("id"))
+    val candSingle = qsig.join(corp, col("tbl") === col("ctbl") &&
+        col("qs") === col("csig") && col("qid") =!= col("id"))
+      .select(col("qid"), col("id")).distinct().localCheckpoint()
+    val candMulti = probes.join(corp, col("tbl") === col("ctbl") &&
+        col("probe") === col("csig") && col("qid") =!= col("id"))
+      .select(col("qid"), col("id")).distinct().localCheckpoint()
+    val brute = Similarity.bruteForceTopK(
+      v, v.filter(col("id") < 5).select(col("id").as("qid"), col("vec").as("qvec")), 10)
+      .select(col("qid"), col("id"))
+    def overlap(c: DataFrame, name: String): DataFrame =
+      rerank(c).join(brute, Seq("qid", "id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as(name))
+    v.filter(col("id") < 5).select(col("id").as("qid"))
+      .join(candSingle.groupBy(col("qid")).agg(count(lit(1)).as("n_cand_single")),
+        Seq("qid"), "left")
+      .join(candMulti.groupBy(col("qid")).agg(count(lit(1)).as("n_cand_multi")),
+        Seq("qid"), "left")
+      .join(overlap(candSingle, "rec_single"), Seq("qid"), "left")
+      .join(overlap(candMulti, "rec_multi"), Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_cand_single"), lit(0L)).as("n_cand_single"),
+        coalesce(col("n_cand_multi"), lit(0L)).as("n_cand_multi"),
+        coalesce(col("rec_single"), lit(0L)).as("rec_single"),
+        coalesce(col("rec_multi"), lit(0L)).as("rec_multi"))
+  }
+
+  val q186MultiProbeSql: String =
+    s"""WITH ${sigCtes(4, 8, 64)},
+      |qsig AS (SELECT id AS qid, tbl, sig AS qs FROM sigs WHERE id < 5),
+      |probes AS (
+      |  SELECT qid, tbl, qs AS probe FROM qsig
+      |  UNION ALL
+      |  SELECT qid, tbl, xor(qs, 1::BIGINT << b) FROM qsig, range(8) r(b)),
+      |cs AS (
+      |  SELECT DISTINCT q.qid, s.id FROM qsig q
+      |  JOIN sigs s ON s.tbl = q.tbl AND s.sig = q.qs AND s.id <> q.qid),
+      |cm AS (
+      |  SELECT DISTINCT p.qid, s.id FROM probes p
+      |  JOIN sigs s ON s.tbl = p.tbl AND s.sig = p.probe AND s.id <> p.qid),
+      |qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+      |       FROM embeddings WHERE vec_id < 5),
+      |rs AS (
+      |  SELECT qid, id FROM (
+      |    SELECT c.qid, c.id, row_number() OVER (PARTITION BY c.qid
+      |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec)
+      |        DESC, c.id) AS rn
+      |    FROM cs c JOIN qv q USING (qid) JOIN embeddings e ON e.vec_id = c.id)
+      |  WHERE rn <= 10),
+      |rm AS (
+      |  SELECT qid, id FROM (
+      |    SELECT c.qid, c.id, row_number() OVER (PARTITION BY c.qid
+      |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec)
+      |        DESC, c.id) AS rn
+      |    FROM cm c JOIN qv q USING (qid) JOIN embeddings e ON e.vec_id = c.id)
+      |  WHERE rn <= 10),
+      |brute AS (
+      |  SELECT qid, vec_id AS id FROM (
+      |    SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+      |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec)
+      |        DESC, e.vec_id) AS rn
+      |    FROM embeddings e, qv q WHERE e.vec_id <> q.qid)
+      |  WHERE rn <= 10)
+      |SELECT g.qid,
+      |  CAST(COALESCE((SELECT COUNT(*) FROM cs WHERE cs.qid = g.qid), 0)
+      |    AS BIGINT) AS n_cand_single,
+      |  CAST(COALESCE((SELECT COUNT(*) FROM cm WHERE cm.qid = g.qid), 0)
+      |    AS BIGINT) AS n_cand_multi,
+      |  CAST(COALESCE((SELECT COUNT(*) FROM rs JOIN brute b
+      |    ON b.qid = rs.qid AND b.id = rs.id WHERE rs.qid = g.qid), 0)
+      |    AS BIGINT) AS rec_single,
+      |  CAST(COALESCE((SELECT COUNT(*) FROM rm JOIN brute b
+      |    ON b.qid = rm.qid AND b.id = rm.id WHERE rm.qid = g.qid), 0)
+      |    AS BIGINT) AS rec_multi
+      |FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5) g""".stripMargin
+
   val q179MmrSql: String = {
     def selUnion(r: Int): String =
       (1 to r).map(i => s"SELECT qid, id FROM s$i").mkString(" UNION ALL ")

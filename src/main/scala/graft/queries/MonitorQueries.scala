@@ -138,6 +138,9 @@ object MonitorQueries {
       .crossJoin(broadcast(minDay))
       .select(col("event_type"), datediff(col("day"), col("d0")).cast("long").as("d"),
         col("x"))
+      // calendar-sized barrier: baseline AND monitor branches both read
+      // this table — without it each re-runs the corpus day aggregate
+      .localCheckpoint()
     val base = daily.filter(col("d") < 14)
       .groupBy(col("event_type"))
       .agg(sum(col("x")).as("base_sum"), count(lit(1)).as("base_days"))
@@ -237,4 +240,60 @@ object MonitorQueries {
       |  CAST(round(CAST(s_kept AS DOUBLE) / k.n_kept) AS BIGINT)
       |    AS trimmed_mean_us
       |FROM allv a JOIN kept k USING (event_type)""".stripMargin
+
+  /** q187: seasonal-naïve forecast backtest — per event type, forecast
+    * each day's volume as the same weekday's volume one week earlier
+    * (the baseline every real forecaster must beat before shipping
+    * anything smarter), scored as MAPE plus signed bias over the
+    * monitoring window (day ≥ 14, so every scored day has a lag-7
+    * actual in the dense grid). Per-day errors are exact integer-ratio
+    * fp6 values; the aggregate averages those integers — no float
+    * accumulation order anywhere. One day-keyed aggregate + one lag
+    * window over the type partitioning. */
+  def q187SeasonalNaive(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val minDay = e.agg(min(to_date(col("ts"))).as("d0"))
+    val daily = e.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .crossJoin(broadcast(minDay))
+      .select(col("event_type"),
+        datediff(col("day"), col("d0")).cast("long").as("d"), col("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val scored = daily.withColumn("f", lag(col("x"), 7).over(w))
+      .filter(col("d") >= 14 && col("f").isNotNull)
+      .select(col("event_type"),
+        round(lit(1e6) * abs(col("x") - col("f")) / col("x")).cast("long")
+          .as("ape_fp6"),
+        round(lit(1e6) * (col("f") - col("x")) / col("x")).cast("long")
+          .as("spe_fp6"))
+    scored.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(col("ape_fp6")).cast("double") / count(lit(1))).cast("long")
+          .as("mape_fp6"),
+        round(sum(col("spe_fp6")).cast("double") / count(lit(1))).cast("long")
+          .as("bias_fp6"))
+  }
+
+  val q187SeasonalNaiveSql: String =
+    """WITH d0 AS (SELECT MIN(ts::DATE) AS d0 FROM events),
+      |daily AS (
+      |  SELECT event_type, date_diff('day', d0.d0, ts::DATE) AS d,
+      |    COUNT(*) AS x
+      |  FROM events, d0 GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT event_type, x,
+      |    lag(x, 7) OVER (PARTITION BY event_type ORDER BY d) AS f, d
+      |  FROM daily),
+      |err AS (
+      |  SELECT event_type,
+      |    CAST(round(1e6 * abs(x - f) / x) AS BIGINT) AS ape_fp6,
+      |    CAST(round(1e6 * (f - x) / x) AS BIGINT) AS spe_fp6
+      |  FROM scored WHERE d >= 14 AND f IS NOT NULL)
+      |SELECT event_type, COUNT(*) AS n_days,
+      |  CAST(round(CAST(SUM(ape_fp6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+      |    AS mape_fp6,
+      |  CAST(round(CAST(SUM(spe_fp6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+      |    AS bias_fp6
+      |FROM err GROUP BY event_type""".stripMargin
 }

@@ -539,4 +539,55 @@ class PlanSpec extends SparkSpec {
     assert("documents\\.parquet".r.findAllIn(p).length === 1,
       s"corpus scanned more than once:\n${p.take(3000)}")
   }
+
+  test("q169: boilerplate affected-docs check is a semi-join, never a cartesian") {
+    val p = planOf(TextQueries.q169Boilerplate(spark, sf))
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("q172/q182: blocked fuzzy joins are equi-joins on the block key — no all-pairs") {
+    Seq(DedupQueries.q172FuzzyJoin(spark, sf),
+        DedupQueries.q182JaroWinkler(spark, sf)).foreach { df =>
+      val p = planOf(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        p.take(2000))
+    }
+    // the native kernel stays in the plan (codegen'd, not a UDF)
+    val p2 = planOf(DedupQueries.q182JaroWinkler(spark, sf))
+    assert(p2.contains("jaro_winkler"), p2.take(2000))
+  }
+
+  test("q171: both truncation searches push top-k into WindowGroupLimit") {
+    val p = planOf(Embeddings.q171MatryoshkaRecall(spark, sf))
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p.take(2000))
+    assert(p.contains("dotproductf"), p.take(2000))
+  }
+
+  test("q174: both crossing medians reuse the event_type sort partitioning") {
+    val p = planOf(MonitorQueries.q174MadOutliers(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // median tables attach back as broadcasts (type-sized), never shuffles
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q180: rendezvous assignment is a pure projection — one exchange total") {
+    val p = planOf(MixQueries.q180RendezvousRebalance(spark, sf))
+    assert("Exchange".r.findAllIn(p).length === 1,
+      s"per-row argmax should not shuffle before the final aggregate:\n${p.take(2000)}")
+  }
+
+  test("q183: CUSUM windows stack on one event_type ordering; only the 1-row date anchor nest-loops") {
+    val p = planOf(MonitorQueries.q183Cusum(spark, sf))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q176: projection + consecutive-pair join — native kernel, no cartesian") {
+    val p = planOf(Embeddings.q176JlDistortion(spark, sf))
+    assert(p.contains("dotproductf"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
 }
