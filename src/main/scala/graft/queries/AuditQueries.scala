@@ -360,4 +360,51 @@ object AuditQueries {
       |    AS BIGINT) AS dev_fp6
       |FROM grid g LEFT JOIN n USING (digit) CROSS JOIN tot""".stripMargin
   }
+
+  /** q188: k-anonymity / l-diversity privacy audit (Sweeney 2002;
+    * Machanavajjhala et al. 2007) — the release gate a dataset must pass
+    * before rows with quasi-identifiers ship in a training corpus. Rows
+    * group into equivalence classes on the quasi-identifier pair
+    * (nation, ⌊acctbal/1000⌋); per nation the report carries the
+    * re-identification floor `k_min` (smallest class), the suppression
+    * load `rows_below_k5` (rows that would be dropped under k ≥ 5), and
+    * the attribute-disclosure signal from the sensitive column
+    * (mktsegment): `l_min` and the count of l=1 classes, where EVERY
+    * member's segment is exposed by membership alone.
+    *
+    * Scale shape: one class-keyed aggregate (exact distinct over a
+    * 5-value sensitive domain is map-side cheap) folding into a
+    * nation-sized rollup — two shuffles, the second over ≤ classes rows.
+    * The bucket edge is `floor` on an IEEE division both engines share;
+    * every output is an exact integer. */
+  def q188KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("long").as("nation"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"),
+        col("c_mktsegment").as("seg"))
+      .groupBy(col("nation"), col("bal_bucket"))
+      .agg(count(lit(1)).as("k"), countDistinct(col("seg")).as("l"))
+    classes.groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("k")).as("n_rows"),
+        min(col("k")).as("k_min"),
+        sum(when(col("k") < 5, col("k")).otherwise(lit(0L))).as("rows_below_k5"),
+        min(col("l")).as("l_min"),
+        sum(when(col("l") === 1, lit(1L)).otherwise(lit(0L))).as("n_classes_l1"))
+  }
+
+  val q188KAnonymitySql: String =
+    """WITH cls AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+      |    COUNT(*) AS k, COUNT(DISTINCT c_mktsegment) AS l
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT nation, COUNT(*) AS n_classes,
+      |  CAST(SUM(k) AS BIGINT) AS n_rows, CAST(MIN(k) AS BIGINT) AS k_min,
+      |  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+      |    AS rows_below_k5,
+      |  CAST(MIN(l) AS BIGINT) AS l_min,
+      |  CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_classes_l1
+      |FROM cls GROUP BY nation""".stripMargin
 }

@@ -1058,4 +1058,70 @@ object DedupQueries {
       |  CAST(SUM(mn) AS BIGINT) AS s_min, CAST(SUM(mx) AS BIGINT) AS s_max,
       |  CAST(round(1e6 * SUM(mn) / SUM(mx)) AS BIGINT) AS wj_fp6
       |FROM m GROUP BY 1, 2""".stripMargin
+
+  /** Fellegi–Sunter per-field m/u probabilities (match/unmatch
+    * agreement rates) and the derived log₂-odds agreement/disagreement
+    * weights, fp6-quantized ONCE here in Scala and embedded as integer
+    * literals in BOTH engines — neither engine ever calls `log`, so the
+    * score is libm-free integer addition end-to-end. Fields: head-8
+    * exact match, mid-8 edit distance ≤ 2, whole-title Jaro–Winkler
+    * ≥ 0.9 (the q182-certified native kernel / DuckDB built-in). */
+  private val fsFields: Seq[(Double, Double)] =
+    Seq((0.90, 0.01), (0.80, 0.05), (0.95, 0.02))
+  private def fsLog2Fp6(num: Double, den: Double): Long =
+    math.round(math.log(num / den) / math.log(2.0) * 1e6)
+  private val fsAgree    = fsFields.map { case (m, u) => fsLog2Fp6(m, u) }
+  private val fsDisagree = fsFields.map { case (m, u) => fsLog2Fp6(1 - m, 1 - u) }
+
+  /** q192: Fellegi–Sunter probabilistic record linkage (Fellegi &
+    * Sunter 1969) over the blocked title candidates — the classical
+    * decision rule every entity-resolution system descends from. Each
+    * candidate pair gets an agreement vector over three fields of
+    * decreasing hardness (exact head, fuzzy mid, whole-string JW); the
+    * total match weight is `Σ log₂(m/u)` over agreeing fields plus
+    * `Σ log₂((1−m)/(1−u))` over disagreeing ones, and thresholds split
+    * link (≥ 10 bits) / possible / non-link (≤ 0 bits) — the band a
+    * human review queue receives.
+    *
+    * Scale shape: identical to q172/q182 — capped equi-join blocking
+    * (never all-pairs), then a pure scoring projection inside codegen;
+    * the weights are compile-time integer literals (see [[fsFields]]),
+    * so scoring adds zero float work per pair. */
+  def q192FellegiSunter(spark: SparkSession, dir: String): DataFrame = {
+    val jw6 = round(graft.functions.TextFunctions.jaro_winkler(col("ta"), col("tb"))
+      * lit(1e6)).cast("long")
+    val agree = Seq(
+      substring(col("ta"), 1, 8) === substring(col("tb"), 1, 8),
+      levenshtein(substring(col("ta"), 9, 8), substring(col("tb"), 9, 8)) <= 2,
+      jw6 >= 900000L)
+    val score = agree.zipWithIndex.map { case (a, i) =>
+      when(a, lit(fsAgree(i))).otherwise(lit(fsDisagree(i)))
+    }.reduce(_ + _)
+    blockedTitlePairs(spark, dir)
+      .withColumn("score_fp6", score)
+      .select(col("id_a"), col("id_b"), col("score_fp6"),
+        when(col("score_fp6") >= 10000000L, lit("link"))
+          .when(col("score_fp6") <= 0L, lit("nonlink"))
+          .otherwise(lit("possible")).as("decision"))
+  }
+
+  val q192FellegiSunterSql: String = {
+    val terms = Seq(
+      "substr(ta, 1, 8) = substr(tb, 1, 8)",
+      "levenshtein(substr(ta, 9, 8), substr(tb, 9, 8)) <= 2",
+      "CAST(round(jaro_winkler_similarity(ta, tb) * 1e6) AS BIGINT) >= 900000")
+      .zipWithIndex.map { case (cond, i) =>
+        s"CASE WHEN $cond THEN ${fsAgree(i)} ELSE ${fsDisagree(i)} END"
+      }.mkString("(", "\n      |     + ", ")")
+    s"""WITH $blockedTitleCtes,
+      |sc AS (
+      |  SELECT id_a, id_b,
+      |    $terms AS score_fp6
+      |  FROM cand)
+      |SELECT id_a, id_b, CAST(score_fp6 AS BIGINT) AS score_fp6,
+      |  CASE WHEN score_fp6 >= 10000000 THEN 'link'
+      |       WHEN score_fp6 <= 0 THEN 'nonlink'
+      |       ELSE 'possible' END AS decision
+      |FROM sc""".stripMargin
+  }
 }

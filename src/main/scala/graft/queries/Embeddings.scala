@@ -1413,4 +1413,92 @@ object Embeddings {
       |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
       |      UNION ALL SELECT * FROM s5)""".stripMargin
   }
+
+  /** q191: dimension-correlation audit over the first 16 embedding
+    * dimensions — all 120 pairwise Pearson correlations. High |r| pairs
+    * mean the representation wastes capacity (a whitening/PCA
+    * candidate); a healthy isotropic embedding shows near-zero
+    * off-diagonal mass. This is the integrity check a team runs before
+    * trusting downstream cosine geometry (and before the q176 JL
+    * projection, whose guarantees assume no degenerate collinearity).
+    *
+    * Determinism: each dimension value quantizes to an fp6 integer
+    * FIRST (one shared `round(x·1e6)`), after which every moment —
+    * Σq, Σq², Σqᵢqⱼ — is an exact 128-bit integer sum (q175
+    * discipline); the correlation assembles the exact sums in one
+    * shared IEEE expression. Scale shape: two pure projections feeding
+    * tiny aggregates — a 16-group per-dim pass and a 120-group
+    * cross-pass, both map-side combined, so shuffle bytes are CONSTANT
+    * in corpus size; the 16-row dim table broadcasts back twice. No
+    * vector ever meets another vector: all cross-moments are in-row. */
+  def q191DimCorr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val nd = 16
+    val v = vectors(spark, dir)
+    val q = v.select((0 until nd).map(i =>
+      round(element_at(col("vec"), i + 1).cast("double") * lit(1e6))
+        .cast("long").as(s"q$i")): _*)
+    val dims = q
+      .select(posexplode(array((0 until nd).map(i => col(s"q$i")): _*))
+        .as(Seq("i", "qi")))
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("n"), sum(col("qi")).as("s"),
+        sum(col("qi").cast(DecimalType(19, 0)) * col("qi")).as("ss"))
+      .localCheckpoint() // 16 rows; consumed by both sides of the pair join
+    val pairStructs = for { i <- 0 until nd; j <- (i + 1) until nd } yield
+      struct(lit(i).as("i"), lit(j).as("j"),
+        (col(s"q$i").cast(DecimalType(19, 0)) * col(s"q$j")).as("p"))
+    val pairs = q.select(explode(array(pairStructs: _*)).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("sp"))
+    val di = dims.select(col("i"), col("n"), col("s").as("si"), col("ss").as("ssi"))
+    val dj = dims.select(col("i").as("j"), col("s").as("sj"), col("ss").as("ssj"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sp").cast("double") -
+      col("si").cast("double") * col("sj").cast("double")
+    val dx = nD * col("ssi").cast("double") -
+      col("si").cast("double") * col("si").cast("double")
+    val dy = nD * col("ssj").cast("double") -
+      col("sj").cast("double") * col("sj").cast("double")
+    pairs.join(broadcast(di), Seq("i")).join(broadcast(dj), Seq("j"))
+      .filter(dx > 0 && dy > 0)
+      .select(col("i").cast("long").as("dim_i"), col("j").cast("long").as("dim_j"),
+        col("n").as("n_vecs"),
+        round(lit(1e6) * num / (sqrt(dx) * sqrt(dy))).cast("long").as("corr_fp6"))
+  }
+
+  val q191DimCorrSql: String = {
+    val qList = (1 to 16)
+      .map(i => s"CAST(round(e[$i] * 1e6) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    s"""WITH qv AS (
+      |  SELECT vec_id, $qList AS q
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),
+      |d AS (
+      |  SELECT CAST(r.i AS INTEGER) AS i, q[r.i + 1] AS qi
+      |  FROM qv CROSS JOIN range(16) r(i)),
+      |dims AS (
+      |  SELECT i, COUNT(*) AS n, CAST(SUM(qi) AS BIGINT) AS s,
+      |    SUM(CAST(qi AS HUGEINT) * qi) AS ss
+      |  FROM d GROUP BY 1),
+      |p AS (
+      |  SELECT CAST(a.i AS INTEGER) AS i, CAST(b.j AS INTEGER) AS j,
+      |    SUM(CAST(q[a.i + 1] AS HUGEINT) * q[b.j + 1]) AS sp
+      |  FROM qv CROSS JOIN range(16) a(i) CROSS JOIN range(16) b(j)
+      |  WHERE a.i < b.j GROUP BY 1, 2)
+      |SELECT CAST(p.i AS BIGINT) AS dim_i, CAST(p.j AS BIGINT) AS dim_j,
+      |  di.n AS n_vecs,
+      |  CAST(round(1e6 * (CAST(di.n AS DOUBLE) * CAST(p.sp AS DOUBLE)
+      |      - CAST(di.s AS DOUBLE) * CAST(dj.s AS DOUBLE))
+      |    / (sqrt(CAST(di.n AS DOUBLE) * CAST(di.ss AS DOUBLE)
+      |        - CAST(di.s AS DOUBLE) * CAST(di.s AS DOUBLE))
+      |     * sqrt(CAST(di.n AS DOUBLE) * CAST(dj.ss AS DOUBLE)
+      |        - CAST(dj.s AS DOUBLE) * CAST(dj.s AS DOUBLE)))) AS BIGINT)
+      |    AS corr_fp6
+      |FROM p JOIN dims di ON di.i = p.i JOIN dims dj ON dj.i = p.j
+      |WHERE CAST(di.n AS DOUBLE) * CAST(di.ss AS DOUBLE)
+      |    - CAST(di.s AS DOUBLE) * CAST(di.s AS DOUBLE) > 0
+      |  AND CAST(di.n AS DOUBLE) * CAST(dj.ss AS DOUBLE)
+      |    - CAST(dj.s AS DOUBLE) * CAST(dj.s AS DOUBLE) > 0""".stripMargin
+  }
 }

@@ -629,4 +629,85 @@ object MixQueries {
       |    / COUNT(*)) AS BIGINT) AS moved_fp6
       |FROM a8 JOIN a9 USING (doc_id)
       |GROUP BY 1""".stripMargin
+
+  /** q189: DSIR importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") — per document,
+    * the hashed-bigram log-likelihood ratio between a target domain
+    * (source `src0`) and the raw corpus: `Σ_grams ln p̂_t(b)/p̂_r(b)`
+    * over 2¹⁶ md5 hash buckets with add-one smoothing. Positive weight
+    * means "looks like the target"; importance resampling then keeps
+    * raw docs proportionally. Reported per source as the mix-decision
+    * table (mean weight + count of target-leaning docs).
+    *
+    * Determinism: per-bucket λ terms are fp9-rounded integers BEFORE
+    * any per-doc sum (the q97/q181 discipline), the bucket is the
+    * engine-portable md5 uniform, and the smoothed ratios divide
+    * exact integers in IEEE doubles — both engines feed `ln` the same
+    * value. Scale shape: the model is ONE 65,536-row table (a
+    * broadcast, never a vocabulary build); the corpus gram stream is
+    * touched twice (count pass, score pass) with no materialization —
+    * at 100 TB both passes are embarrassingly parallel projections
+    * into a map-side-combined bucket aggregate. */
+  def q189DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 65536
+    val toks = split(col("text"), " ")
+    def grams = Tables.documents(spark, dir)
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"), col("source"), explode(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+        .as("g"))
+      .select(col("doc_id"), col("source"),
+        (TrainingMix.hex8(concat(col("g"), lit("#dsir"))) % dim).as("bucket"))
+    val w = grams.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("source") === "src0", lit(1L)).otherwise(lit(0L))).as("ct"))
+    val tot = w.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val lam = w.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round(lit(1e9) * (
+          log((col("ct") + 1).cast("double") /
+              (col("nt") + lit(dim.toLong)).cast("double")) -
+          log((col("cr") + 1).cast("double") /
+              (col("nr") + lit(dim.toLong)).cast("double"))))
+          .cast("long").as("lam_fp9"))
+    val perDoc = grams.join(broadcast(lam), Seq("bucket"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("lam_fp9")).as("w_fp9"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("w_fp9")).cast("double") / count(lit(1))).cast("long")
+          .as("mean_w_fp9"),
+        sum(when(col("w_fp9") > 0, lit(1L)).otherwise(lit(0L))).as("n_pos"))
+  }
+
+  val q189DsirWeightsSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, t[i] || ' ' || t[i + 1] AS g FROM (
+      |    SELECT doc_id, source, t, unnest(generate_series(1, len(t) - 1)) AS i
+      |    FROM toks WHERE len(t) >= 2)),
+      |gb AS (
+      |  SELECT doc_id, source,
+      |    ${hex8Sql("g || '#dsir'")} % 65536 AS bucket FROM g),
+      |w AS (
+      |  SELECT bucket, COUNT(*) AS cr,
+      |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct
+      |  FROM gb GROUP BY 1),
+      |tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM w),
+      |lam AS (
+      |  SELECT bucket,
+      |    CAST(round(1e9 * (ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 65536 AS DOUBLE))
+      |      - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 65536 AS DOUBLE))))
+      |      AS BIGINT) AS lam_fp9
+      |  FROM w CROSS JOIN tot),
+      |pd AS (
+      |  SELECT doc_id, source, SUM(lam_fp9) AS w_fp9
+      |  FROM gb JOIN lam USING (bucket) GROUP BY 1, 2)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(round(CAST(SUM(w_fp9) AS DOUBLE) / COUNT(*)) AS BIGINT)
+      |    AS mean_w_fp9,
+      |  CAST(SUM(CASE WHEN w_fp9 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+      |FROM pd GROUP BY source""".stripMargin
 }

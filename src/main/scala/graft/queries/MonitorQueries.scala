@@ -296,4 +296,92 @@ object MonitorQueries {
       |  CAST(round(CAST(SUM(spe_fp6) AS DOUBLE) / COUNT(*)) AS BIGINT)
       |    AS bias_fp6
       |FROM err GROUP BY event_type""".stripMargin
+
+  /** q190: autocorrelation function (ACF) of daily volumes at lags 1–7
+    * per event type — the box a forecaster checks before believing the
+    * q187 seasonal-naïve baseline (a lag-7 spike says weekly
+    * seasonality is real; a flat ACF says the naïve forecast is as good
+    * as it gets). Pearson r between the series and its lag-k shift.
+    *
+    * Determinism: daily counts are integers, so Σx, Σy, Σxy, Σx², Σy²
+    * are EXACT (128-bit accumulators: Decimal(38,0) / HUGEINT — the
+    * q175 discipline); the correlation assembles those exact sums in
+    * one shared IEEE expression and rounds once to fp6. Sums stay below
+    * 2⁵³ for any per-day count the calendar-sized grid can hold, so the
+    * double cast is itself exact. Scale shape: one day-keyed aggregate,
+    * one window pass producing all seven lags, and a 7-way in-row
+    * unpivot — the pair stream is calendar-sized (days × 7), not
+    * event-sized. */
+  def q190Acf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.events(spark, dir)
+    val minDay = e.agg(min(to_date(col("ts"))).as("d0"))
+    val daily = e.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .crossJoin(broadcast(minDay))
+      .select(col("event_type"),
+        datediff(col("day"), col("d0")).cast("long").as("d"), col("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val lags = daily.select(col("event_type") +: col("x") +:
+      (1 to 7).map(k => lag(col("x"), k).over(w).as(s"l$k")): _*)
+    val pairs = lags
+      .select(col("event_type"), col("x"),
+        posexplode(array((1 to 7).map(k => col(s"l$k")): _*)).as(Seq("k0", "y")))
+      .filter(col("y").isNotNull)
+      .select(col("event_type"), (col("k0") + 1).cast("long").as("lag"),
+        col("x"), col("y"))
+    val agg = pairs.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast(DecimalType(19, 0)) * col("y")).as("sxy"),
+        sum(col("x").cast(DecimalType(19, 0)) * col("x")).as("sxx"),
+        sum(col("y").cast(DecimalType(19, 0)) * col("y")).as("syy"))
+    val nD = col("n_pairs").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val dx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val dy = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    agg.filter(dx > 0 && dy > 0)
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        round(lit(1e6) * num / (sqrt(dx) * sqrt(dy))).cast("long").as("acf_fp6"))
+  }
+
+  val q190AcfSql: String = {
+    val lagList = (1 to 7).map(k => s"lag(x, $k) OVER w").mkString("[", ", ", "]")
+    s"""WITH d0 AS (SELECT MIN(ts::DATE) AS d0 FROM events),
+      |daily AS (
+      |  SELECT event_type, date_diff('day', d0.d0, ts::DATE) AS d,
+      |    COUNT(*) AS x
+      |  FROM events, d0 GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_type, x, $lagList AS ls
+      |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+      |pairs AS (
+      |  SELECT event_type, CAST(r.k AS BIGINT) AS lag, x, ls[r.k] AS y
+      |  FROM l CROSS JOIN range(1, 8) r(k)
+      |  WHERE ls[r.k] IS NOT NULL),
+      |a AS (
+      |  SELECT event_type, lag, COUNT(*) AS n_pairs,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM pairs GROUP BY 1, 2)
+      |SELECT event_type, lag, n_pairs,
+      |  CAST(round(1e6 * (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |     * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT)
+      |    AS acf_fp6
+      |FROM a
+      |WHERE CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |  AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+      |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0""".stripMargin
+  }
 }

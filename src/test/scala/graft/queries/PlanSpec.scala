@@ -590,4 +590,45 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(2000))
   }
+
+  test("q188: privacy audit is two stacked aggregates — no joins at all") {
+    val p = planOf(AuditQueries.q188KAnonymity(spark, sf))
+    assert(!p.contains("Join"), s"k-anonymity rollup should not join:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q189: DSIR model table broadcasts back to the gram stream") {
+    val p = planOf(MixQueries.q189DsirWeights(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"65k-row λ table must broadcast, not shuffle the corpus:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    // only the 1-row totals attach may nest-loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p.take(2000))
+  }
+
+  test("q190: all seven lags come from ONE window pass over the day grid") {
+    val p = planOf(MonitorQueries.q190Acf(spark, sf))
+    assert("Window".r.findAllIn(p).length === 1,
+      s"expected a single Window node computing lag 1..7:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q191: cross-moments are in-row — no vector self-join, dim stats broadcast") {
+    val p = planOf(Embeddings.q191DimCorr(spark, sf))
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized join may exist; moments aggregate in-row:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("q192: Fellegi-Sunter scores on the capped equi-join block — no all-pairs") {
+    // (the jaro_winkler-kernel-in-codegen property is pinned by the q182
+    // test over the same candidate generator; here the score folds into
+    // the aggregate's result expressions, whose text the plan elides)
+    val p = planOf(DedupQueries.q192FellegiSunter(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
 }
