@@ -407,4 +407,50 @@ object AuditQueries {
       |  CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_classes_l1
       |FROM cls GROUP BY nation""".stripMargin
+
+  /** q195: Gini concentration of training mass across sources — the
+    * Lorenz-curve number a dataset card reports ("is 90% of the corpus
+    * two domains?"), from the sorted-index identity
+    * `G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)` over sources ranked by
+    * ascending char mass (ties broken by source name for a total
+    * order). Every sum is an exact integer; one IEEE expression at the
+    * end.
+    *
+    * Scale shape: the corpus collapses to ONE source-sized aggregate
+    * first (map-side combined); the rank window and the Gini fold run
+    * over ~tens of rows, so the unpartitioned window is trivially
+    * safe — the corpus never meets a global sort. */
+  def q195GiniSources(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("x"))
+    val ranked = src.select(col("x"),
+      row_number().over(Window.orderBy(col("x"), col("source"))).as("i"))
+    ranked
+      .agg(count(lit(1)).as("n_sources"), sum(col("x")).as("total_chars"),
+        sum(col("i").cast("long") * col("x")).as("six"))
+      .select(col("n_sources"), col("total_chars"),
+        round(lit(1e6) *
+          (lit(2.0) * col("six").cast("double")
+            - (col("n_sources") + 1).cast("double") * col("total_chars").cast("double"))
+          / (col("n_sources").cast("double") * col("total_chars").cast("double")))
+          .cast("long").as("gini_fp6"))
+  }
+
+  val q195GiniSourcesSql: String =
+    """WITH src AS (
+      |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS x
+      |  FROM documents GROUP BY 1),
+      |ranked AS (
+      |  SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM src),
+      |a AS (
+      |  SELECT COUNT(*) AS n_sources, CAST(SUM(x) AS BIGINT) AS total_chars,
+      |    CAST(SUM(i * x) AS BIGINT) AS six
+      |  FROM ranked)
+      |SELECT n_sources, total_chars,
+      |  CAST(round(1e6 * (2.0 * CAST(six AS DOUBLE)
+      |      - CAST(n_sources + 1 AS DOUBLE) * CAST(total_chars AS DOUBLE))
+      |    / (CAST(n_sources AS DOUBLE) * CAST(total_chars AS DOUBLE)))
+      |    AS BIGINT) AS gini_fp6
+      |FROM a""".stripMargin
 }

@@ -1501,4 +1501,57 @@ object Embeddings {
       |  AND CAST(di.n AS DOUBLE) * CAST(dj.ss AS DOUBLE)
       |    - CAST(dj.s AS DOUBLE) * CAST(dj.s AS DOUBLE) > 0""".stripMargin
   }
+
+  /** q196: embedding centroid drift between deterministic corpus halves
+    * (`vec_id % 2` — the stand-in for two ingest snapshots or two
+    * encoder versions): per-dimension mean of each half, fp6-quantized
+    * terms, and the absolute per-dim shift. A healthy re-embed shows
+    * near-zero shift everywhere; a fingerprint of drifted dims is what
+    * an embedding-pipeline monitor alerts on (before q131's global
+    * stats would move).
+    *
+    * Determinism: values quantize to fp6 integers FIRST, so the
+    * per-half sums are exact and the mean is one shared
+    * integer-over-integer division. Scale shape: one projection into a
+    * 64-group aggregate with both halves' sums as conditional columns
+    * (single pass, no join, map-side combined) — constant shuffle
+    * bytes. */
+  def q196CentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val q = vectors(spark, dir)
+      .select((col("id") % 2).cast("long").as("half"),
+        posexplode(col("vec")).as(Seq("dim", "xv")))
+      .select(col("half"), col("dim"),
+        round(col("xv").cast("double") * lit(1e6)).cast("long").as("q"))
+    val meanA = round(col("s_a").cast("double") / col("n_a")).cast("long")
+    val meanB = round(col("s_b").cast("double") / col("n_b")).cast("long")
+    q.groupBy(col("dim"))
+      .agg(sum(when(col("half") === 0, lit(1L)).otherwise(lit(0L))).as("n_a"),
+        sum(when(col("half") === 0, col("q")).otherwise(lit(0L))).as("s_a"),
+        sum(when(col("half") === 1, lit(1L)).otherwise(lit(0L))).as("n_b"),
+        sum(when(col("half") === 1, col("q")).otherwise(lit(0L))).as("s_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("dim").cast("long").as("dim"),
+        meanA.as("mean_a_fp6"), meanB.as("mean_b_fp6"),
+        abs(meanA - meanB).as("shift_fp6"))
+  }
+
+  val q196CentroidDriftSql: String =
+    """WITH q AS (
+      |  SELECT vec_id % 2 AS half, r.i AS dim,
+      |    CAST(round(e[r.i + 1] * 1e6) AS BIGINT) AS q
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+      |  CROSS JOIN range(64) r(i)),
+      |a AS (
+      |  SELECT dim,
+      |    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN half = 0 THEN q ELSE 0 END) AS BIGINT) AS s_a,
+      |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN half = 1 THEN q ELSE 0 END) AS BIGINT) AS s_b
+      |  FROM q GROUP BY 1)
+      |SELECT CAST(dim AS BIGINT) AS dim,
+      |  CAST(round(CAST(s_a AS DOUBLE) / n_a) AS BIGINT) AS mean_a_fp6,
+      |  CAST(round(CAST(s_b AS DOUBLE) / n_b) AS BIGINT) AS mean_b_fp6,
+      |  abs(CAST(round(CAST(s_a AS DOUBLE) / n_a) AS BIGINT)
+      |    - CAST(round(CAST(s_b AS DOUBLE) / n_b) AS BIGINT)) AS shift_fp6
+      |FROM a WHERE n_a > 0 AND n_b > 0""".stripMargin
 }

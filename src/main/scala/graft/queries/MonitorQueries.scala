@@ -384,4 +384,61 @@ object MonitorQueries {
       |  AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
       |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0""".stripMargin
   }
+
+  /** q194: Mann–Whitney rank-sum A/B test (Mann & Whitney 1947) per
+    * event type, arms split by `user_id % 2` — the nonparametric
+    * experiment readout that needs no normality assumption and, being
+    * rank-based, is EXACT in integers: with tie groups handled by
+    * average ranks, `2·avg_rank = 2·rank + tie_size − 1` is an
+    * integer, so the rank sum, the U statistic (doubled), and the
+    * rank-biserial AUC numerator never touch floats until the single
+    * final division. AUC here = P(random A value > random B value) +
+    * ½P(tie) — the common-language effect size.
+    *
+    * Scale shape: one sort-window pass per event type (rank + tie
+    * count stack on the same ordering) folding into a type-sized
+    * aggregate. Rank windows over a hot type are the classic skew
+    * point at 100 TB — the q98 hash-shard trick applies if a single
+    * type dominates. */
+  def q194RankSumAb(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), (col("user_id") % 2).cast("long").as("arm"),
+        col("value"))
+    val r2 = (lit(2) * rank().over(
+        Window.partitionBy(col("event_type")).orderBy(col("value")))
+      + count(lit(1)).over(
+        Window.partitionBy(col("event_type"), col("value")))
+      - 1).cast("long")
+    val agg = e.select(col("event_type"), col("arm"), r2.as("r2"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("arm") === 0, col("r2")).otherwise(lit(0L))).as("r2_a"),
+        sum(when(col("arm") === 0, lit(1L)).otherwise(lit(0L))).as("n_a"),
+        sum(when(col("arm") === 1, lit(1L)).otherwise(lit(0L))).as("n_b"))
+    val u2 = col("r2_a") - col("n_a") * (col("n_a") + 1)
+    agg.filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("event_type"), col("n_a"), col("n_b"), u2.as("u2_a"),
+        round(lit(1e6) * u2.cast("double") /
+          (lit(2.0) * col("n_a") * col("n_b"))).cast("long").as("auc_fp6"))
+  }
+
+  val q194RankSumAbSql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id % 2 AS arm, value FROM events),
+      |r AS (
+      |  SELECT event_type, arm,
+      |    2 * rank() OVER (PARTITION BY event_type ORDER BY value)
+      |      + COUNT(*) OVER (PARTITION BY event_type, value) - 1 AS r2
+      |  FROM e),
+      |a AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN r2 ELSE 0 END) AS BIGINT) AS r2_a,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM r GROUP BY 1)
+      |SELECT event_type, n_a, n_b,
+      |  r2_a - n_a * (n_a + 1) AS u2_a,
+      |  CAST(round(1e6 * CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+      |    / (2.0 * n_a * n_b)) AS BIGINT) AS auc_fp6
+      |FROM a WHERE n_a > 0 AND n_b > 0""".stripMargin
 }

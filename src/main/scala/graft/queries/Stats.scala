@@ -579,4 +579,85 @@ object Stats {
       |FROM days d
       |JOIN dau ON dau.day = d.day
       |JOIN wau ON wau.day = d.day""".stripMargin
+
+  /** q193: Count-Min sketch point queries (Cormode & Muthukrishnan
+    * 2005) — the mergeable fixed-width frequency structure that
+    * completes the sketch shelf (HLL q87 distincts, theta q161
+    * intersections, KLL q99 ranks, Misra–Gries q63 heavy hitters):
+    * depth 4 × width 1024 md5-derived counters over the corpus token
+    * stream, probed for the exact top-20 tokens. The gate certifies the
+    * two CMS contracts on every probe: `est ≥ exact` (counters only
+    * over-count) and `est ≤ exact + ⌈e/w · N⌉` (the ε·N additive bound
+    * at δ = e⁻⁴).
+    *
+    * Scale shape: the sketch is ONE 4,096-cell aggregate with map-side
+    * combine — constant shuffle bytes regardless of corpus size, and
+    * per-batch sketches ADD cell-wise (the q87/q99 mergeable-artifact
+    * property). The probe side is 20 rows × 4 hashes joining a
+    * 4,096-row table — both broadcast-sized. The exact top-20 pass
+    * exists only to certify the estimates; production reads the sketch
+    * alone. */
+  def q193CmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val depth = 4; val width = 1024
+    def toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val cms = toks
+      .select(posexplode(array((0 until depth).map(r =>
+        graft.ops.TrainingMix.hex8(concat(col("tok"), lit(s"#cms$r"))) % width)
+        : _*)).as(Seq("r", "b")))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_ct"))
+    val top = exact
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("exact_ct").desc, col("tok"))))
+      .filter(col("rn") <= 20).drop("rn")
+    val probes = top.select(col("tok"), col("exact_ct"),
+      posexplode(array((0 until depth).map(r =>
+        graft.ops.TrainingMix.hex8(concat(col("tok"), lit(s"#cms$r"))) % width)
+        : _*)).as(Seq("r", "b")))
+    val n = toks.agg(count(lit(1)).as("n_tokens"))
+    probes.join(broadcast(cms), Seq("r", "b"))
+      .groupBy(col("tok"), col("exact_ct"))
+      .agg(min(col("c")).as("cms_est"))
+      .crossJoin(broadcast(n))
+      .select(col("tok"), col("exact_ct"), col("cms_est"),
+        (col("cms_est") >= col("exact_ct")).as("overcount_ok"),
+        (col("cms_est") <= col("exact_ct") +
+          ceil(lit(math.E / 1024) * col("n_tokens")).cast("long"))
+          .as("bound_ok"))
+  }
+
+  val q193CmsFreqSql: String = {
+    import OracleFragments.hex8Sql
+    def hashUnion(from: String, extra: String): String =
+      (0 until 4).map(r =>
+        s"SELECT $extra$r AS r, ${hex8Sql(s"tok || '#cms$r'")} % 1024 AS b FROM $from")
+        .mkString("\n      |  UNION ALL ")
+    s"""WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tk AS (SELECT tok FROM toks WHERE tok <> ''),
+      |cells AS (
+      |  ${hashUnion("tk", "")}),
+      |cms AS (SELECT r, b, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+      |exact AS (SELECT tok, COUNT(*) AS exact_ct FROM tk GROUP BY 1),
+      |top AS (
+      |  SELECT tok, exact_ct FROM (
+      |    SELECT tok, exact_ct,
+      |      row_number() OVER (ORDER BY exact_ct DESC, tok) AS rn
+      |    FROM exact) WHERE rn <= 20),
+      |probes AS (
+      |  ${hashUnion("top", "tok, exact_ct, ")}),
+      |est AS (
+      |  SELECT p.tok, p.exact_ct, MIN(c.c) AS cms_est
+      |  FROM probes p JOIN cms c ON c.r = p.r AND c.b = p.b
+      |  GROUP BY 1, 2),
+      |n AS (SELECT COUNT(*) AS n_tokens FROM tk)
+      |SELECT tok, exact_ct, cms_est,
+      |  cms_est >= exact_ct AS overcount_ok,
+      |  cms_est <= exact_ct + CAST(ceil(${math.E / 1024} * n_tokens)
+      |    AS BIGINT) AS bound_ok
+      |FROM est CROSS JOIN n""".stripMargin
+  }
 }

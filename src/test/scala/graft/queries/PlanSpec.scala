@@ -623,6 +623,27 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q193: CMS probe joins broadcast the 4096-cell sketch; only the 1-row N attaches nest-loop") {
+    val p = planOf(Stats.q193CmsFreq(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p.take(2000))
+  }
+
+  test("q194: rank-sum is windows + one aggregate — no joins, no cartesian") {
+    val p = planOf(MonitorQueries.q194RankSumAb(spark, sf))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("q196: centroid drift is a single-pass conditional aggregate — no joins") {
+    val p = planOf(Embeddings.q196CentroidDrift(spark, sf))
+    assert(!p.contains("Join"), p.take(2000))
+    // one corpus exchange (the 64-group aggregate), map-side combined
+    assert("embeddings\\.parquet".r.findAllIn(p).length === 1,
+      s"corpus scanned more than once:\n${p.take(2000)}")
+  }
+
   test("q192: Fellegi-Sunter scores on the capped equi-join block — no all-pairs") {
     // (the jaro_winkler-kernel-in-codegen property is pinned by the q182
     // test over the same candidate generator; here the score folds into
