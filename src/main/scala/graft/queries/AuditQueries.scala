@@ -453,4 +453,71 @@ object AuditQueries {
       |    / (CAST(n_sources AS DOUBLE) * CAST(total_chars AS DOUBLE)))
       |    AS BIGINT) AS gini_fp6
       |FROM a""".stripMargin
+
+  /** q198: Cohen's κ inter-rater agreement (Cohen 1960) between two
+    * independent quality annotators over the corpus — here the
+    * 4-component quality score (gate at ≥ 0.75, i.e. 3-of-4 checks)
+    * versus a pared Gopher rule (length band + TTR floor). κ corrects
+    * raw agreement for chance, which is exactly what a curation team
+    * needs before replacing an expensive filter with a cheap one that
+    * "agrees 90% of the time" (so would two raters flipping biased
+    * coins). Fully exact: the 2×2 cell counts are integers and
+    * `κ = (N·(n₁₁+n₀₀) − pe_num) / (N² − pe_num)` with
+    * `pe_num = pa·pb + (N−pa)·(N−pb)` is one integer-over-integer
+    * division rounded once to fp6. (N² must fit the accumulator:
+    * BIGINT to ~3·10⁹ rows; swap to Decimal/HUGEINT cells beyond.)
+    *
+    * Scale shape: both annotators are zero-shuffle codegen'd
+    * projections; the whole corpus folds into FOUR counters (map-side
+    * combined) — constant shuffle bytes at any scale. */
+  def q198CohenKappa(spark: SparkSession, dir: String): DataFrame = {
+    val en = graft.ops.TextOps.langProfiles.head._2
+    val toks = split(col("text"), " ")
+    val d = Tables.documents(spark, dir).select(
+      (graft.ops.TextOps.qualityScore(col("text"), en) >= 0.75).as("a1"),
+      (size(toks).cast("long").between(20L, 1000L) &&
+        size(array_distinct(toks)).cast("long") * 10 >=
+          size(toks).cast("long") * 3).as("a2"))
+    val cells = d.agg(
+      sum(when(col("a1") && col("a2"), lit(1L)).otherwise(lit(0L))).as("n11"),
+      sum(when(col("a1") && !col("a2"), lit(1L)).otherwise(lit(0L))).as("n10"),
+      sum(when(!col("a1") && col("a2"), lit(1L)).otherwise(lit(0L))).as("n01"),
+      sum(when(!col("a1") && !col("a2"), lit(1L)).otherwise(lit(0L))).as("n00"))
+    val nt = col("n11") + col("n10") + col("n01") + col("n00")
+    val pa = col("n11") + col("n10")
+    val pb = col("n11") + col("n01")
+    val peNum = pa * pb + (nt - pa) * (nt - pb)
+    cells.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      round(lit(1e6) *
+        (nt * (col("n11") + col("n00")) - peNum).cast("double") /
+        (nt * nt - peNum).cast("double")).cast("long").as("kappa_fp6"))
+  }
+
+  val q198CohenKappaSql: String =
+    s"""WITH t AS (
+      |  SELECT text, string_split(text, ' ') AS toks FROM documents),
+      |ann AS (
+      |  SELECT (${OracleFragments.qualityExpr} >= 0.75) AS a1,
+      |    (len(toks) BETWEEN 20 AND 1000 AND
+      |     CAST(len(list_distinct(toks)) AS BIGINT) * 10 >=
+      |       CAST(len(toks) AS BIGINT) * 3) AS a2
+      |  FROM t),
+      |c AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN a1 AND a2 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |    CAST(SUM(CASE WHEN a1 AND NOT a2 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+      |    CAST(SUM(CASE WHEN NOT a1 AND a2 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+      |    CAST(SUM(CASE WHEN NOT a1 AND NOT a2 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      |  FROM ann),
+      |k AS (
+      |  SELECT n11, n10, n01, n00,
+      |    n11 + n10 + n01 + n00 AS nt,
+      |    n11 + n10 AS pa, n11 + n01 AS pb
+      |  FROM c),
+      |k2 AS (
+      |  SELECT *, pa * pb + (nt - pa) * (nt - pb) AS pe_num FROM k)
+      |SELECT n11, n10, n01, n00,
+      |  CAST(round(1e6 * CAST(nt * (n11 + n00) - pe_num AS DOUBLE)
+      |    / CAST(nt * nt - pe_num AS DOUBLE)) AS BIGINT) AS kappa_fp6
+      |FROM k2""".stripMargin
 }

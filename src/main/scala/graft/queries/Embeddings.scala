@@ -1554,4 +1554,87 @@ object Embeddings {
       |  abs(CAST(round(CAST(s_a AS DOUBLE) / n_a) AS BIGINT)
       |    - CAST(round(CAST(s_b AS DOUBLE) / n_b) AS BIGINT)) AS shift_fp6
       |FROM a WHERE n_a > 0 AND n_b > 0""".stripMargin
+
+  /** q199: Kendall-τ rank agreement between full-dimension and
+    * 16-dim-truncated (Matryoshka) cosine rankings of each query's
+    * full-dim top-20 pool — the ORDER-stability complement to q171's
+    * set-overlap recall: recall@k can stay high while the ordering
+    * inside the pool scrambles, and a reranker fed truncated scores
+    * inherits exactly that scramble. Both rankings are distinct
+    * integers over the same 20-member pool, so concordant/discordant
+    * counts and `τ = (2C − P)/P` are exact until the single final
+    * division.
+    *
+    * Scale shape: the pool is k rows per query, so the τ pair
+    * enumeration is ≤ k²/2 per query, partitioned BY QUERY — millions
+    * of queries score in parallel; the corpus-sized work underneath is
+    * the already-certified brute-force/ANN retrieval. The tiny ranked
+    * pool is barriered (localCheckpoint) because the pair self-join
+    * consumes it twice. */
+  def q199KendallTau(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vectors(spark, dir)
+    val q = v.filter(col("id") < 5).select(col("id").as("qid"), col("vec").as("qvec"))
+    val pool = Similarity.bruteForceTopK(v, q, 20)
+      .select(col("qid"), col("id"), col("rank").as("full_rank"))
+    val tq = q.select(col("qid"), slice(col("qvec"), 1, 16).as("tq"))
+    val ranked = pool
+      .join(v.select(col("id"), slice(col("vec"), 1, 16).as("tv")), Seq("id"))
+      .join(broadcast(tq), Seq("qid"))
+      .select(col("qid"), col("id"), col("full_rank"),
+        Similarity.cosine(col("tv"), col("tq")).as("tsim"))
+      .withColumn("trunc_rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("tsim").desc, col("id")))
+        .cast("long"))
+      .select(col("qid"), col("id"), col("full_rank"), col("trunc_rank"))
+      .localCheckpoint()
+    val a = ranked.select(col("qid"), col("id").as("d1"),
+      col("full_rank").as("f1"), col("trunc_rank").as("t1"))
+    val b = ranked.select(col("qid"), col("id").as("d2"),
+      col("full_rank").as("f2"), col("trunc_rank").as("t2"))
+    val conc = when((col("f1") < col("f2")) === (col("t1") < col("t2")),
+      lit(1L)).otherwise(lit(0L))
+    a.join(b, Seq("qid")).filter(col("d1") < col("d2"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_pairs"), sum(conc).as("concordant"))
+      .select(col("qid").as("query_id"), col("n_pairs"), col("concordant"),
+        (col("n_pairs") - col("concordant")).as("discordant"),
+        round(lit(1e6) *
+          (lit(2L) * col("concordant") - col("n_pairs")).cast("double") /
+          col("n_pairs")).cast("long").as("tau_fp6"))
+  }
+
+  val q199KendallTauSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+      |    (embedding[1:16])::DOUBLE[] AS qt
+      |  FROM embeddings WHERE vec_id < 5),
+      |pool AS (
+      |  SELECT qid, vec_id AS id,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |      ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC,
+      |               vec_id) AS BIGINT) AS full_rank
+      |  FROM embeddings, q WHERE vec_id <> qid
+      |  QUALIFY full_rank <= 20),
+      |tr AS (
+      |  SELECT p.qid, p.id, p.full_rank,
+      |    CAST(row_number() OVER (PARTITION BY p.qid
+      |      ORDER BY list_cosine_similarity((e.embedding[1:16])::DOUBLE[], q.qt)
+      |        DESC, p.id) AS BIGINT) AS trunc_rank
+      |  FROM pool p JOIN embeddings e ON e.vec_id = p.id
+      |  JOIN q ON q.qid = p.qid),
+      |pr AS (
+      |  SELECT a.qid AS query_id,
+      |    CASE WHEN (a.full_rank < b.full_rank) = (a.trunc_rank < b.trunc_rank)
+      |      THEN 1 ELSE 0 END AS conc
+      |  FROM tr a JOIN tr b ON b.qid = a.qid AND a.id < b.id),
+      |ag AS (
+      |  SELECT query_id, COUNT(*) AS n_pairs,
+      |    CAST(SUM(conc) AS BIGINT) AS concordant
+      |  FROM pr GROUP BY 1)
+      |SELECT query_id, n_pairs, concordant,
+      |  n_pairs - concordant AS discordant,
+      |  CAST(round(1e6 * CAST(2 * concordant - n_pairs AS DOUBLE) / n_pairs)
+      |    AS BIGINT) AS tau_fp6
+      |FROM ag""".stripMargin
 }

@@ -1111,4 +1111,47 @@ object TextQueries {
       |  CAST(COALESCE(p.max_gram_docs, 0) AS BIGINT) AS max_gram_docs,
       |  CAST(COALESCE(a.n_docs_affected, 0) AS BIGINT) AS n_docs_affected
       |FROM tot t LEFT JOIN per p USING (source) LEFT JOIN aff a USING (source)""".stripMargin
+
+  /** q197: language-ID confusion matrix — the n-gram classifier
+    * ([[graft.ops.TextOps.langId]], the q19/q27 kernel) evaluated
+    * against the labeled `lang` column: per (truth, prediction) cell,
+    * the count plus its row share (recall on the diagonal) and column
+    * share (precision on the diagonal). The eval every langid filter
+    * deployment reads before trusting per-language mix decisions.
+    *
+    * Scale shape: the classifier is a zero-shuffle codegen'd
+    * projection; the matrix is a languages²-sized aggregate, and both
+    * share windows run over those few rows. */
+  def q197LangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.documents(spark, dir)
+      .select(col("lang").as("lang_true"),
+        graft.ops.TextOps.langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang_true"), col("lang_pred")).agg(count(lit(1)).as("n"))
+    cells.select(col("lang_true"), col("lang_pred"), col("n"),
+      round(lit(1e6) * col("n") /
+        sum(col("n")).over(Window.partitionBy(col("lang_true"))))
+        .cast("long").as("row_share_fp6"),
+      round(lit(1e6) * col("n") /
+        sum(col("n")).over(Window.partitionBy(col("lang_pred"))))
+        .cast("long").as("col_share_fp6"))
+  }
+
+  val q197LangConfusionSql: String =
+    s"""WITH s AS (
+      |  SELECT lang AS lang_true,
+      |    ${OracleFragments.langScoreCols}
+      |  FROM documents),
+      |p AS (
+      |  SELECT lang_true, ${OracleFragments.langPredCase} AS lang_pred
+      |  FROM s),
+      |cells AS (
+      |  SELECT lang_true, lang_pred, COUNT(*) AS n FROM p GROUP BY 1, 2)
+      |SELECT lang_true, lang_pred, n,
+      |  CAST(round(1e6 * n / SUM(n) OVER (PARTITION BY lang_true))
+      |    AS BIGINT) AS row_share_fp6,
+      |  CAST(round(1e6 * n / SUM(n) OVER (PARTITION BY lang_pred))
+      |    AS BIGINT) AS col_share_fp6
+      |FROM cells""".stripMargin
+
 }

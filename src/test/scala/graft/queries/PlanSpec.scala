@@ -623,6 +623,28 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q197: langid confusion is one classifier projection into a languages-squared aggregate") {
+    val p = planOf(TextQueries.q197LangConfusion(spark, sf))
+    assert(!p.contains("Join"), p.take(2000))
+    assert("documents\\.parquet".r.findAllIn(p).length === 1,
+      s"corpus scanned more than once:\n${p.take(2000)}")
+  }
+
+  test("q198: kappa folds the corpus into four counters — no joins, one scan") {
+    val p = planOf(AuditQueries.q198CohenKappa(spark, sf))
+    assert(!p.contains("Join"), p.take(2000))
+    assert("documents\\.parquet".r.findAllIn(p).length === 1,
+      s"corpus scanned more than once:\n${p.take(2000)}")
+  }
+
+  test("q199: tau pair join runs on the checkpointed pool, never the corpus") {
+    val p = planOf(Embeddings.q199KendallTau(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the self-join input is the barriered 20-rows-per-query pool
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      s"expected the localCheckpoint barrier feeding the pair join:\n${p.take(2000)}")
+  }
+
   test("q193: CMS probe joins broadcast the 4096-cell sketch; only the 1-row N attaches nest-loop") {
     val p = planOf(Stats.q193CmsFreq(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
