@@ -520,4 +520,44 @@ object AuditQueries {
       |  CAST(round(1e6 * CAST(nt * (n11 + n00) - pe_num AS DOUBLE)
       |    / CAST(nt * nt - pe_num AS DOUBLE)) AS BIGINT) AS kappa_fp6
       |FROM k2""".stripMargin
+
+  /** q200: differentially-private count release (Dwork et al. 2006) —
+    * per-event-type counts with Laplace(1/ε) noise at ε = 1,
+    * sensitivity 1: the mechanism a privacy team applies before stats
+    * on user activity leave the boundary, paired with q188's
+    * k-anonymity audit on the other side of the release pipeline. The
+    * noise is drawn by inverse-CDF from the md5 uniform
+    * (`X = −sign(u)·ln(1−2|u|)`, u ∈ (−½,½)), so the mechanism is
+    * REPLAYABLE — the oracle re-derives the identical draw, which is
+    * exactly how a DP release is audited for correct calibration
+    * without trusting the implementation. (A production release would
+    * swap the seed for a secret one; the mechanism is unchanged.) The
+    * `(h+1)/(2⁵²+1)` map keeps u away from the ln(0) pole exactly.
+    *
+    * Scale shape: one type-sized aggregate; the noise is a per-group
+    * projection. */
+  def q200DpRelease(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.ops.TrainingMix.hex13(concat(col("event_type"), lit("#dp")))
+    val u0 = (h + 1).cast("double") / lit(4503599627370497.0) - 0.5
+    val noise = -signum(u0) * log(lit(1.0) - lit(2.0) * abs(u0))
+    Tables.events(spark, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        round(lit(1e6) * (col("n") + noise)).cast("long").as("noisy_fp6"),
+        round(lit(1e6) * abs(noise)).cast("long").as("abs_noise_fp6"))
+  }
+
+  val q200DpReleaseSql: String = {
+    val u0 = s"((${OracleFragments.hex13Sql("event_type || '#dp'")} + 1)" +
+      " / 4503599627370497.0 - 0.5)"
+    s"""WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+      |nz AS (
+      |  SELECT event_type, n,
+      |    -sign($u0) * ln(1.0 - 2.0 * abs($u0)) AS noise
+      |  FROM c)
+      |SELECT event_type, n,
+      |  CAST(round(1e6 * (n + noise)) AS BIGINT) AS noisy_fp6,
+      |  CAST(round(1e6 * abs(noise)) AS BIGINT) AS abs_noise_fp6
+      |FROM nz""".stripMargin
+  }
 }

@@ -660,4 +660,111 @@ object Stats {
       |    AS BIGINT) AS bound_ok
       |FROM est CROSS JOIN n""".stripMargin
   }
+
+  /** Cumulative Poisson(1) pmf thresholds in 2⁵² units — the replicate
+    * weight is the Poisson quantile of the row's md5 uniform, so the
+    * whole bootstrap is integer-threshold CASE logic: no float compare
+    * at the decision boundary, identical in any engine. Capped at
+    * w = 6 (P ≈ 6·10⁻⁵ tail, negligible for CI purposes). */
+  private val poissonCumFp52: Seq[Long] = {
+    var acc = 0.0; var fact = 1.0
+    (0 to 5).map { k =>
+      if (k > 0) fact *= k
+      acc += math.exp(-1.0) / fact
+      math.floor(acc * 4503599627370496.0).toLong
+    }
+  }
+
+  /** q201: Poisson-bootstrap confidence intervals (the distributed
+    * bootstrap: Chamandy et al. 2012, "Estimating uncertainty for
+    * massive data streams") — B = 20 replicate means of `value` per
+    * event type, each row weighted by an independent Poisson(1) draw
+    * derived from md5(event_id:b). This is THE bootstrap shape that
+    * scales: resampling-with-replacement needs global coordination,
+    * Poisson weights are a pure per-row projection. CI = 2nd-smallest /
+    * 2nd-largest replicate mean (a ~90% percentile interval at B = 20).
+    *
+    * Determinism: values fp6-quantize BEFORE weighting, weights are
+    * integer CASE thresholds ([[poissonCumFp52]]), so replicate sums
+    * are exact integers and each mean is one shared division; the CI
+    * rank windows order integers. Scale shape: the B-fold explode is
+    * the entire cost (B× rows into a (type × B)-group map-side-combined
+    * aggregate); everything after is replicate-table-sized. */
+  def q201PoissonBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nB = 20
+    val e = Tables.events(spark, dir).select(col("event_id"),
+      col("event_type"), round(col("value") * lit(1e6)).cast("long").as("v6"))
+    val h = graft.ops.TrainingMix.hex13(
+      concat(col("event_id").cast("string"), lit(":"), col("b").cast("string")))
+    val w = poissonCumFp52.zipWithIndex
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (t, k)) =>
+        acc.when(h < t, lit(k.toLong))
+      }.otherwise(lit(6L))
+    val rep = e
+      .select(col("event_id"), col("event_type"), col("v6"),
+        explode(sequence(lit(0), lit(nB - 1))).as("b"))
+      .select(col("event_type"), col("b"), w.as("w"), col("v6"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("w") * col("v6")).as("sv"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0)
+      .select(col("event_type"), col("b"),
+        round(col("sv").cast("double") / col("sw")).cast("long").as("mean6"))
+      .localCheckpoint() // replicate table feeds point join + both rank cuts
+    val point = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(round(col("value") * lit(1e6)).cast("long")).cast("double") /
+          count(lit(1))).cast("long").as("mean_fp6"))
+    val ranked = rep
+      .withColumn("ra", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("mean6"), col("b"))))
+      .withColumn("rd", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("mean6").desc, col("b").desc)))
+    point
+      .join(rep.groupBy(col("event_type")).agg(count(lit(1)).as("n_replicates")),
+        Seq("event_type"))
+      .join(ranked.filter(col("ra") === 2)
+        .select(col("event_type"), col("mean6").as("boot_lo_fp6")), Seq("event_type"))
+      .join(ranked.filter(col("rd") === 2)
+        .select(col("event_type"), col("mean6").as("boot_hi_fp6")), Seq("event_type"))
+  }
+
+  val q201PoissonBootstrapSql: String = {
+    import OracleFragments.hex13Sql
+    val h = hex13Sql("event_id || ':' || b")
+    val cases = poissonCumFp52.zipWithIndex
+      .map { case (t, k) => s"WHEN $h < $t THEN $k" }.mkString("\n      |      ")
+    s"""WITH e AS (
+      |  SELECT event_id, event_type,
+      |    CAST(round(value * 1e6) AS BIGINT) AS v6
+      |  FROM events),
+      |wb AS (
+      |  SELECT event_type, r.b,
+      |    CASE $cases
+      |      ELSE 6 END AS w, v6
+      |  FROM e CROSS JOIN range(20) r(b)),
+      |rep AS (
+      |  SELECT event_type, b,
+      |    CAST(round(CAST(SUM(w * v6) AS DOUBLE) / SUM(w)) AS BIGINT) AS mean6
+      |  FROM wb GROUP BY 1, 2 HAVING SUM(w) > 0),
+      |pt AS (
+      |  SELECT event_type, COUNT(*) AS n_events,
+      |    CAST(round(CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE)
+      |      / COUNT(*)) AS BIGINT) AS mean_fp6
+      |  FROM events GROUP BY 1),
+      |rk AS (
+      |  SELECT event_type, mean6,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY mean6, b) AS ra,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY mean6 DESC, b DESC) AS rd
+      |  FROM rep),
+      |nr AS (SELECT event_type, COUNT(*) AS n_replicates FROM rep GROUP BY 1)
+      |SELECT p.event_type, p.n_events, p.mean_fp6, nr.n_replicates,
+      |  lo.mean6 AS boot_lo_fp6, hi.mean6 AS boot_hi_fp6
+      |FROM pt p
+      |JOIN nr USING (event_type)
+      |JOIN (SELECT event_type, mean6 FROM rk WHERE ra = 2) lo USING (event_type)
+      |JOIN (SELECT event_type, mean6 FROM rk WHERE rd = 2) hi USING (event_type)""".stripMargin
+  }
 }

@@ -1154,4 +1154,74 @@ object TextQueries {
       |    AS BIGINT) AS col_share_fp6
       |FROM cells""".stripMargin
 
+  /** q202: per-source PII risk report — the release-gate table next to
+    * q66's row-level redaction: how MUCH obvious PII each source
+    * carries (doc shares with an email, a phone, both, and total match
+    * counts), which decides whether a source enters the mix as-is,
+    * post-redaction, or not at all. Like q66, PII is injected
+    * deterministically (emails on `doc_id % 7 = 0`, phones on
+    * `% 11 = 0`) because the synthetic corpus carries none — the
+    * counting/reporting machinery under audit is real.
+    *
+    * Scale shape: two codegen'd regexp_count projections folding into
+    * a source-sized aggregate — one scan, no joins, linear in bytes. */
+  def q202PiiRisk(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" u"), col("doc_id"), lit("@ex"), col("doc_id") % 5,
+          lit(".org"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    val d = Tables.documents(spark, dir)
+      .select(col("source"),
+        graft.ops.TextOps.emailCount(aug).cast("long").as("ne"),
+        graft.ops.TextOps.phoneCount(aug).cast("long").as("np"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ne") > 0, lit(1L)).otherwise(lit(0L))).as("docs_email"),
+        sum(when(col("np") > 0, lit(1L)).otherwise(lit(0L))).as("docs_phone"),
+        sum(when(col("ne") > 0 && col("np") > 0, lit(1L)).otherwise(lit(0L)))
+          .as("docs_both"),
+        sum(col("ne")).as("total_emails"), sum(col("np")).as("total_phones"))
+      .select(col("source"), col("n_docs"), col("docs_email"),
+        col("docs_phone"), col("docs_both"), col("total_emails"),
+        col("total_phones"),
+        round(lit(1e6) * (col("docs_email") + col("docs_phone") - col("docs_both"))
+          / col("n_docs")).cast("long").as("pii_share_fp6"))
+  }
+
+  val q202PiiRiskSql: String = {
+    val email = graft.ops.TextOps.EmailRe
+    val phone = graft.ops.TextOps.PhoneRe
+    s"""WITH aug AS (
+      |  SELECT source,
+      |    text ||
+      |    (CASE WHEN doc_id % 7 = 0
+      |      THEN ' u' || doc_id || '@ex' || (doc_id % 5) || '.org'
+      |      ELSE '' END) ||
+      |    (CASE WHEN doc_id % 11 = 0
+      |      THEN ' 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+      |        lpad((doc_id % 10000)::VARCHAR, 4, '0')
+      |      ELSE '' END) AS t
+      |  FROM documents),
+      |c AS (
+      |  SELECT source,
+      |    CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS ne,
+      |    CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS np
+      |  FROM aug)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
+      |  CAST(SUM(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_phone,
+      |  CAST(SUM(CASE WHEN ne > 0 AND np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS docs_both,
+      |  CAST(SUM(ne) AS BIGINT) AS total_emails,
+      |  CAST(SUM(np) AS BIGINT) AS total_phones,
+      |  CAST(round(1e6 * (SUM(CASE WHEN ne > 0 THEN 1 ELSE 0 END)
+      |      + SUM(CASE WHEN np > 0 THEN 1 ELSE 0 END)
+      |      - SUM(CASE WHEN ne > 0 AND np > 0 THEN 1 ELSE 0 END))
+      |    / COUNT(*)) AS BIGINT) AS pii_share_fp6
+      |FROM c GROUP BY source""".stripMargin
+  }
 }

@@ -623,6 +623,19 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q201: bootstrap explode folds straight into the (type,b) aggregate — no corpus join") {
+    val p = planOf(Stats.q201PoissonBootstrap(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"replicate table must be the only join input:\n${p.take(2000)}")
+  }
+
+  test("q202: PII risk is two regexp projections into a source-sized aggregate — one scan, no joins") {
+    val p = planOf(TextQueries.q202PiiRisk(spark, sf))
+    assert(!p.contains("Join"), p.take(2000))
+    assert("documents\\.parquet".r.findAllIn(p).length === 1,
+      s"corpus scanned more than once:\n${p.take(2000)}")
+  }
+
   test("q197: langid confusion is one classifier projection into a languages-squared aggregate") {
     val p = planOf(TextQueries.q197LangConfusion(spark, sf))
     assert(!p.contains("Join"), p.take(2000))
