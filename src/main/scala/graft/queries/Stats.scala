@@ -731,19 +731,31 @@ object Stats {
   }
 
   val q201PoissonBootstrapSql: String = {
-    import OracleFragments.hex13Sql
-    val h = hex13Sql("event_id || ':' || b")
+    // decode the 13-hex-char uniform from a PRE-MATERIALIZED md5 column:
+    // the generic hex13Sql fragment inlines md5(e) once per hex digit,
+    // and DuckDB's default CTE re-expansion would evaluate it 13× per
+    // row × 20 replicates — the materialized two-step form computes each
+    // md5 exactly once (identical value, 20× faster oracle)
+    val decode = (1 to 13).map { i =>
+      s"CAST(strpos('0123456789abcdef', substr(mh, $i, 1)) - 1 AS BIGINT)" +
+        s" * ${1L << (4 * (13 - i))}"
+    }.mkString(" + ")
     val cases = poissonCumFp52.zipWithIndex
-      .map { case (t, k) => s"WHEN $h < $t THEN $k" }.mkString("\n      |      ")
+      .map { case (t, k) => s"WHEN h < $t THEN $k" }.mkString("\n      |      ")
     s"""WITH e AS (
       |  SELECT event_id, event_type,
       |    CAST(round(value * 1e6) AS BIGINT) AS v6
       |  FROM events),
+      |wm AS MATERIALIZED (
+      |  SELECT event_type, r.b, v6, md5(event_id || ':' || r.b) AS mh
+      |  FROM e CROSS JOIN range(20) r(b)),
+      |wh AS MATERIALIZED (
+      |  SELECT event_type, b, v6, $decode AS h FROM wm),
       |wb AS (
-      |  SELECT event_type, r.b,
+      |  SELECT event_type, b,
       |    CASE $cases
       |      ELSE 6 END AS w, v6
-      |  FROM e CROSS JOIN range(20) r(b)),
+      |  FROM wh),
       |rep AS (
       |  SELECT event_type, b,
       |    CAST(round(CAST(SUM(w * v6) AS DOUBLE) / SUM(w)) AS BIGINT) AS mean6
