@@ -441,4 +441,75 @@ object MonitorQueries {
       |  CAST(round(1e6 * CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
       |    / (2.0 * n_a * n_b)) AS BIGINT) AS auc_fp6
       |FROM a WHERE n_a > 0 AND n_b > 0""".stripMargin
+
+  /** q204: single changepoint by binary segmentation — per event type,
+    * the split day maximizing the absolute mean-level difference
+    * between the left and right segments of the daily-volume series
+    * (both segments ≥ 7 days), the first round of the classic binary
+    * segmentation recursion and the "WHEN did the level shift"
+    * complement to q183's CUSUM "has it shifted" alarm.
+    *
+    * Determinism: every candidate split's score is assembled from
+    * exact integers (prefix sum, prefix count, per-type totals — all
+    * from ONE window pass over one ordering) and fp6-quantized BEFORE
+    * the argmax, so the winning split is an integer comparison with a
+    * day-index tie-break — no float ordering anywhere. Scale shape:
+    * the corpus collapses to the calendar-sized day grid first; the
+    * scan of candidate splits is a window over that grid, not the
+    * events. */
+  def q204Changepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val minDay = e.agg(min(to_date(col("ts"))).as("d0"))
+    val daily = e.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .crossJoin(broadcast(minDay))
+      .select(col("event_type"),
+        datediff(col("day"), col("d0")).cast("long").as("d"), col("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val wT = Window.partitionBy(col("event_type"))
+    val scored = daily
+      .withColumn("cum", sum(col("x")).over(w))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wT))
+      .withColumn("tot", sum(col("x")).over(wT))
+      .filter(col("i") >= 7 && col("i") <= col("n") - 7)
+      .select(col("event_type"), col("d"),
+        round(lit(1e6) * col("cum").cast("double") / col("i")).cast("long")
+          .as("ml_fp6"),
+        round(lit(1e6) * (col("tot") - col("cum")).cast("double") /
+          (col("n") - col("i"))).cast("long").as("mr_fp6"))
+      .withColumn("score_fp6", abs(col("ml_fp6") - col("mr_fp6")))
+    scored.withColumn("rn", row_number().over(Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("score_fp6").desc, col("d"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("d").as("split_day"),
+        col("ml_fp6"), col("mr_fp6"), col("score_fp6"))
+  }
+
+  val q204ChangepointSql: String =
+    """WITH d0 AS (SELECT MIN(ts::DATE) AS d0 FROM events),
+      |daily AS (
+      |  SELECT event_type, date_diff('day', d0.d0, ts::DATE) AS d,
+      |    COUNT(*) AS x
+      |  FROM events, d0 GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, d,
+      |    SUM(x) OVER (PARTITION BY event_type ORDER BY d) AS cum,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS i,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+      |    SUM(x) OVER (PARTITION BY event_type) AS tot
+      |  FROM daily),
+      |sc AS (
+      |  SELECT event_type, d,
+      |    CAST(round(1e6 * CAST(cum AS DOUBLE) / i) AS BIGINT) AS ml_fp6,
+      |    CAST(round(1e6 * CAST(tot - cum AS DOUBLE) / (n - i)) AS BIGINT)
+      |      AS mr_fp6
+      |  FROM c WHERE i >= 7 AND i <= n - 7)
+      |SELECT event_type, d AS split_day, ml_fp6, mr_fp6,
+      |  abs(ml_fp6 - mr_fp6) AS score_fp6
+      |FROM sc
+      |QUALIFY row_number() OVER (PARTITION BY event_type
+      |  ORDER BY abs(ml_fp6 - mr_fp6) DESC, d) = 1""".stripMargin
 }

@@ -623,6 +623,18 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q203: PPJoin candidates come from the prefix equi-join — no cartesian, no nest-loop") {
+    val p = planOf(DedupQueries.q203PpJoin(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("q204: changepoint scan is windows over the day grid — only the 1-row date anchor nest-loops") {
+    val p = planOf(MonitorQueries.q204Changepoint(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p.take(2000))
+  }
+
   test("q201: bootstrap explode folds straight into the (type,b) aggregate — no corpus join") {
     val p = planOf(Stats.q201PoissonBootstrap(spark, sf))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
