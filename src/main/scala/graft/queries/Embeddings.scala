@@ -1555,6 +1555,93 @@ object Embeddings {
       |    - CAST(round(CAST(s_b AS DOUBLE) / n_b) AS BIGINT)) AS shift_fp6
       |FROM a WHERE n_a > 0 AND n_b > 0""".stripMargin
 
+  /** q206: degree assortativity of the kNN graph (Newman 2002) —
+    * Pearson correlation of in-degree across the q96 edges: negative
+    * assortativity means high-in-degree hubs are pointed at by
+    * low-degree nodes, the signature of the hubness pathology q177
+    * histograms; a healthy uniform-degree graph sits near zero. One
+    * number that summarizes whether the ANN graph is navigable or
+    * hub-collapsed.
+    *
+    * Determinism: in-degrees are exact integers, so all five Pearson
+    * moments are exact (128-bit accumulators, q190 discipline) and the
+    * coefficient is one shared IEEE expression. Scale shape: the edge
+    * list (k·n rows) is barriered once; the degree table attaches via
+    * two hash joins on the node key; the moments fold to a single
+    * row. */
+  def q206Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val g = q96KnnGraph(spark, dir)
+      .select(col("id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint()
+    val indeg = g.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+    val e2 = g
+      .join(indeg.select(col("dst").as("src"), col("deg").as("dx")),
+        Seq("src"), "left")
+      .join(indeg.select(col("dst"), col("deg").as("dy")), Seq("dst"), "left")
+      .select(coalesce(col("dx"), lit(0L)).as("dx"),
+        coalesce(col("dy"), lit(0L)).as("dy"))
+    val agg = e2.agg(count(lit(1)).as("m"),
+      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+      sum(col("dx").cast(DecimalType(19, 0)) * col("dy")).as("sxy"),
+      sum(col("dx").cast(DecimalType(19, 0)) * col("dx")).as("sxx"),
+      sum(col("dy").cast(DecimalType(19, 0)) * col("dy")).as("syy"))
+    val mD = col("m").cast("double")
+    val num = mD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val dx = mD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val dy = mD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    agg.filter(dx > 0 && dy > 0)
+      .select(col("m").as("m_edges"),
+        round(lit(1e6) * num / (sqrt(dx) * sqrt(dy))).cast("long")
+          .as("assortativity_fp6"))
+  }
+
+  val q206AssortativitySql: String =
+    s"""WITH ${sigCtesAuto(16, 64)},
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig
+      |  WHERE a.id <> b.id),
+      |scored AS (
+      |  SELECT c.id_a, c.id_b,
+      |    list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS sim
+      |  FROM cand c
+      |  JOIN embeddings ea ON ea.vec_id = c.id_a
+      |  JOIN embeddings eb ON eb.vec_id = c.id_b),
+      |g AS (
+      |  SELECT id_a AS src, id_b AS dst FROM scored
+      |  QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b)
+      |    <= 5),
+      |indeg AS (SELECT dst, COUNT(*) AS deg FROM g GROUP BY 1),
+      |e2 AS (
+      |  SELECT COALESCE(ia.deg, 0) AS dx, COALESCE(ib.deg, 0) AS dy
+      |  FROM g
+      |  LEFT JOIN indeg ia ON ia.dst = g.src
+      |  LEFT JOIN indeg ib ON ib.dst = g.dst),
+      |a AS (
+      |  SELECT COUNT(*) AS m,
+      |    CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+      |    SUM(CAST(dx AS HUGEINT) * dy) AS sxy,
+      |    SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+      |    SUM(CAST(dy AS HUGEINT) * dy) AS syy
+      |  FROM e2)
+      |SELECT m AS m_edges,
+      |  CAST(round(1e6 * (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |     * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT)
+      |    AS assortativity_fp6
+      |FROM a
+      |WHERE CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |  AND CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+      |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0""".stripMargin
+
   /** q199: Kendall-τ rank agreement between full-dimension and
     * 16-dim-truncated (Matryoshka) cosine rankings of each query's
     * full-dim top-20 pool — the ORDER-stability complement to q171's

@@ -1154,6 +1154,69 @@ object TextQueries {
       |    AS BIGINT) AS col_share_fp6
       |FROM cells""".stripMargin
 
+  /** q207: token dispersion across sources — Gries' DP ("deviation of
+    * proportions", Gries 2008) for the corpus's top-50 tokens:
+    * `DP = ½·Σ_s |v_ts − p_s|` where `v_ts` is the token's share in
+    * source s and `p_s` the source's share of all tokens. DP ≈ 0 means
+    * the token spreads like the corpus does; DP → 1 means it lives in
+    * one source — exactly the signal that separates a genuine
+    * stopword from a boilerplate artifact of a single crawl, which
+    * q169's gram report sees per-source and this measures corpus-wide.
+    *
+    * Determinism: per-cell terms are fp9-rounded integers before the
+    * sum (q97/q181 discipline); the shares divide exact integers.
+    * Scale shape: ONE corpus aggregate to (tok, source) cells
+    * (barriered; feeds token totals, source totals, and the grid
+    * attach); everything downstream is top-50 × sources sized. */
+  def q207TokenDispersion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tc = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"), col("source")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val top = tc.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("ct").desc, col("tok"))))
+      .filter(col("rn") <= 50).drop("rn")
+    val srcTot = tc.groupBy(col("source")).agg(sum(col("c")).as("ws"))
+    val wTot = srcTot.agg(sum(col("ws")).as("w"))
+    top.crossJoin(broadcast(srcTot)).crossJoin(broadcast(wTot))
+      .join(tc, Seq("tok", "source"), "left")
+      .select(col("tok"), col("ct"),
+        round(lit(1e9) * abs(
+          coalesce(col("c"), lit(0L)).cast("double") / col("ct") -
+          col("ws").cast("double") / col("w"))).cast("long").as("term_fp9"))
+      .groupBy(col("tok"), col("ct"))
+      .agg(round(sum(col("term_fp9")).cast("double") / lit(2000.0)).cast("long")
+        .as("dp_fp6"))
+      .select(col("tok"), col("ct").as("total_ct"), col("dp_fp6"))
+  }
+
+  val q207TokenDispersionSql: String =
+    """WITH tc AS (
+      |  SELECT tok, source, COUNT(*) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents)
+      |  WHERE tok <> '' GROUP BY 1, 2),
+      |tokTot AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS ct FROM tc GROUP BY 1),
+      |top AS (
+      |  SELECT tok, ct FROM (
+      |    SELECT tok, ct, row_number() OVER (ORDER BY ct DESC, tok) AS rn
+      |    FROM tokTot) WHERE rn <= 50),
+      |srcTot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ws FROM tc GROUP BY 1),
+      |w AS (SELECT CAST(SUM(ws) AS BIGINT) AS w FROM srcTot),
+      |grid AS (
+      |  SELECT t.tok, t.ct,
+      |    CAST(round(1e9 * abs(CAST(COALESCE(c.c, 0) AS DOUBLE) / t.ct
+      |      - CAST(s.ws AS DOUBLE) / w.w)) AS BIGINT) AS term_fp9
+      |  FROM top t CROSS JOIN srcTot s CROSS JOIN w
+      |  LEFT JOIN tc c ON c.tok = t.tok AND c.source = s.source)
+      |SELECT tok, ct AS total_ct,
+      |  CAST(round(CAST(SUM(term_fp9) AS DOUBLE) / 2000.0) AS BIGINT)
+      |    AS dp_fp6
+      |FROM grid GROUP BY 1, 2""".stripMargin
+
   /** q202: per-source PII risk report — the release-gate table next to
     * q66's row-level redaction: how MUCH obvious PII each source
     * carries (doc shares with an email, a phone, both, and total match

@@ -623,6 +623,21 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q206: assortativity attaches degrees to the checkpointed edge list by hash join") {
+    val p = planOf(Embeddings.q206Assortativity(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      s"expected the barriered edge list:\n${p.take(2000)}")
+  }
+
+  test("q207: dispersion grid work is top-50-sized — the corpus folds once into (tok,source) cells") {
+    val p = planOf(TextQueries.q207TokenDispersion(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the only corpus aggregate is behind the barrier; grid joins are broadcasts
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"), p.take(2000))
+  }
+
   test("q203: PPJoin candidates come from the prefix equi-join — no cartesian, no nest-loop") {
     val p = planOf(DedupQueries.q203PpJoin(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
