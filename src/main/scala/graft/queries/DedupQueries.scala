@@ -1259,4 +1259,80 @@ object DedupQueries {
       |SELECT CAST(rep AS BIGINT) AS cluster_rep, COUNT(*) AS n_members
       |FROM comp GROUP BY rep HAVING COUNT(*) >= 2""".stripMargin
   }
+
+  /** q209: SimHash radius operating curve — for hamming radius 0..3
+    * over the q105 banded candidates, the cumulative candidate-pair
+    * count and the share of those pairs that are BYTE-IDENTICAL
+    * documents (md5(text) equality): the table read when choosing the
+    * SimHash cut-off, where radius 0 should be almost purely exact
+    * dups and each extra bit trades recall of near-dups for precision.
+    * The q163 threshold-curve discipline applied to the SimHash family
+    * (radius grid LEFT-joined so all four rows survive empty radii).
+    *
+    * Scale shape: candidates come from the pigeonhole band join (never
+    * all-pairs); the exact-dup flag attaches by two hash joins on the
+    * pair endpoints; the curve itself is a 4-row window. */
+  def q209SimhashRadius(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Dedup.simhashNearDup(
+      Tables.spread(Tables.documents(spark, dir)), "doc_id", "text",
+      bits = 60, bands = 4, maxHamming = 3)
+    val h = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("th"))
+    val byH = pairs
+      .join(h.select(col("doc_id").as("id_a"), col("th").as("ha")), Seq("id_a"))
+      .join(h.select(col("doc_id").as("id_b"), col("th").as("hb")), Seq("id_b"))
+      .select(col("hamming"), (col("ha") === col("hb")).cast("long").as("ex"))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n"), sum(col("ex")).as("nex"))
+    val grid = spark.range(0, 4).select(col("id").as("radius"))
+    val w = Window.orderBy(col("radius"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(byH, col("hamming") === col("radius"), "left")
+      .select(col("radius"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("nex"), lit(0L)).as("nex"))
+      .select(col("radius"), sum(col("n")).over(w).as("n_pairs"),
+        sum(col("nex")).over(w).as("n_exact"))
+      .select(col("radius"), col("n_pairs"), col("n_exact"),
+        when(col("n_pairs") > 0,
+          round(lit(1e6) * col("n_exact") / col("n_pairs")).cast("long"))
+          .otherwise(lit(0L)).as("exact_share_fp6"))
+  }
+
+  val q209SimhashRadiusSql: String =
+    s"""WITH $simhashSigCtes,
+       |bands AS (
+       |  SELECT doc_id, simhash, unnest(range(0, 4)) AS b FROM ssig),
+       |keyed AS (
+       |  SELECT doc_id, simhash, b,
+       |    (simhash >> CAST(b * 15 AS INT)) & 32767 AS key FROM bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM keyed a JOIN keyed b
+       |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+       |ham AS (
+       |  SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |  FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+       |hx AS (SELECT doc_id, md5(text) AS th FROM documents),
+       |fl AS (
+       |  SELECT h.hamming, CASE WHEN a.th = b.th THEN 1 ELSE 0 END AS ex
+       |  FROM ham h JOIN hx a ON a.doc_id = h.doc_a
+       |  JOIN hx b ON b.doc_id = h.doc_b),
+       |byh AS (
+       |  SELECT hamming, COUNT(*) AS n, CAST(SUM(ex) AS BIGINT) AS nex
+       |  FROM fl GROUP BY 1),
+       |grid AS (SELECT unnest(range(0, 4)) AS radius),
+       |cum AS (
+       |  SELECT CAST(g.radius AS BIGINT) AS radius,
+       |    CAST(SUM(COALESCE(b.n, 0)) OVER (ORDER BY g.radius) AS BIGINT)
+       |      AS n_pairs,
+       |    CAST(SUM(COALESCE(b.nex, 0)) OVER (ORDER BY g.radius) AS BIGINT)
+       |      AS n_exact
+       |  FROM grid g LEFT JOIN byh b ON b.hamming = g.radius)
+       |SELECT radius, n_pairs, n_exact,
+       |  CASE WHEN n_pairs > 0
+       |    THEN CAST(round(1e6 * n_exact / n_pairs) AS BIGINT)
+       |    ELSE 0 END AS exact_share_fp6
+       |FROM cum""".stripMargin
 }

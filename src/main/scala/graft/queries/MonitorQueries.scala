@@ -512,4 +512,72 @@ object MonitorQueries {
       |FROM sc
       |QUALIFY row_number() OVER (PARTITION BY event_type
       |  ORDER BY abs(ml_fp6 - mr_fp6) DESC, d) = 1""".stripMargin
+
+  /** q208: difference-in-differences estimate per event type — arms by
+    * `user_id % 2`, periods split at day 14: `DiD = (treated_post −
+    * treated_pre) − (control_post − control_pre)` over mean event
+    * value. The experiment readout that nets out both the level
+    * difference between arms and the common time trend — what an
+    * A/B-with-history analysis actually reports, complementing q194's
+    * distribution test with a causal-style point estimate.
+    *
+    * Determinism: values fp6-quantize first, so all eight cell
+    * aggregates (4 sums, 4 counts) are exact integers; the four means
+    * and the double difference are ONE shared IEEE expression rounded
+    * once. Scale shape: single conditional aggregate — the corpus
+    * folds to 8 counters per type, map-side combined, constant shuffle
+    * bytes. */
+  def q208DiffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val minDay = e.agg(min(to_date(col("ts"))).as("d0"))
+    val base = e.crossJoin(broadcast(minDay))
+      .select(col("event_type"),
+        (col("user_id") % 2 === 1).as("treated"),
+        (datediff(to_date(col("ts")), col("d0")) >= 14).as("post"),
+        round(col("value") * lit(1e6)).cast("long").as("v6"))
+    def cell(t: Boolean, p: Boolean, x: org.apache.spark.sql.Column) =
+      sum(when(col("treated") === t && col("post") === p, x).otherwise(lit(0L)))
+    val a = base.groupBy(col("event_type")).agg(
+      cell(t = true, p = true, col("v6")).as("s_tp"),
+      cell(t = true, p = true, lit(1L)).as("n_tp"),
+      cell(t = true, p = false, col("v6")).as("s_tr"),
+      cell(t = true, p = false, lit(1L)).as("n_tr"),
+      cell(t = false, p = true, col("v6")).as("s_cp"),
+      cell(t = false, p = true, lit(1L)).as("n_cp"),
+      cell(t = false, p = false, col("v6")).as("s_cr"),
+      cell(t = false, p = false, lit(1L)).as("n_cr"))
+    def m(s: String, n: String) = col(s).cast("double") / col(n)
+    a.filter(col("n_tp") > 0 && col("n_tr") > 0 &&
+        col("n_cp") > 0 && col("n_cr") > 0)
+      .select(col("event_type"),
+        col("n_tp"), col("n_tr"), col("n_cp"), col("n_cr"),
+        round((m("s_tp", "n_tp") - m("s_tr", "n_tr")) -
+          (m("s_cp", "n_cp") - m("s_cr", "n_cr"))).cast("long").as("did_fp6"))
+  }
+
+  val q208DiffInDiffSql: String =
+    """WITH d0 AS (SELECT MIN(ts::DATE) AS d0 FROM events),
+      |base AS (
+      |  SELECT event_type,
+      |    user_id % 2 = 1 AS treated,
+      |    date_diff('day', d0.d0, ts::DATE) >= 14 AS post,
+      |    CAST(round(value * 1e6) AS BIGINT) AS v6
+      |  FROM events, d0),
+      |a AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN treated AND post THEN v6 ELSE 0 END) AS BIGINT) AS s_tp,
+      |    CAST(SUM(CASE WHEN treated AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+      |    CAST(SUM(CASE WHEN treated AND NOT post THEN v6 ELSE 0 END) AS BIGINT) AS s_tr,
+      |    CAST(SUM(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+      |    CAST(SUM(CASE WHEN NOT treated AND post THEN v6 ELSE 0 END) AS BIGINT) AS s_cp,
+      |    CAST(SUM(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+      |    CAST(SUM(CASE WHEN NOT treated AND NOT post THEN v6 ELSE 0 END) AS BIGINT) AS s_cr,
+      |    CAST(SUM(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_cr
+      |  FROM base GROUP BY 1)
+      |SELECT event_type, n_tp, n_tr, n_cp, n_cr,
+      |  CAST(round((CAST(s_tp AS DOUBLE) / n_tp - CAST(s_tr AS DOUBLE) / n_tr)
+      |    - (CAST(s_cp AS DOUBLE) / n_cp - CAST(s_cr AS DOUBLE) / n_cr))
+      |    AS BIGINT) AS did_fp6
+      |FROM a
+      |WHERE n_tp > 0 AND n_tr > 0 AND n_cp > 0 AND n_cr > 0""".stripMargin
 }

@@ -623,6 +623,18 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q208: DiD folds the corpus into eight counters per type — no joins beyond the 1-row anchor") {
+    val p = planOf(MonitorQueries.q208DiffInDiff(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q209: SimHash curve candidates come from the band equi-join — no all-pairs") {
+    val p = planOf(DedupQueries.q209SimhashRadius(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q206: assortativity attaches degrees to the checkpointed edge list by hash join") {
     val p = planOf(Embeddings.q206Assortativity(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
