@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.ops.TextOps
+
+/** Independent re-derivations of the round-12 statistical gates: each
+  * test collects the SMALL sf0.001 inputs and recomputes the statistic
+  * in plain Scala (BigInt / loops — a code path sharing nothing with the
+  * DataFrame plan), then compares against the gate's output. The DuckDB
+  * oracle already cross-checks engine-vs-engine; these pin the MATH —
+  * a formula error mirrored into both the Spark and SQL forms would
+  * slide past the oracle but not past these.
+  */
+class StatGatesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q195: Gini matches a BigInt re-derivation from sorted source masses") {
+    val masses = Tables.documents(spark, sf)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val sorted = masses.sortBy { case (s, x) => (x, s) }.map(_._2)
+    val n = BigInt(sorted.length)
+    val tot = sorted.map(BigInt(_)).sum
+    val six = sorted.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val expected = math.round(1e6 *
+      (2.0 * six.toDouble - (n + 1).toDouble * tot.toDouble) /
+      (n.toDouble * tot.toDouble))
+    val got = AuditQueries.q195GiniSources(spark, sf).collect().head
+    assert(got.getAs[Long]("gini_fp6") === expected)
+    assert(got.getAs[Long]("n_sources") === sorted.length.toLong)
+  }
+
+  test("q198: kappa matches a plain-Scala 2x2 re-derivation") {
+    val en = TextOps.langProfiles.head._2.toSet
+    val texts = Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    def a1(text: String): Boolean = {
+      val toks = text.split(" ", -1)
+      val lenOk = toks.length >= 10 && toks.length <= 100000
+      val stopR = toks.count(en.contains).toDouble / toks.length
+      val stopOk = stopR >= 0.01 && stopR <= 0.8
+      val ttrOk = toks.distinct.length.toDouble / toks.length > 0.05
+      val cpt = text.length.toDouble / toks.length
+      val cptOk = cpt >= 2.0 && cpt <= 12.0
+      Seq(lenOk, stopOk, ttrOk, cptOk).count(identity) >= 3
+    }
+    def a2(text: String): Boolean = {
+      val toks = text.split(" ", -1)
+      toks.length >= 20 && toks.length <= 1000 &&
+        toks.distinct.length.toLong * 10 >= toks.length.toLong * 3
+    }
+    val cells = texts.map(t => (a1(t), a2(t)))
+    val n11 = cells.count(c => c._1 && c._2).toLong
+    val n10 = cells.count(c => c._1 && !c._2).toLong
+    val n01 = cells.count(c => !c._1 && c._2).toLong
+    val n00 = cells.count(c => !c._1 && !c._2).toLong
+    val nt = n11 + n10 + n01 + n00
+    val pa = n11 + n10; val pb = n11 + n01
+    val peNum = pa * pb + (nt - pa) * (nt - pb)
+    val expected = math.round(1e6 *
+      (nt * (n11 + n00) - peNum).toDouble / (nt * nt - peNum).toDouble)
+    val got = AuditQueries.q198CohenKappa(spark, sf).collect().head
+    assert((got.getAs[Long]("n11"), got.getAs[Long]("n10"),
+      got.getAs[Long]("n01"), got.getAs[Long]("n00")) === ((n11, n10, n01, n00)))
+    assert(got.getAs[Long]("kappa_fp6") === expected)
+  }
+
+  test("q194: doubled-U and AUC match a sort-based rank re-derivation") {
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expected = rows.groupBy(_._1).map { case (et, g) =>
+      val vals = g.map { case (_, u, v) => (u % 2, v) }
+      val sorted = vals.map(_._2).sorted
+      // average rank (doubled) per value: min rank + max rank
+      val firstIdx = sorted.zipWithIndex.groupBy(_._1).map {
+        case (v, xs) => v -> (xs.map(_._2).min + 1, xs.map(_._2).max + 1)
+      }
+      val r2a = vals.filter(_._1 == 0L)
+        .map { case (_, v) => val (lo, hi) = firstIdx(v); lo.toLong + hi.toLong }
+        .sum
+      val na = vals.count(_._1 == 0L).toLong
+      val nb = vals.count(_._1 == 1L).toLong
+      val u2 = r2a - na * (na + 1)
+      et -> (na, nb, u2,
+        math.round(1e6 * u2.toDouble / (2.0 * na * nb)))
+    }
+    val got = MonitorQueries.q194RankSumAb(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (na, nb, u2, auc) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_a") === na)
+      assert(r.getAs[Long]("n_b") === nb)
+      assert(r.getAs[Long]("u2_a") === u2)
+      assert(r.getAs[Long]("auc_fp6") === auc)
+    }
+  }
+
+  test("q204: changepoint argmax matches a brute-force scan of every split") {
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    val d0 = rows.map(_._2).min
+    val expected = rows.groupBy(_._1).map { case (et, g) =>
+      val daily = g.groupBy { case (_, day) =>
+        java.time.temporal.ChronoUnit.DAYS.between(d0, day)
+      }.map { case (d, xs) => (d, xs.size.toLong) }.toSeq.sortBy(_._1)
+      val n = daily.length
+      val xs = daily.map(_._2)
+      val best = (7 to (n - 7)).map { i =>
+        val cum = xs.take(i).sum
+        val ml = math.round(1e6 * cum.toDouble / i)
+        val mr = math.round(1e6 * (xs.sum - cum).toDouble / (n - i))
+        (math.abs(ml - mr), daily(i - 1)._1, ml, mr)
+      }.sortBy { case (score, d, _, _) => (-score, d) }.head
+      et -> best
+    }
+    val got = MonitorQueries.q204Changepoint(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (score, d, ml, mr) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("split_day") === d)
+      assert(r.getAs[Long]("score_fp6") === score)
+      assert(r.getAs[Long]("ml_fp6") === ml)
+      assert(r.getAs[Long]("mr_fp6") === mr)
+    }
+  }
+
+  test("q193: every CMS probe satisfies both sketch contracts") {
+    val rows = Stats.q193CmsFreq(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("overcount_ok"),
+        s"CMS under-counted ${r.getAs[String]("tok")}")
+      assert(r.getAs[Boolean]("bound_ok"),
+        s"CMS blew the e/w additive bound on ${r.getAs[String]("tok")}")
+    }
+  }
+
+  test("q201: bootstrap intervals bracket sanely (lo <= hi, 20 replicates)") {
+    val rows = Stats.q201PoissonBootstrap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_replicates") === 20L)
+      assert(r.getAs[Long]("boot_lo_fp6") <= r.getAs[Long]("boot_hi_fp6"))
+    }
+  }
+}
