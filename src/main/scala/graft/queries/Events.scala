@@ -1098,4 +1098,158 @@ object Events {
       |SELECT CAST(h_fp9 // 10000000 AS BIGINT) AS bucket,
       |  COUNT(*) AS n_users
       |FROM h GROUP BY 1""".stripMargin
+
+  /** q210: recommender backtest — hit-rate@k and MRR for the q132
+    * item-item collaborative filter under a TEMPORAL split (train on
+    * days < 21, predict each user's FIRST post-split item): the
+    * leakage-free eval a recsys team runs before shipping a
+    * neighborhood model. Candidates are the train-neighbors of the
+    * user's train items, scored by summed neighbor Jaccard (fp6
+    * integers — order-free), items already in the user's history
+    * excluded, missing targets scoring reciprocal rank 0.
+    *
+    * Determinism: the whole pipeline is integer arithmetic over exact
+    * counts with explicit tie-breaks at both rank sites; per-user
+    * reciprocal ranks are fp6 integers summed before one final mean.
+    * Scale shape: q132's cap bounds pair volume; candidate scoring is
+    * (user,item)⋈(item,neighbor≤5) — fan-out ≤ 5 per history row —
+    * and every rank window partitions BY USER. */
+  def q210RecMrr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val minDay = e.agg(min(to_date(col("ts"))).as("d0"))
+    // ONE corpus pass: every downstream branch (history, model, targets)
+    // reads this slim barrier — un-barriered, the 8 consumers each
+    // replayed the scan + the 1-row anchor join (9 BNLJs measured)
+    val ev = e.crossJoin(broadcast(minDay))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"),
+        datediff(to_date(col("ts")), col("d0")).cast("long").as("d"))
+      .localCheckpoint()
+    val train = ev.filter(col("d") < 21)
+    val ti = train.select(col("user_id"), col("item")).distinct()
+      .localCheckpoint() // history: feeds scoring, exclusion, and the test gate
+    val target = ev.filter(col("d") >= 21)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("item").as("target"))
+    val ui = train.groupBy(col("user_id"), col("item")).agg(count(lit(1)).as("cnt"))
+    val capped = ui.withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("cnt").desc, col("item"))))
+      .filter(col("rn") <= 20).select(col("user_id"), col("item"))
+      // small (users x 20); the pair self-join and sizes both read it, and
+      // the sym UNION below would otherwise double the whole upstream
+      .localCheckpoint()
+    val inter = capped.select(col("user_id"), col("item").as("item_a"))
+      .join(capped.select(col("user_id"), col("item").as("item_b")), Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("inter"))
+    val sizes = capped.groupBy(col("item")).agg(count(lit(1)).as("n_u"))
+    val scored = inter
+      .join(broadcast(sizes.select(col("item").as("item_a"), col("n_u").as("n_a"))),
+        Seq("item_a"))
+      .join(broadcast(sizes.select(col("item").as("item_b"), col("n_u").as("n_b"))),
+        Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("inter"),
+        (col("n_a") + col("n_b") - col("inter")).as("union_n"))
+    val sym = scored.select(col("item_a").as("item"), col("item_b").as("neighbor"),
+        col("inter"), col("union_n"))
+      .unionAll(scored.select(col("item_b").as("item"), col("item_a").as("neighbor"),
+        col("inter"), col("union_n")))
+      .withColumn("jacc_fp6",
+        round(col("inter").cast("double") * lit(1e6) / col("union_n")).cast("long"))
+    val nbr = sym.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("item")).orderBy(col("jacc_fp6").desc, col("neighbor"))))
+      .filter(col("rnk") <= 5).select(col("item"), col("neighbor"), col("jacc_fp6"))
+      .localCheckpoint() // items x 5 neighbor lists
+    val cs = ti.join(nbr, Seq("item"))
+      .groupBy(col("user_id"), col("neighbor")).agg(sum(col("jacc_fp6")).as("score"))
+      .join(ti.select(col("user_id"), col("item").as("neighbor")),
+        Seq("user_id", "neighbor"), "left_anti")
+    val rk = cs.withColumn("rnk", row_number().over(
+      Window.partitionBy(col("user_id")).orderBy(col("score").desc, col("neighbor")))
+      .cast("long"))
+    val ej = target
+      .join(ti.select(col("user_id")).distinct(), Seq("user_id"), "left_semi")
+      .join(rk.select(col("user_id"), col("neighbor").as("target"), col("rnk")),
+        Seq("user_id", "target"), "left")
+    ej.agg(count(lit(1)).as("n_test_users"),
+        sum(when(col("rnk") === 1, lit(1L)).otherwise(lit(0L))).as("hits_at1"),
+        sum(when(col("rnk") <= 5, lit(1L)).otherwise(lit(0L))).as("hits_at5"),
+        sum(when(col("rnk") <= 10, lit(1L)).otherwise(lit(0L))).as("hits_at10"),
+        sum(coalesce(round(lit(1e6) / col("rnk")).cast("long"), lit(0L)))
+          .as("sum_rr"))
+      .select(col("n_test_users"), col("hits_at1"), col("hits_at5"),
+        col("hits_at10"),
+        round(col("sum_rr").cast("double") / col("n_test_users")).cast("long")
+          .as("mrr_fp6"))
+  }
+
+  val q210RecMrrSql: String =
+    """WITH d0 AS (SELECT MIN(ts::DATE) AS d0 FROM events),
+      |ev AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+      |    date_diff('day', d0.d0, ts::DATE) AS d
+      |  FROM events, d0),
+      |train AS (SELECT * FROM ev WHERE d < 21),
+      |ti AS (SELECT DISTINCT user_id, item FROM train),
+      |target AS (
+      |  SELECT user_id, item AS target FROM (
+      |    SELECT user_id, item, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
+      |    FROM ev WHERE d >= 21) WHERE rn = 1),
+      |ui AS (SELECT user_id, item, COUNT(*) AS cnt FROM train GROUP BY 1, 2),
+      |capped AS (
+      |  SELECT user_id, item FROM ui
+      |  QUALIFY row_number() OVER (PARTITION BY user_id
+      |    ORDER BY cnt DESC, item) <= 20),
+      |inter AS (
+      |  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS inter
+      |  FROM capped a JOIN capped b ON a.user_id = b.user_id
+      |  WHERE a.item < b.item GROUP BY 1, 2),
+      |sizes AS (SELECT item, COUNT(*) AS n_u FROM capped GROUP BY 1),
+      |scored AS (
+      |  SELECT i.item_a, i.item_b, i.inter,
+      |    sa.n_u + sb.n_u - i.inter AS union_n
+      |  FROM inter i
+      |  JOIN sizes sa ON sa.item = i.item_a
+      |  JOIN sizes sb ON sb.item = i.item_b),
+      |sym AS (
+      |  SELECT item_a AS item, item_b AS neighbor, inter, union_n FROM scored
+      |  UNION ALL
+      |  SELECT item_b, item_a, inter, union_n FROM scored),
+      |nbr AS (
+      |  SELECT item, neighbor,
+      |    CAST(round(CAST(inter AS DOUBLE) * 1e6 / union_n) AS BIGINT)
+      |      AS jacc_fp6
+      |  FROM sym
+      |  QUALIFY row_number() OVER (PARTITION BY item
+      |    ORDER BY CAST(round(CAST(inter AS DOUBLE) * 1e6 / union_n) AS BIGINT)
+      |      DESC, neighbor) <= 5),
+      |cs AS (
+      |  SELECT t.user_id, n.neighbor, CAST(SUM(n.jacc_fp6) AS BIGINT) AS score
+      |  FROM ti t JOIN nbr n ON n.item = t.item
+      |  GROUP BY 1, 2),
+      |cs2 AS (
+      |  SELECT c.* FROM cs c
+      |  ANTI JOIN ti t ON t.user_id = c.user_id AND t.item = c.neighbor),
+      |rk AS (
+      |  SELECT user_id, neighbor,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY score DESC, neighbor) AS rnk
+      |  FROM cs2),
+      |ej AS (
+      |  SELECT tg.user_id, r.rnk
+      |  FROM target tg
+      |  SEMI JOIN ti h ON h.user_id = tg.user_id
+      |  LEFT JOIN rk r ON r.user_id = tg.user_id AND r.neighbor = tg.target)
+      |SELECT COUNT(*) AS n_test_users,
+      |  CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at1,
+      |  CAST(SUM(CASE WHEN rnk <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at5,
+      |  CAST(SUM(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at10,
+      |  CAST(round(CAST(SUM(COALESCE(CAST(round(1e6 / rnk) AS BIGINT), 0))
+      |    AS DOUBLE) / COUNT(*)) AS BIGINT) AS mrr_fp6
+      |FROM ej""".stripMargin
 }

@@ -623,6 +623,13 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q210: rec backtest never nest-loops — every join is keyed (user, item, or pair)") {
+    val p = planOf(Events.q210RecMrr(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // only the 1-row min-day anchor may BNLJ
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p.take(2000))
+  }
+
   test("q208: DiD folds the corpus into eight counters per type — no joins beyond the 1-row anchor") {
     val p = planOf(MonitorQueries.q208DiffInDiff(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(2000))
