@@ -1642,6 +1642,70 @@ object Embeddings {
       |  AND CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
       |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0""".stripMargin
 
+  /** q211: embedding anisotropy per label (Ethayarajh 2019) — the mean
+    * pairwise cosine of all n·(n−1) vector pairs, computed in O(n) via
+    * the sum identity `Σ_{i≠j} uᵢ·uⱼ = ‖Σu‖² − Σ‖u‖²` over normalized
+    * vectors: the quantity that naively needs a quadratic self-join
+    * collapses to per-dimension sums. High anisotropy ("cone effect")
+    * means cosine similarities are inflated for every pair — the single
+    * number that explains why a similarity threshold tuned on one
+    * encoder misbehaves on another, read next to q131's per-dim stats
+    * and q196's drift.
+    *
+    * Determinism: vectors normalize through the certified
+    * `dot_f`/`list_dot_product` fold, quantize to fp6 integers, and
+    * every sum after that is exact (128-bit); one shared division at
+    * the end. Scale shape: a projection into a (label × 64)-cell
+    * aggregate — constant shuffle bytes, NO pair enumeration ever. */
+  def q211Anisotropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val v = Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"), col("embedding").as("vec"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
+      .filter(col("nrm") > 0)
+    val q = v.select(col("label"), col("nrm"),
+        posexplode(col("vec")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        round(lit(1e6) * col("x").cast("double") / col("nrm")).cast("long")
+          .as("qd"))
+    val dims = q.groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("qd")).as("s"),
+        sum(col("qd").cast(DecimalType(19, 0)) * col("qd")).as("ssq"))
+    dims.groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        sum(col("s").cast(DecimalType(38, 0)) * col("s")).as("s2"),
+        sum(col("ssq")).as("t"))
+      .filter(col("n_vecs") >= 2)
+      .select(col("label"), col("n_vecs"),
+        round((col("s2") - col("t")).cast("double") /
+          (col("n_vecs") * (col("n_vecs") - 1)).cast("double") / lit(1e6))
+          .cast("long").as("aniso_fp6"))
+  }
+
+  val q211AnisotropySql: String =
+    """WITH v AS (
+      |  SELECT CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS e,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |      AS nrm
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT label, r.i AS dim,
+      |    CAST(round(1e6 * e[r.i + 1] / nrm) AS BIGINT) AS qd
+      |  FROM v CROSS JOIN range(64) r(i) WHERE nrm > 0),
+      |dims AS (
+      |  SELECT label, dim, COUNT(*) AS n, CAST(SUM(qd) AS BIGINT) AS s,
+      |    SUM(CAST(qd AS HUGEINT) * qd) AS ssq
+      |  FROM q GROUP BY 1, 2),
+      |a AS (
+      |  SELECT label, MAX(n) AS n_vecs,
+      |    SUM(CAST(s AS HUGEINT) * s) AS s2, SUM(ssq) AS t
+      |  FROM dims GROUP BY 1)
+      |SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+      |  CAST(round(CAST(s2 - t AS DOUBLE)
+      |    / CAST(n_vecs * (n_vecs - 1) AS DOUBLE) / 1e6) AS BIGINT)
+      |    AS aniso_fp6
+      |FROM a WHERE n_vecs >= 2""".stripMargin
+
   /** q199: Kendall-τ rank agreement between full-dimension and
     * 16-dim-truncated (Matryoshka) cosine rankings of each query's
     * full-dim top-20 pool — the ORDER-stability complement to q171's

@@ -580,4 +580,84 @@ object MonitorQueries {
       |    AS BIGINT) AS did_fp6
       |FROM a
       |WHERE n_tp > 0 AND n_tr > 0 AND n_cp > 0 AND n_cr > 0""".stripMargin
+
+  /** q212: χ² two-proportion conversion test — per-user "ever
+    * purchased" flags by `user_id % 2` arm, the 2×2 χ² statistic
+    * `N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))` plus the raw conversion
+    * lift: the binary-outcome member of the experimentation family
+    * (q194 ranks continuous values, q208 nets out trends, this tests
+    * the conversion RATE). χ² ≳ 3.84 is the 95% line for 1 dof.
+    *
+    * Determinism: the four cells are exact integer counts; the
+    * statistic is ONE shared IEEE expression (explicit multiply, no
+    * libm pow). Scale shape: a user-keyed aggregate folding to four
+    * counters — constant shuffle bytes after the per-user flag. */
+  def q212ChiSquare(spark: SparkSession, dir: String): DataFrame = {
+    // "converted" = above-average purchaser (pc·U > P, an exact integer
+    // cross-multiply): the dense synthetic corpus gives EVERY user every
+    // event type, so the ever-purchased flag would be degenerate; the
+    // above-mean cut is scale-free and discriminates at any SF
+    val pc = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L)))
+        .as("pc"))
+    val tot = pc.agg(sum(col("pc")).as("p"), count(lit(1)).as("u"))
+    val conv = pc.crossJoin(broadcast(tot))
+      .select((col("user_id") % 2).as("arm"),
+        when(col("pc") * col("u") > col("p"), lit(1L)).otherwise(lit(0L)).as("cv"))
+    val cells = conv.agg(
+      sum(when(col("arm") === 0 && col("cv") === 1, lit(1L)).otherwise(lit(0L))).as("a"),
+      sum(when(col("arm") === 0 && col("cv") === 0, lit(1L)).otherwise(lit(0L))).as("b"),
+      sum(when(col("arm") === 1 && col("cv") === 1, lit(1L)).otherwise(lit(0L))).as("c"),
+      sum(when(col("arm") === 1 && col("cv") === 0, lit(1L)).otherwise(lit(0L))).as("d"))
+    def dd(n: String) = col(n).cast("double")
+    val det = dd("a") * dd("d") - dd("b") * dd("c")
+    val chi2 = (dd("a") + dd("b") + dd("c") + dd("d")) * det * det /
+      ((dd("a") + dd("b")) * (dd("c") + dd("d")) *
+        (dd("a") + dd("c")) * (dd("b") + dd("d")))
+    val lift = dd("a") / (dd("a") + dd("b")) - dd("c") / (dd("c") + dd("d"))
+    cells
+      .filter(col("a") + col("b") > 0 && col("c") + col("d") > 0 &&
+        col("a") + col("c") > 0 && col("b") + col("d") > 0)
+      .select(col("a"), col("b"), col("c"), col("d"),
+        round(lit(1e6) * chi2).cast("long").as("chi2_fp6"),
+        round(lit(1e6) * lift).cast("long").as("lift_fp6"))
+  }
+
+  val q212ChiSquareSql: String =
+    """WITH pc AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pc
+      |  FROM events GROUP BY user_id),
+      |tot AS (SELECT CAST(SUM(pc) AS BIGINT) AS p, COUNT(*) AS u FROM pc),
+      |conv AS (
+      |  SELECT user_id % 2 AS arm,
+      |    CASE WHEN pc * u > p THEN 1 ELSE 0 END AS cv
+      |  FROM pc CROSS JOIN tot),
+      |c AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 0 AND cv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN arm = 0 AND cv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(SUM(CASE WHEN arm = 1 AND cv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(SUM(CASE WHEN arm = 1 AND cv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM conv)
+      |SELECT a, b, c, d,
+      |  CAST(round(1e6 * (
+      |    (CAST(a AS DOUBLE) + CAST(b AS DOUBLE) + CAST(c AS DOUBLE)
+      |      + CAST(d AS DOUBLE))
+      |    * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+      |       - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+      |    * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+      |       - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+      |    / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+      |       * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+      |       * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+      |       * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE))))) AS BIGINT)
+      |    AS chi2_fp6,
+      |  CAST(round(1e6 * (CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+      |    - CAST(c AS DOUBLE) / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))))
+      |    AS BIGINT) AS lift_fp6
+      |FROM c
+      |WHERE a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0""".stripMargin
 }

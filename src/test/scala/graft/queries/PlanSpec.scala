@@ -623,6 +623,20 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q211: anisotropy never enumerates pairs — a projection into a (label,dim) aggregate") {
+    val p = planOf(Embeddings.q211Anisotropy(spark, sf))
+    assert(!p.contains("Join"), s"the O(n) sum identity must not join:\n${p.take(2000)}")
+    assert("embeddings\\.parquet".r.findAllIn(p).length === 1,
+      s"corpus scanned more than once:\n${p.take(2000)}")
+  }
+
+  test("q212: chi-square folds users into four counters — only the 1-row totals attach nest-loops") {
+    val p = planOf(MonitorQueries.q212ChiSquare(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("q210: rec backtest never nest-loops — every join is keyed (user, item, or pair)") {
     val p = planOf(Events.q210RecMrr(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(2000))
