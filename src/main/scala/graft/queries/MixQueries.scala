@@ -718,4 +718,69 @@ object MixQueries {
       |    AS mean_w_fp9,
       |  CAST(SUM(CASE WHEN w_fp9 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
       |FROM pd GROUP BY source""".stripMargin
+
+  /** q213: Horvitz–Thompson estimation audit of the q51 stratified
+    * sampler — per language, the inverse-inclusion-probability estimate
+    * of total char mass from the SAMPLE alone versus the true total:
+    * the check that certifies the deterministic md5 sampler is not just
+    * reproducible but USABLE for estimation (an HT estimate off by 40%
+    * would mean the "uniform" is biased). Relative error lands within
+    * ordinary sampling noise for every stratum; the weights
+    * `w = 1/rate` are fp6-quantized Scala literals so the weighted sum
+    * is an exact integer — reduction-order-free — and the only doubles
+    * are the final two shared divisions.
+    *
+    * Scale shape: the sampler is a per-row hash filter; both branches
+    * (sample aggregate, truth aggregate) are language-sized — two
+    * corpus scans, constant shuffle. */
+  def q213HtEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val wFp6 = (langRates.view.mapValues(r => math.round(1e6 / r)).toMap,
+      math.round(1e6 / defaultRate))
+    val wCol = wFp6._1.foldLeft(lit(wFp6._2)) { case (acc, (l, w)) =>
+      when(col("lang") === l, lit(w)).otherwise(acc)
+    }
+    val sampled = TrainingMix.stratifiedSample(d, "doc_id", "lang",
+        langRates, defaultRate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_chars") * wCol).as("ht_fp6"))
+    val truth = d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("true_chars"))
+    truth.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"), col("true_chars"),
+        round(coalesce(col("ht_fp6"), lit(0L)).cast("double") / lit(1e6))
+          .cast("long").as("ht_chars"),
+        round(lit(1e6) *
+          (coalesce(col("ht_fp6"), lit(0L)).cast("double") / lit(1e6)
+            - col("true_chars")) / col("true_chars"))
+          .cast("long").as("rel_err_fp6"))
+  }
+
+  val q213HtEstimateSql: String = {
+    val thr = (r: Double) => (r * 4294967296.0).toLong
+    val cases = langRates.map { case (l, r) => s"WHEN '$l' THEN ${thr(r)}" }.mkString(" ")
+    val wCases = langRates
+      .map { case (l, r) => s"WHEN '$l' THEN ${math.round(1e6 / r)}" }.mkString(" ")
+    s"""WITH s AS (
+      |  SELECT lang, COUNT(*) AS n_sampled,
+      |    CAST(SUM(n_chars * CASE lang $wCases
+      |      ELSE ${math.round(1e6 / defaultRate)} END) AS BIGINT) AS ht_fp6
+      |  FROM documents
+      |  WHERE ${hex8Sql("doc_id::VARCHAR || '#smp'")} <
+      |    CASE lang $cases ELSE ${thr(defaultRate)} END
+      |  GROUP BY 1),
+      |t AS (
+      |  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT)
+      |    AS true_chars
+      |  FROM documents GROUP BY 1)
+      |SELECT t.lang, t.n_docs,
+      |  CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled, t.true_chars,
+      |  CAST(round(CAST(COALESCE(s.ht_fp6, 0) AS DOUBLE) / 1e6) AS BIGINT)
+      |    AS ht_chars,
+      |  CAST(round(1e6 * (CAST(COALESCE(s.ht_fp6, 0) AS DOUBLE) / 1e6
+      |    - t.true_chars) / t.true_chars) AS BIGINT) AS rel_err_fp6
+      |FROM t LEFT JOIN s USING (lang)""".stripMargin
+  }
 }

@@ -623,6 +623,12 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q213: HT audit is two language-sized aggregates over hash-filtered scans — no corpus join") {
+    val p = planOf(MixQueries.q213HtEstimate(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      p.take(2000))
+  }
+
   test("q211: anisotropy never enumerates pairs — a projection into a (label,dim) aggregate") {
     val p = planOf(Embeddings.q211Anisotropy(spark, sf))
     assert(!p.contains("Join"), s"the O(n) sum identity must not join:\n${p.take(2000)}")
