@@ -141,6 +141,82 @@ class StatGatesSpec extends SparkSpec {
     }
   }
 
+  test("q212: chi-square matches a plain-Scala 2x2 re-derivation") {
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val pc = rows.groupBy(_._1).map { case (u, g) =>
+      u -> g.count(_._2 == "purchase").toLong
+    }
+    val p = pc.values.sum; val uN = pc.size.toLong
+    val cells = pc.toSeq.map { case (u, c) => (u % 2, if (c * uN > p) 1 else 0) }
+    val a = cells.count(x => x._1 == 0 && x._2 == 1).toDouble
+    val b = cells.count(x => x._1 == 0 && x._2 == 0).toDouble
+    val c = cells.count(x => x._1 == 1 && x._2 == 1).toDouble
+    val d = cells.count(x => x._1 == 1 && x._2 == 0).toDouble
+    val det = a * d - b * c
+    val chi2 = (a + b + c + d) * det * det /
+      ((a + b) * (c + d) * (a + c) * (b + d))
+    val lift = a / (a + b) - c / (c + d)
+    val got = MonitorQueries.q212ChiSquare(spark, sf).collect().head
+    assert((got.getAs[Long]("a"), got.getAs[Long]("b"),
+      got.getAs[Long]("c"), got.getAs[Long]("d")) ===
+      ((a.toLong, b.toLong, c.toLong, d.toLong)))
+    assert(got.getAs[Long]("chi2_fp6") === math.round(1e6 * chi2))
+    assert(got.getAs[Long]("lift_fp6") === math.round(1e6 * lift))
+  }
+
+  test("q208: DiD matches a plain-Scala four-cell re-derivation") {
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDouble(2)))
+    val d0 = rows.map(_._2).min
+    // global over all types: re-derive per type via a second pass below
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"),
+        col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDate(2).toLocalDate,
+        r.getDouble(3)))
+      .groupBy(_._1)
+    val got = MonitorQueries.q208DiffInDiff(spark, sf).collect()
+    got.foreach { r =>
+      val g = byType(r.getAs[String]("event_type"))
+      def cell(t: Boolean, p: Boolean): Seq[Long] = g.toSeq.collect {
+        case (_, u, day, v)
+            if (u % 2 == 1) == t &&
+              (java.time.temporal.ChronoUnit.DAYS.between(d0, day) >= 14) == p =>
+          math.round(v * 1e6)
+      }
+      val (tp, tr, cp, cr) =
+        (cell(t = true, p = true), cell(t = true, p = false),
+          cell(t = false, p = true), cell(t = false, p = false))
+      def m(xs: Seq[Long]) = xs.sum.toDouble / xs.size
+      assert(r.getAs[Long]("n_tp") === tp.size.toLong)
+      assert(r.getAs[Long]("did_fp6") ===
+        math.round((m(tp) - m(tr)) - (m(cp) - m(cr))))
+    }
+  }
+
+  test("q213: HT estimate stays inside the sample-size-scaled error band per stratum") {
+    val rows = MixQueries.q213HtEstimate(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_sampled")
+      assert(n > 0, s"stratum ${r.getAs[String]("lang")} sampled nothing")
+      // ~3.5σ band for a mean of n draws with char-mass CV ≲ 1: a BIASED
+      // uniform fails this at any n; plain sampling variance does not
+      // (the 10%-rate strata sample ~10 docs at sf0.001 — a fixed 35%
+      // bound there would flag ordinary noise)
+      val tolFp6 = math.round(3.5e6 / math.sqrt(n.toDouble))
+      assert(math.abs(r.getAs[Long]("rel_err_fp6")) <= tolFp6,
+        s"HT estimate outside the ${tolFp6 / 1e4}% band for " +
+          s"${r.getAs[String]("lang")} (n=$n) — the sampling uniform " +
+          "would be unusable for estimation")
+    }
+  }
+
   test("q201: bootstrap intervals bracket sanely (lo <= hi, 20 replicates)") {
     val rows = Stats.q201PoissonBootstrap(spark, sf).collect()
     assert(rows.nonEmpty)
