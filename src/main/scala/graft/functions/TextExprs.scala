@@ -756,7 +756,14 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
 object JaroWinklerUtil {
   /** Jaro similarity over byte arrays; one boolean scratch pass, O(|a|·w)
     * worst case with w the match window — strings here are bounded keys,
-    * never documents. */
+    * never documents.
+    *
+    * Empty-string edge, verified against the oracle build (DuckDB 1.0.0):
+    * `jaro_winkler_similarity('','')` returns 0.0 there — NOT the 1.0 some
+    * rapidfuzz-derived implementations use — so this function returns 0.0
+    * for empty-vs-empty to keep byte-for-byte parity on ALL inputs, not
+    * just the non-empty keys the current gates score (JaroWinklerSpec pins
+    * the edge). */
   def compute(ua: UTF8String, ub: UTF8String): Double = {
     val a = ua.getBytes
     val b = ub.getBytes

@@ -794,7 +794,11 @@ object Similarity {
     *
     * Inputs: `cand(qid, id, simq)` — the per-query candidate pool (top-N
     * from any first-stage retriever) — and `pairSims(qid, id_x, id_y,
-    * sim)` over that pool. The greedy loop is inherently sequential in k
+    * sim)` over that pool. `pairSims` need NOT be dense or symmetric:
+    * a (candidate, selected) pair with no row scores penalty 0 (sims
+    * are non-negative, so an absent pair means "no measured overlap"),
+    * but a one-directional input must put `id_x` = the candidate side.
+    * The greedy loop is inherently sequential in k
     * but each round is pool-sized dataframe work partitioned BY QUERY, so
     * a million queries re-rank in parallel and nothing ever leaves the
     * executors; k is small and fixed (the oracle unrolls it). Ties break
@@ -821,9 +825,15 @@ object Similarity {
         .join(selected.select(col("qid"), col("id").as("id_y")), Seq("qid", "id_y"))
         .groupBy(col("qid"), col("id_x").as("id"))
         .agg(max(col("sim")).as("pen"))
-      val scored = remaining.join(penalty, Seq("qid", "id"))
+      // LEFT join + penalty 0: a candidate with no pairSims row against
+      // any selected item has nothing to be penalized FOR — an inner join
+      // would silently drop it from all later rounds on sparse or
+      // canonical-direction pair inputs (dense symmetric inputs like
+      // q179's are unaffected: every candidate has a row)
+      val scored = remaining.join(penalty, Seq("qid", "id"), "left")
         .select(col("qid"), col("id"),
-          (lit(lambda) * col("simq") - lit(1.0 - lambda) * col("pen")).as("score"))
+          (lit(lambda) * col("simq") -
+            lit(1.0 - lambda) * coalesce(col("pen"), lit(0.0))).as("score"))
       val pick = pickTop(scored, r)
       selected = selected.unionByName(pick).localCheckpoint()
       remaining = remaining.join(

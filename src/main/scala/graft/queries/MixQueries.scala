@@ -743,8 +743,13 @@ object MixQueries {
     val sampled = TrainingMix.stratifiedSample(d, "doc_id", "lang",
         langRates, defaultRate)
       .groupBy(col("lang"))
+      // 128-bit accumulator (the q175/q190 discipline): per-row terms
+      // reach ~1e11 with the 1e7 fp6 default-rate weight, so a plain
+      // LongType sum can wrap at very large SF while DuckDB's SUM widens
+      // to HUGEINT — the Decimal(38,0) sum keeps both engines exact
       .agg(count(lit(1)).as("n_sampled"),
-        sum(col("n_chars") * wCol).as("ht_fp6"))
+        sum(col("n_chars").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * wCol).as("ht_fp6"))
     val truth = d.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("true_chars"))
     truth.join(sampled, Seq("lang"), "left")
@@ -765,8 +770,8 @@ object MixQueries {
       .map { case (l, r) => s"WHEN '$l' THEN ${math.round(1e6 / r)}" }.mkString(" ")
     s"""WITH s AS (
       |  SELECT lang, COUNT(*) AS n_sampled,
-      |    CAST(SUM(n_chars * CASE lang $wCases
-      |      ELSE ${math.round(1e6 / defaultRate)} END) AS BIGINT) AS ht_fp6
+      |    SUM(CAST(n_chars AS HUGEINT) * CASE lang $wCases
+      |      ELSE ${math.round(1e6 / defaultRate)} END) AS ht_fp6
       |  FROM documents
       |  WHERE ${hex8Sql("doc_id::VARCHAR || '#smp'")} <
       |    CASE lang $cases ELSE ${thr(defaultRate)} END

@@ -120,9 +120,12 @@ object MonitorQueries {
     * fixed-threshold alert sleeps through. The textbook recursion
     * `S_d = max(0, S_{d−1} + (x_d − μ))` looks inherently sequential;
     * the distributed form is the PREFIX identity
-    * `S_d = cum_d − min_{j≤d} cum_j` (running sum minus running min of
-    * the running sum), which two window passes over the SAME day
-    * ordering compute with no recursion. μ is the per-type mean of the
+    * `S_d = cum_d − min(0, min_{j≤d} cum_j)` (running sum minus the
+    * running min of the running sum, CLAMPED at the implicit cum₀ = 0
+    * prefix — without the clamp the first monitored day always scores
+    * 0 and an immediate upward drift is under-counted by its first
+    * prefix sum), which two window passes over the SAME day ordering
+    * compute with no recursion. μ is the per-type mean of the
     * first-14-day baseline kept as an exact RATIONAL: everything is
     * multiplied through by the baseline day count, so the gate is
     * integer end-to-end. Alarm when the scaled statistic exceeds three
@@ -150,7 +153,7 @@ object MonitorQueries {
       .filter(col("d") >= 14)
       .withColumn("y", col("base_days") * col("x") - col("base_sum"))
       .withColumn("cum", sum(col("y")).over(wOrd))
-      .withColumn("cusum", col("cum") - min(col("cum")).over(wOrd))
+      .withColumn("cusum", col("cum") - least(lit(0L), min(col("cum")).over(wOrd)))
     scored.select(col("event_type"), col("d").as("day_idx"), col("x").as("n_events"),
       col("cusum").as("cusum_scaled"),
       (col("cusum") > col("base_sum") * 3).as("alarm"))
@@ -176,11 +179,11 @@ object MonitorQueries {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM scored)
       |SELECT event_type, CAST(d AS BIGINT) AS day_idx, x AS n_events,
-      |  CAST(cum - MIN(cum) OVER (PARTITION BY event_type ORDER BY d
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |  CAST(cum - LEAST(0, MIN(cum) OVER (PARTITION BY event_type ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT)
       |    AS cusum_scaled,
-      |  (cum - MIN(cum) OVER (PARTITION BY event_type ORDER BY d
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |  (cum - LEAST(0, MIN(cum) OVER (PARTITION BY event_type ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
       |    > base_sum * 3 AS alarm
       |FROM cums""".stripMargin
 

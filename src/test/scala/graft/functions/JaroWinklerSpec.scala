@@ -20,7 +20,10 @@ class JaroWinklerSpec extends SparkSpec {
   test("edge cases: identity, disjoint, empty, boost threshold") {
     assert(jw("abc", "abc") === 1.0)
     assert(jw("abc", "xyz") === 0.0)
-    assert(jw("", "") === 0.0)      // DuckDB parity: empty-empty is 0
+    // DuckDB parity: empty-empty is 0 — verified LIVE against the oracle
+    // build (DuckDB 1.0.0: jaro_winkler_similarity('','') = 0.0), not the
+    // 1.0 some rapidfuzz-derived implementations return
+    assert(jw("", "") === 0.0)
     assert(jw("a", "") === 0.0)
     // jaro exactly at/below 0.7 must NOT receive the prefix boost
     val j = jw("abcd", "abxy")      // jaro = 2/3, shared prefix 2

@@ -462,4 +462,22 @@ class SimilaritySpec extends SparkSpec {
       Similarity.mmrSelect(cand, ps, lambda = 0.7, k = 0)
     }
   }
+
+  test("mmrSelect: sparse pairSims — unmeasured pairs score penalty 0, not drop") {
+    import spark.implicits._
+    // id 3 has NO pairSims row against anything: an inner penalty join
+    // would silently evict it from every round after the first; the
+    // contract is penalty 0 (no measured overlap). Greedy at lambda=0.7:
+    //   r1: id 1 (0.7*0.95). r2: id 2 = 0.7*0.94 - 0.3*0.99 = 0.361
+    //       vs id 3 = 0.7*0.80 - 0 = 0.56 -> id 3. r3: id 2.
+    val cand = Seq((7L, 1L, 0.95), (7L, 2L, 0.94), (7L, 3L, 0.80))
+      .toDF("qid", "id", "simq")
+    val ps = Seq((7L, 1L, 2L, 0.99), (7L, 2L, 1L, 0.99))
+      .toDF("qid", "id_x", "id_y", "sim")
+    val got = Similarity.mmrSelect(cand, ps, lambda = 0.7, k = 3)
+      .orderBy("sel_rank")
+      .select("sel_rank", "id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (2L, 3L), (3L, 2L)),
+      "a candidate with no pair rows must survive with penalty 0")
+  }
 }

@@ -217,6 +217,42 @@ class StatGatesSpec extends SparkSpec {
     }
   }
 
+  test("q183: CUSUM matches the literal max(0, S + y) recursion") {
+    // the textbook sequential recursion — S₀ = 0, S_d = max(0, S_{d−1} + y_d)
+    // — shares NOTHING with the prefix-identity window form in the gate;
+    // this is the re-derivation the ADVICE asked for: a mirrored-formula
+    // error (e.g. dropping the implicit cum₀ = 0 prefix) passes the
+    // engine-vs-engine oracle but not this
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    val d0 = rows.map(_._2).min
+    val expected = rows.groupBy(_._1).map { case (et, g) =>
+      val daily = g.groupBy { case (_, day) =>
+        java.time.temporal.ChronoUnit.DAYS.between(d0, day)
+      }.map { case (d, xs) => (d, xs.size.toLong) }.toSeq.sortBy(_._1)
+      val base = daily.filter(_._1 < 14)
+      val baseSum = base.map(_._2).sum
+      val baseDays = base.length.toLong
+      var s = 0L
+      val cusums = daily.filter(_._1 >= 14).map { case (d, x) =>
+        s = math.max(0L, s + (baseDays * x - baseSum))
+        (d, s, s > baseSum * 3)
+      }
+      et -> cusums.map { case (d, c, al) => d -> ((c, al)) }.toMap
+    }
+    val got = MonitorQueries.q183Cusum(spark, sf).collect()
+    assert(got.length === expected.values.map(_.size).sum)
+    got.foreach { r =>
+      val (c, alarm) =
+        expected(r.getAs[String]("event_type"))(r.getAs[Long]("day_idx"))
+      assert(r.getAs[Long]("cusum_scaled") === c,
+        s"CUSUM diverges from the recursion at ${r.getAs[String]("event_type")} " +
+          s"day ${r.getAs[Long]("day_idx")}")
+      assert(r.getAs[Boolean]("alarm") === alarm)
+    }
+  }
+
   test("q201: bootstrap intervals bracket sanely (lo <= hi, 20 replicates)") {
     val rows = Stats.q201PoissonBootstrap(spark, sf).collect()
     assert(rows.nonEmpty)
