@@ -1,0 +1,226 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Sharded replacements for single-ordering per-key windows — the one
+  * plan shape that does NOT scale with cluster size: a window
+  * `PARTITION BY key ORDER BY v` sorts each key's rows on ONE task, so a
+  * low-cardinality key column (~10 event types at any SF) pins the whole
+  * sort to ~10 cores no matter how many executors exist. Measured here
+  * pre-fix: 4.7–8.4× time growth at 10× data while 22 of 32 cores idle
+  * (SCALING_r12 note B).
+  *
+  * The remedy is the classic two-level decomposition, in two flavors:
+  *
+  * **Rank family** ([[shardedRowNumber]], [[shardedRank2]]): bucket each
+  * key's rows into value RANGES (cut points from `percentile_approx`),
+  * compute the window inside each (key, bucket) — parallelism becomes
+  * keys × buckets — and restore global positions by adding the
+  * bucket-count prefix offsets, a keys×buckets-sized second level.
+  *
+  * **Sequence family** ([[shardedGapStats]], [[shardedPrefixMax]]):
+  * consecutive-row quantities (lag gaps, running max) split into
+  * within-bucket parts plus one boundary term per bucket, merged at the
+  * grid level.
+  *
+  * Correctness is INVARIANT to the cut points: any bucket assignment that
+  * is (a) a pure function of the ordering value — so tied values never
+  * straddle a boundary — and (b) monotone in it yields the identical
+  * result, so the approximate quantiles only steer load balance, never
+  * values. That is what lets the rewritten gates keep their UNCHANGED
+  * plain-window DuckDB oracles: the substitution is a semantic identity,
+  * certified by hash equality (the q72/q98 two-phase discipline).
+  *
+  * Scale shape: one corpus shuffle on (key, bucket) — same shuffle count
+  * as the plain window, but 32× the parallel sort groups — plus a cheap
+  * map-side-combined count/quantile aggregate and a broadcast of the
+  * grid-sized offset table.
+  */
+object ShardedOrder {
+
+  /** Default shard count per key: the session's core count — enough to
+    * engage the whole box at ~10 keys without grid bloat at 10k keys. */
+  private def defaultBuckets(df: DataFrame): Int =
+    math.max(2, df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Adds `_so_bucket`: which of `nBuckets` per-key value ranges holds
+    * this row. Cut points are per-key approximate quantiles of
+    * `valueCol`; the bucket id is the count of cuts ≤ v (monotone in v,
+    * a pure function of v — ties share a bucket by construction). The
+    * cuts table is one grid-sized row per key, broadcast. */
+  def withRangeBucket(df: DataFrame, partCols: Seq[String], valueCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"withRangeBucket: need >= 2 buckets, got $nBuckets")
+    val probs = array((1 until nBuckets)
+      .map(i => lit(i.toDouble / nBuckets)): _*)
+    val cuts = df.groupBy(partCols.map(col): _*)
+      .agg(percentile_approx(col(valueCol), probs, lit(10000)).as("_so_cuts"))
+    df.join(broadcast(cuts), partCols)
+      .withColumn("_so_bucket",
+        size(filter(col("_so_cuts"), c => c <= col(valueCol))))
+      .drop("_so_cuts")
+  }
+
+  /** Global `row_number() OVER (PARTITION BY part ORDER BY value, ties)`
+    * plus the per-key row count, computed at keys × buckets parallelism:
+    * local row_number inside each (key, bucket) + the prefix sum of
+    * bucket counts (grid-sized window, broadcast back). */
+  def shardedRowNumber(df: DataFrame, partCols: Seq[String], valueCol: String,
+      tieCols: Seq[String], rnCol: String, nCol: String,
+      nBuckets: Int = 0): DataFrame = {
+    val nb = if (nBuckets >= 2) nBuckets else defaultBuckets(df)
+    val b = withRangeBucket(df, partCols, valueCol, nb)
+    val grp = (partCols :+ "_so_bucket").map(col)
+    val wLoc = Window.partitionBy(grp: _*)
+      .orderBy((valueCol +: tieCols).map(col): _*)
+    val counts = b.groupBy(grp: _*).agg(count(lit(1)).as("_so_bc"))
+    val wCum = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col("_so_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(partCols.map(col): _*)
+    val offs = counts
+      .withColumn("_so_off", coalesce(sum(col("_so_bc")).over(wCum), lit(0L)))
+      .withColumn(nCol, sum(col("_so_bc")).over(wAll))
+      .drop("_so_bc")
+    b.withColumn("_so_lrn", row_number().over(wLoc).cast("long"))
+      .join(broadcast(offs), partCols :+ "_so_bucket")
+      .withColumn(rnCol, col("_so_off") + col("_so_lrn"))
+      .drop("_so_off", "_so_lrn", "_so_bucket")
+  }
+
+  /** The value at a per-key TARGET RANK of `ORDER BY value, ties` —
+    * medians/quantiles by the cumulative-crossing rule — without ranking
+    * any row outside the one bucket that contains the target: bucket
+    * counts locate it (grid-sized), an inner broadcast join prunes the
+    * corpus to ~n/buckets rows per key BEFORE the only window, and the
+    * local row_number plus the bucket offset pins the exact row. This is
+    * the cheap path when the consumer needs the crossing VALUE, not a
+    * rank per row — [[shardedRowNumber]] costs a corpus-wide window +
+    * join-back that a median never uses.
+    *
+    * @param rankOf 1-based target rank as a function of the per-key row
+    *               count (e.g. `n => shiftright(n + 1, 1)` = ⌈n/2⌉, the
+    *               lower median)
+    * @return one row per key: partCols + `outCol` (the value at rank)
+    */
+  def shardedValueAtRank(df: DataFrame, partCols: Seq[String],
+      valueCol: String, tieCols: Seq[String], rankOf: Column => Column,
+      outCol: String, nBuckets: Int = 0): DataFrame = {
+    val nb = if (nBuckets >= 2) nBuckets else defaultBuckets(df)
+    val b = withRangeBucket(df, partCols, valueCol, nb)
+    val grp = (partCols :+ "_so_bucket").map(col)
+    val counts = b.groupBy(grp: _*).agg(count(lit(1)).as("_so_bc"))
+    val wCum = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col("_so_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(partCols.map(col): _*)
+    val target = counts
+      .withColumn("_so_off", coalesce(sum(col("_so_bc")).over(wCum), lit(0L)))
+      .withColumn("_so_tr", rankOf(sum(col("_so_bc")).over(wAll)))
+      .filter(col("_so_off") < col("_so_tr") &&
+        col("_so_tr") <= col("_so_off") + col("_so_bc"))
+      .drop("_so_bc")
+    val wLoc = Window.partitionBy(grp: _*)
+      .orderBy((valueCol +: tieCols).map(col): _*)
+    b.join(broadcast(target), partCols :+ "_so_bucket")
+      .withColumn("_so_lrn", row_number().over(wLoc).cast("long"))
+      .filter(col("_so_off") + col("_so_lrn") === col("_so_tr"))
+      .select((partCols.map(col) :+ col(valueCol).as(outCol)): _*)
+  }
+
+  /** The doubled average rank `2·rank + tie_size − 1` (the q194 integer
+    * identity: rank() with average-rank tie handling, times two) under
+    * `PARTITION BY part ORDER BY value`, sharded. Global rank = bucket
+    * offset + local rank (valid because tied values share a bucket); the
+    * tie count is a (key, bucket, value) window on the SAME exchange —
+    * hashpartitioning(key, bucket) already clusters it. */
+  def shardedRank2(df: DataFrame, partCols: Seq[String], valueCol: String,
+      r2Col: String, nBuckets: Int = 0): DataFrame = {
+    val nb = if (nBuckets >= 2) nBuckets else defaultBuckets(df)
+    val b = withRangeBucket(df, partCols, valueCol, nb)
+    val grp = (partCols :+ "_so_bucket").map(col)
+    val wLoc = Window.partitionBy(grp: _*).orderBy(col(valueCol))
+    val wTie = Window.partitionBy(grp :+ col(valueCol): _*)
+    val counts = b.groupBy(grp: _*).agg(count(lit(1)).as("_so_bc"))
+    val wCum = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col("_so_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("_so_off", coalesce(sum(col("_so_bc")).over(wCum), lit(0L)))
+      .drop("_so_bc")
+    b.withColumn("_so_lrk", rank().over(wLoc).cast("long"))
+      .withColumn("_so_tie", count(lit(1)).over(wTie))
+      .join(broadcast(offs), partCols :+ "_so_bucket")
+      .withColumn(r2Col,
+        lit(2L) * (col("_so_off") + col("_so_lrk")) + col("_so_tie") - 1L)
+      .drop("_so_off", "_so_lrk", "_so_tie", "_so_bucket")
+  }
+
+  /** Inter-arrival gap moments per key — `(n_gaps, sum gap, sum gap²)`
+    * over gaps between consecutive rows in `(usCol, tieCol)` order —
+    * WITHOUT a per-key total sort: within-bucket gaps come from a
+    * (key, bucket) lag window; the one gap that crosses each bucket
+    * boundary is `min_us(bucket) − max_us(previous bucket)`, a grid-sized
+    * second-level window (bucket ranges are value-disjoint, so boundary
+    * gaps never depend on the tie-break). Σgap² accumulates in
+    * Decimal(38,0) — the q175 128-bit discipline. Keys with a single row
+    * have no gaps and are dropped, matching the plain-window form. */
+  def shardedGapStats(df: DataFrame, partCols: Seq[String], usCol: String,
+      tieCol: String, nBuckets: Int = 0): DataFrame = {
+    val nb = if (nBuckets >= 2) nBuckets else defaultBuckets(df)
+    val b = withRangeBucket(df, partCols, usCol, nb)
+    val grp = (partCols :+ "_so_bucket").map(col)
+    val wLoc = Window.partitionBy(grp: _*).orderBy(col(usCol), col(tieCol))
+    val perBucket = b
+      .withColumn("_so_gap", col(usCol) - lag(col(usCol), 1).over(wLoc))
+      .groupBy(grp: _*)
+      .agg(count(lit(1)).as("_so_n"),
+        sum(col("_so_gap")).as("_so_s"),
+        sum(col("_so_gap").cast(DecimalType(19, 0)) * col("_so_gap"))
+          .as("_so_ss"),
+        min(col(usCol)).as("_so_min"), max(col(usCol)).as("_so_max"))
+    val wB = Window.partitionBy(partCols.map(col): _*).orderBy(col("_so_bucket"))
+    perBucket
+      .withColumn("_so_bgap", col("_so_min") - lag(col("_so_max"), 1).over(wB))
+      .groupBy(partCols.map(col): _*)
+      .agg((sum(col("_so_n")) - 1L).as("n_gaps"),
+        (coalesce(sum(col("_so_s")), lit(0L)) +
+          coalesce(sum(col("_so_bgap")), lit(0L))).as("s"),
+        (coalesce(sum(col("_so_ss")), lit(0L).cast(DecimalType(19, 0))) +
+          coalesce(sum(col("_so_bgap").cast(DecimalType(19, 0))
+            * col("_so_bgap")), lit(0L).cast(DecimalType(19, 0)))).as("ss"))
+      .filter(col("n_gaps") > 0)
+  }
+
+  /** `max(valueCol) OVER (PARTITION BY part ORDER BY arrivalCol ROWS
+    * UNBOUNDED PRECEDING .. 1 PRECEDING)` — the running "best so far,
+    * excluding me" — sharded: within-bucket prefix max, plus the max over
+    * all EARLIER buckets (grid-sized window, broadcast back), combined
+    * with `greatest` (null-skipping, so the very first row per key stays
+    * null exactly like the plain window). `arrivalCol` must be unique per
+    * key (row-frame semantics). */
+  def shardedPrefixMax(df: DataFrame, partCols: Seq[String],
+      arrivalCol: String, valueCol: Column, outCol: String,
+      nBuckets: Int = 0): DataFrame = {
+    val nb = if (nBuckets >= 2) nBuckets else defaultBuckets(df)
+    val b = withRangeBucket(df, partCols, arrivalCol, nb)
+      .withColumn("_so_v", valueCol)
+    val grp = (partCols :+ "_so_bucket").map(col)
+    val wLoc = Window.partitionBy(grp: _*).orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perBucket = b.groupBy(grp: _*).agg(max(col("_so_v")).as("_so_bm"))
+    val wB = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col("_so_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = perBucket
+      .withColumn("_so_pm_prev", max(col("_so_bm")).over(wB))
+      .drop("_so_bm")
+    b.withColumn("_so_lpm", max(col("_so_v")).over(wLoc))
+      .join(broadcast(offs), partCols :+ "_so_bucket")
+      .withColumn(outCol, greatest(col("_so_lpm"), col("_so_pm_prev")))
+      .drop("_so_lpm", "_so_pm_prev", "_so_bucket", "_so_v")
+  }
+}

@@ -148,7 +148,11 @@ object Breadth {
 
   /** Ranking/navigation window-function breadth in one pass: rank,
     * dense_rank, ntile, lag delta, cume_dist — all under one fully
-    * deterministic ordering. */
+    * deterministic ordering. This gate deliberately exercises the
+    * BUILT-IN window surface as-is (3 order statuses ⇒ 3 sort tasks);
+    * the production path for a low-cardinality partition key at scale
+    * is [[graft.ops.ShardedOrder]] (rank/row_number/prefix-max all
+    * decompose — see the rewired q174/q175/q184/q194/q164). */
   def q44WindowBreadth(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val w = org.apache.spark.sql.expressions.Window

@@ -747,17 +747,23 @@ object Events {
     * (`event_id`), which is exactly the quantity a Structured Streaming
     * watermark must cover: `max_late_s` is the smallest watermark delay
     * with zero drops, and the late-rate says what a tighter one costs.
-    * One arrival-ordered window per type (the q146 max-over-frame trick —
-    * no IGNORE NULLS, no self-join), then a type-sized aggregate of
-    * integer second-floored lateness. */
+    * The q146 max-over-frame trick — no IGNORE NULLS, no self-join —
+    * then a type-sized aggregate of integer second-floored lateness.
+    *
+    * Scale shape: the arrival-ordered running max is the SHARDED prefix
+    * max ([[graft.ops.ShardedOrder.shardedPrefixMax]] — within-bucket
+    * prefix max at types × cores parallelism, plus the max over earlier
+    * buckets from a grid-sized window), replacing the per-type total
+    * sort of SCALING_r12 note B; the unchanged plain-window oracle
+    * certifies the identity. */
   def q164Orderliness(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val us = unix_micros(col("ts"))
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
     val lateS = greatest(lit(0L),
-      floor((max(us).over(w) - us) / 1000000L).cast("long"))
-    Tables.events(spark, dir)
+      floor((col("pm_us") - col("us")) / 1000000L).cast("long"))
+    graft.ops.ShardedOrder
+      .shardedPrefixMax(e, Seq("event_type"), "event_id", col("us"), "pm_us")
       .select(col("event_type"), coalesce(lateS, lit(0L)).as("late_s"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -1015,23 +1021,25 @@ object Events {
     * coefficient B = (σ − μ)/(σ + μ) over inter-arrival gaps: −1 for a
     * metronome, 0 for a Poisson stream, → 1 for heavy-tailed bursts; the
     * traffic-shape signal a capacity planner reads next to raw rates.
-    * Gaps are exact integer microseconds from one lag window pass
-    * (ordered by ts with the event_id tie-break); Σgap fits a long but
+    * Gaps are exact integer microseconds; Σgap fits a long but
     * Σgap² needs 128 bits, so both engines accumulate exact wide integers
     * (DECIMAL(38,0) here, HUGEINT in the oracle) and only then derive
     * (σ, μ, B) through the IDENTICAL double expression tree, fp6-rounded.
-    * One type-keyed sort shuffle; everything after is type-sized. */
+    *
+    * Scale shape: the gap moments come from the SHARDED decomposition
+    * ([[graft.ops.ShardedOrder.shardedGapStats]]) — time-range buckets
+    * within each type carry the within-bucket lag gaps at types × cores
+    * parallelism; the one boundary gap per bucket (min_us − previous
+    * bucket's max_us, tie-break-free because ranges are value-disjoint)
+    * merges at the grid level — replacing the per-type total sort that
+    * pinned this gate to ~10 tasks (SCALING_r12 note B, 8.4× at 10×
+    * data). The unchanged plain-lag oracle certifies the identity. */
   def q175Burstiness(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.DecimalType
-    val us = unix_micros(col("ts"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-    val gaps = Tables.events(spark, dir)
-      .select(col("event_type"), (us - lag(us, 1).over(w)).as("gap"))
-      .filter(col("gap").isNotNull)
-    val agg = gaps.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("s"),
-        sum(col("gap").cast(DecimalType(19, 0)) * col("gap")).as("ss"))
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val agg = graft.ops.ShardedOrder
+      .shardedGapStats(e, Seq("event_type"), "us", "event_id")
     val mean = col("s").cast("double") / col("n_gaps")
     val sd = sqrt(col("ss").cast("double") / col("n_gaps") - mean * mean)
     agg.select(col("event_type"), col("n_gaps"), col("s").as("sum_gap_us"),

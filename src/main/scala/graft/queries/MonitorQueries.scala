@@ -51,27 +51,33 @@ object MonitorQueries {
     * (lower median — integer comparisons, no interpolation); the outlier
     * cut |v − med| > 3.5 · 1.4826 · MAD is the integer cross-
     * multiplication `dev · 100000 > 518910 · mad`, so no float enters the
-    * gate at all. Two window passes over the SAME (event_type) hash
-    * partitioning — the exchange is planned once and reused; everything
-    * after the per-row dev column is type-sized. */
+    * gate at all.
+    *
+    * Scale shape: both median passes run the SHARDED value-at-rank
+    * ([[graft.ops.ShardedOrder.shardedValueAtRank]]) — bucket counts
+    * locate the bucket holding rank ⌈n/2⌉ (grid-sized), the corpus is
+    * pruned to that one bucket per type BEFORE the only window, and no
+    * row outside it is ever ranked — so the sort parallelism is types ×
+    * cores AND the windowed volume is ~n/32, versus the ~10-task
+    * per-type total sort of SCALING_r12 note B. The cut points only
+    * steer load balance; the crossing value is identical, so the
+    * plain-window DuckDB oracle is unchanged and the hash match
+    * certifies the rewrite as a semantic identity. */
   def q174MadOutliers(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.events(spark, dir).select(col("event_type"),
       col("event_id"), round(col("value") * 1e6).cast("long").as("v_us"))
-    def crossingMedian(df: DataFrame, v: String, out: String): DataFrame = {
-      val wOrd = Window.partitionBy(col("event_type"))
-        .orderBy(col(v), col("event_id"))
-      val wAll = Window.partitionBy(col("event_type"))
-      df.withColumn("rn", row_number().over(wOrd))
-        .withColumn("n", count(lit(1)).over(wAll))
-        .filter(col("rn") * 2 >= col("n"))
-        .groupBy(col("event_type")).agg(min(col(v)).as(out))
-    }
-    val med = crossingMedian(e, "v_us", "med_us")
+    // min v where rn·2 ≥ n  ≡  the value at rank ⌈n/2⌉ of (v, event_id)
+    def crossingMedian(df: DataFrame, v: String, out: String): DataFrame =
+      graft.ops.ShardedOrder.shardedValueAtRank(df, Seq("event_type"), v,
+        Seq("event_id"), n => shiftright(n + 1L, 1), out)
+    // type-sized barriers: the MAD pass references `dev` three times
+    // (cuts, counts, pruned window) — un-barriered, each reference
+    // re-runs the ENTIRE first-median pipeline under the broadcast join
+    val med = crossingMedian(e, "v_us", "med_us").localCheckpoint()
     val dev = e.join(broadcast(med), "event_type")
       .select(col("event_type"), col("event_id"),
         abs(col("v_us") - col("med_us")).as("dev"))
-    val mad = crossingMedian(dev, "dev", "mad_us")
+    val mad = crossingMedian(dev, "dev", "mad_us").localCheckpoint()
     dev.join(broadcast(mad), "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -193,16 +199,17 @@ object MonitorQueries {
     * deterministic total order, no interpolation, no percentile call)
     * and average the exact-micro-unit remainder. The plain mean rides
     * along so the gap — the tail mass the trim removed — is the
-    * reported signal. One sort shuffle; sums are exact integers. */
+    * reported signal. Sums are exact integers.
+    *
+    * Scale shape: the rank comes from the SHARDED row_number
+    * ([[graft.ops.ShardedOrder.shardedRowNumber]] — types × cores sort
+    * parallelism, grid-sized offset merge), not a per-type total sort;
+    * the unchanged plain-window oracle certifies the identity. */
   def q184TrimmedMean(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.events(spark, dir).select(col("event_type"),
       col("event_id"), round(col("value") * 1e6).cast("long").as("v_us"))
-    val wOrd = Window.partitionBy(col("event_type"))
-      .orderBy(col("v_us"), col("event_id"))
-    val wAll = Window.partitionBy(col("event_type"))
-    val ranked = e.withColumn("rn", row_number().over(wOrd))
-      .withColumn("n", count(lit(1)).over(wAll))
+    val ranked = graft.ops.ShardedOrder
+      .shardedRowNumber(e, Seq("event_type"), "v_us", Seq("event_id"), "rn", "n")
     // integer division (n DIV 20), NOT double /: for n divisible by 20
     // the two agree, otherwise the upper cut n - n/20.0 would admit one
     // fewer row than the oracle's n - n // 20
@@ -398,22 +405,20 @@ object MonitorQueries {
     * final division. AUC here = P(random A value > random B value) +
     * ½P(tie) — the common-language effect size.
     *
-    * Scale shape: one sort-window pass per event type (rank + tie
-    * count stack on the same ordering) folding into a type-sized
-    * aggregate. Rank windows over a hot type are the classic skew
-    * point at 100 TB — the q98 hash-shard trick applies if a single
-    * type dominates. */
+    * Scale shape: the doubled rank comes from the SHARDED rank
+    * ([[graft.ops.ShardedOrder.shardedRank2]]) — value-range buckets per
+    * type, local rank + tie count per (type, bucket) on ONE exchange,
+    * grid-sized offset merge — so a hot type engages every core instead
+    * of one sort task (SCALING_r12 note B; ties share a bucket by
+    * construction, which is what keeps `offset + local rank` exact).
+    * The unchanged plain-window oracle certifies the identity. */
   def q194RankSumAb(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.events(spark, dir)
       .select(col("event_type"), (col("user_id") % 2).cast("long").as("arm"),
         col("value"))
-    val r2 = (lit(2) * rank().over(
-        Window.partitionBy(col("event_type")).orderBy(col("value")))
-      + count(lit(1)).over(
-        Window.partitionBy(col("event_type"), col("value")))
-      - 1).cast("long")
-    val agg = e.select(col("event_type"), col("arm"), r2.as("r2"))
+    val agg = graft.ops.ShardedOrder
+      .shardedRank2(e, Seq("event_type"), "value", "r2")
+      .select(col("event_type"), col("arm"), col("r2"))
       .groupBy(col("event_type"))
       .agg(sum(when(col("arm") === 0, col("r2")).otherwise(lit(0L))).as("r2_a"),
         sum(when(col("arm") === 0, lit(1L)).otherwise(lit(0L))).as("n_a"),

@@ -732,9 +732,16 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p.take(2000))
   }
 
-  test("q194: rank-sum is windows + one aggregate — no joins, no cartesian") {
+  test("q194: rank windows run on the SHARDED (type, bucket) exchange; " +
+      "offsets attach by broadcast only") {
     val p = planOf(MonitorQueries.q194RankSumAb(spark, sf))
-    assert(!p.contains("Join"), p.take(2000))
+    // the 100 TB claim: the corpus sort is keyed by (event_type, bucket),
+    // never by the bare ~10-value type column (SCALING_r12 note B)
+    assert(p.contains("_so_bucket"), p.take(2000))
+    // the grid-sized offset/cut tables must come back as broadcasts — a
+    // sort-merge join here would re-shuffle the corpus it just spared
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
   test("q196: centroid drift is a single-pass conditional aggregate — no joins") {
