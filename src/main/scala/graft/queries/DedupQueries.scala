@@ -1130,13 +1130,14 @@ object DedupQueries {
     * Duplicate Detection"): every pair with 3-shingle-set Jaccard
     * ≥ 0.7, found EXACTLY (no MinHash estimation error) without
     * all-pairs — the ground-truth join the q24/q163 estimators are
-    * judged against. Two classical pruning rules, both certified in
-    * the oracle: the PREFIX filter (order each doc's shingles
-    * rarest-first by global df; a qualifying pair must share a shingle
-    * among each side's first `|d| − ⌈0.7·|d|⌉ + 1`) and the LENGTH
-    * filter (`0.7·|a| ≤ |b|`, as the integer cross-multiply
-    * `10·|b| ≥ 7·|a|`). The final gate is the exact integer test
-    * `10·∩ ≥ 7·(|a|+|b|−∩)`.
+    * judged against. Three classical pruning rules: the PREFIX filter
+    * (order each doc's shingles rarest-first by global df; a
+    * qualifying pair must share a shingle among each side's first
+    * `|d| − ⌈0.7·|d|⌉ + 1`), the LENGTH filter (`0.7·|a| ≤ |b|`, as
+    * the integer cross-multiply `10·|b| ≥ 7·|a|`), and the POSITIONAL
+    * filter (the first shared prefix token bounds the overlap by
+    * 1 + the smaller remaining suffix — see the inline note). The
+    * final gate is the exact integer test `10·∩ ≥ 7·(|a|+|b|−∩)`.
     *
     * Prefix units are 3-SHINGLES, not unigrams, deliberately: the
     * prefix filter's selectivity comes from low-df units, and a
@@ -1160,13 +1161,29 @@ object DedupQueries {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
       .filter(col("rnk") <=
         col("sz") - ceil(lit(0.7) * col("sz")).cast("long") + 1)
-      .select(col("tok"), col("doc_id"), col("sz"))
-    val a = pref.select(col("tok"), col("doc_id").as("id_a"), col("sz").as("sza"))
-    val b = pref.select(col("tok"), col("doc_id").as("id_b"), col("sz").as("szb"))
+      .select(col("tok"), col("doc_id"), col("sz"), col("rnk"))
+    val a = pref.select(col("tok"), col("doc_id").as("id_a"),
+      col("sz").as("sza"), col("rnk").as("pa"))
+    val b = pref.select(col("tok"), col("doc_id").as("id_b"),
+      col("sz").as("szb"), col("rnk").as("pb"))
+    // POSITIONAL filter (the third classical PPJoin rule): both docs
+    // order their shingles by the same global (df, tok) key, so the
+    // min-rank shared prefix token is the FIRST shared token in both —
+    // no shared token precedes it in either doc — and the overlap is
+    // bounded by 1 + min(remaining-after-it on each side). A pair needs
+    // overlap ≥ ⌈7·(sza+szb)/17⌉ (the Jaccard-0.7 identity), so the
+    // integer form is 17·(1 + least(sza−pa, szb−pb)) ≥ 7·(sza+szb).
+    // Like the prefix and length rules it only discards NON-qualifying
+    // candidates before the expensive verify join — the unchanged
+    // oracle certifies zero semantic change.
     val cand = a.join(b, Seq("tok")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sza"), col("szb")).distinct()
+      .groupBy(col("id_a"), col("id_b"), col("sza"), col("szb"))
+      .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"))
       .filter(col("szb") * 10 >= col("sza") * 7 &&
         col("sza") * 10 >= col("szb") * 7)
+      .filter(lit(17) * (lit(1) + least(col("sza") - col("pa"),
+        col("szb") - col("pb"))) >= lit(7) * (col("sza") + col("szb")))
+      .select(col("id_a"), col("id_b"), col("sza"), col("szb"))
       .localCheckpoint()
     val inter = cand.select(col("id_a"), col("id_b"))
       .join(toks.select(col("doc_id").as("id_a"), col("tok")), Seq("id_a"))
