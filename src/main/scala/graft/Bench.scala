@@ -10,9 +10,23 @@ import graft.queries.Registry
   * reflect steady-state execution, not JIT.
   */
 object Bench {
+  /** 1-minute load average — recorded at start and end of the run so a
+    * drifted ratio is ATTRIBUTABLE: this box shows ±15% run-to-run
+    * variance under evening co-load (r12 measured 1.08–1.39 on identical
+    * code), and without the load field in the artifact a future
+    * regression can't be told apart from a busy box. */
+  private def load1(): Double =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      s.split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val loadStart = load1()
     val spark = GraftSession.tunedLocal("graft-bench", sfDir, cpus)
 
     val headline = Registry.all.filter(_.bench)
@@ -100,7 +114,9 @@ object Bench {
         }
       } catch { case _: java.io.IOException => "" }
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs$oracleFields,"sf":"$sfDir"}""")
+    val loadFields =
+      f""","load1_start":$loadStart%.2f,"load1_end":${load1()}%.2f"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs$oracleFields$loadFields,"sf":"$sfDir"}""")
     if (results.exists(_._2.isLeft)) System.err.println(
       "BENCH ERRORS: " + results.collect { case (k, Left(e)) => s"$k -> $e" }.mkString("; "))
     spark.stop()
