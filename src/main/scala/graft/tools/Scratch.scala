@@ -1,52 +1,52 @@
 package graft.tools
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{GraftSession, Tables}
+import graft.ops.Dedup
 
 /** Ad-hoc profiling scratchpad (dev tool, intentionally minimal): edit,
   * `sbt "runMain graft.tools.Scratch"`, discard. Durable scale evidence
   * belongs in ScaleSmoke / SCALING notes, not here.
   *
-  * Current contents: the q203 PPJoin candidate-count ladder — pairs
-  * surviving (prefix), (prefix+length), (prefix+length+positional) —
-  * the evidence line behind the positional-filter claim. */
+  * Current contents: the q74 hash-family disagreement profile — per
+  * source, how many ≥0.5 candidate pairs each family finds, how many
+  * disagree, and the found-family estimate of every disagreeing pair —
+  * the evidence behind the q74 tolerance band. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("scratch", 32)
     for (dir <- args.toSeq match {
-        case Nil => Seq("/root/testdata/sf0.1")
+        case Nil => Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")
         case ds => ds
       }) {
-      val toks = Tables.spread(Tables.documents(spark, dir))
-        .select(col("doc_id"), explode(array_distinct(
-          graft.ops.TextOps.shingles(split(col("text"), " "), 3))).as("tok"))
-        .localCheckpoint()
-      val dfq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val pref = toks.join(dfq, Seq("tok")).join(sizes, Seq("doc_id"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
-        .filter(col("rnk") <=
-          col("sz") - ceil(lit(0.7) * col("sz")).cast("long") + 1)
-        .select(col("tok"), col("doc_id"), col("sz"), col("rnk"))
-      val a = pref.select(col("tok"), col("doc_id").as("id_a"),
-        col("sz").as("sza"), col("rnk").as("pa"))
-      val b = pref.select(col("tok"), col("doc_id").as("id_b"),
-        col("sz").as("szb"), col("rnk").as("pb"))
-      val base = a.join(b, Seq("tok")).filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"), col("sza"), col("szb"))
-        .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"))
-        .localCheckpoint()
-      val nPrefix = base.count()
-      val lenF = base.filter(col("szb") * 10 >= col("sza") * 7 &&
-        col("sza") * 10 >= col("szb") * 7)
-      val nLen = lenF.count()
-      val nPos = lenF.filter(lit(17) * (lit(1) + least(col("sza") - col("pa"),
-        col("szb") - col("pb"))) >= lit(7) * (col("sza") + col("szb"))).count()
-      println(s"SCRATCH $dir q203 candidates: prefix=$nPrefix " +
-        s"prefix+length=$nLen prefix+length+positional=$nPos")
+      val docs = Tables.spread(Tables.documents(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      val md5P = Dedup.minhashCandidates(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("est_jaccard").as("est_m"))
+      val fastP = Dedup.minhashCandidatesFast(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("est_jaccard").as("est_f"))
+      val sym = md5P.join(fastP, Seq("id_a", "id_b"), "full_outer")
+      val src = docs.select(col("doc_id").as("id_a"), col("source"))
+      val prof = sym.join(src, Seq("id_a"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_union"),
+          sum(when(col("est_m").isNotNull, 1L).otherwise(0L)).as("n_md5"),
+          sum(when(col("est_m").isNull || col("est_f").isNull, 1L).otherwise(0L))
+            .as("n_disagree"),
+          sum(when((col("est_m").isNull || col("est_f").isNull) &&
+            coalesce(col("est_m"), col("est_f")) > 0.626, 1L).otherwise(0L))
+            .as("n_disagree_high"))
+        .orderBy(col("source"))
+      prof.collect().foreach { r =>
+        println(s"SCRATCH $dir q74 ${r.getString(0)} union=${r.getLong(1)} " +
+          s"md5=${r.getLong(2)} disagree=${r.getLong(3)} " +
+          s"disagreeHigh=${r.getLong(4)}")
+      }
+      docs.unpersist()
     }
     spark.stop()
   }

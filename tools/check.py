@@ -6,6 +6,7 @@ exact value compare). Usage: python3 tools/check.py [sfDir] [outDir] [--skip-ver
 """
 import json
 import math
+import os
 import subprocess
 import sys
 
@@ -28,7 +29,12 @@ if "--skip-verify" not in sys.argv:
 
 con = duckdb.connect()
 for t in TABLES:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    # driver testdata is one flat file per table; Sf1Gen output is a
+    # Spark directory of part files — glob accordingly
+    src = f"{SF}/{t}.parquet"
+    if os.path.isdir(src):
+        src = f"{src}/*.parquet"
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 fails = []
