@@ -59,8 +59,14 @@ object IngestSmoke {
     q.stop()
     val admitted = spark.read.parquet(s"$base/admitted").count()
     val idxRows = graft.ops.Dedup.readSignatureIndex(spark, s"$base/index").count()
+    // flatness evidence: the index grows ~linearly across the run, so if
+    // per-batch cost tracked INDEX size (a rescan bug) the second half
+    // would run ~2-3x the first; equal halves = cost tracks batch size
+    def mean(xs: Seq[java.lang.Long]) = if (xs.isEmpty) 0.0 else xs.map(_.longValue).sum.toDouble / xs.size
+    val (h1, h2) = trig.splitAt(trig.length / 2)
     println(f"SMOKE ingest nDocs=$nDocs batches=$batches wall=$dt%.1f s " +
       f"rate=${nDocs / dt}%.0f docs/s admitted=$admitted indexRows=$idxRows " +
+      f"firstHalfMs=${mean(h1)}%.0f secondHalfMs=${mean(h2)}%.0f " +
       s"perBatchMs=${trig.mkString(",")}")
     spark.stop()
   }

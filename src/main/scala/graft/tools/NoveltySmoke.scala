@@ -44,13 +44,18 @@ object NoveltySmoke {
         .coalesce(1)
         .write.mode(SaveMode.Append).parquet(stage)
     }
+    // Bloom budget must track expected gram cardinality or the filter
+    // saturates and novelty under-reads (measured: 200k docs into the
+    // 2^20 demo budget reads 0.09 instead of ~0.5); 3rd arg overrides —
+    // size ~8-16 bits per expected distinct gram
+    val bloomBits = args.drop(2).headOption.map(_.toInt).getOrElse(1 << 20)
     val docs = spark.readStream
       .schema("doc_id LONG, ts TIMESTAMP, text STRING")
       .option("maxFilesPerTrigger", "1")
       .parquet(stage)
     val t0 = System.nanoTime()
     val q = graft.streaming.NoveltyStream
-      .noveltyStats(spark, docs, nShards = 64, bits = 1 << 20)
+      .noveltyStats(spark, docs, nShards = 64, bits = bloomBits)
       .writeStream.format("memory").queryName("novelty_smoke")
       .option("checkpointLocation", s"$base/ckpt")
       .outputMode("append").start()
@@ -62,9 +67,14 @@ object NoveltySmoke {
     q.stop()
     val r = spark.table("novelty_smoke")
       .agg(sum(col("n_grams")), sum(col("n_new"))).collect().head
+    // flatness evidence: Bloom state is a fixed byte budget, so per-batch
+    // cost must not grow as the filter fills — equal halves prove it
+    def mean(xs: Seq[java.lang.Long]) = if (xs.isEmpty) 0.0 else xs.map(_.longValue).sum.toDouble / xs.size
+    val (h1, h2) = trig.splitAt(trig.length / 2)
     println(f"SMOKE novelty nDocs=$nDocs batches=$batches wall=$dt%.1f s " +
       f"rate=${nDocs / dt}%.0f docs/s grams=${r.getLong(0)} new=${r.getLong(1)} " +
       f"novelty=${r.getLong(1).toDouble / r.getLong(0)}%.3f " +
+      f"firstHalfMs=${mean(h1)}%.0f secondHalfMs=${mean(h2)}%.0f " +
       s"perBatchMs=${trig.mkString(",")}")
     spark.stop()
   }
