@@ -320,4 +320,210 @@ object MediaQuery {
       |    THEN (1::BIGINT << c.d) ELSE 0 END) AS BIGINT) AS phash_lo
       |FROM cell c JOIN tot t USING (vec_id)
       |GROUP BY 1, 2""".stripMargin
+
+  /** q214: CROSS-MODAL consistency audit (the q171/q199 audit style
+    * applied across modalities) — the same objects seen through two
+    * independent near-dup detectors: the IMAGE path (render → BMP decode
+    * → pHash → banded Hamming join) and the VECTOR path (pooled features
+    * → auto-sized LSH → verified cosine, the q65 machinery). A corpus
+    * where the two disagree wildly has a broken modality bridge (bad
+    * decode, mis-scaled features, a hash that ignores the pixels); the
+    * audit quantifies agreement instead of assuming it.
+    *
+    * Image side is EXACT for its radius by pigeonhole: a 64-bit pHash
+    * split into four 16-bit bands must share a band whenever Hamming ≤ 3,
+    * so the banded equi-join + popcount verify finds EVERY radius-3 pair
+    * with no all-pairs scan (the q24 LSH shape on bits instead of
+    * shingles). Vector side reuses the q65 verified-cosine pair set.
+    * Reported: both pair counts, the overlap, fp6 containments each way,
+    * and the GRADED consistency signal — mean pHash Hamming over vector
+    * pairs versus over a deterministic BACKGROUND pair set (consecutive
+    * vec_ids): cosine-near objects must render measurably pixel-nearer
+    * than arbitrary ones (measured at sf0.01: 24.0 vs 31.7 of 64 bits),
+    * which stays informative even when the strict radius-3 set is empty
+    * (synthetic renders of ≥0.35-cosine pairs are NOT pixel-identical —
+    * the zero itself is honest cross-modal information).
+    *
+    * Scale shape: pHash table is media-count-sized; the band join is the
+    * standard bucketed candidate shape (collision volume n²/2¹⁶ per
+    * band); no stage touches pairs outside a bucket. The oracle rebuilds
+    * BOTH detectors arithmetically from the embeddings. */
+  def q214CrossModal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, emb) => bmp16(id, emb) }
+    val frames = Multimodal.decodeFrames(media, new BmpDecoder)(spark)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // media-count-sized barrier: feeds the band explode, both Hamming
+    // join-backs, and the vec-pair Hamming audit — un-barriered, each
+    // reference re-runs render+decode+hash
+    val ph = frames
+      .map { f =>
+        val (hi, lo) = Multimodal.phash(f)
+        (f.media_id, hi, lo)
+      }
+      .toDF("id", "hi", "lo")
+      .localCheckpoint()
+    val bands = ph.select(col("id"), posexplode(array(
+      shiftrightunsigned(col("hi"), 16).bitwiseAND(lit(65535L)),
+      col("hi").bitwiseAND(lit(65535L)),
+      shiftrightunsigned(col("lo"), 16).bitwiseAND(lit(65535L)),
+      col("lo").bitwiseAND(lit(65535L)))).as(Seq("band", "bv")))
+    val phA = ph.select(col("id").as("id_a"), col("hi").as("hi_a"),
+      col("lo").as("lo_a"))
+    val phB = ph.select(col("id").as("id_b"), col("hi").as("hi_b"),
+      col("lo").as("lo_b"))
+    val ham = (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+      bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long")
+    val imgPairs = bands.select(col("band"), col("bv"), col("id").as("id_a"))
+      .join(bands.select(col("band"), col("bv"), col("id").as("id_b")),
+        Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .join(phA, "id_a").join(phB, "id_b")
+      .filter(ham <= 3)
+      .select(col("id_a"), col("id_b"))
+    val feats = Multimodal.extractFeatures(frames)(spark).toDF()
+      .select(col("media_id").as("id"), col("feature").as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pair-sized barrier: the overlap join and the Hamming audit both
+    // read the verified pair set
+    val vecPairs = Similarity.lshNearDupCandidatesAuto(feats, nTables = 16,
+        dim = 64, threshold = 0.35)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val joined = imgPairs.withColumn("img", lit(true))
+      .join(vecPairs.withColumn("vec", lit(true)),
+        Seq("id_a", "id_b"), "full_outer")
+    val counts = joined.agg(
+      sum(when(col("img"), 1L).otherwise(0L)).as("n_img_pairs"),
+      sum(when(col("vec"), 1L).otherwise(0L)).as("n_vec_pairs"),
+      sum(when(col("img") && col("vec"), 1L).otherwise(0L)).as("n_both"))
+    val hamVec = vecPairs.join(phA, "id_a").join(phB, "id_b")
+      .agg(count(lit(1)).as("n_hv"), sum(ham).as("s_hv"))
+    val hamBg = ph.select(col("id").as("id_a"), col("hi").as("hi_a"),
+        col("lo").as("lo_a"))
+      .join(ph.select((col("id") - 1).as("id_a"), col("hi").as("hi_b"),
+        col("lo").as("lo_b")), Seq("id_a"))
+      .agg(count(lit(1)).as("n_bg"), sum(ham).as("s_bg"))
+    def rate(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den > 0, round(lit(1e6) * num.cast("double") / den).cast("long"))
+        .otherwise(lit(0L))
+    counts.crossJoin(hamVec).crossJoin(hamBg)
+      .select(col("n_img_pairs"), col("n_vec_pairs"), col("n_both"),
+        rate(col("n_both"), col("n_img_pairs")).as("img_in_vec_fp6"),
+        rate(col("n_both"), col("n_vec_pairs")).as("vec_in_img_fp6"),
+        rate(col("s_hv"), col("n_hv")).as("mean_ham_vec_fp6"),
+        col("n_bg").as("n_bg_pairs"),
+        rate(col("s_bg"), col("n_bg")).as("mean_ham_bg_fp6"),
+        (rate(col("s_bg"), col("n_bg")) -
+          rate(col("s_hv"), col("n_hv"))).as("separation_fp6"))
+  }
+
+  /** Both detectors replayed arithmetically: the q65 CTE chain rebuilds
+    * phash bits and verified cosine pairs from the embeddings; the band
+    * join and popcount verify mirror the Spark side exactly. */
+  val q214CrossModalSql: String =
+    """WITH px AS (
+      |  SELECT vec_id,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS p,
+      |    LEAST(255, GREATEST(0,
+      |      CAST(floor((CAST(unnest(embedding) AS DOUBLE) + 1.0) * 127.5) AS BIGINT))) AS g
+      |  FROM embeddings),
+      |tot AS (SELECT vec_id, SUM(g) AS sg FROM px GROUP BY vec_id),
+      |ph AS (
+      |  SELECT px.vec_id,
+      |    CAST(SUM(CASE WHEN px.g * 64 > t.sg AND px.p >= 32
+      |        THEN (1::BIGINT << (px.p - 32)) ELSE 0 END) AS BIGINT) AS phash_hi,
+      |    CAST(SUM(CASE WHEN px.g * 64 > t.sg AND px.p < 32
+      |        THEN (1::BIGINT << px.p) ELSE 0 END) AS BIGINT) AS phash_lo
+      |  FROM px JOIN tot t USING (vec_id) GROUP BY px.vec_id),
+      |bands AS (
+      |  SELECT vec_id AS id, b.band,
+      |    CASE b.band WHEN 0 THEN (phash_hi >> 16) & 65535
+      |                WHEN 1 THEN phash_hi & 65535
+      |                WHEN 2 THEN (phash_lo >> 16) & 65535
+      |                ELSE phash_lo & 65535 END AS bv
+      |  FROM ph CROSS JOIN range(4) b(band)),
+      |icand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+      |    AND a.id < b.id),
+      |ipairs AS (
+      |  SELECT c.id_a, c.id_b
+      |  FROM icand c
+      |  JOIN ph pa ON pa.vec_id = c.id_a
+      |  JOIN ph pb ON pb.vec_id = c.id_b
+      |  WHERE bit_count(xor(pa.phash_hi, pb.phash_hi))
+      |      + bit_count(xor(pa.phash_lo, pb.phash_lo)) <= 3),
+      |feat AS (
+      |  SELECT vec_id, list(CAST(g AS DOUBLE) - 127.5 ORDER BY p) AS fvec
+      |  FROM px GROUP BY vec_id),
+      |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+      |bw AS (SELECT COALESCE((SELECT MIN(b) FROM range(4, 29) t(b), nn
+      |                        WHERE (30::BIGINT << b) >= nn.n), 28) AS bits),
+      |coeff AS (
+      |  SELECT t, b, d,
+      |    CASE WHEN (strpos('0123456789abcdef',
+      |                      substr(md5('hp:'||t||':'||b||':'||d), 1, 1)) - 1) % 2 = 1
+      |         THEN 1.0 ELSE -1.0 END AS c
+      |  FROM range(16) r1(t), range(28) r2(b), range(64) r3(d)
+      |  WHERE b < (SELECT bits FROM bw)),
+      |planes AS (SELECT t, b, list(c ORDER BY d) AS pv FROM coeff GROUP BY t, b),
+      |sigs AS (
+      |  SELECT f.vec_id AS id, p.t AS tbl,
+      |    CAST(SUM(CASE WHEN list_dot_product(f.fvec, p.pv) >= 0
+      |             THEN (1::BIGINT << p.b) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM feat f CROSS JOIN planes p
+      |  GROUP BY f.vec_id, p.t),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig AND a.id < b.id),
+      |vpairs AS (
+      |  SELECT c.id_a, c.id_b
+      |  FROM cand c
+      |  JOIN feat fa ON fa.vec_id = c.id_a
+      |  JOIN feat fb ON fb.vec_id = c.id_b
+      |  WHERE list_cosine_similarity(fa.fvec, fb.fvec) > 0.35),
+      |counts AS (
+      |  SELECT (SELECT COUNT(*) FROM ipairs) AS n_img,
+      |         (SELECT COUNT(*) FROM vpairs) AS n_vec,
+      |         (SELECT COUNT(*) FROM ipairs JOIN vpairs USING (id_a, id_b))
+      |           AS n_both),
+      |hamv AS (
+      |  SELECT COUNT(*) AS n_hv,
+      |    CAST(SUM(bit_count(xor(pa.phash_hi, pb.phash_hi))
+      |           + bit_count(xor(pa.phash_lo, pb.phash_lo))) AS BIGINT) AS s_hv
+      |  FROM vpairs v
+      |  JOIN ph pa ON pa.vec_id = v.id_a
+      |  JOIN ph pb ON pb.vec_id = v.id_b),
+      |hambg AS (
+      |  SELECT COUNT(*) AS n_bg,
+      |    CAST(SUM(bit_count(xor(pa.phash_hi, pb.phash_hi))
+      |           + bit_count(xor(pa.phash_lo, pb.phash_lo))) AS BIGINT) AS s_bg
+      |  FROM ph pa JOIN ph pb ON pb.vec_id = pa.vec_id + 1)
+      |SELECT CAST(n_img AS BIGINT) AS n_img_pairs,
+      |  CAST(n_vec AS BIGINT) AS n_vec_pairs,
+      |  CAST(n_both AS BIGINT) AS n_both,
+      |  CASE WHEN n_img > 0
+      |    THEN CAST(round(1e6 * CAST(n_both AS DOUBLE) / n_img) AS BIGINT)
+      |    ELSE 0 END AS img_in_vec_fp6,
+      |  CASE WHEN n_vec > 0
+      |    THEN CAST(round(1e6 * CAST(n_both AS DOUBLE) / n_vec) AS BIGINT)
+      |    ELSE 0 END AS vec_in_img_fp6,
+      |  CASE WHEN n_hv > 0
+      |    THEN CAST(round(1e6 * CAST(s_hv AS DOUBLE) / n_hv) AS BIGINT)
+      |    ELSE 0 END AS mean_ham_vec_fp6,
+      |  CAST(n_bg AS BIGINT) AS n_bg_pairs,
+      |  CASE WHEN n_bg > 0
+      |    THEN CAST(round(1e6 * CAST(s_bg AS DOUBLE) / n_bg) AS BIGINT)
+      |    ELSE 0 END AS mean_ham_bg_fp6,
+      |  (CASE WHEN n_bg > 0
+      |    THEN CAST(round(1e6 * CAST(s_bg AS DOUBLE) / n_bg) AS BIGINT)
+      |    ELSE 0 END)
+      |  - (CASE WHEN n_hv > 0
+      |    THEN CAST(round(1e6 * CAST(s_hv AS DOUBLE) / n_hv) AS BIGINT)
+      |    ELSE 0 END) AS separation_fp6
+      |FROM counts CROSS JOIN hamv CROSS JOIN hambg""".stripMargin
 }

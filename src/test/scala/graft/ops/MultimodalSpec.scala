@@ -253,6 +253,41 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("q214's 4x16-bit banding finds EVERY Hamming<=3 pair (pigeonhole)") {
+    // the image side of the cross-modal audit claims exactness for its
+    // radius: 3 differing bits cannot touch all 4 disjoint 16-bit bands,
+    // so every radius-3 pair shares a band and survives the equi-join.
+    // Brute-force all pairs of a synthetic hash set (planted near-dups:
+    // base hashes plus 1-3 flipped bits) and compare against the banded
+    // candidate set + popcount verify.
+    val rng = new scala.util.Random(41)
+    val hashes = (0 until 40).flatMap { i =>
+      val base = rng.nextLong()
+      val flips = (1 to 3).map { k =>
+        (0 until k).foldLeft(base)((h, _) => h ^ (1L << rng.nextInt(64)))
+      }
+      (base +: flips)
+    }.zipWithIndex.map { case (h, id) => (id.toLong, h >>> 32, h & 0xFFFFFFFFL) }
+    def ham(a: (Long, Long, Long), b: (Long, Long, Long)): Int =
+      java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
+    val want = (for {
+      a <- hashes; b <- hashes if a._1 < b._1 && ham(a, b) <= 3
+    } yield (a._1, b._1)).toSet
+    def bandsOf(hi: Long, lo: Long): Seq[(Int, Long)] = Seq(
+      0 -> ((hi >>> 16) & 0xFFFFL), 1 -> (hi & 0xFFFFL),
+      2 -> ((lo >>> 16) & 0xFFFFL), 3 -> (lo & 0xFFFFL))
+    val byBand = hashes.flatMap { case (id, hi, lo) =>
+      bandsOf(hi, lo).map { case (b, v) => (b, v) -> id }
+    }.groupBy(_._1)
+    val cand: Set[(Long, Long)] = byBand.values.flatMap { grp =>
+      val ids = grp.map(_._2).sorted
+      for (x <- ids; y <- ids if x < y) yield (x, y)
+    }.toSet
+    val got = cand.filter(p => ham(hashes(p._1.toInt), hashes(p._2.toInt)) <= 3)
+    assert(got === want, "banding missed a radius-3 pair (or invented one)")
+    assert(want.nonEmpty, "test corpus planted no near pairs")
+  }
+
   test("resizeMeta: downscale only, aspect preserved") {
     val out = resizeMeta(media().toDF(), 960).collect()
       .map(r => r.getAs[Long]("media_id") ->
