@@ -236,4 +236,56 @@ class PropertySpec extends SparkSpec {
       assert(merged.getResult.getEstimate === distinct.toDouble, s"round $round")
     }
   }
+
+  test("sharded windows equal plain windows on random skewed corpora") {
+    // the ShardedOrder identity claim, randomized: key cardinality 1-6,
+    // value domain 2-2000 (tiny domains force quantile cuts ONTO tied
+    // values), bucket count 2-40 (above AND below the key sizes), skewed
+    // key masses. Every form must match its plain window exactly.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.ops.ShardedOrder
+    (1 to 4).foreach { round =>
+      val nKeys = 1 + rng.nextInt(6)
+      val domain = 2 + rng.nextInt(1999)
+      val nb = 2 + rng.nextInt(39)
+      val rows = (0 until nKeys).flatMap { k =>
+        val sz = 1 + rng.nextInt(if (k == 0) 800 else 120) // skewed key 0
+        (0 until sz).map(i => (s"k$k", k * 100000L + i,
+          rng.nextInt(domain).toLong))
+      }
+      val df = rows.toDF("k", "id", "v")
+      // join-backs reorder columns: align by sorted name before comparing
+      def same(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame): Boolean = {
+        val cols = b.columns.sorted.map(col(_))
+        a.select(cols: _*).exceptAll(b.select(cols: _*)).isEmpty &&
+          b.select(cols: _*).exceptAll(a.select(cols: _*)).isEmpty
+      }
+      val wOrd = Window.partitionBy(col("k")).orderBy(col("v"), col("id"))
+      val wAll = Window.partitionBy(col("k"))
+      val wantRn = df.withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+      val gotRn = ShardedOrder.shardedRowNumber(
+        df, Seq("k"), "v", Seq("id"), "rn", "n", nBuckets = nb)
+      assert(same(gotRn, wantRn), s"rowNumber diverged (round $round)")
+      val wantR2 = df.withColumn("r2",
+        (lit(2) * rank().over(Window.partitionBy(col("k")).orderBy(col("v")))
+          + count(lit(1)).over(Window.partitionBy(col("k"), col("v")))
+          - 1).cast("long"))
+      val gotR2 = ShardedOrder.shardedRank2(df, Seq("k"), "v", "r2", nBuckets = nb)
+      assert(same(gotR2, wantR2), s"rank2 diverged (round $round)")
+      val wantMed = wantRn.filter(col("rn") * 2 >= col("n"))
+        .groupBy(col("k")).agg(min(col("v")).as("med"))
+      val gotMed = ShardedOrder.shardedValueAtRank(df, Seq("k"), "v",
+        Seq("id"), n => shiftright(n + 1L, 1), "med", nBuckets = nb)
+      assert(same(gotMed, wantMed), s"valueAtRank diverged (round $round)")
+      val wPm = Window.partitionBy(col("k")).orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wantPm = df.withColumn("pm", max(col("v")).over(wPm))
+      val gotPm = ShardedOrder.shardedPrefixMax(
+        df, Seq("k"), "id", col("v"), "pm", nBuckets = nb)
+      assert(same(gotPm, wantPm), s"prefixMax diverged (round $round)")
+    }
+  }
 }
