@@ -159,6 +159,103 @@ object ShardedOrder {
       .drop("_so_off", "_so_lrk", "_so_tie", "_so_bucket")
   }
 
+  /** Count + sum of `valueCol` over the rank RANGE `lo < rn ≤ hi` of
+    * `ORDER BY value, ties` per key — trimmed sums/means — without
+    * ranking the corpus at all: per-bucket (count, sum) aggregates and
+    * the grid-sized offsets decide each bucket's fate arithmetically.
+    * Buckets wholly inside the range contribute their SUM; only the ≤2
+    * boundary buckets per key ever see a window, over ~n/buckets rows
+    * pruned by an inner broadcast join before the exchange. `loOf`/
+    * `hiOf` map the per-key row count to the (exclusive lo, inclusive
+    * hi) rank cuts.
+    *
+    * @return one row per key: partCols + n, s_all, n_kept, s_kept
+    */
+  def shardedRangeSum(df: DataFrame, partCols: Seq[String], valueCol: String,
+      tieCols: Seq[String], loOf: Column => Column, hiOf: Column => Column,
+      nBuckets: Int = 0): DataFrame = {
+    val nb = if (nBuckets >= 2) nBuckets else defaultBuckets(df)
+    val b = withRangeBucket(df, partCols, valueCol, nb)
+    val grp = (partCols :+ "_so_bucket").map(col)
+    val counts = b.groupBy(grp: _*)
+      .agg(count(lit(1)).as("_so_bc"), sum(col(valueCol)).as("_so_bs"))
+    val wCum = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col("_so_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(partCols.map(col): _*)
+    val grid = counts
+      .withColumn("_so_off", coalesce(sum(col("_so_bc")).over(wCum), lit(0L)))
+      .withColumn("_so_n", sum(col("_so_bc")).over(wAll))
+      .withColumn("_so_lo", loOf(col("_so_n")))
+      .withColumn("_so_hi", hiOf(col("_so_n")))
+      // grid-sized barrier: totals, interior, and boundary branches all
+      // read it — un-barriered each re-runs the counts aggregate
+      .localCheckpoint()
+    val interior = grid
+      .filter(col("_so_off") >= col("_so_lo") &&
+        col("_so_off") + col("_so_bc") <= col("_so_hi"))
+      .groupBy(partCols.map(col): _*)
+      .agg(sum(col("_so_bs")).as("_so_s_int"))
+    val boundary = grid
+      .filter(col("_so_off") < col("_so_hi") &&
+        col("_so_off") + col("_so_bc") > col("_so_lo") &&
+        !(col("_so_off") >= col("_so_lo") &&
+          col("_so_off") + col("_so_bc") <= col("_so_hi")))
+      .select((partCols.map(col) :+ col("_so_bucket") :+ col("_so_off") :+
+        col("_so_lo") :+ col("_so_hi")): _*)
+    val wLoc = Window.partitionBy(grp: _*)
+      .orderBy((valueCol +: tieCols).map(col): _*)
+    val bSum = b.join(broadcast(boundary), partCols :+ "_so_bucket")
+      .withColumn("_so_lrn", row_number().over(wLoc).cast("long"))
+      .filter(col("_so_off") + col("_so_lrn") > col("_so_lo") &&
+        col("_so_off") + col("_so_lrn") <= col("_so_hi"))
+      .groupBy(partCols.map(col): _*)
+      .agg(sum(col(valueCol)).as("_so_s_bnd"))
+    grid.groupBy(partCols.map(col): _*)
+      .agg(sum(col("_so_bc")).as("n"), sum(col("_so_bs")).as("s_all"),
+        min(col("_so_lo")).as("_so_lo"), min(col("_so_hi")).as("_so_hi"))
+      .join(interior, partCols, "left")
+      .join(bSum, partCols, "left")
+      .select((partCols.map(col) :+ col("n") :+ col("s_all") :+
+        greatest(col("_so_hi") - col("_so_lo"), lit(0L)).as("n_kept") :+
+        (coalesce(col("_so_s_int"), lit(0L)) +
+          coalesce(col("_so_s_bnd"), lit(0L))).as("s_kept")): _*)
+  }
+
+  /** Per-group sums of the doubled average rank — `Σ (2·rank + tie − 1)`
+    * and row counts per (key, group) — without materializing a rank per
+    * corpus row past its own bucket: the local window's contribution
+    * aggregates per (key, bucket, group) on the SAME exchange, and the
+    * global offset enters arithmetically (`+ 2·off·count`) at grid size.
+    * This is the q194 shape: the consumer needs rank SUMS by arm, never
+    * individual ranks. */
+  def shardedRank2Sum(df: DataFrame, partCols: Seq[String], valueCol: String,
+      grpCols: Seq[String], nBuckets: Int = 0): DataFrame = {
+    val nb = if (nBuckets >= 2) nBuckets else defaultBuckets(df)
+    val b = withRangeBucket(df, partCols, valueCol, nb)
+    val grp = (partCols :+ "_so_bucket").map(col)
+    val wLoc = Window.partitionBy(grp: _*).orderBy(col(valueCol))
+    val wTie = Window.partitionBy(grp :+ col(valueCol): _*)
+    val perBucket = b
+      .withColumn("_so_lrk", rank().over(wLoc).cast("long"))
+      .withColumn("_so_tie", count(lit(1)).over(wTie))
+      .groupBy((grp ++ grpCols.map(col)): _*)
+      .agg(count(lit(1)).as("_so_gc"),
+        sum(lit(2L) * col("_so_lrk") + col("_so_tie") - 1L).as("_so_gs"))
+    val counts = b.groupBy(grp: _*).agg(count(lit(1)).as("_so_bc"))
+    val wCum = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col("_so_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("_so_off", coalesce(sum(col("_so_bc")).over(wCum), lit(0L)))
+      .drop("_so_bc")
+    perBucket.join(broadcast(offs), partCols :+ "_so_bucket")
+      .groupBy((partCols ++ grpCols).map(col): _*)
+      .agg(sum(col("_so_gc")).as("n"),
+        sum(col("_so_gs") + lit(2L) * col("_so_off") * col("_so_gc"))
+          .as("r2_sum"))
+  }
+
   /** Inter-arrival gap moments per key — `(n_gaps, sum gap, sum gap²)`
     * over gaps between consecutive rows in `(usCol, tieCol)` order —
     * WITHOUT a per-key total sort: within-bucket gaps come from a

@@ -201,25 +201,23 @@ object MonitorQueries {
     * along so the gap — the tail mass the trim removed — is the
     * reported signal. Sums are exact integers.
     *
-    * Scale shape: the rank comes from the SHARDED row_number
-    * ([[graft.ops.ShardedOrder.shardedRowNumber]] — types × cores sort
-    * parallelism, grid-sized offset merge), not a per-type total sort;
-    * the unchanged plain-window oracle certifies the identity. */
+    * Scale shape: the HISTOGRAM decomposition
+    * ([[graft.ops.ShardedOrder.shardedRangeSum]]) — per-(type, bucket)
+    * count/sum aggregates decide wholly-kept buckets arithmetically at
+    * the grid level; only the ≤2 boundary buckets per type are ever
+    * ranked, over ~n/32 rows pruned before the exchange. No per-type
+    * total sort, no corpus-wide rank materialization; the unchanged
+    * plain-window oracle certifies the identity. */
   def q184TrimmedMean(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).select(col("event_type"),
       col("event_id"), round(col("value") * 1e6).cast("long").as("v_us"))
-    val ranked = graft.ops.ShardedOrder
-      .shardedRowNumber(e, Seq("event_type"), "v_us", Seq("event_id"), "rn", "n")
-    // integer division (n DIV 20), NOT double /: for n divisible by 20
-    // the two agree, otherwise the upper cut n - n/20.0 would admit one
-    // fewer row than the oracle's n - n // 20
-    val kept = ranked.filter(col("rn") > expr("n DIV 20") &&
-      col("rn") <= col("n") - expr("n DIV 20"))
-    val all = e.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("v_us")).as("s_all"))
-    kept.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_kept"), sum(col("v_us")).as("s_kept"))
-      .join(all, "event_type")
+    // integer division (n DIV 20), NOT double /: exact floor — the cuts
+    // are (lo, hi] = (n div 20, n − n div 20], matching the oracle's
+    // rn > n // 20 AND rn <= n - n // 20
+    def nDiv20(n: org.apache.spark.sql.Column) =
+      ((n - pmod(n, lit(20L))) / 20L).cast("long")
+    graft.ops.ShardedOrder.shardedRangeSum(e, Seq("event_type"), "v_us",
+        Seq("event_id"), loOf = nDiv20, hiOf = n => n - nDiv20(n))
       .select(col("event_type"), col("n"), col("n_kept"),
         round(col("s_all").cast("double") / col("n")).cast("long")
           .as("mean_us"),
@@ -405,24 +403,25 @@ object MonitorQueries {
     * final division. AUC here = P(random A value > random B value) +
     * ½P(tie) — the common-language effect size.
     *
-    * Scale shape: the doubled rank comes from the SHARDED rank
-    * ([[graft.ops.ShardedOrder.shardedRank2]]) — value-range buckets per
-    * type, local rank + tie count per (type, bucket) on ONE exchange,
-    * grid-sized offset merge — so a hot type engages every core instead
-    * of one sort task (SCALING_r12 note B; ties share a bucket by
-    * construction, which is what keeps `offset + local rank` exact).
-    * The unchanged plain-window oracle certifies the identity. */
+    * Scale shape: the SHARDED rank-sum aggregate
+    * ([[graft.ops.ShardedOrder.shardedRank2Sum]]) — value-range buckets
+    * per type, local rank + tie count per (type, bucket) on ONE
+    * exchange, then per-(bucket, arm) partial sums with the global
+    * offset entering ARITHMETICALLY (`+ 2·off·count`) at grid size —
+    * so a hot type engages every core and no rank is ever joined back
+    * to a corpus row (ties share a bucket by construction, which is
+    * what keeps `offset + local rank` exact). The unchanged
+    * plain-window oracle certifies the identity. */
   def q194RankSumAb(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("event_type"), (col("user_id") % 2).cast("long").as("arm"),
         col("value"))
     val agg = graft.ops.ShardedOrder
-      .shardedRank2(e, Seq("event_type"), "value", "r2")
-      .select(col("event_type"), col("arm"), col("r2"))
+      .shardedRank2Sum(e, Seq("event_type"), "value", Seq("arm"))
       .groupBy(col("event_type"))
-      .agg(sum(when(col("arm") === 0, col("r2")).otherwise(lit(0L))).as("r2_a"),
-        sum(when(col("arm") === 0, lit(1L)).otherwise(lit(0L))).as("n_a"),
-        sum(when(col("arm") === 1, lit(1L)).otherwise(lit(0L))).as("n_b"))
+      .agg(sum(when(col("arm") === 0, col("r2_sum")).otherwise(lit(0L))).as("r2_a"),
+        sum(when(col("arm") === 0, col("n")).otherwise(lit(0L))).as("n_a"),
+        sum(when(col("arm") === 1, col("n")).otherwise(lit(0L))).as("n_b"))
     val u2 = col("r2_a") - col("n_a") * (col("n_a") + 1)
     agg.filter(col("n_a") > 0 && col("n_b") > 0)
       .select(col("event_type"), col("n_a"), col("n_b"), u2.as("u2_a"),

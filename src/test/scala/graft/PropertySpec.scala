@@ -286,6 +286,31 @@ class PropertySpec extends SparkSpec {
       val gotPm = ShardedOrder.shardedPrefixMax(
         df, Seq("k"), "id", col("v"), "pm", nBuckets = nb)
       assert(same(gotPm, wantPm), s"prefixMax diverged (round $round)")
+      // random trim cuts (exclusive lo, inclusive hi) as fractions of n
+      val (fLo, fHi) = { val a = rng.nextInt(50); val b = 50 + rng.nextInt(51)
+        (a.toLong, b.toLong) }
+      def cut(f: Long)(n: org.apache.spark.sql.Column) =
+        ((n * f - pmod(n * f, lit(100L))) / 100L).cast("long")
+      val wantRs = wantRn
+        .filter(col("rn") > cut(fLo)(col("n")) &&
+          col("rn") <= cut(fHi)(col("n")))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("v")).as("s_kept"))
+        .join(df.groupBy(col("k"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("s_all")), Seq("k"))
+        .select("k", "n", "s_all", "n_kept", "s_kept")
+      val gotRs = ShardedOrder.shardedRangeSum(df, Seq("k"), "v", Seq("id"),
+          loOf = cut(fLo), hiOf = cut(fHi), nBuckets = nb)
+        // an empty kept range drops the key from the plain form's counts
+        .filter(col("n_kept") > 0)
+      assert(same(gotRs, wantRs), s"rangeSum diverged (round $round lo=$fLo hi=$fHi)")
+      val wantR2s = wantR2.withColumn("arm", pmod(col("id"), lit(3L)))
+        .groupBy(col("k"), col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("r2")).as("r2_sum"))
+      val gotR2s = ShardedOrder.shardedRank2Sum(
+        df.withColumn("arm", pmod(col("id"), lit(3L))),
+        Seq("k"), "v", Seq("arm"), nBuckets = nb)
+      assert(same(gotR2s, wantR2s), s"rank2Sum diverged (round $round)")
     }
   }
 }

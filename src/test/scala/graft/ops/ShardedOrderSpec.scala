@@ -83,6 +83,47 @@ class ShardedOrderSpec extends SparkSpec {
     assertSameRows(got3, want3)
   }
 
+  test("shardedRangeSum == plain ranked trim (tie-heavy, 4 buckets)") {
+    val df = tieHeavy
+    val wOrd = Window.partitionBy(col("k")).orderBy(col("v"), col("id"))
+    val wAll = Window.partitionBy(col("k"))
+    def nDiv20(n: org.apache.spark.sql.Column) =
+      ((n - pmod(n, lit(20L))) / 20L).cast("long")
+    val ranked = df.withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val want = ranked
+      .filter(col("rn") > nDiv20(col("n")) &&
+        col("rn") <= col("n") - nDiv20(col("n")))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("v")).as("s_kept"))
+      .join(df.groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s_all")), Seq("k"))
+    val got = ShardedOrder.shardedRangeSum(df, Seq("k"), "v", Seq("id"),
+      loOf = nDiv20, hiOf = n => n - nDiv20(n), nBuckets = 4)
+    assertSameRows(got, want.select("k", "n", "s_all", "n_kept", "s_kept"))
+    // degenerate cuts: keep everything (lo=0, hi=n) — no boundary buckets
+    val gotAll = ShardedOrder.shardedRangeSum(df, Seq("k"), "v", Seq("id"),
+      loOf = _ => lit(0L), hiOf = n => n, nBuckets = 4)
+    val wantAll = df.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s_all"))
+      .select(col("k"), col("n"), col("s_all"), col("n").as("n_kept"),
+        col("s_all").as("s_kept"))
+    assertSameRows(gotAll, wantAll)
+  }
+
+  test("shardedRank2Sum == plain grouped rank sums (tie-heavy, 8 buckets)") {
+    val df = tieHeavy.withColumn("arm", pmod(col("id"), lit(2L)))
+    val r2 = (lit(2) * rank().over(Window.partitionBy(col("k")).orderBy(col("v")))
+      + count(lit(1)).over(Window.partitionBy(col("k"), col("v")))
+      - 1).cast("long")
+    val want = df.withColumn("r2", r2)
+      .groupBy(col("k"), col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("r2")).as("r2_sum"))
+    val got = ShardedOrder.shardedRank2Sum(df, Seq("k"), "v", Seq("arm"),
+      nBuckets = 8)
+    assertSameRows(got, want)
+  }
+
   test("shardedGapStats == plain lag-gap moments (events, sf0.001)") {
     import org.apache.spark.sql.types.DecimalType
     val e = Tables.events(spark, sf)
