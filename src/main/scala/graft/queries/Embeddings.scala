@@ -1788,4 +1788,70 @@ object Embeddings {
       |  CAST(round(1e6 * CAST(2 * concordant - n_pairs AS DOUBLE) / n_pairs)
       |    AS BIGINT) AS tau_fp6
       |FROM ag""".stripMargin
+
+  /** q215: PageRank centrality of the embedding kNN graph — the
+    * eigenvector complement to q177's k-occurrence histogram and q206's
+    * assortativity number: hubness counts who appears in top-5 lists,
+    * PageRank weights those appearances by the RANK OF THE POINTERS,
+    * which is what separates a true density-core authority from a
+    * vector that merely sits near one. Top-20 authorities by integer
+    * pico-unit score ([[graft.ops.Graphs.pageRank]]: damping 17/20,
+    * 3 rounds, dangling mass — LSH-isolated vectors — redistributed
+    * uniformly; every step exact integer floor arithmetic, so scores
+    * hash-compare with no IEEE term). The oracle replays the signature
+    * construction AND all 3 unrolled rounds, so the blocking and the
+    * iteration are both certified (the q96/q177 discipline).
+    *
+    * Scale shape: see [[graft.ops.Graphs]] — per round one contribution
+    * scatter on the pre-partitioned edge table plus a 1-row dangling
+    * aggregate; the top-20 is TakeOrderedAndProject (per-partition
+    * heaps), never a global node sort. */
+  def q215Pagerank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = Similarity.knnGraphLsh(vectors(spark, dir), k = 5)
+      .select(col("id").as("src"), col("neighbor_id").as("dst"))
+    val nodes = Tables.embeddings(spark, dir).select(col("vec_id").as("id"))
+    graft.ops.Graphs.pageRank(edges, nodes, iterations = 3)
+      .orderBy(col("score").desc, col("id")).limit(20)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("id"))).cast("long"))
+      .select(col("rank"), col("id"), col("score").as("pr_fp12"))
+  }
+
+  val q215PagerankSql: String = {
+    // one damped-update round: dangling mass, in-mass, new score —
+    // integer floor arithmetic identical to Graphs.pageRank
+    def round(i: Int): String = {
+      val p = s"s${i - 1}"
+      s"""d$i AS (
+        |  SELECT COALESCE(SUM(score), 0) AS dm FROM $p
+        |  WHERE id NOT IN (SELECT src FROM dg)),
+        |i$i AS (
+        |  SELECT e.dst AS id, SUM(s.score // d.deg) AS m
+        |  FROM edges e JOIN $p s ON s.id = e.src
+        |  JOIN dg d ON d.src = e.src GROUP BY 1),
+        |s$i AS (
+        |  SELECT nd.id, CAST((150000000000 // (SELECT n FROM nn))
+        |    + (17 * (COALESCE(i.m, 0)
+        |        + (SELECT dm FROM d$i) // (SELECT n FROM nn))) // 20
+        |    AS BIGINT) AS score
+        |  FROM nodes nd LEFT JOIN i$i i ON i.id = nd.id)""".stripMargin
+    }
+    s"""WITH ${knnGraphCtes(5)},
+      |edges AS (SELECT id AS src, neighbor_id AS dst FROM g),
+      |nodes AS (SELECT vec_id AS id FROM embeddings),
+      |dg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+      |s0 AS (
+      |  SELECT id, CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT)
+      |    AS score
+      |  FROM nodes),
+      |${round(1)},
+      |${round(2)},
+      |${round(3)}
+      |SELECT CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT)
+      |    AS rank,
+      |  id, score AS pr_fp12
+      |FROM s3
+      |QUALIFY rank <= 20""".stripMargin
+  }
 }

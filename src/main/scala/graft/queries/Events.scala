@@ -1260,4 +1260,115 @@ object Events {
       |  CAST(round(CAST(SUM(COALESCE(CAST(round(1e6 / rnk) AS BIGINT), 0))
       |    AS DOUBLE) / COUNT(*)) AS BIGINT) AS mrr_fp6
       |FROM ej""".stripMargin
+
+  /** q217: Kaplan–Meier survival of SESSION duration (Kaplan & Meier
+    * 1958) — the product-limit estimator over minutes-from-first-to-
+    * last event of each 30-minute-gap session (q15's sessionization
+    * rule), with RIGHT CENSORING for sessions still open at the corpus
+    * edge (last event within one gap of the global max ts — their true
+    * duration is only known to exceed what we saw, and counting them
+    * as ended is the classic duration-curve bias a raw histogram
+    * bakes in). One row per observed duration minute: at-risk count,
+    * deaths (sessions that ended), censored, and the KM survival
+    * probability — the engagement half-life curve.
+    *
+    * Determinism: durations are integer minutes from µs floor division;
+    * the risk table is exact integers; each factor `ln(1 − d/n)` is one
+    * IEEE expression written identically in the oracle, quantized to
+    * fp9 integers (the q97/q181 ln discipline), prefix-summed EXACTLY,
+    * and exponentiated once at the end — so the running product is
+    * order-free and hash-comparable. A minute where everyone at risk
+    * dies (d = n, always the last row) sets a −1e15 fp9 sentinel: exp
+    * underflows to exactly 0.0 in both engines, the correct S = 0 tail.
+    *
+    * Scale shape: sessionization shuffles once on user_id (high
+    * cardinality — parallelism scales with users, not the q174 problem
+    * shape); sessions fold to a ≤ minutes-observed grid; every window
+    * runs on the grid, barriered once (localCheckpoint) because the
+    * total and the prefix both read it. The censoring cutoff is a
+    * 1-row max aggregate, broadcast. */
+  def q217KaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val mx = e.agg(max(unix_micros(col("ts"))).as("max_us"))
+    val durUs = col("last_us") - col("first_us")
+    val sessions = e
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .crossJoin(broadcast(mx))
+      .select(
+        ((durUs - pmod(durUs, lit(60000000L))) / 60000000L).cast("long")
+          .as("dur_min"),
+        (col("last_us") >= col("max_us") - lit(1800000000L)).as("cens"))
+    val grid = sessions.groupBy(col("dur_min"))
+      .agg(sum(when(col("cens"), 0L).otherwise(1L)).as("n_death"),
+        sum(when(col("cens"), 1L).otherwise(0L)).as("n_censor"))
+      .localCheckpoint()
+    val tot = grid.agg(sum(col("n_death") + col("n_censor")).as("n_total"))
+    val wPrev = Window.orderBy(col("dur_min"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("dur_min"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("n_total") -
+        coalesce(sum(col("n_death") + col("n_censor")).over(wPrev), lit(0L)))
+      .withColumn("term_fp9",
+        when(col("n_death") < col("n_risk"),
+          round(lit(1e9) * log(lit(1.0) -
+            col("n_death").cast("double") / col("n_risk"))).cast("long"))
+        .otherwise(lit(-1000000000000000L)))
+      .withColumn("s", sum(col("term_fp9")).over(wCum))
+      .select(col("dur_min"), col("n_risk"), col("n_death"),
+        col("n_censor"),
+        round(lit(1e6) * exp(col("s").cast("double") / lit(1e9)))
+          .cast("long").as("surv_fp6"))
+  }
+
+  val q217KaplanMeierSql: String =
+    """WITH mx AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events),
+      |marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM marked),
+      |lives AS (
+      |  SELECT
+      |    (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 60000000 AS dur_min,
+      |    (MAX(epoch_us(ts)) >= (SELECT max_us FROM mx) - 1800000000)
+      |      AS cens
+      |  FROM numbered GROUP BY user_id, sess),
+      |grid AS (
+      |  SELECT dur_min,
+      |    CAST(SUM(CASE WHEN cens THEN 0 ELSE 1 END) AS BIGINT) AS n_death,
+      |    CAST(SUM(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT) AS n_censor
+      |  FROM lives GROUP BY 1),
+      |r AS (
+      |  SELECT dur_min, n_death, n_censor,
+      |    CAST((SELECT SUM(n_death + n_censor) FROM grid)
+      |      - COALESCE(SUM(n_death + n_censor) OVER
+      |          (ORDER BY dur_min
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS n_risk
+      |  FROM grid),
+      |t AS (
+      |  SELECT dur_min, n_risk, n_death, n_censor,
+      |    CASE WHEN n_death < n_risk THEN
+      |      CAST(round(1e9 * ln(1.0 - CAST(n_death AS DOUBLE) / n_risk))
+      |        AS BIGINT)
+      |    ELSE -1000000000000000 END AS term_fp9
+      |  FROM r)
+      |SELECT dur_min, n_risk, n_death, n_censor,
+      |  CAST(round(1e6 * exp(CAST(SUM(term_fp9) OVER
+      |      (ORDER BY dur_min
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS DOUBLE) / 1e9)) AS BIGINT) AS surv_fp6
+      |FROM t""".stripMargin
 }

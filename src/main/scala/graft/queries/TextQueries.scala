@@ -1287,4 +1287,175 @@ object TextQueries {
       |    / COUNT(*)) AS BIGINT) AS pii_share_fp6
       |FROM c GROUP BY source""".stripMargin
   }
+
+  /** q216: distinct-n lexical diversity per source (Li et al. 2016's
+    * distinct-1/-2 generalized to n = 1..3): unique n-grams over total
+    * n-grams — the corpus-level diversity number next to the WITHIN-doc
+    * repetition signals (q59) and the CROSS-source dispersion table
+    * (q207). A crawl dominated by templated boilerplate shows high doc
+    * counts but a collapsing distinct-2/-3 ratio; a model trained on it
+    * inherits the loops. Totals are exact integers computed
+    * ARITHMETICALLY from per-doc token counts (a doc with t tokens has
+    * `max(0, t−n+1)` n-grams — no explode needed); only the distinct
+    * side touches gram space.
+    *
+    * Scale shape: one corpus scan explodes (n, md5(gram)) pairs — grams
+    * travel as md5 keys, never strings (the q93 discipline) — into a
+    * distinct + count two-level aggregate (both map-side combined);
+    * totals are a second narrow scan of per-doc counts. Output is
+    * sources-sized. */
+  def q216DistinctN(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextOps
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("ts"))
+    val t = size(col("ts")).cast("long")
+    val tot = base
+      .select(col("source"), t.as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("tot1"),
+        sum(greatest(col("t") - 1, lit(0L))).as("tot2"),
+        sum(greatest(col("t") - 2, lit(0L))).as("tot3"))
+    def tagged(n: Int) = transform(TextOps.shingles(col("ts"), n),
+      g => struct(lit(n).as("n"), md5(g).as("h")))
+    val uniq = base
+      .select(col("source"),
+        explode(flatten(array(tagged(1), tagged(2), tagged(3)))).as("g"))
+      .select(col("source"), col("g.n"), col("g.h"))
+      .distinct()
+      .groupBy(col("source"))
+      .agg(sum(when(col("n") === 1, 1L).otherwise(0L)).as("uniq1"),
+        sum(when(col("n") === 2, 1L).otherwise(0L)).as("uniq2"),
+        sum(when(col("n") === 3, 1L).otherwise(0L)).as("uniq3"))
+    def ratio(u: String, tt: String) =
+      when(col(tt) > 0, round(lit(1e6) * col(u).cast("double") / col(tt))
+        .cast("long"))
+    tot.join(uniq, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        col("tot1"), coalesce(col("uniq1"), lit(0L)).as("uniq1"),
+        col("tot2"), coalesce(col("uniq2"), lit(0L)).as("uniq2"),
+        col("tot3"), coalesce(col("uniq3"), lit(0L)).as("uniq3"))
+      .select(col("source"), col("n_docs"), col("tot1"), col("uniq1"),
+        ratio("uniq1", "tot1").as("d1_fp6"), col("tot2"), col("uniq2"),
+        ratio("uniq2", "tot2").as("d2_fp6"), col("tot3"), col("uniq3"),
+        ratio("uniq3", "tot3").as("d3_fp6"))
+  }
+
+  val q216DistinctNSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+      |tot AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(ts)) AS BIGINT) AS tot1,
+      |    CAST(SUM(GREATEST(len(ts) - 1, 0)) AS BIGINT) AS tot2,
+      |    CAST(SUM(GREATEST(len(ts) - 2, 0)) AS BIGINT) AS tot3
+      |  FROM toks GROUP BY 1),
+      |uni AS (
+      |  SELECT source, doc_id, generate_subscripts(ts, 1) AS pos,
+      |    unnest(ts) AS tok
+      |  FROM toks),
+      |u1 AS (SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS uniq1
+      |       FROM uni GROUP BY 1),
+      |u2 AS (SELECT a.source,
+      |    CAST(COUNT(DISTINCT a.tok || ' ' || b.tok) AS BIGINT) AS uniq2
+      |  FROM uni a JOIN uni b
+      |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |  GROUP BY 1),
+      |u3 AS (SELECT a.source,
+      |    CAST(COUNT(DISTINCT a.tok || ' ' || b.tok || ' ' || c.tok)
+      |      AS BIGINT) AS uniq3
+      |  FROM uni a JOIN uni b
+      |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |  JOIN uni c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+      |  GROUP BY 1)
+      |SELECT t.source, t.n_docs,
+      |  t.tot1, COALESCE(u1.uniq1, 0) AS uniq1,
+      |  CASE WHEN t.tot1 > 0 THEN
+      |    CAST(round(1e6 * COALESCE(u1.uniq1, 0) / t.tot1) AS BIGINT)
+      |  END AS d1_fp6,
+      |  t.tot2, COALESCE(u2.uniq2, 0) AS uniq2,
+      |  CASE WHEN t.tot2 > 0 THEN
+      |    CAST(round(1e6 * COALESCE(u2.uniq2, 0) / t.tot2) AS BIGINT)
+      |  END AS d2_fp6,
+      |  t.tot3, COALESCE(u3.uniq3, 0) AS uniq3,
+      |  CASE WHEN t.tot3 > 0 THEN
+      |    CAST(round(1e6 * COALESCE(u3.uniq3, 0) / t.tot3) AS BIGINT)
+      |  END AS d3_fp6
+      |FROM tot t
+      |LEFT JOIN u1 ON u1.source = t.source
+      |LEFT JOIN u2 ON u2.source = t.source
+      |LEFT JOIN u3 ON u3.source = t.source""".stripMargin
+
+  /** q217 lives in [[Events]] (user-lifetime survival); q218 below. */
+
+  /** q218: Good–Turing frequency spectrum of 3-gram types per language
+    * (Good 1953; the estimator behind Katz back-off smoothing) — the
+    * frequency-of-frequencies table `n_r` (trigram types seen exactly
+    * r times, r ≤ 5), the unseen-probability mass estimate `p0 =
+    * n1/N`, and the Turing-adjusted count for singletons `r*_1 =
+    * 2·n2/n1`. This is the principled "how much of the language have
+    * we NOT crawled yet" number that q118's fixed-list coverage and
+    * q60's novelty curve cannot give: a language whose trigram mass is
+    * 60% singletons (en measures p0 ≈ 0.63 at sf0.01) is nowhere near
+    * saturated, and per-language p0 tells the mix planner which
+    * languages need more CRAWL, not more epochs. Trigrams (not
+    * unigrams) because a fixed synthetic vocabulary saturates at any
+    * corpus size — the n-gram spectrum is where unseen mass actually
+    * lives, exactly as in LM smoothing. Every count is an exact
+    * integer; the two closing ratios are single IEEE divisions rounded
+    * once.
+    *
+    * Scale shape: trigrams travel as md5 keys into a (lang, gram)
+    * count — the one gram-space aggregate, map-side combined — then
+    * the spectrum folds to languages × 7 counters. No joins, no
+    * windows. */
+  def q218GoodTuring(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("lang"),
+        explode(graft.ops.TextOps.shingles(split(col("text"), " "), 3))
+          .as("g"))
+      .groupBy(col("lang"), md5(col("g")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    def nr(r: Int) = sum(when(col("c") === r, 1L).otherwise(0L)).as(s"n$r")
+    tf.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+        nr(1), nr(2), nr(3), nr(4), nr(5))
+      .select(col("lang"), col("n_tokens"), col("vocab"),
+        col("n1"), col("n2"), col("n3"), col("n4"), col("n5"),
+        round(lit(1e9) * col("n1").cast("double") / col("n_tokens"))
+          .cast("long").as("p0_fp9"),
+        when(col("n1") > 0,
+          round(lit(1e6) * lit(2.0) * col("n2").cast("double") / col("n1"))
+            .cast("long")).as("r1_star_fp6"))
+  }
+
+  val q218GoodTuringSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+      |uni AS (
+      |  SELECT doc_id, lang, generate_subscripts(ts, 1) AS pos,
+      |    unnest(ts) AS tok
+      |  FROM toks),
+      |tf AS (
+      |  SELECT a.lang, a.tok || ' ' || b.tok || ' ' || c.tok AS g,
+      |    COUNT(*) AS c
+      |  FROM uni a
+      |  JOIN uni b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |  JOIN uni c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+      |  GROUP BY 1, 2),
+      |sp AS (
+      |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    COUNT(*) AS vocab,
+      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+      |    CAST(SUM(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+      |    CAST(SUM(CASE WHEN c = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n5
+      |  FROM tf GROUP BY 1)
+      |SELECT lang, n_tokens, vocab, n1, n2, n3, n4, n5,
+      |  CAST(round(1e9 * CAST(n1 AS DOUBLE) / n_tokens) AS BIGINT)
+      |    AS p0_fp9,
+      |  CASE WHEN n1 > 0 THEN
+      |    CAST(round(1e6 * 2.0 * CAST(n2 AS DOUBLE) / n1) AS BIGINT)
+      |  END AS r1_star_fp6
+      |FROM sp""".stripMargin
 }

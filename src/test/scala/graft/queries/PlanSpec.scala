@@ -760,4 +760,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(2000))
   }
+
+  test("q215: per-round rank join is shuffle-hash, never a node-sized broadcast") {
+    val p = planOf(Embeddings.q215Pagerank(spark, sf))
+    // the contribution join must honor the shuffle_hash hint — a planner
+    // that broadcasts the rank table ships all nodes to every executor
+    // every round, the driver-memory hazard the q77 discipline forbids
+    assert(p.contains("ShuffledHashJoin"), s"rank join degraded:\n${p.take(2000)}")
+    // the top-20 must be a partial heap, not a global node sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q218: spectrum is aggregate-only — no joins anywhere") {
+    val p = planOf(TextQueries.q218GoodTuring(spark, sf))
+    assert(!p.contains("Join"), p.take(2000))
+  }
 }

@@ -261,4 +261,105 @@ class StatGatesSpec extends SparkSpec {
       assert(r.getAs[Long]("boot_lo_fp6") <= r.getAs[Long]("boot_hi_fp6"))
     }
   }
+
+  test("q216: distinct-n matches plain-Scala gram sets per source") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (src, g) =>
+      val tokss = g.map(_._2.split(" ", -1).toSeq)
+      def grams(n: Int) = tokss.flatMap(_.sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")))
+      val per = (1 to 3).map { n =>
+        val gs = grams(n)
+        (gs.length.toLong, gs.distinct.length.toLong)
+      }
+      src -> ((g.length.toLong, per))
+    }
+    val got = TextQueries.q216DistinctN(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (nDocs, per) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") === nDocs)
+      for (n <- 1 to 3) {
+        val (tot, uniq) = per(n - 1)
+        assert(r.getAs[Long](s"tot$n") === tot, s"tot$n")
+        assert(r.getAs[Long](s"uniq$n") === uniq, s"uniq$n")
+        if (tot > 0)
+          assert(r.getAs[Long](s"d${n}_fp6") ===
+            math.round(1e6 * uniq / tot), s"d${n}_fp6")
+      }
+    }
+  }
+
+  test("q217: KM curve matches a plain-Scala product-limit replica") {
+    // re-derive sessions with the 30-min-gap rule, then the estimator
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxUs = ev.map(_._2).max
+    val lives = ev.groupBy(_._1).values.flatMap { g =>
+      val ts = g.map(_._2).sorted
+      val sess = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(ts.head))
+      ts.tail.foreach { t =>
+        if (t - sess.last.last > 1800000000L)
+          sess += scala.collection.mutable.ArrayBuffer(t)
+        else sess.last += t
+      }
+      sess.map(s => ((s.last - s.head) / 60000000L,
+        s.last >= maxUs - 1800000000L))
+    }.toSeq
+    val grid = lives.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, g) =>
+      (d, g.count(!_._2).toLong, g.count(_._2).toLong)
+    }
+    var atRisk = lives.length.toLong
+    var lnSum = 0L
+    val expected = grid.map { case (d, death, cens) =>
+      val term =
+        if (death < atRisk)
+          BigDecimal(1e9 * math.log(1.0 - death.toDouble / atRisk))
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        else -1000000000000000L
+      lnSum += term
+      val surv = math.round(1e6 * math.exp(lnSum.toDouble / 1e9))
+      val row = (atRisk, death, cens, surv)
+      atRisk -= death + cens
+      d -> row
+    }.toMap
+    val got = Events.q217KaplanMeier(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (risk, death, cens, surv) = expected(r.getAs[Long]("dur_min"))
+      assert(r.getAs[Long]("n_risk") === risk)
+      assert(r.getAs[Long]("n_death") === death)
+      assert(r.getAs[Long]("n_censor") === cens)
+      assert(r.getAs[Long]("surv_fp6") === surv,
+        s"survival diverges at minute ${r.getAs[Long]("dur_min")}")
+    }
+  }
+
+  test("q218: Good-Turing spectrum matches plain-Scala trigram counts") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (lang, g) =>
+      val counts = g.flatMap(_._2.split(" ", -1).toSeq.sliding(3)
+          .filter(_.length == 3).map(_.mkString(" ")))
+        .groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum
+      val nr = (1 to 5).map(r => counts.count(_ == r).toLong)
+      lang -> ((n, counts.size.toLong, nr,
+        math.round(1e9 * nr.head.toDouble / n)))
+    }
+    val got = TextQueries.q218GoodTuring(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (n, v, nr, p0) = expected(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_tokens") === n)
+      assert(r.getAs[Long]("vocab") === v)
+      for (i <- 1 to 5) assert(r.getAs[Long](s"n$i") === nr(i - 1), s"n$i")
+      assert(r.getAs[Long]("p0_fp9") === p0)
+    }
+  }
 }
