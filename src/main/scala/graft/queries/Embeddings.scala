@@ -1854,4 +1854,91 @@ object Embeddings {
       |FROM s3
       |QUALIFY rank <= 20""".stripMargin
   }
+
+  /** q222: split-conformal coverage audit. Even-id vectors calibrate,
+    * odd-id vectors test; the nonconformity score is the squared L2
+    * distance to the OWN-label centroid fitted on the calibration half;
+    * q̂ is the exact ⌈0.9·(n+1)⌉-th smallest calibration score, and the
+    * reported coverage is the test-half fraction within q̂ (split
+    * conformal guarantees E[coverage] ≥ 0.9 under exchangeability — the
+    * audit checks the corpus actually delivers it). Determinism: floats
+    * are 6-decimal-quantized before the exact-decimal centroid mean (the
+    * q22 idiom); each per-dimension distance term is fp9-rounded before
+    * the per-vector integer sum, so scores are identical integers on both
+    * engines and the rank quantile is exact.
+    *
+    * Scale: centroids are a label×dim-sized aggregate (map-side
+    * combined); scoring joins each exploded row to its (label, dim)
+    * centroid — a broadcast of the label×dim grid, never a corpus
+    * shuffle. The calibration rank is the one ordered step; at 100 TB it
+    * runs as ShardedOrder.shardedValueAtRank (value-range buckets, only
+    * the bucket holding the target rank is windowed) — here the plain
+    * window keeps the gate on the oracle's own operator.
+    */
+  def q222Conformal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val expl = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        (col("vec_id") % 2 === 0).as("is_cal"),
+        posexplode(col("embedding")).as(Seq("dim", "raw")))
+      .select(col("vec_id"), col("label"), col("is_cal"),
+        col("dim").cast("long").as("dim"),
+        round(col("raw").cast("double"), 6).cast("decimal(18,6)").as("v"))
+    val cent = expl.filter(col("is_cal"))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(col("v")).cast("double") / count(lit(1))).as("c"))
+    val dd = col("v").cast("double") - col("c")
+    val scored = expl.join(broadcast(cent), Seq("label", "dim"))
+      .select(col("vec_id"), col("is_cal"),
+        round(dd * dd * lit(1e9)).cast("long").as("t9"))
+      .groupBy(col("vec_id"), col("is_cal"))
+      .agg(sum(col("t9")).as("s9"))
+    val cal = scored.filter(col("is_cal")).select(col("s9"))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val qhat = cal
+      .withColumn("rk", row_number().over(Window.orderBy(col("s9"))))
+      .crossJoin(broadcast(nCal))
+      .filter(col("rk") === expr("(9 * (n_cal + 1) + 9) div 10"))
+      .select(col("s9").as("qhat_s9"), col("n_cal"))
+    scored.filter(!col("is_cal"))
+      .crossJoin(broadcast(qhat))
+      .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
+        max(col("qhat_s9")).as("qhat_s9"),
+        sum(when(col("s9") <= col("qhat_s9"), 1L).otherwise(0L)).as("covered"))
+      .withColumn("coverage_fp6",
+        round(col("covered").cast("double") / col("n_test").cast("double") *
+          lit(1e6)).cast("long"))
+  }
+
+  val q222ConformalSql: String =
+    """WITH expl AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    vec_id % 2 = 0 AS is_cal,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
+      |      AS DECIMAL(18,6)) AS v
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label, dim, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS c
+      |  FROM expl WHERE is_cal GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT e.vec_id, e.is_cal,
+      |    CAST(SUM(CAST(round((CAST(e.v AS DOUBLE) - c.c)
+      |      * (CAST(e.v AS DOUBLE) - c.c) * 1e9) AS BIGINT)) AS BIGINT) AS s9
+      |  FROM expl e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+      |  GROUP BY 1, 2),
+      |cal AS (SELECT s9 FROM sc WHERE is_cal),
+      |nc AS (SELECT COUNT(*) AS n_cal FROM cal),
+      |rk AS (SELECT s9, ROW_NUMBER() OVER (ORDER BY s9) AS r FROM cal),
+      |qh AS (
+      |  SELECT rk.s9 AS qhat_s9, nc.n_cal FROM rk, nc
+      |  WHERE rk.r = (9 * (nc.n_cal + 1) + 9) // 10)
+      |SELECT MAX(qh.n_cal) AS n_cal, COUNT(*) AS n_test,
+      |  MAX(qh.qhat_s9) AS qhat_s9,
+      |  CAST(SUM(CASE WHEN sc.s9 <= qh.qhat_s9 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS covered,
+      |  CAST(round(CAST(SUM(CASE WHEN sc.s9 <= qh.qhat_s9 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6) AS BIGINT)
+      |    AS coverage_fp6
+      |FROM sc, qh WHERE NOT sc.is_cal""".stripMargin
 }

@@ -788,4 +788,37 @@ object MixQueries {
       |    - t.true_chars) / t.true_chars) AS BIGINT) AS rel_err_fp6
       |FROM t LEFT JOIN s USING (lang)""".stripMargin
   }
+
+  /** q224: weighted sampling without replacement (Efraimidis–Spirakis
+    * A-Res): each doc draws the deterministic md5 uniform u ∈ (0, 1] and
+    * scores key = ln(u)/w with w = n_chars; the k largest keys are the
+    * sample — provably equivalent to sequential draws with probability
+    * proportional to weight, but embarrassingly parallel. Keys are
+    * fp12-rounded (order-free ln) and ties break on doc_id, so the
+    * selected SET is identical across engines.
+    *
+    * Scale: ORDER BY key LIMIT k plans as TakeOrderedAndProject —
+    * per-partition k-row heaps merged on the driver, never a global
+    * sort; one corpus scan, zero shuffles. This is the standard
+    * distributed weighted-reservoir form.
+    */
+  def q224WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = (TrainingMix.hex8(concat(col("doc_id").cast("string"),
+      lit("#wrs"))) + 1).cast("double") / lit(4294967296.0)
+    Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars").as("w"),
+        round(log(u) / col("n_chars").cast("double") * lit(1e12))
+          .cast("long").as("key_fp12"))
+      .orderBy(col("key_fp12").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  val q224WeightedSampleSql: String =
+    s"""SELECT doc_id, n_chars AS w,
+       |  CAST(round(ln(CAST(${hex8Sql("doc_id::VARCHAR || '#wrs'")} + 1
+       |      AS DOUBLE) / 4294967296.0)
+       |    / CAST(n_chars AS DOUBLE) * 1e12) AS BIGINT) AS key_fp12
+       |FROM documents WHERE n_chars > 0
+       |ORDER BY key_fp12 DESC, doc_id LIMIT 100""".stripMargin
 }

@@ -667,4 +667,84 @@ object MonitorQueries {
       |    AS BIGINT) AS lift_fp6
       |FROM c
       |WHERE a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0""".stripMargin
+
+  /** q221: calibration audit (reliability bins + expected calibration
+    * error) of an empirical predictor over a time split: each user's
+    * Laplace-smoothed purchase share over the first 14 days predicts the
+    * probability that a later event of theirs is a purchase. Predictions
+    * land in 10 equal-width bins; per bin we report mean confidence vs
+    * observed accuracy, and ECE = Σ n_b/N·|acc_b − conf_b|. The predictor
+    * is fp9-rounded ONCE at the user level, so every downstream mean is a
+    * ratio of exact integers, and the per-bin |gap| is fp6-rounded before
+    * the N-weighted combine — both cross-engine order-free.
+    *
+    * Scale: the history aggregate and the eval join both partition on
+    * user_id (one shuffle each; AQE broadcasts the per-user predictor
+    * when it fits); binning collapses to ≤10 rows before the global
+    * window. The same shape audits any model whose scores are a column.
+    */
+  def q221CalibrationEce(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val minDay = e.agg(min(to_date(col("ts"))).as("d0"))
+    val base = e.crossJoin(broadcast(minDay))
+      .select(col("user_id"),
+        (datediff(to_date(col("ts")), col("d0")) >= 14).as("post"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("o"))
+    val pred = base.filter(!col("post"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_h"), sum(col("o")).as("k_h"))
+      .select(col("user_id"),
+        round(lit(1e9) * (col("k_h") + 1).cast("double") /
+          (col("n_h") + 5).cast("double")).cast("long").as("p9"))
+    val bins = base.filter(col("post"))
+      .join(pred, "user_id")
+      .select(expr("least(p9 div 100000000, 9)").as("bin"),
+        col("p9"), col("o"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_b"), sum(col("p9")).as("sp9"),
+        sum(col("o")).as("so"))
+    val conf = col("sp9").cast("double") / col("n_b").cast("double") / lit(1e9)
+    val acc = col("so").cast("double") / col("n_b").cast("double")
+    val wAll = Window.partitionBy()
+    bins.select(col("bin"), col("n_b"),
+        round(conf * lit(1e6)).cast("long").as("conf_fp6"),
+        round(acc * lit(1e6)).cast("long").as("acc_fp6"),
+        round(abs(acc - conf) * lit(1e6)).cast("long").as("gap_fp6"))
+      .withColumn("ece_fp6",
+        round(sum(col("n_b") * col("gap_fp6")).over(wAll).cast("double") /
+          sum(col("n_b")).over(wAll).cast("double")).cast("long"))
+  }
+
+  val q221CalibrationEceSql: String =
+    """WITH d0 AS (SELECT MIN(ts::DATE) AS d0 FROM events),
+      |base AS (
+      |  SELECT user_id,
+      |    date_diff('day', d0.d0, ts::DATE) >= 14 AS post,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS o
+      |  FROM events, d0),
+      |p AS (
+      |  SELECT user_id,
+      |    CAST(round(1e9 * CAST(SUM(o) + 1 AS DOUBLE)
+      |      / CAST(COUNT(*) + 5 AS DOUBLE)) AS BIGINT) AS p9
+      |  FROM base WHERE NOT post GROUP BY 1),
+      |b AS (
+      |  SELECT LEAST(p.p9 // 100000000, 9) AS bin, COUNT(*) AS n_b,
+      |    SUM(p.p9) AS sp9, SUM(base.o) AS so
+      |  FROM base JOIN p ON base.user_id = p.user_id
+      |  WHERE base.post GROUP BY 1),
+      |g AS (
+      |  SELECT bin, n_b,
+      |    CAST(round(CAST(sp9 AS DOUBLE) / CAST(n_b AS DOUBLE) / 1e9 * 1e6)
+      |      AS BIGINT) AS conf_fp6,
+      |    CAST(round(CAST(so AS DOUBLE) / CAST(n_b AS DOUBLE) * 1e6)
+      |      AS BIGINT) AS acc_fp6,
+      |    CAST(round(abs(CAST(so AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |      - CAST(sp9 AS DOUBLE) / CAST(n_b AS DOUBLE) / 1e9) * 1e6)
+      |      AS BIGINT) AS gap_fp6
+      |  FROM b)
+      |SELECT bin, n_b, conf_fp6, acc_fp6, gap_fp6,
+      |  CAST(round(CAST(SUM(n_b * gap_fp6) OVER () AS DOUBLE)
+      |    / CAST(SUM(n_b) OVER () AS DOUBLE)) AS BIGINT) AS ece_fp6
+      |FROM g""".stripMargin
 }

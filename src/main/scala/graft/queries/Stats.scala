@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -779,4 +779,169 @@ object Stats {
       |JOIN (SELECT event_type, mean6 FROM rk WHERE ra = 2) lo USING (event_type)
       |JOIN (SELECT event_type, mean6 FROM rk WHERE rd = 2) hi USING (event_type)""".stripMargin
   }
+
+  /** q219: multi-feature OLS (extendedprice ~ quantity + discount) per
+    * return flag, fitted in closed form from ONE aggregate pass. The
+    * Gram/moment sums are exact Decimal(38,0) accumulators over the
+    * 2-decimal fixed-point inputs (the q213 128-bit discipline), centered
+    * second moments are formed in EXACT integer arithmetic
+    * (M_ab = n·S_ab − S_a·S_b), and only the final 2×2 Cramer solve runs
+    * in double — both engines start from identical integers and apply the
+    * identical expression tree, so the fp6 outputs match bit-for-bit.
+    *
+    * Scale: this is the textbook distributed normal-equations fit — a
+    * single map-side-combined aggregate over the fact table (no join, no
+    * window, no driver collect; the k×k solve happens inside the plan as
+    * per-group scalar arithmetic). At 100 TB the pass reads two measure
+    * columns and one grouping column; cost is the scan.
+    * Coefficients are in natural units (price per unit quantity /
+    * per unit discount — the ×100 input scaling cancels in each slope);
+    * the intercept is fp6 of price units.
+    */
+  def q219OlsRegression(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_returnflag"),
+      round(col("l_quantity") * 100).cast("long").as("q"),
+      round(col("l_discount") * 100).cast("long").as("d"),
+      round(col("l_extendedprice") * 100).cast("long").as("p"))
+    def dsum(a: Column, b: Column) =
+      sum(a.cast(DecimalType(38, 0)) * b.cast(DecimalType(38, 0)))
+    def dsum1(a: Column) = sum(a.cast(DecimalType(38, 0)))
+    val agg = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      dsum1(col("q")).as("sq"), dsum1(col("d")).as("sd"), dsum1(col("p")).as("sp"),
+      dsum(col("q"), col("q")).as("sqq"), dsum(col("q"), col("d")).as("sqd"),
+      dsum(col("d"), col("d")).as("sdd"), dsum(col("q"), col("p")).as("sqp"),
+      dsum(col("d"), col("p")).as("sdp"), dsum(col("p"), col("p")).as("spp"))
+    val nDec = col("n").cast(DecimalType(38, 0))
+    def m(sab: Column, sa: Column, sb: Column) =
+      (nDec * sab - sa * sb).cast("double")
+    val mqq = m(col("sqq"), col("sq"), col("sq"))
+    val mqd = m(col("sqd"), col("sq"), col("sd"))
+    val mdd = m(col("sdd"), col("sd"), col("sd"))
+    val mqp = m(col("sqp"), col("sq"), col("sp"))
+    val mdp = m(col("sdp"), col("sd"), col("sp"))
+    val mpp = m(col("spp"), col("sp"), col("sp"))
+    val det = mqq * mdd - mqd * mqd
+    val b1 = (mdd * mqp - mqd * mdp) / det
+    val b2 = (mqq * mdp - mqd * mqp) / det
+    // b0 is in the ×100 input space → ×1e4 yields fp6 of price units
+    val b0 = (col("sp").cast("double") - b1 * col("sq").cast("double")
+      - b2 * col("sd").cast("double")) / col("n").cast("double")
+    val r2 = (b1 * mqp + b2 * mdp) / mpp
+    agg.select(col("l_returnflag"), col("n").as("n_rows"),
+      round(b1 * lit(1e6)).cast("long").as("b_qty_fp6"),
+      round(b2 * lit(1e6)).cast("long").as("b_disc_fp6"),
+      round(b0 * lit(1e4)).cast("long").as("b0_fp6"),
+      round(r2 * lit(1e6)).cast("long").as("r2_fp6"))
+  }
+
+  val q219OlsRegressionSql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS q,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS d,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(q AS HUGEINT)) AS sq, SUM(CAST(d AS HUGEINT)) AS sd,
+      |    SUM(CAST(p AS HUGEINT)) AS sp,
+      |    SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS sqq,
+      |    SUM(CAST(q AS HUGEINT) * CAST(d AS HUGEINT)) AS sqd,
+      |    SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS sdd,
+      |    SUM(CAST(q AS HUGEINT) * CAST(p AS HUGEINT)) AS sqp,
+      |    SUM(CAST(d AS HUGEINT) * CAST(p AS HUGEINT)) AS sdp,
+      |    SUM(CAST(p AS HUGEINT) * CAST(p AS HUGEINT)) AS spp
+      |  FROM li GROUP BY 1),
+      |m AS (
+      |  SELECT l_returnflag, n,
+      |    CAST(n * sqq - sq * sq AS DOUBLE) AS mqq,
+      |    CAST(n * sqd - sq * sd AS DOUBLE) AS mqd,
+      |    CAST(n * sdd - sd * sd AS DOUBLE) AS mdd,
+      |    CAST(n * sqp - sq * sp AS DOUBLE) AS mqp,
+      |    CAST(n * sdp - sd * sp AS DOUBLE) AS mdp,
+      |    CAST(n * spp - sp * sp AS DOUBLE) AS mpp,
+      |    CAST(sq AS DOUBLE) AS sqf, CAST(sd AS DOUBLE) AS sdf,
+      |    CAST(sp AS DOUBLE) AS spf
+      |  FROM s),
+      |b AS (
+      |  SELECT l_returnflag, n, mqp, mdp, mpp, sqf, sdf, spf,
+      |    (mdd * mqp - mqd * mdp) / (mqq * mdd - mqd * mqd) AS b1,
+      |    (mqq * mdp - mqd * mqp) / (mqq * mdd - mqd * mqd) AS b2
+      |  FROM m)
+      |SELECT l_returnflag, n AS n_rows,
+      |  CAST(round(b1 * 1e6) AS BIGINT) AS b_qty_fp6,
+      |  CAST(round(b2 * 1e6) AS BIGINT) AS b_disc_fp6,
+      |  CAST(round((spf - b1 * sqf - b2 * sdf) / CAST(n AS DOUBLE) * 1e4)
+      |    AS BIGINT) AS b0_fp6,
+      |  CAST(round((b1 * mqp + b2 * mdp) / mpp * 1e6) AS BIGINT) AS r2_fp6
+      |FROM b""".stripMargin
+
+  /** q223: stratified inverse-propensity ATE estimate — treatment =
+    * urgent/high order priority, outcome = order total (cents),
+    * confounder strata = customer market segment. With a DISCRETE
+    * confounder, the IPW estimator with exact per-stratum propensities
+    * e_x = n_t(x)/n(x) reduces ALGEBRAICALLY to the n_x/N-weighted
+    * within-stratum difference of means — computed here in that
+    * identical, division-stable form. Strata where the propensity is
+    * degenerate (0 or 1) are excluded on both sides, per the positivity
+    * assumption. Per-stratum difference of means is fp6-rounded BEFORE
+    * the overall weighting so the cross-stratum combine is exact integer
+    * arithmetic (order-free across engines).
+    *
+    * Scale: one fact–dim equi-join (AQE broadcasts the segment dim when
+    * it fits; shuffles on the key otherwise) into a 5-row aggregate; the
+    * overall-ATE window runs on that 5-row table. No other shuffle.
+    */
+  def q223IpwAte(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir).select(col("o_custkey"),
+      when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+        .otherwise(0L).as("t"),
+      round(col("o_totalprice") * 100).cast("long").as("y"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val s = o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_x"), sum(col("t")).as("n_t"),
+        sum(when(col("t") === 1, col("y")).otherwise(0L)).as("yt"),
+        sum(when(col("t") === 0, col("y")).otherwise(0L)).as("yc"))
+      .filter(col("n_t") > 0 && col("n_t") < col("n_x"))
+    val dm = col("yt").cast("double") / col("n_t").cast("double") -
+      col("yc").cast("double") / (col("n_x") - col("n_t")).cast("double")
+    val wAll = Window.partitionBy()
+    s.select(col("c_mktsegment"), col("n_x"), col("n_t"),
+        round(lit(1e6) * col("n_t").cast("double") /
+          col("n_x").cast("double")).cast("long").as("e_fp6"),
+        round(dm * lit(1e6)).cast("long").as("dm_fp6"))
+      .withColumn("ate_fp6",
+        round(sum(col("n_x") * col("dm_fp6")).over(wAll).cast("double") /
+          sum(col("n_x")).over(wAll).cast("double")).cast("long"))
+  }
+
+  val q223IpwAteSql: String =
+    """WITH j AS (
+      |  SELECT c.c_mktsegment,
+      |    CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END AS t,
+      |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |s AS (
+      |  SELECT c_mktsegment, COUNT(*) AS n_x, CAST(SUM(t) AS BIGINT) AS n_t,
+      |    SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS yt,
+      |    SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS yc
+      |  FROM j GROUP BY 1),
+      |d AS (
+      |  SELECT c_mktsegment, n_x, n_t,
+      |    CAST(round(1e6 * CAST(n_t AS DOUBLE) / CAST(n_x AS DOUBLE))
+      |      AS BIGINT) AS e_fp6,
+      |    CAST(round((CAST(yt AS DOUBLE) / CAST(n_t AS DOUBLE)
+      |      - CAST(yc AS DOUBLE) / CAST(n_x - n_t AS DOUBLE)) * 1e6)
+      |      AS BIGINT) AS dm_fp6
+      |  FROM s WHERE n_t > 0 AND n_t < n_x)
+      |SELECT c_mktsegment, n_x, n_t, e_fp6, dm_fp6,
+      |  CAST(round(CAST(SUM(n_x * dm_fp6) OVER () AS DOUBLE)
+      |    / CAST(SUM(n_x) OVER () AS DOUBLE)) AS BIGINT) AS ate_fp6
+      |FROM d""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -1458,4 +1458,87 @@ object TextQueries {
       |    CAST(round(1e6 * 2.0 * CAST(n2 AS DOUBLE) / n1) AS BIGINT)
       |  END AS r1_star_fp6
       |FROM sp""".stripMargin
+
+  /** q220: Zipf's-law fit per language — OLS slope/intercept of
+    * ln(frequency) against ln(rank) over the top-300 unigram ranks.
+    * Each log term is fp9-rounded to an exact integer BEFORE the
+    * regression sums (order-free across engines); the sums accumulate in
+    * Decimal(38,0) (x9·y9 products reach ~7·10¹⁹, past Long.MaxValue),
+    * and the closed-form slope runs the exact-integer centered-moment
+    * form (n·Σxy − ΣxΣy) shared with q219.
+    *
+    * Scale: term frequency is a map-side-combined aggregate; the rank
+    * window then runs over the VOCABULARY-sized tf table (not the
+    * corpus), partitioned by language. At 100 TB vocab per language is
+    * still large — the production path for the rank cut is a two-phase
+    * top-k (per-partition heaps, then top-300 of the ≤300·P partials);
+    * here the per-lang window keeps the gate on the exact same built-in
+    * operator the oracle runs.
+    */
+  def q220ZipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val topN = 300
+    val tf = Tables.spread(Tables.documents(spark, dir))
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val ranked = tf
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("c").desc, col("tok"))))
+      .filter(col("r") <= topN)
+      .select(col("lang"),
+        round(log(col("r").cast("double")) * lit(1e9)).cast("long").as("x9"),
+        round(log(col("c").cast("double")) * lit(1e9)).cast("long").as("y9"))
+    def dsum1(a: Column) = sum(a.cast(DecimalType(38, 0)))
+    def dsum(a: Column, b: Column) =
+      sum(a.cast(DecimalType(38, 0)) * b.cast(DecimalType(38, 0)))
+    val s = ranked.groupBy(col("lang")).agg(count(lit(1)).as("n"),
+      dsum1(col("x9")).as("sx"), dsum1(col("y9")).as("sy"),
+      dsum(col("x9"), col("x9")).as("sxx"),
+      dsum(col("x9"), col("y9")).as("sxy"))
+    val nDec = col("n").cast(DecimalType(38, 0))
+    val mxy = (nDec * col("sxy") - col("sx") * col("sy")).cast("double")
+    val mxx = (nDec * col("sxx") - col("sx") * col("sx")).cast("double")
+    val slope = mxy / mxx
+    // sums are in 1e9-units of ln: dividing the intercept by 1e3 lands fp6
+    val icept = (col("sy").cast("double") - slope * col("sx").cast("double")) /
+      col("n").cast("double") / lit(1e3)
+    s.select(col("lang"), col("n").as("n_ranks"),
+      round(slope * lit(1e6)).cast("long").as("slope_fp6"),
+      round(icept).cast("long").as("icept_fp6"))
+  }
+
+  val q220ZipfSlopeSql: String =
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (
+      |  SELECT lang, tok, COUNT(*) AS c FROM tok
+      |  WHERE len(tok) > 0 GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS r, c
+      |  FROM tf),
+      |xy AS (
+      |  SELECT lang,
+      |    CAST(round(ln(CAST(r AS DOUBLE)) * 1e9) AS BIGINT) AS x9,
+      |    CAST(round(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT) AS y9
+      |  FROM rk WHERE r <= 300),
+      |s AS (
+      |  SELECT lang, COUNT(*) AS n,
+      |    SUM(CAST(x9 AS HUGEINT)) AS sx, SUM(CAST(y9 AS HUGEINT)) AS sy,
+      |    SUM(CAST(x9 AS HUGEINT) * CAST(x9 AS HUGEINT)) AS sxx,
+      |    SUM(CAST(x9 AS HUGEINT) * CAST(y9 AS HUGEINT)) AS sxy
+      |  FROM xy GROUP BY 1),
+      |m AS (
+      |  SELECT lang, n,
+      |    CAST(n * sxy - sx * sy AS DOUBLE) AS mxy,
+      |    CAST(n * sxx - sx * sx AS DOUBLE) AS mxx,
+      |    CAST(sx AS DOUBLE) AS sxf, CAST(sy AS DOUBLE) AS syf
+      |  FROM s)
+      |SELECT lang, n AS n_ranks,
+      |  CAST(round(mxy / mxx * 1e6) AS BIGINT) AS slope_fp6,
+      |  CAST(round((syf - mxy / mxx * sxf) / CAST(n AS DOUBLE) / 1e3)
+      |    AS BIGINT) AS icept_fp6
+      |FROM m""".stripMargin
 }

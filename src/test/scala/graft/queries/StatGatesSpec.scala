@@ -362,4 +362,200 @@ class StatGatesSpec extends SparkSpec {
       assert(r.getAs[Long]("p0_fp9") === p0)
     }
   }
+
+  test("q219: OLS coefficients match a plain-Scala normal-equations solve") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_discount"),
+        col("l_extendedprice"))
+      .collect().map(r => (r.getString(0),
+        math.round(r.getDouble(1) * 100), math.round(r.getDouble(2) * 100),
+        math.round(r.getDouble(3) * 100)))
+    val got = Stats.q219OlsRegression(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    val byFlag = rows.groupBy(_._1)
+    assert(got.keySet === byFlag.keySet)
+    byFlag.foreach { case (flag, g) =>
+      val n = BigInt(g.length)
+      def s(f: ((String, Long, Long, Long)) => BigInt) = g.map(f).sum
+      val (sq, sd, sp) =
+        (s(r => BigInt(r._2)), s(r => BigInt(r._3)), s(r => BigInt(r._4)))
+      val sqq = s(r => BigInt(r._2) * r._2)
+      val sqd = s(r => BigInt(r._2) * r._3)
+      val sdd = s(r => BigInt(r._3) * r._3)
+      val sqp = s(r => BigInt(r._2) * r._4)
+      val sdp = s(r => BigInt(r._3) * r._4)
+      val spp = s(r => BigInt(r._4) * r._4)
+      def m(sab: BigInt, sa: BigInt, sb: BigInt) = (n * sab - sa * sb).toDouble
+      val (mqq, mqd, mdd) = (m(sqq, sq, sq), m(sqd, sq, sd), m(sdd, sd, sd))
+      val (mqp, mdp, mpp) = (m(sqp, sq, sp), m(sdp, sd, sp), m(spp, sp, sp))
+      val det = mqq * mdd - mqd * mqd
+      val b1 = (mdd * mqp - mqd * mdp) / det
+      val b2 = (mqq * mdp - mqd * mqp) / det
+      val b0 = (sp.toDouble - b1 * sq.toDouble - b2 * sd.toDouble) / n.toDouble
+      val r2 = (b1 * mqp + b2 * mdp) / mpp
+      val r = got(flag)
+      assert(r.getAs[Long]("n_rows") === g.length.toLong)
+      assert(r.getAs[Long]("b_qty_fp6") === math.round(b1 * 1e6), "b_qty")
+      assert(r.getAs[Long]("b_disc_fp6") === math.round(b2 * 1e6), "b_disc")
+      assert(r.getAs[Long]("b0_fp6") === math.round(b0 * 1e4), "b0")
+      assert(r.getAs[Long]("r2_fp6") === math.round(r2 * 1e6), "r2")
+    }
+  }
+
+  test("q220: Zipf slope matches a plain-Scala regression over ranked counts") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val got = TextQueries.q220ZipfSlope(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_ranks"), r.getAs[Long]("slope_fp6"),
+          r.getAs[Long]("icept_fp6")))).toMap
+    val byLang = docs.groupBy(_._1)
+    assert(got.keySet === byLang.keySet)
+    byLang.foreach { case (lang, g) =>
+      val tf = g.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+      val ranked = tf.toSeq.sortBy { case (t, c) => (-c, t) }.take(300)
+      val xy = ranked.zipWithIndex.map { case ((_, c), i) =>
+        (math.round(math.log(i + 1.0) * 1e9),
+          math.round(math.log(c.toDouble) * 1e9))
+      }
+      val n = xy.length
+      val sx = xy.map(p => BigInt(p._1)).sum
+      val sy = xy.map(p => BigInt(p._2)).sum
+      val sxx = xy.map(p => BigInt(p._1) * BigInt(p._1)).sum
+      val sxy = xy.map(p => BigInt(p._1) * BigInt(p._2)).sum
+      val mxy = (BigInt(n) * sxy - sx * sy).toDouble
+      val mxx = (BigInt(n) * sxx - sx * sx).toDouble
+      val slope = mxy / mxx
+      val icept = (sy.toDouble - slope * sx.toDouble) / n.toDouble / 1e3
+      val (gn, gs, gi) = got(lang)
+      assert(gn === n.toLong)
+      assert(gs === math.round(slope * 1e6), s"slope for $lang")
+      assert(gi === math.round(icept), s"icept for $lang")
+    }
+  }
+
+  test("q221: ECE matches a plain-Scala reliability re-derivation") {
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getString(2)))
+    val d0 = rows.map(_._2).min
+    def dayOf(d: java.time.LocalDate) =
+      java.time.temporal.ChronoUnit.DAYS.between(d0, d)
+    val hist = rows.filter(r => dayOf(r._2) < 14)
+    val post = rows.filter(r => dayOf(r._2) >= 14)
+    val p9 = hist.groupBy(_._1).map { case (u, g) =>
+      val k = g.count(_._3 == "purchase")
+      u -> math.round(1e9 * (k + 1).toDouble / (g.length + 5).toDouble)
+    }
+    val scored = post.flatMap(r => p9.get(r._1).map(p =>
+      (math.min(p / 100000000L, 9L), p, if (r._3 == "purchase") 1L else 0L)))
+    val bins = scored.groupBy(_._1).map { case (b, g) =>
+      val nb = g.length.toLong
+      val conf = g.map(_._2).sum.toDouble / nb.toDouble / 1e9
+      val acc = g.map(_._3).sum.toDouble / nb.toDouble
+      b -> ((nb, math.round(conf * 1e6), math.round(acc * 1e6),
+        math.round(math.abs(acc - conf) * 1e6)))
+    }
+    val totN = bins.values.map(_._1).sum
+    val ece = math.round(
+      bins.values.map(v => v._1 * v._4).sum.toDouble / totN.toDouble)
+    val gotRows = MonitorQueries.q221CalibrationEce(spark, sf).collect()
+    assert(gotRows.length === bins.size)
+    assert(bins.nonEmpty, "eval split must be non-empty at sf0.001")
+    gotRows.foreach { r =>
+      val (nb, c6, a6, g6) = bins(r.getAs[Long]("bin"))
+      assert(r.getAs[Long]("n_b") === nb)
+      assert(r.getAs[Long]("conf_fp6") === c6)
+      assert(r.getAs[Long]("acc_fp6") === a6)
+      assert(r.getAs[Long]("gap_fp6") === g6)
+      assert(r.getAs[Long]("ece_fp6") === ece)
+    }
+  }
+
+  test("q222: conformal coverage matches a plain-Scala re-derivation") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2)))
+    def q6(f: Float): BigDecimal =
+      BigDecimal(f.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val cal = vecs.filter(_._1 % 2 == 0)
+    val cent: Map[(Long, Int), Double] = cal.flatMap { case (_, l, e) =>
+      e.zipWithIndex.map { case (v, d) => ((l, d), q6(v)) } }
+      .groupBy(_._1).map { case (k, g) =>
+        k -> g.map(_._2).sum.toDouble / g.length }
+    def score(l: Long, e: Seq[Float]): Long =
+      e.zipWithIndex.map { case (v, d) =>
+        val dd = q6(v).toDouble - cent((l, d))
+        math.round(dd * dd * 1e9)
+      }.sum
+    val calS = cal.map(v => score(v._2, v._3)).sorted
+    val k = (9 * (calS.length + 1) + 9) / 10
+    val qhat = calS(k - 1)
+    val tst = vecs.filter(_._1 % 2 == 1)
+    val covered = tst.count(v => score(v._2, v._3) <= qhat).toLong
+    val r = Embeddings.q222Conformal(spark, sf).collect().head
+    assert(r.getAs[Long]("n_cal") === calS.length.toLong)
+    assert(r.getAs[Long]("n_test") === tst.length.toLong)
+    assert(r.getAs[Long]("qhat_s9") === qhat)
+    assert(r.getAs[Long]("covered") === covered)
+    assert(r.getAs[Long]("coverage_fp6") ===
+      math.round(covered.toDouble / tst.length.toDouble * 1e6))
+  }
+
+  test("q223: stratified IPW ATE matches a plain-Scala re-derivation") {
+    val seg = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
+      .collect().map(r => (seg(r.getLong(0)),
+        if (Set("1-URGENT", "2-HIGH")(r.getString(1))) 1 else 0,
+        math.round(r.getDouble(2) * 100)))
+    val strata = orders.groupBy(_._1).collect { case (st, g)
+        if g.exists(_._2 == 1) && g.exists(_._2 == 0) =>
+      val nx = g.length.toLong
+      val nt = g.count(_._2 == 1).toLong
+      val yt = g.filter(_._2 == 1).map(_._3).sum
+      val yc = g.filter(_._2 == 0).map(_._3).sum
+      val dm = yt.toDouble / nt.toDouble - yc.toDouble / (nx - nt).toDouble
+      st -> ((nx, nt, math.round(1e6 * nt.toDouble / nx.toDouble),
+        math.round(dm * 1e6)))
+    }
+    val ate = math.round(
+      strata.values.map(v => v._1 * v._4).sum.toDouble /
+        strata.values.map(_._1).sum.toDouble)
+    val got = Stats.q223IpwAte(spark, sf).collect()
+    assert(got.length === strata.size)
+    got.foreach { r =>
+      val (nx, nt, e6, dm6) = strata(r.getAs[String]("c_mktsegment"))
+      assert(r.getAs[Long]("n_x") === nx)
+      assert(r.getAs[Long]("n_t") === nt)
+      assert(r.getAs[Long]("e_fp6") === e6)
+      assert(r.getAs[Long]("dm_fp6") === dm6)
+      assert(r.getAs[Long]("ate_fp6") === ate)
+    }
+  }
+
+  test("q224: weighted-sample keys and top-100 match a plain-Scala A-Res") {
+    def hex8(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(_._2 > 0)
+    val keyed = docs.map { case (id, w) =>
+      val u = (hex8(s"$id#wrs") + 1).toDouble / 4294967296.0
+      (id, w, math.round(math.log(u) / w.toDouble * 1e12))
+    }
+    val expected = keyed.sortBy { case (id, _, k) => (-k, id) }.take(100).toSeq
+    val got = MixQueries.q224WeightedSample(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("w"),
+        r.getAs[Long]("key_fp12"))).toSeq
+    assert(got === expected)
+  }
 }
