@@ -560,4 +560,98 @@ object AuditQueries {
       |  CAST(round(1e6 * abs(noise)) AS BIGINT) AS abs_noise_fp6
       |FROM nz""".stripMargin
   }
+
+  /** q228: Theil-T inequality decomposition of character mass across
+    * documents — total T = (1/N)·Σ (x/μ)·ln(x/μ), split into the
+    * BETWEEN-source component (how unequal the source means are) and
+    * the WITHIN-source component (Σ_s (S_s/S)·T_s, inequality inside
+    * each source) — the additive decomposition Gini (q195) lacks, which
+    * is why dataset cards report both. Per-document terms are fp9-rounded
+    * before Decimal(38,0) sums (order-free, overflow-safe at any SF);
+    * the handful of per-source finishing ops run in double from exact
+    * integers with mirrored expression trees.
+    *
+    * Scale: one corpus pass computes both per-doc term families after a
+    * broadcast of the source-stats grid and the global scalar; every
+    * later step is sources-sized. No sort, no window over the corpus.
+    */
+  def q228Theil(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("source"), col("n_chars").as("x"))
+    val glob = docs.agg(count(lit(1)).as("nn"), sum(col("x")).as("ss"))
+    val bySrc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_s"), sum(col("x")).as("s_s"))
+    val joined = docs
+      .join(broadcast(bySrc), Seq("source"))
+      .crossJoin(broadcast(glob))
+    // r = x/μ = x·N/S; u = x/μ_s = x·N_s/S_s — ratios of exact integers
+    val r = col("x").cast("double") * col("nn").cast("double") /
+      col("ss").cast("double")
+    val u = col("x").cast("double") * col("n_s").cast("double") /
+      col("s_s").cast("double")
+    def t9(e: Column) = sum(round(e * log(e) * lit(1e9))
+      .cast(DecimalType(38, 0)))
+    val perSrc = joined.groupBy(col("source"), col("n_s"), col("s_s"),
+        col("nn"), col("ss"))
+      .agg(t9(r).as("tot9"), t9(u).as("win9"))
+    // per-source finish: between term (N_s/N)·r_s·ln(r_s) and the
+    // S_s/S-weighted within term, each fp9-rounded then integer-summed
+    val rs = col("s_s").cast("double") * col("nn").cast("double") /
+      (col("n_s").cast("double") * col("ss").cast("double"))
+    val btw9 = round(col("n_s").cast("double") / col("nn").cast("double") *
+      rs * log(rs) * lit(1e9)).cast("long")
+    val win9 = round(col("s_s").cast("double") / col("ss").cast("double") *
+      (col("win9").cast("double") / col("n_s").cast("double"))).cast("long")
+    perSrc
+      .select(col("nn"), col("ss"), col("tot9"), btw9.as("b9"), win9.as("w9"))
+      .groupBy(col("nn"))
+      .agg(max(col("ss")).as("ss"), count(lit(1)).as("n_sources"),
+        sum(col("tot9")).as("tot9"), sum(col("b9")).as("b9"),
+        sum(col("w9")).as("w9"))
+      .select(col("nn").as("n_docs"), col("n_sources"),
+        round(col("tot9").cast("double") / col("nn").cast("double"))
+          .cast("long").as("t_fp9"),
+        col("b9").as("between_fp9"), col("w9").as("within_fp9"))
+  }
+
+  val q228TheilSql: String =
+    """WITH d AS (
+      |  SELECT source, n_chars AS x FROM documents WHERE n_chars > 0),
+      |g AS (SELECT COUNT(*) AS nn, CAST(SUM(x) AS BIGINT) AS ss FROM d),
+      |bs AS (
+      |  SELECT source, COUNT(*) AS n_s, CAST(SUM(x) AS BIGINT) AS s_s
+      |  FROM d GROUP BY 1),
+      |terms AS (
+      |  SELECT d.source, bs.n_s, bs.s_s, g.nn, g.ss,
+      |    CAST(SUM(CAST(round(
+      |      (CAST(d.x AS DOUBLE) * CAST(g.nn AS DOUBLE)
+      |        / CAST(g.ss AS DOUBLE))
+      |      * ln(CAST(d.x AS DOUBLE) * CAST(g.nn AS DOUBLE)
+      |        / CAST(g.ss AS DOUBLE)) * 1e9) AS BIGINT)) AS HUGEINT) AS tot9,
+      |    CAST(SUM(CAST(round(
+      |      (CAST(d.x AS DOUBLE) * CAST(bs.n_s AS DOUBLE)
+      |        / CAST(bs.s_s AS DOUBLE))
+      |      * ln(CAST(d.x AS DOUBLE) * CAST(bs.n_s AS DOUBLE)
+      |        / CAST(bs.s_s AS DOUBLE)) * 1e9) AS BIGINT)) AS HUGEINT) AS win9
+      |  FROM d JOIN bs ON d.source = bs.source, g
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |fin AS (
+      |  SELECT nn, ss, tot9,
+      |    CAST(round(CAST(n_s AS DOUBLE) / CAST(nn AS DOUBLE)
+      |      * (CAST(s_s AS DOUBLE) * CAST(nn AS DOUBLE)
+      |        / (CAST(n_s AS DOUBLE) * CAST(ss AS DOUBLE)))
+      |      * ln(CAST(s_s AS DOUBLE) * CAST(nn AS DOUBLE)
+      |        / (CAST(n_s AS DOUBLE) * CAST(ss AS DOUBLE))) * 1e9)
+      |      AS BIGINT) AS b9,
+      |    CAST(round(CAST(s_s AS DOUBLE) / CAST(ss AS DOUBLE)
+      |      * (CAST(win9 AS DOUBLE) / CAST(n_s AS DOUBLE))) AS BIGINT) AS w9
+      |  FROM terms)
+      |SELECT nn AS n_docs, COUNT(*) AS n_sources,
+      |  CAST(round(CAST(SUM(tot9) AS DOUBLE) / CAST(nn AS DOUBLE))
+      |    AS BIGINT) AS t_fp9,
+      |  CAST(SUM(b9) AS BIGINT) AS between_fp9,
+      |  CAST(SUM(w9) AS BIGINT) AS within_fp9
+      |FROM fin GROUP BY nn""".stripMargin
 }

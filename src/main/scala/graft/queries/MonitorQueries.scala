@@ -747,4 +747,179 @@ object MonitorQueries {
       |  CAST(round(CAST(SUM(n_b * gap_fp6) OVER () AS DOUBLE)
       |    / CAST(SUM(n_b) OVER () AS DOUBLE)) AS BIGINT) AS ece_fp6
       |FROM g""".stripMargin
+
+  // SPRT constants (H0: p=0.45 vs H1: p=0.55, α=β=0.1), fp9 integers
+  // computed ONCE here and inlined into both engines' plans — the
+  // log-likelihood walk is then exact integer arithmetic everywhere.
+  private[queries] val sprtL1: Long = math.round(math.log(11.0 / 9.0) * 1e9)
+  private[queries] val sprtL0: Long = math.round(math.log(9.0 / 11.0) * 1e9)
+  private[queries] val sprtA9: Long = math.round(math.log(9.0) * 1e9)
+
+  /** q225: sequential probability ratio test per event type — Wald's
+    * SPRT on the Bernoulli stream x = (value > 50), H0: p = 0.45 vs
+    * H1: p = 0.55 at α = β = 0.1. The log-likelihood ratio walks by the
+    * fp9-integer increments above in (ts, event_id) order; the test
+    * stops at the first index where |LLR| ≥ ln 9 and reports the
+    * decision, stop index, and LLR at the stop (or `continue` if the
+    * stream ends inside the band).
+    *
+    * Scale: the walk is a per-type running sum — the q174/q184 single-
+    * ordering shape. ~10 event types pin the sort to ~10 tasks; the
+    * production path is `ShardedOrder.shardedPrefix*` (value-range
+    * buckets + per-bucket offsets); the gate keeps the plain window so
+    * the oracle runs the identical built-in operator.
+    */
+  def q225Sprt(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val cum = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        when(col("value") > 50.0, lit(sprtL1)).otherwise(lit(sprtL0)).as("inc"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("llr9", sum(col("inc")).over(w))
+    val stops = cum
+      .filter(col("llr9") >= sprtA9 || col("llr9") <= -sprtA9)
+      .groupBy(col("event_type")).agg(min(col("rn")).as("stop_rn"))
+    val at = cum.join(stops, Seq("event_type"))
+      .filter(col("rn") === col("stop_rn"))
+      .select(col("event_type"), col("stop_rn"),
+        col("llr9").as("llr9_at_stop"),
+        when(col("llr9") >= sprtA9, lit("h1")).otherwise(lit("h0"))
+          .as("decision"))
+    Tables.events(spark, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .join(at, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_events"), col("stop_rn"),
+        coalesce(col("decision"), lit("continue")).as("decision"),
+        col("llr9_at_stop"))
+  }
+
+  val q225SprtSql: String =
+    s"""WITH c AS (
+       |  SELECT event_type,
+       |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       |    CAST(SUM(CASE WHEN value > 50.0 THEN $sprtL1 ELSE $sprtL0 END)
+       |      OVER w AS BIGINT) AS llr9
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT event_type, MIN(rn) AS stop_rn FROM c
+       |  WHERE llr9 >= $sprtA9 OR llr9 <= -$sprtA9 GROUP BY 1),
+       |a AS (
+       |  SELECT c.event_type, s.stop_rn, c.llr9 AS llr9_at_stop,
+       |    CASE WHEN c.llr9 >= $sprtA9 THEN 'h1' ELSE 'h0' END AS decision
+       |  FROM c JOIN s ON c.event_type = s.event_type AND c.rn = s.stop_rn),
+       |n AS (SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY 1)
+       |SELECT n.event_type, n.n_events, a.stop_rn,
+       |  COALESCE(a.decision, 'continue') AS decision, a.llr9_at_stop
+       |FROM n LEFT JOIN a ON n.event_type = a.event_type""".stripMargin
+
+  // qnorm(0.25): the N(0,1) lower-quartile breakpoint of the 4-letter
+  // SAX alphabet, inlined identically into both engines
+  private[queries] val saxBp: Double = -0.6744897501960817
+
+  /** q226: SAX symbolization (Symbolic Aggregate approXimation) of each
+    * event type's daily-mean series: daily means are µ-unit integers,
+    * z-normalized per type against exact-integer moment sums, mapped to
+    * the 4-letter alphabet at the N(0,1) quartile breakpoints, and
+    * concatenated in day order into one word per type; the gate also
+    * mines the modal trigram motif of each word. Lin & Keogh's SAX is
+    * the standard pre-index for similarity search over time series —
+    * symbolization makes subsequence matching a string problem.
+    *
+    * Scale: the corpus collapses to a types×days grid in the first
+    * aggregate; everything after (z-scores, symbols, word assembly,
+    * motif counting) is grid-sized. The word-assembly sort orders ≤days
+    * elements per type inside an aggregated array — no row explosion.
+    */
+  def q226Sax(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * lit(1e6)).cast("long")).as("sv6"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("day"),
+        round(col("sv6").cast("double") / col("n").cast("double"))
+          .cast("long").as("m6"))
+    val mom = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("m6").cast(DecimalType(38, 0))).as("s1"),
+      sum(col("m6").cast(DecimalType(38, 0)) *
+        col("m6").cast(DecimalType(38, 0))).as("s2"))
+    val nD = col("n_days").cast("double")
+    val mu = col("s1").cast("double") / nD
+    val sigma = sqrt((col("n_days").cast(DecimalType(38, 0)) * col("s2") -
+      col("s1") * col("s1")).cast("double")) / nD
+    val z = (col("m6").cast("double") - col("mu")) / col("sigma")
+    val sym = when(z < saxBp, "a").when(z < 0.0, "b")
+      .when(z < -saxBp, "c").otherwise("d")
+    val lettered = daily
+      .join(mom.select(col("event_type"), col("n_days"),
+        mu.as("mu"), sigma.as("sigma")), Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("day"), sym.as("sym"))
+    val words = lettered.groupBy(col("event_type"))
+      .agg(max(col("n_days")).as("n_days"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("day"), col("sym")))),
+          x => x.getField("sym")), "").as("sax"))
+    val motifs = words
+      .select(col("event_type"),
+        explode(sequence(lit(1), length(col("sax")) - 2)).as("i"),
+        col("sax"))
+      .select(col("event_type"), expr("substring(sax, i, 3)").as("motif"))
+      .groupBy(col("event_type"), col("motif"))
+      .agg(count(lit(1)).as("motif_n"))
+    val top = motifs.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("motif_n").desc, col("motif"))))
+      .filter(col("rk") === 1).drop("rk")
+    words.join(top, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_days"), col("sax"),
+        col("motif"), col("motif_n"))
+  }
+
+  val q226SaxSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, ts::DATE AS day,
+       |    CAST(round(CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS m6
+       |  FROM events GROUP BY 1, 2),
+       |mom AS (
+       |  SELECT event_type, COUNT(*) AS n_days,
+       |    SUM(CAST(m6 AS HUGEINT)) AS s1,
+       |    SUM(CAST(m6 AS HUGEINT) * CAST(m6 AS HUGEINT)) AS s2
+       |  FROM daily GROUP BY 1),
+       |norm AS (
+       |  SELECT event_type, n_days,
+       |    CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mu,
+       |    sqrt(CAST(n_days * s2 - s1 * s1 AS DOUBLE))
+       |      / CAST(n_days AS DOUBLE) AS sigma
+       |  FROM mom),
+       |sym AS (
+       |  SELECT d.event_type, n.n_days, d.day,
+       |    CASE WHEN (CAST(d.m6 AS DOUBLE) - n.mu) / n.sigma < $saxBp THEN 'a'
+       |         WHEN (CAST(d.m6 AS DOUBLE) - n.mu) / n.sigma < 0.0 THEN 'b'
+       |         WHEN (CAST(d.m6 AS DOUBLE) - n.mu) / n.sigma < ${-saxBp}
+       |           THEN 'c'
+       |         ELSE 'd' END AS sym
+       |  FROM daily d JOIN norm n ON d.event_type = n.event_type),
+       |words AS (
+       |  SELECT event_type, MAX(n_days) AS n_days,
+       |    string_agg(sym, '' ORDER BY day) AS sax
+       |  FROM sym GROUP BY 1),
+       |mot AS (
+       |  SELECT w.event_type, substring(w.sax, i.i, 3) AS motif,
+       |    COUNT(*) AS motif_n
+       |  FROM words w, LATERAL (SELECT unnest(generate_series(1,
+       |    len(w.sax) - 2)) AS i) i
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT event_type, motif, motif_n FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY motif_n DESC, motif) AS rk FROM mot)
+       |  WHERE rk = 1)
+       |SELECT w.event_type, w.n_days, w.sax, t.motif, t.motif_n
+       |FROM words w LEFT JOIN top t ON w.event_type = t.event_type""".stripMargin
 }

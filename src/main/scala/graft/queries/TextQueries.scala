@@ -1541,4 +1541,65 @@ object TextQueries {
       |  CAST(round((syf - mxy / mxx * sxf) / CAST(n AS DOUBLE) / 1e3)
       |    AS BIGINT) AS icept_fp6
       |FROM m""".stripMargin
+
+  /** q227: word2vec-style negative-sampling table — the unigram
+    * distribution raised to 3/4 (Mikolov's smoothing, which lifts rare
+    * words and damps head words), materialized as the top-50 rows with
+    * exact sampling probability and cumulative mass (the inverse-CDF
+    * lookup a trainer samples against). Weights are fp6-rounded integers
+    * (one pow per distinct token, order-free) and the normalizer is the
+    * exact integer sum over the FULL vocabulary, so probabilities and
+    * the running CDF are identical across engines.
+    *
+    * Scale: one map-side-combined tf aggregate; the normalizer is a
+    * scalar aggregate broadcast back; top-50 plans as
+    * TakeOrderedAndProject. Building the full inverse-CDF table at 100 TB
+    * is the same plan minus the limit, partitioned by cumulative-mass
+    * range.
+    */
+  def q227NegSampling(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.spread(Tables.documents(spark, dir))
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .select(col("tok"), col("c"),
+        round(pow(col("c").cast("double"), 0.75) * lit(1e6))
+          .cast("long").as("w6"))
+    val tot = tf.agg(sum(col("w6")).as("tot"))
+    val top = tf.orderBy(col("c").desc, col("tok")).limit(50)
+      .crossJoin(broadcast(tot))
+      .select(col("tok"), col("c"), col("w6"),
+        round(lit(1e9) * col("w6").cast("double") /
+          col("tot").cast("double")).cast("long").as("p9"))
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("tok")))
+          .cast("long"))
+      .withColumn("cum_p9",
+        sum(col("p9")).over(Window.orderBy(col("rank"))))
+      .select(col("rank"), col("tok"), col("c"), col("w6"), col("p9"),
+        col("cum_p9"))
+  }
+
+  val q227NegSamplingSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (
+      |  SELECT tok, COUNT(*) AS c,
+      |    CAST(round(pow(CAST(COUNT(*) AS DOUBLE), 0.75) * 1e6) AS BIGINT)
+      |      AS w6
+      |  FROM tok WHERE len(tok) > 0 GROUP BY tok),
+      |t AS (SELECT CAST(SUM(w6) AS BIGINT) AS tot FROM tf),
+      |r AS (
+      |  SELECT tok, c, w6,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rank
+      |  FROM tf),
+      |top AS (
+      |  SELECT r.rank, r.tok, r.c, r.w6,
+      |    CAST(round(1e9 * CAST(r.w6 AS DOUBLE) / CAST(t.tot AS DOUBLE))
+      |      AS BIGINT) AS p9
+      |  FROM r, t WHERE r.rank <= 50)
+      |SELECT rank, tok, c, w6, p9,
+      |  CAST(SUM(p9) OVER (ORDER BY rank) AS BIGINT) AS cum_p9
+      |FROM top""".stripMargin
 }

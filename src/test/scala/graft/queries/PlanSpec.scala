@@ -775,4 +775,33 @@ class PlanSpec extends SparkSpec {
     val p = planOf(TextQueries.q218GoodTuring(spark, sf))
     assert(!p.contains("Join"), p.take(2000))
   }
+
+  test("q219: OLS is ONE aggregate pass — no join, no sort, pruned scan") {
+    val p = planOf(Stats.q219OlsRegression(spark, sf))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Sort"), "normal-equations fit must not sort")
+    // the fact scan must read only the 4 referenced columns
+    assert(!p.contains("l_partkey") && !p.contains("l_shipdate"),
+      "scan reads columns the regression never touches")
+  }
+
+  test("q222: centroid grid joins back as a broadcast, never sort-merge") {
+    val p = planOf(Embeddings.q222Conformal(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "label-dim grid join degraded to a corpus shuffle")
+  }
+
+  test("q224/q227: top-k sampling plans as a partial-heap TakeOrdered") {
+    val p1 = planOf(MixQueries.q224WeightedSample(spark, sf))
+    assert(p1.contains("TakeOrderedAndProject"), p1.take(2000))
+    val p2 = planOf(TextQueries.q227NegSampling(spark, sf))
+    assert(p2.contains("TakeOrderedAndProject"), p2.take(2000))
+  }
+
+  test("q228: Theil corpus pass joins only broadcasts — no corpus shuffle join") {
+    val p = planOf(AuditQueries.q228Theil(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(2000))
+  }
 }

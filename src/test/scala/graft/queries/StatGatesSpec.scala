@@ -539,6 +539,134 @@ class StatGatesSpec extends SparkSpec {
     }
   }
 
+  test("q225: SPRT stop points match a plain-Scala sequential walk") {
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(1).getNanos, r.getLong(2), r.getDouble(3)))
+    val got = MonitorQueries.q225Sprt(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val byType = rows.groupBy(_._1)
+    assert(got.keySet === byType.keySet)
+    byType.foreach { case (et, g) =>
+      val ordered = g.sortBy(r => (r._2, r._3, r._4))
+      var cum = 0L
+      var stop: Option[(Long, Long)] = None // (rn, llr)
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        if (stop.isEmpty) {
+          cum += (if (r._5 > 50.0) MonitorQueries.sprtL1
+                  else MonitorQueries.sprtL0)
+          if (cum >= MonitorQueries.sprtA9 || cum <= -MonitorQueries.sprtA9)
+            stop = Some((i + 1L, cum))
+        }
+      }
+      val row = got(et)
+      assert(row.getAs[Long]("n_events") === g.length.toLong)
+      stop match {
+        case Some((rn, llr)) =>
+          assert(row.getAs[Long]("stop_rn") === rn, s"stop_rn for $et")
+          assert(row.getAs[Long]("llr9_at_stop") === llr)
+          assert(row.getAs[String]("decision") ===
+            (if (llr >= MonitorQueries.sprtA9) "h1" else "h0"))
+        case None =>
+          assert(row.isNullAt(row.fieldIndex("stop_rn")))
+          assert(row.getAs[String]("decision") === "continue")
+      }
+    }
+  }
+
+  test("q226: SAX words and motifs match a plain-Scala symbolization") {
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getDouble(2)))
+    val got = MonitorQueries.q226Sax(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    rows.groupBy(_._1).foreach { case (et, g) =>
+      val daily = g.groupBy(_._2).toSeq.sortBy(_._1.toEpochDay).map {
+        case (_, xs) =>
+          val sv6 = xs.map(x => math.round(x._3 * 1e6)).sum
+          math.round(sv6.toDouble / xs.length.toDouble)
+      }
+      val n = daily.length
+      val s1 = daily.map(BigInt(_)).sum
+      val s2 = daily.map(m => BigInt(m) * m).sum
+      val mu = s1.toDouble / n.toDouble
+      val sigma = math.sqrt((BigInt(n) * s2 - s1 * s1).toDouble) / n.toDouble
+      val sax = daily.map { m =>
+        val z = (m.toDouble - mu) / sigma
+        if (z < MonitorQueries.saxBp) "a"
+        else if (z < 0.0) "b"
+        else if (z < -MonitorQueries.saxBp) "c"
+        else "d"
+      }.mkString
+      val motifs = sax.sliding(3).filter(_.length == 3).toSeq
+        .groupBy(identity).map { case (m, xs) => (m, xs.length.toLong) }
+      val (topM, topN) = motifs.toSeq.minBy { case (m, c) => (-c, m) }
+      val row = got(et)
+      assert(row.getAs[Long]("n_days") === n.toLong)
+      assert(row.getAs[String]("sax") === sax, s"sax word for $et")
+      assert(row.getAs[String]("motif") === topM)
+      assert(row.getAs[Long]("motif_n") === topN)
+    }
+  }
+
+  test("q227: negative-sampling table matches plain-Scala pow-3/4 weights") {
+    val toks = Tables.documents(spark, sf)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+    val tf = toks.groupBy(identity).map { case (t, xs) =>
+      (t, xs.length.toLong,
+        math.round(math.pow(xs.length.toDouble, 0.75) * 1e6))
+    }
+    val tot = tf.map(t => BigInt(t._3)).sum
+    val expected = tf.toSeq.sortBy { case (t, c, _) => (-c, t) }.take(50)
+      .zipWithIndex.map { case ((t, c, w6), i) =>
+        (i + 1L, t, c, w6,
+          math.round(1e9 * w6.toDouble / tot.toDouble))
+      }
+    val withCum = expected.scanLeft(0L)(_ + _._5).tail
+      .zip(expected).map { case (cum, e) => (e._1, e._2, e._3, e._4, e._5, cum) }
+    val got = TextQueries.q227NegSampling(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("tok"),
+        r.getAs[Long]("c"), r.getAs[Long]("w6"), r.getAs[Long]("p9"),
+        r.getAs[Long]("cum_p9"))).sortBy(_._1).toSeq
+    assert(got === withCum)
+  }
+
+  test("q228: Theil decomposition matches a plain-Scala re-derivation") {
+    val rows = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).filter(_._2 > 0)
+    val nn = rows.length.toLong
+    val ss = rows.map(_._2).sum
+    def t9sum(xs: Seq[Long], n: Long, s: Long): BigInt =
+      xs.map { x =>
+        val r = x.toDouble * n.toDouble / s.toDouble
+        BigInt(math.round(r * math.log(r) * 1e9))
+      }.sum
+    val bySrc = rows.groupBy(_._1)
+    val tot9 = bySrc.values.map(g => t9sum(g.map(_._2).toSeq, nn, ss)).sum
+    val parts = bySrc.map { case (_, g) =>
+      val ns = g.length.toLong
+      val sS = g.map(_._2).sum
+      val rs = sS.toDouble * nn.toDouble / (ns.toDouble * ss.toDouble)
+      val b9 = math.round(
+        ns.toDouble / nn.toDouble * rs * math.log(rs) * 1e9)
+      val w9sum = t9sum(g.map(_._2).toSeq, ns, sS)
+      val w9 = math.round(sS.toDouble / ss.toDouble *
+        (w9sum.toDouble / ns.toDouble))
+      (b9, w9)
+    }
+    val r = AuditQueries.q228Theil(spark, sf).collect().head
+    assert(r.getAs[Long]("n_docs") === nn)
+    assert(r.getAs[Long]("n_sources") === bySrc.size.toLong)
+    assert(r.getAs[Long]("t_fp9") ===
+      math.round(tot9.toDouble / nn.toDouble))
+    assert(r.getAs[Long]("between_fp9") === parts.map(_._1).sum)
+    assert(r.getAs[Long]("within_fp9") === parts.map(_._2).sum)
+  }
+
   test("q224: weighted-sample keys and top-100 match a plain-Scala A-Res") {
     def hex8(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
