@@ -654,4 +654,56 @@ object AuditQueries {
       |  CAST(SUM(b9) AS BIGINT) AS between_fp9,
       |  CAST(SUM(w9) AS BIGINT) AS within_fp9
       |FROM fin GROUP BY nn""".stripMargin
+
+  /** q233: Hill estimator of the document-length tail index over the
+    * k = 200 largest documents: ĥ = (1/(k−1))·Σ_{i<k} (ln x₍ᵢ₎ − ln x₍ₖ₎),
+    * α̂ = 1/ĥ — the standard power-law tail diagnostic (heavier tail ⇒
+    * larger ĥ ⇒ smaller α̂), the number that decides whether length caps /
+    * packing budgets are sized for a Pareto or an exponential corpus.
+    * Each ln is fp9-quantized per order statistic before the exact
+    * integer sum, and the boundary x₍ₖ₎ is subtracted arithmetically
+    * (k·ln x₍ₖ₎), so both engines agree bit-for-bit.
+    *
+    * Scale: top-k selection plans as TakeOrderedAndProject (per-partition
+    * heaps); everything after is a 200-row aggregate. No global sort.
+    */
+  def q233Hill(spark: SparkSession, dir: String): DataFrame = {
+    val k = 200
+    val top = Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(k)
+      .select(round(log(col("n_chars").cast("double")) * lit(1e9))
+        .cast("long").as("l9"), col("n_chars"), col("doc_id"))
+    // x_(k) = the minimum of the selected top-k (ties broken by doc_id in
+    // the SELECTION only; the ln value of the boundary is order-free)
+    val agg = top.agg(count(lit(1)).as("k"), sum(col("l9")).as("sl9"),
+      min(col("l9")).as("lk9"))
+    agg.select(col("k"),
+        ((col("sl9") - col("k") * col("lk9")).cast("double") /
+          (col("k") - 1).cast("double") / lit(1e9)).as("h"))
+      .select(col("k").as("k_top"),
+        round(col("h") * lit(1e6)).cast("long").as("hill_fp6"),
+        round(lit(1e6) / col("h")).cast("long").as("alpha_fp6"))
+  }
+
+  val q233HillSql: String =
+    """WITH top AS (
+      |  SELECT CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1e9) AS BIGINT)
+      |    AS l9
+      |  FROM documents WHERE n_chars > 0
+      |  ORDER BY n_chars DESC, doc_id LIMIT 200),
+      |a AS (
+      |  SELECT COUNT(*) AS k, CAST(SUM(l9) AS BIGINT) AS sl9,
+      |    MIN(l9) AS lk9
+      |  FROM top),
+      |h AS (
+      |  SELECT k, CAST(sl9 - k * lk9 AS DOUBLE)
+      |    / CAST(k - 1 AS DOUBLE) / 1e9 AS h
+      |  FROM a)
+      |SELECT k AS k_top,
+      |  CAST(round(h * 1e6) AS BIGINT) AS hill_fp6,
+      |  CAST(round(1e6 / h) AS BIGINT) AS alpha_fp6
+      |FROM h""".stripMargin
 }

@@ -1910,6 +1910,152 @@ object Embeddings {
           lit(1e6)).cast("long"))
   }
 
+  /** q231: leading principal component of the embedding covariance via
+    * power iteration — the spectral complement to q191 (pairwise dim
+    * correlation) and q211 (anisotropy): the top eigenvector IS the
+    * anisotropy direction, and its eigenvalue share is the number
+    * whitening decisions read. Over the same 16-dim leading block as
+    * q191: one corpus pass builds exact integer Gram/mean sums, the
+    * covariance is quantized to fp12 integers (sf-independent magnitude),
+    * and FIVE normalized matvec rounds + a Rayleigh ratio run entirely
+    * on the 16×16 grid — all integer/identically-mirrored arithmetic, so
+    * the oracle replays every round bit-for-bit. Convergence to a true
+    * eigenpair is the spec's job (StatGatesSpec bounds the residual
+    * ‖Mv − λv‖/‖Mv‖); the GATE certifies the distributed iteration.
+    *
+    * Scale: the corpus is touched exactly once (the Gram aggregate, one
+    * shuffle of dim²/2 partial cells per task); each iteration is a
+    * 256-row join — iteration cost independent of corpus size, the
+    * standard distributed-PCA shape (matvec on aggregated moments, never
+    * on rows).
+    */
+  def q231PowerIteration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val nd = 16
+    val v = vectors(spark, dir)
+    val q = v.select((0 until nd).map(i =>
+      round(element_at(col("vec"), i + 1).cast("double") * lit(1e6))
+        .cast("long").as(s"q$i")): _*)
+    val pairStructs = for { i <- 0 until nd; j <- i until nd } yield
+      struct(lit(i.toLong).as("i"), lit(j.toLong).as("j"),
+        (col(s"q$i").cast(DecimalType(38, 0)) * col(s"q$j")).as("p"))
+    val sums = q.select(explode(array(pairStructs: _*)).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"))
+    val si = q
+      .select(posexplode(array((0 until nd).map(i => col(s"q$i")): _*))
+        .as(Seq("i", "qi")))
+      .select(col("i").cast("long").as("i"), col("qi"))
+      .groupBy(col("i")).agg(sum(col("qi")).as("s"))
+      .localCheckpoint() // 16 rows, feeds both sides of the M build
+    val mUpper = sums
+      .join(broadcast(si.select(col("i"), col("s").as("s_i"))), Seq("i"))
+      .join(broadcast(si.select(col("i").as("j"), col("s").as("s_j"))),
+        Seq("j"))
+      .select(col("i"), col("j"),
+        round((col("sp").cast("double") -
+          col("s_i").cast("double") * col("s_j").cast("double") /
+            col("n").cast("double")) / col("n").cast("double"))
+          .cast("long").as("m"))
+    val m = mUpper
+      .union(mUpper.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("m")))
+      .localCheckpoint() // the 256-cell operator; 4 matvecs reuse it
+    val v0 = spark.range(nd.toLong)
+      .select(col("id").as("j"), lit(250000000L).as("v9"))
+    def matvec(vv: DataFrame): DataFrame =
+      m.join(vv, Seq("j")).groupBy(col("i"))
+        .agg(sum(col("m").cast(DecimalType(38, 0)) * col("v9")).as("w"))
+    def normalize(w: DataFrame): DataFrame = {
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      val w9 = w.crossJoin(broadcast(mx))
+        .select(col("i"),
+          round(col("w").cast("double") / col("mx").cast("double") *
+            lit(1e9)).cast("long").as("w9"))
+      val n2 = w9
+        .agg(sum(col("w9").cast(DecimalType(38, 0)) * col("w9")).as("n2"))
+      w9.crossJoin(broadcast(n2))
+        .select(col("i").as("j"),
+          round(col("w9").cast("double") / sqrt(col("n2").cast("double")) *
+            lit(1e9)).cast("long").as("v9"))
+    }
+    val vFin = (1 to 5).foldLeft(v0)((vv, _) => normalize(matvec(vv)))
+      .localCheckpoint()
+    val wNext = matvec(vFin)
+    val kRow = vFin.orderBy(abs(col("v9")).desc, col("j")).limit(1)
+      .select(col("j").as("kdim"), col("v9").as("vk"))
+    val lam = wNext.crossJoin(broadcast(kRow))
+      .filter(col("i") === col("kdim"))
+      .select(round(col("w").cast("double") / col("vk").cast("double"))
+        .cast("long").as("lam_fp12"))
+    vFin.crossJoin(broadcast(lam))
+      .select(col("j").as("dim"), col("v9").as("loading_fp9"),
+        col("lam_fp12"))
+  }
+
+  val q231PowerIterationSql: String = {
+    val qList = (1 to 16)
+      .map(i => s"CAST(round(e[$i] * 1e6) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    // MATERIALIZED everywhere a CTE is consumed more than once: DuckDB's
+    // default CTE inlining would otherwise re-expand the corpus scan into
+    // every one of the six matvec rounds (measured: fd exhaustion at
+    // sf0.01 — the q201 pathology, same fix)
+    def round_(r: Int, prev: String): String =
+      s"""w$r AS MATERIALIZED (
+         |  SELECT mm.i, SUM(CAST(mm.m AS HUGEINT) * $prev.v9) AS w
+         |  FROM mm JOIN $prev ON mm.j = $prev.j GROUP BY 1),
+         |x$r AS (SELECT MAX(ABS(w)) AS mx FROM w$r),
+         |u$r AS MATERIALIZED (
+         |  SELECT i, CAST(round(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE)
+         |    * 1e9) AS BIGINT) AS w9
+         |  FROM w$r, x$r),
+         |n$r AS (SELECT SUM(CAST(w9 AS HUGEINT) * w9) AS n2 FROM u$r),
+         |v$r AS MATERIALIZED (
+         |  SELECT i AS j, CAST(round(CAST(w9 AS DOUBLE)
+         |    / sqrt(CAST(n2 AS DOUBLE)) * 1e9) AS BIGINT) AS v9
+         |  FROM u$r, n$r)""".stripMargin
+    s"""WITH qv AS MATERIALIZED (
+       |  SELECT $qList AS q
+       |  FROM (SELECT embedding::DOUBLE[] AS e FROM embeddings)),
+       |pairs AS (
+       |  SELECT a.i, b.j, COUNT(*) AS n,
+       |    SUM(CAST(q[a.i + 1] AS HUGEINT) * q[b.j + 1]) AS sp
+       |  FROM qv, range(16) a(i), range(16) b(j)
+       |  WHERE a.i <= b.j GROUP BY 1, 2),
+       |sv AS (
+       |  SELECT a.i, CAST(SUM(q[a.i + 1]) AS BIGINT) AS s
+       |  FROM qv, range(16) a(i) GROUP BY 1),
+       |mu AS (
+       |  SELECT p.i, p.j,
+       |    CAST(round((CAST(p.sp AS DOUBLE)
+       |      - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE)
+       |        / CAST(p.n AS DOUBLE)) / CAST(p.n AS DOUBLE)) AS BIGINT) AS m
+       |  FROM pairs p JOIN sv si ON si.i = p.i JOIN sv sj ON sj.i = p.j),
+       |mm AS MATERIALIZED (
+       |  SELECT i, j, m FROM mu
+       |  UNION ALL SELECT j AS i, i AS j, m FROM mu WHERE i <> j),
+       |v0 AS (SELECT r.j, CAST(250000000 AS BIGINT) AS v9 FROM range(16) r(j)),
+       |${round_(1, "v0")},
+       |${round_(2, "v1")},
+       |${round_(3, "v2")},
+       |${round_(4, "v3")},
+       |${round_(5, "v4")},
+       |w6 AS (
+       |  SELECT mm.i, SUM(CAST(mm.m AS HUGEINT) * v5.v9) AS w
+       |  FROM mm JOIN v5 ON mm.j = v5.j GROUP BY 1),
+       |kk AS (
+       |  SELECT j AS kdim, v9 AS vk FROM v5
+       |  ORDER BY ABS(v9) DESC, j LIMIT 1),
+       |lam AS (
+       |  SELECT CAST(round(CAST(w6.w AS DOUBLE) / CAST(kk.vk AS DOUBLE))
+       |    AS BIGINT) AS lam_fp12
+       |  FROM w6, kk WHERE w6.i = kk.kdim)
+       |SELECT v5.j AS dim, v5.v9 AS loading_fp9, lam.lam_fp12
+       |FROM v5, lam""".stripMargin
+  }
+
   val q222ConformalSql: String =
     """WITH expl AS (
       |  SELECT vec_id, CAST(label AS BIGINT) AS label,

@@ -716,7 +716,9 @@ object MonitorQueries {
           sum(col("n_b")).over(wAll).cast("double")).cast("long"))
   }
 
-  val q221CalibrationEceSql: String =
+  /** Shared CTE chain for q221/q229: reliability grid `g` with per-bin
+    * counts, confidence, accuracy, and gap. */
+  private val q221GridSql: String =
     """WITH d0 AS (SELECT MIN(ts::DATE) AS d0 FROM events),
       |base AS (
       |  SELECT user_id,
@@ -742,7 +744,10 @@ object MonitorQueries {
       |    CAST(round(abs(CAST(so AS DOUBLE) / CAST(n_b AS DOUBLE)
       |      - CAST(sp9 AS DOUBLE) / CAST(n_b AS DOUBLE) / 1e9) * 1e6)
       |      AS BIGINT) AS gap_fp6
-      |  FROM b)
+      |  FROM b)""".stripMargin
+
+  val q221CalibrationEceSql: String =
+    s"""$q221GridSql
       |SELECT bin, n_b, conf_fp6, acc_fp6, gap_fp6,
       |  CAST(round(CAST(SUM(n_b * gap_fp6) OVER () AS DOUBLE)
       |    / CAST(SUM(n_b) OVER () AS DOUBLE)) AS BIGINT) AS ece_fp6
@@ -922,4 +927,133 @@ object MonitorQueries {
        |  WHERE rk = 1)
        |SELECT w.event_type, w.n_days, w.sax, t.motif, t.motif_n
        |FROM words w LEFT JOIN top t ON w.event_type = t.event_type""".stripMargin
+
+  /** q229: isotonic (monotone non-decreasing) calibration of the q221
+    * reliability bins, via the MINIMAX identity
+    * iso(i) = max_{j≤i} min_{k≥i} mean(y over bins j..k) — the closed
+    * form of the pool-adjacent-violators fit (PAVA), evaluated by brute
+    * force over all (j,k) intervals of the ≤10-bin grid. StatGatesSpec
+    * proves the identity by running ACTUAL exact-rational PAVA against
+    * this output. Interval means are ratios of exact prefix-sum integers,
+    * so both engines see identical doubles.
+    *
+    * Scale: everything after q221's user-level aggregate is grid-sized —
+    * the interval enumeration is bins³ ≈ 1000 rows of arithmetic. This
+    * is how monotone calibrators (Zadrozny–Elkan) are fitted to binned
+    * model scores at any corpus size.
+    */
+  def q229Isotonic(spark: SparkSession, dir: String): DataFrame = {
+    val bins = q221CalibrationEce(spark, dir)
+      .select(col("bin"), col("n_b"), col("acc_fp6"))
+      .localCheckpoint() // ≤10 rows, feeds the interval grid three ways
+    // interval sums via a small self-join: for (j,k) sum bins in range
+    val sums = bins.select(col("bin"), col("n_b"),
+        (col("acc_fp6") * col("n_b")).as("y6w"))
+      .crossJoin(bins.select(col("bin").as("j")))
+      .crossJoin(bins.select(col("bin").as("k")))
+      .filter(col("j") <= col("k") && col("bin") >= col("j") &&
+        col("bin") <= col("k"))
+      .groupBy(col("j"), col("k"))
+      .agg(sum(col("n_b")).as("nw"), sum(col("y6w")).as("yw"))
+      .select(col("j"), col("k"),
+        (col("yw").cast("double") / col("nw").cast("double")).as("avg6"))
+    val inner = bins.select(col("bin"))
+      .join(sums, col("j") <= col("bin") && col("k") >= col("bin"))
+      .groupBy(col("bin"), col("j")).agg(min(col("avg6")).as("mn"))
+    val iso = inner.groupBy(col("bin")).agg(max(col("mn")).as("iso6d"))
+    bins.join(iso, Seq("bin"))
+      .select(col("bin"), col("n_b"), col("acc_fp6"),
+        round(col("iso6d")).cast("long").as("iso_fp6"))
+  }
+
+  val q229IsotonicSql: String =
+    s"""$q221GridSql,
+       |bins AS (SELECT bin, n_b, acc_fp6 FROM g),
+       |sums AS (
+       |  SELECT j.bin AS j, k.bin AS k,
+       |    CAST(SUM(b.acc_fp6 * b.n_b) AS DOUBLE)
+       |      / CAST(SUM(b.n_b) AS DOUBLE) AS avg6
+       |  FROM bins b, bins j, bins k
+       |  WHERE j.bin <= k.bin AND b.bin >= j.bin AND b.bin <= k.bin
+       |  GROUP BY 1, 2),
+       |inner_ AS (
+       |  SELECT i.bin, s.j, MIN(s.avg6) AS mn
+       |  FROM bins i JOIN sums s ON s.j <= i.bin AND s.k >= i.bin
+       |  GROUP BY 1, 2),
+       |iso AS (SELECT bin, MAX(mn) AS iso6d FROM inner_ GROUP BY 1)
+       |SELECT b.bin, b.n_b, b.acc_fp6,
+       |  CAST(round(i.iso6d) AS BIGINT) AS iso_fp6
+       |FROM bins b JOIN iso i ON b.bin = i.bin""".stripMargin
+
+  /** q230: ROC AUC of the q221 predictor on the evaluation split,
+    * computed tie-correctly from the SCORE HISTOGRAM: per distinct
+    * fp9 score, (positives, negatives); doubled Mann–Whitney
+    * U₂ = Σ_s n1_s·(2·cumN0_below + n0_s) keeps the ½-tie term exact in
+    * integers, and AUC = U₂/(2·N1·N0). The corpus never gets a global
+    * rank — the one ordered step is a window over the ≤users-sized
+    * distinct-score grid (the q153/q166 bounded-histogram discipline,
+    * exactly what q174's full ranking had to shard to avoid).
+    */
+  def q230Auc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val minDay = e.agg(min(to_date(col("ts"))).as("d0"))
+    val base = e.crossJoin(broadcast(minDay))
+      .select(col("user_id"),
+        (datediff(to_date(col("ts")), col("d0")) >= 14).as("post"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("o"))
+    val pred = base.filter(!col("post"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_h"), sum(col("o")).as("k_h"))
+      .select(col("user_id"),
+        round(lit(1e9) * (col("k_h") + 1).cast("double") /
+          (col("n_h") + 5).cast("double")).cast("long").as("p9"))
+    val hist = base.filter(col("post")).join(pred, "user_id")
+      .groupBy(col("p9"))
+      .agg(sum(col("o")).as("n1"), sum(lit(1L) - col("o")).as("n0"))
+    val wOrd = Window.orderBy(col("p9"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u2 = hist
+      .withColumn("cum0", sum(col("n0")).over(wOrd) - col("n0"))
+      .select((col("n1") * (lit(2L) * col("cum0") + col("n0"))).as("t"),
+        col("n1"), col("n0"))
+      .agg(sum(col("t")).as("u2"), sum(col("n1")).as("nn1"),
+        sum(col("n0")).as("nn0"))
+    u2.select(col("nn1").as("n_pos"), col("nn0").as("n_neg"),
+      round(lit(1e6) * col("u2").cast("double") /
+        (lit(2.0) * col("nn1").cast("double") * col("nn0").cast("double")))
+        .cast("long").as("auc_fp6"))
+  }
+
+  val q230AucSql: String =
+    """WITH d0 AS (SELECT MIN(ts::DATE) AS d0 FROM events),
+      |base AS (
+      |  SELECT user_id,
+      |    date_diff('day', d0.d0, ts::DATE) >= 14 AS post,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS o
+      |  FROM events, d0),
+      |p AS (
+      |  SELECT user_id,
+      |    CAST(round(1e9 * CAST(SUM(o) + 1 AS DOUBLE)
+      |      / CAST(COUNT(*) + 5 AS DOUBLE)) AS BIGINT) AS p9
+      |  FROM base WHERE NOT post GROUP BY 1),
+      |h AS (
+      |  SELECT p.p9, CAST(SUM(base.o) AS BIGINT) AS n1,
+      |    CAST(SUM(1 - base.o) AS BIGINT) AS n0
+      |  FROM base JOIN p ON base.user_id = p.user_id
+      |  WHERE base.post GROUP BY 1),
+      |c AS (
+      |  SELECT p9, n1, n0,
+      |    CAST(SUM(n0) OVER (ORDER BY p9 ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) - n0 AS BIGINT) AS cum0
+      |  FROM h),
+      |u AS (
+      |  SELECT CAST(SUM(n1 * (2 * cum0 + n0)) AS BIGINT) AS u2,
+      |    CAST(SUM(n1) AS BIGINT) AS nn1, CAST(SUM(n0) AS BIGINT) AS nn0
+      |  FROM c)
+      |SELECT nn1 AS n_pos, nn0 AS n_neg,
+      |  CAST(round(1e6 * CAST(u2 AS DOUBLE)
+      |    / (2.0 * CAST(nn1 AS DOUBLE) * CAST(nn0 AS DOUBLE))) AS BIGINT)
+      |    AS auc_fp6
+      |FROM u""".stripMargin
 }

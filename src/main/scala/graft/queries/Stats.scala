@@ -944,4 +944,77 @@ object Stats {
       |  CAST(round(CAST(SUM(n_x * dm_fp6) OVER () AS DOUBLE)
       |    / CAST(SUM(n_x) OVER () AS DOUBLE)) AS BIGINT) AS ate_fp6
       |FROM d""".stripMargin
+
+  /** q232: delete-one-group jackknife standard error of the mean purchase
+    * value, grouped by user (the unit of dependence — events of one user
+    * are correlated, so the i.i.d. bootstrap under-covers; the grouped
+    * jackknife is the standard fix). Each leave-user-out estimate
+    * θ₍ᵤ₎ = (S − s_u)/(N − n_u) comes from exact integer totals, is
+    * fp6-rounded (order-free), and the variance of the G pseudo-values
+    * uses exact Decimal(38,0) moment sums; SE = √((G−1)/G · Var).
+    *
+    * Scale: one corpus aggregate to per-user (s_u, n_u) + one scalar
+    * total broadcast back — the θ₍ᵤ₎ table is users-sized and never
+    * re-touches the corpus. Contrast with q201's Poisson bootstrap
+    * (row-level replicates): same inference goal, G-fold cheaper.
+    */
+  def q232Jackknife(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        round(col("value") * lit(1e6)).cast("long").as("v6"))
+    val perUser = p.groupBy(col("user_id"))
+      .agg(sum(col("v6")).as("s_u"), count(lit(1)).as("n_u"))
+    val tot = perUser.agg(sum(col("s_u")).as("ss"), sum(col("n_u")).as("nn"),
+      count(lit(1)).as("gg"))
+    val theta6 = round((col("ss") - col("s_u")).cast("double") /
+      (col("nn") - col("n_u")).cast("double")).cast("long")
+    val pseudo = perUser.crossJoin(broadcast(tot))
+      .select(col("ss"), col("nn"), col("gg"), theta6.as("t6"))
+    pseudo.groupBy(col("gg"))
+      .agg(max(col("ss")).as("ss"), max(col("nn")).as("nn"),
+        sum(col("t6").cast(DecimalType(38, 0))).as("s1"),
+        sum(col("t6").cast(DecimalType(38, 0)) *
+          col("t6").cast(DecimalType(38, 0))).as("s2"))
+      .select(col("gg").as("n_groups"), col("nn").as("n_events"),
+        round(col("ss").cast("double") / col("nn").cast("double"))
+          .cast("long").as("theta_fp6"),
+        round(sqrt(
+          (col("gg").cast(DecimalType(38, 0)) * col("s2") -
+            col("s1") * col("s1")).cast("double") /
+          (col("gg").cast("double") * col("gg").cast("double")) *
+          ((col("gg").cast("double") - 1.0) / col("gg").cast("double"))))
+          .cast("long").as("jk_se_fp6"))
+  }
+
+  val q232JackknifeSql: String =
+    """WITH p AS (
+      |  SELECT user_id, CAST(round(value * 1e6) AS BIGINT) AS v6
+      |  FROM events WHERE event_type = 'purchase'),
+      |u AS (
+      |  SELECT user_id, CAST(SUM(v6) AS BIGINT) AS s_u, COUNT(*) AS n_u
+      |  FROM p GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(SUM(s_u) AS BIGINT) AS ss, CAST(SUM(n_u) AS BIGINT) AS nn,
+      |    COUNT(*) AS gg
+      |  FROM u),
+      |ps AS (
+      |  SELECT t.ss, t.nn, t.gg,
+      |    CAST(round(CAST(t.ss - u.s_u AS DOUBLE)
+      |      / CAST(t.nn - u.n_u AS DOUBLE)) AS BIGINT) AS t6
+      |  FROM u, t),
+      |m AS (
+      |  SELECT gg, MAX(ss) AS ss, MAX(nn) AS nn,
+      |    SUM(CAST(t6 AS HUGEINT)) AS s1,
+      |    SUM(CAST(t6 AS HUGEINT) * CAST(t6 AS HUGEINT)) AS s2
+      |  FROM ps GROUP BY 1)
+      |SELECT gg AS n_groups, nn AS n_events,
+      |  CAST(round(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) AS BIGINT)
+      |    AS theta_fp6,
+      |  CAST(round(sqrt(
+      |    CAST(gg * s2 - s1 * s1 AS DOUBLE)
+      |    / (CAST(gg AS DOUBLE) * CAST(gg AS DOUBLE))
+      |    * ((CAST(gg AS DOUBLE) - 1.0) / CAST(gg AS DOUBLE))))
+      |    AS BIGINT) AS jk_se_fp6
+      |FROM m""".stripMargin
 }

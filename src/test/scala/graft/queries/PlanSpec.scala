@@ -804,4 +804,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       p.take(2000))
   }
+
+  test("q230: AUC ranks the score HISTOGRAM, never the event corpus") {
+    val p = planOf(MonitorQueries.q230Auc(spark, sf))
+    // exactly one Window (over the distinct-score grid); the corpus path
+    // must reach it only through aggregates
+    assert("(?s)Window".r.findAllIn(p).size >= 1, p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "predictor join degraded to a corpus shuffle")
+  }
+
+  test("q233: Hill top-k is a partial heap; no global sort of documents") {
+    val p = planOf(AuditQueries.q233Hill(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
 }

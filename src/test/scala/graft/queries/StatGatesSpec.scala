@@ -667,6 +667,161 @@ class StatGatesSpec extends SparkSpec {
     assert(r.getAs[Long]("within_fp9") === parts.map(_._2).sum)
   }
 
+  test("q229: minimax isotonic fit equals an exact-rational PAVA") {
+    val bins = MonitorQueries.q221CalibrationEce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("acc_fp6"))).sortBy(_._1)
+    // pool-adjacent-violators with exact rational pooling: pooled blocks
+    // of (Σ acc·n, Σ n); violation compared by BigInt cross-multiplication
+    var blocks = List.empty[(BigInt, BigInt, Int)] // (num, den, size)
+    bins.foreach { case (_, n, acc) =>
+      var cur = (BigInt(acc) * n, BigInt(n), 1)
+      while (blocks.nonEmpty &&
+          blocks.head._1 * cur._2 >= cur._1 * blocks.head._2) {
+        val h = blocks.head
+        blocks = blocks.tail
+        cur = (h._1 + cur._1, h._2 + cur._2, h._3 + cur._3)
+      }
+      blocks = cur :: blocks
+    }
+    val fitted = blocks.reverse.flatMap { case (num, den, size) =>
+      // the block mean as the engines compute it: double(Σ acc·n)/double(Σ n)
+      List.fill(size)(num.toDouble / den.toDouble)
+    }
+    val got = MonitorQueries.q229Isotonic(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("iso_fp6")))
+      .sortBy(_._1)
+    assert(got.length === fitted.length)
+    got.zip(fitted).foreach { case ((bin, iso), exp) =>
+      assert(iso === math.round(exp), s"isotonic value at bin $bin")
+    }
+    // and the defining property: the fit is non-decreasing
+    assert(got.map(_._2).sliding(2).forall(p =>
+      p.length < 2 || p(0) <= p(1)))
+  }
+
+  test("q230: AUC matches a plain-Scala tie-corrected pair count") {
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getString(2)))
+    val d0 = rows.map(_._2).min
+    def dayOf(d: java.time.LocalDate) =
+      java.time.temporal.ChronoUnit.DAYS.between(d0, d)
+    val p9 = rows.filter(r => dayOf(r._2) < 14).groupBy(_._1).map {
+      case (u, g) =>
+        val k = g.count(_._3 == "purchase")
+        u -> math.round(1e9 * (k + 1).toDouble / (g.length + 5).toDouble)
+    }
+    val scored = rows.filter(r => dayOf(r._2) >= 14).flatMap(r =>
+      p9.get(r._1).map(p => (p, r._3 == "purchase")))
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    // literal pairwise AUC: wins + half-ties over all pos×neg pairs
+    var u2 = BigInt(0)
+    pos.foreach { sp =>
+      neg.foreach { sn =>
+        if (sp > sn) u2 += 2 else if (sp == sn) u2 += 1
+      }
+    }
+    val expected = math.round(1e6 * u2.toDouble /
+      (2.0 * pos.length.toDouble * neg.length.toDouble))
+    val r = MonitorQueries.q230Auc(spark, sf).collect().head
+    assert(r.getAs[Long]("n_pos") === pos.length.toLong)
+    assert(r.getAs[Long]("n_neg") === neg.length.toLong)
+    assert(r.getAs[Long]("auc_fp6") === expected)
+  }
+
+  test("q231: distributed power iteration matches a plain-Scala replica " +
+      "and lands on a true eigenpair") {
+    val nd = 16
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).take(nd)
+        .map(f => math.round(f.toDouble * 1e6)).toArray)
+    val n = vecs.length
+    val s = Array.tabulate(nd)(i => vecs.map(v => BigInt(v(i))).sum)
+    val mM = Array.tabulate(nd, nd) { (i, j) =>
+      val sp = vecs.map(v => BigInt(v(i)) * v(j)).sum
+      math.round((sp.toDouble - s(i).toDouble * s(j).toDouble / n.toDouble) /
+        n.toDouble)
+    }
+    def matvec(v9: Array[Long]): Array[BigInt] =
+      Array.tabulate(nd)(i =>
+        (0 until nd).map(j => BigInt(mM(i)(j)) * v9(j)).sum)
+    def normalize(w: Array[BigInt]): Array[Long] = {
+      val mx = w.map(_.abs).max
+      val w9 = w.map(x => math.round(x.toDouble / mx.toDouble * 1e9))
+      val n2 = w9.map(x => BigInt(x) * x).sum
+      w9.map(x => math.round(x.toDouble / math.sqrt(n2.toDouble) * 1e9))
+    }
+    var v9 = Array.fill(nd)(250000000L)
+    for (_ <- 1 to 5) v9 = normalize(matvec(v9))
+    val w4 = matvec(v9)
+    val k = (0 until nd).minBy(i => (-math.abs(v9(i)), i))
+    val lam = math.round(w4(k).toDouble / v9(k).toDouble)
+    val got = Embeddings.q231PowerIteration(spark, sf).collect()
+      .map(r => (r.getAs[Long]("dim"), r.getAs[Long]("loading_fp9"),
+        r.getAs[Long]("lam_fp12"))).sortBy(_._1)
+    assert(got.length === nd)
+    got.foreach { case (d, l9, lf) =>
+      assert(l9 === v9(d.toInt), s"loading at dim $d")
+      assert(lf === lam)
+    }
+    // eigenpair quality: after 5 rounds the residual ‖Mv − λv‖ must be
+    // small relative to ‖Mv‖ (power iteration converges geometrically in
+    // the spectral gap — measured per-round contraction ≈0.53 on this
+    // corpus, so 5 rounds land ≈0.04; 10% covers a slower gap without
+    // accepting garbage)
+    val mv = matvec(v9).map(_.toDouble)
+    val res = math.sqrt((0 until nd).map { i =>
+      val r = mv(i) - lam.toDouble * v9(i); r * r
+    }.sum)
+    val norm = math.sqrt(mv.map(x => x * x).sum)
+    assert(res / norm < 0.1, s"residual ratio ${res / norm}")
+  }
+
+  test("q232: grouped jackknife SE matches a plain-Scala re-derivation") {
+    val rows = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
+    val ss = rows.map(_._2).sum
+    val nn = rows.length.toLong
+    val groups = rows.groupBy(_._1).values.toSeq
+    val g = groups.length
+    val t6 = groups.map { grp =>
+      val su = grp.map(_._2).sum
+      math.round((ss - su).toDouble / (nn - grp.length).toDouble)
+    }
+    val s1 = t6.map(BigInt(_)).sum
+    val s2 = t6.map(x => BigInt(x) * x).sum
+    val se = math.round(math.sqrt(
+      (BigInt(g) * s2 - s1 * s1).toDouble / (g.toDouble * g.toDouble) *
+        ((g.toDouble - 1.0) / g.toDouble)))
+    val r = Stats.q232Jackknife(spark, sf).collect().head
+    assert(r.getAs[Long]("n_groups") === g.toLong)
+    assert(r.getAs[Long]("n_events") === nn)
+    assert(r.getAs[Long]("theta_fp6") ===
+      math.round(ss.toDouble / nn.toDouble))
+    assert(r.getAs[Long]("jk_se_fp6") === se)
+  }
+
+  test("q233: Hill tail index matches a plain-Scala order-statistic sum") {
+    val xs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(_._2 > 0)
+    val top = xs.sortBy { case (id, x) => (-x, id) }.take(200)
+    val l9 = top.map(t => math.round(math.log(t._2.toDouble) * 1e9))
+    val k = l9.length
+    val h = (l9.map(BigInt(_)).sum - BigInt(k) * l9.min).toDouble /
+      (k - 1).toDouble / 1e9
+    val r = AuditQueries.q233Hill(spark, sf).collect().head
+    assert(r.getAs[Long]("k_top") === k.toLong)
+    assert(r.getAs[Long]("hill_fp6") === math.round(h * 1e6))
+    assert(r.getAs[Long]("alpha_fp6") === math.round(1e6 / h))
+  }
+
   test("q224: weighted-sample keys and top-100 match a plain-Scala A-Res") {
     def hex8(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
