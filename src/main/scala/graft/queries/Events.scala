@@ -1371,4 +1371,126 @@ object Events {
       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |    AS DOUBLE) / 1e9)) AS BIGINT) AS surv_fp6
       |FROM t""".stripMargin
+
+  /** q235: weekly cohort retention matrix — users grouped by the week of
+    * their first event; cell (c, k) = fraction of cohort c active in week
+    * k ≥ c. THE product-analytics table (every growth dashboard's
+    * triangle); also the curve that decides how much history a training
+    * snapshot must keep. Two aggregates: per-user first week, then
+    * distinct (user, week) activity joined back to the cohort — both
+    * partition on user_id; the output is a weeks² triangle.
+    */
+  def q235Retention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val minDay = e.agg(min(to_date(col("ts"))).as("d0"))
+    val uw = e.crossJoin(broadcast(minDay))
+      .select(col("user_id"),
+        (datediff(to_date(col("ts")), col("d0")) / 7)
+          .cast("long").as("wk"))
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("c"))
+    val sizes = cohort.groupBy(col("c")).agg(count(lit(1)).as("n_cohort"))
+    val active = uw.distinct()
+      .join(cohort, Seq("user_id"))
+      .groupBy(col("c"), col("wk")).agg(count(lit(1)).as("n_active"))
+    active.join(broadcast(sizes), Seq("c"))
+      .select(col("c").as("cohort_week"), col("wk").as("week"),
+        col("n_active"), col("n_cohort"),
+        round(lit(1e6) * col("n_active").cast("double") /
+          col("n_cohort").cast("double")).cast("long").as("rate_fp6"))
+  }
+
+  val q235RetentionSql: String =
+    """WITH d0 AS (SELECT MIN(ts::DATE) AS d0 FROM events),
+      |uw AS (
+      |  SELECT user_id,
+      |    CAST(date_diff('day', d0.d0, ts::DATE) // 7 AS BIGINT) AS wk
+      |  FROM events, d0),
+      |c AS (SELECT user_id, MIN(wk) AS c FROM uw GROUP BY 1),
+      |s AS (SELECT c, COUNT(*) AS n_cohort FROM c GROUP BY 1),
+      |a AS (
+      |  SELECT c.c, u.wk, COUNT(*) AS n_active
+      |  FROM (SELECT DISTINCT user_id, wk FROM uw) u
+      |  JOIN c ON u.user_id = c.user_id
+      |  GROUP BY 1, 2)
+      |SELECT a.c AS cohort_week, a.wk AS week, a.n_active, s.n_cohort,
+      |  CAST(round(1e6 * CAST(a.n_active AS DOUBLE)
+      |    / CAST(s.n_cohort AS DOUBLE)) AS BIGINT) AS rate_fp6
+      |FROM a JOIN s ON a.c = s.c""".stripMargin
+
+  /** q236: entropy rate of the per-user event-type Markov chain —
+    * H₁ = H(Xₜ₊₁ | Xₜ) from first-order transition counts vs the
+    * zeroth-order H₀ = H(X); the gap (and ratio) measures how much
+    * sequential structure event streams carry — the signal that decides
+    * whether session context is worth modeling. Transitions come from a
+    * per-user lag window (partitioned by user_id — parallelism scales
+    * with users); both entropies fold the types×types grid with
+    * fp9-rounded ln terms (exact integer sums, order-free).
+    */
+  def q236MarkovEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("b"))
+      .withColumn("a", lag(col("b"), 1).over(w))
+      .filter(col("a").isNotNull)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // types² grid; feeds both entropy branches
+    val tot = trans.agg(sum(col("c")).as("n"))
+    // H1 = Σ_a (n_a/N) Σ_b −p(b|a)·ln p(b|a): per-cell term fp9-rounded
+    val rowTot = trans.groupBy(col("a")).agg(sum(col("c")).as("n_a"))
+    val pba = col("c").cast("double") / col("n_a").cast("double")
+    val h1 = trans.join(broadcast(rowTot), Seq("a"))
+      .select(col("a"), col("n_a"),
+        round(-pba * log(pba) * lit(1e9)).cast("long").as("t9"))
+      .groupBy(col("a")).agg(max(col("n_a")).as("n_a"),
+        sum(col("t9")).as("h_a9"))
+      .crossJoin(broadcast(tot))
+      .select(round(col("n_a").cast("double") / col("n").cast("double") *
+        col("h_a9").cast("double")).cast("long").as("w9"))
+      .agg(sum(col("w9")).as("h1_9"))
+    val colTot = trans.groupBy(col("b")).agg(sum(col("c")).as("n_b"))
+    val pb = col("n_b").cast("double") / col("n").cast("double")
+    val h0 = colTot.crossJoin(broadcast(tot))
+      .select(round(-pb * log(pb) * lit(1e9)).cast("long").as("t9"))
+      .agg(sum(col("t9")).as("h0_9"))
+    h1.crossJoin(h0).crossJoin(tot)
+      .select(col("n").as("n_transitions"),
+        col("h0_9").as("h0_fp9"), col("h1_9").as("h1_fp9"),
+        round(lit(1e6) * col("h1_9").cast("double") /
+          col("h0_9").cast("double")).cast("long").as("ratio_fp6"))
+  }
+
+  val q236MarkovEntropySql: String =
+    """WITH seq AS (
+      |  SELECT lag(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS a,
+      |    event_type AS b
+      |  FROM events),
+      |t AS (
+      |  SELECT a, b, COUNT(*) AS c FROM seq WHERE a IS NOT NULL
+      |  GROUP BY 1, 2),
+      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM t),
+      |ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS n_a FROM t GROUP BY 1),
+      |h1a AS (
+      |  SELECT t.a, MAX(ra.n_a) AS n_a,
+      |    CAST(SUM(CAST(round(-(CAST(t.c AS DOUBLE) / CAST(ra.n_a AS DOUBLE))
+      |      * ln(CAST(t.c AS DOUBLE) / CAST(ra.n_a AS DOUBLE)) * 1e9)
+      |      AS BIGINT)) AS BIGINT) AS h_a9
+      |  FROM t JOIN ra ON t.a = ra.a GROUP BY 1),
+      |h1 AS (
+      |  SELECT CAST(SUM(CAST(round(CAST(n_a AS DOUBLE) / CAST(n.n AS DOUBLE)
+      |    * CAST(h_a9 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS h1_9
+      |  FROM h1a, n),
+      |cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS n_b FROM t GROUP BY 1),
+      |h0 AS (
+      |  SELECT CAST(SUM(CAST(round(-(CAST(n_b AS DOUBLE) / CAST(n.n AS DOUBLE))
+      |    * ln(CAST(n_b AS DOUBLE) / CAST(n.n AS DOUBLE)) * 1e9)
+      |    AS BIGINT)) AS BIGINT) AS h0_9
+      |  FROM cb, n)
+      |SELECT n.n AS n_transitions, h0.h0_9 AS h0_fp9, h1.h1_9 AS h1_fp9,
+      |  CAST(round(1e6 * CAST(h1.h1_9 AS DOUBLE) / CAST(h0.h0_9 AS DOUBLE))
+      |    AS BIGINT) AS ratio_fp6
+      |FROM h1, h0, n""".stripMargin
 }

@@ -1025,6 +1025,122 @@ object MonitorQueries {
         .cast("long").as("auc_fp6"))
   }
 
+  /** q234: simple exponential smoothing (α = 0.3) of each event type's
+    * daily-count series — the next-day forecast l_T and the one-step-
+    * ahead MAE, the pair a capacity monitor alarms on. The recursion
+    * l_t = α·y_t + (1−α)·l_{t−1} is UNROLLED into its closed weighted
+    * sum l_t = Σ_j α(1−α)^{t−j} y_j + (1−α)^t·y_0 over the observed
+    * per-type series (index-based, gap-free via a grid row_number), so
+    * the sequential dependence becomes one grid self-join: weights are
+    * fp12-quantized per lag, levels are exact Decimal sums, and one-step
+    * errors |y·10¹² − l12| are exact integer arithmetic on both engines.
+    *
+    * Scale: the corpus collapses to the types×days grid first; the
+    * unrolled join is grid², still types×days²-sized — the standard way
+    * to de-sequentialize smoothing for a parallel engine (segmented-scan
+    * at larger horizons).
+    */
+  def q234Ses(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.events(spark, dir)
+    val minDay = e.agg(min(to_date(col("ts"))).as("d0"))
+    val daily = e.crossJoin(broadcast(minDay))
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), col("d0")).cast("long").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("r", (row_number().over(Window
+        .partitionBy(col("event_type")).orderBy(col("d"))) - 1)
+        .cast("long"))
+      .localCheckpoint() // types×days grid; feeds init, pairs, and errors
+    val wTail = round(lit(0.3) *
+      pow(lit(0.7), (col("r") - col("rj")).cast("double")) * lit(1e12))
+      .cast("long")
+    val tails = daily.select(col("event_type"), col("r"))
+      .join(daily.select(col("event_type"), col("r").as("rj"),
+        col("y").as("yj")), Seq("event_type"))
+      .filter(col("rj") >= 1 && col("rj") <= col("r"))
+      .select(col("event_type"), col("r"),
+        (wTail.cast(DecimalType(38, 0)) * col("yj")).as("term"))
+      .groupBy(col("event_type"), col("r")).agg(sum(col("term")).as("sj"))
+    val init = daily.filter(col("r") === 0)
+      .select(col("event_type"), col("y").as("y0"))
+    val wInit = round(pow(lit(0.7), col("r").cast("double")) * lit(1e12))
+      .cast("long")
+    val l = daily.select(col("event_type"), col("r"))
+      .join(tails, Seq("event_type", "r"), "left")
+      .join(broadcast(init), Seq("event_type"))
+      .select(col("event_type"), col("r"),
+        (coalesce(col("sj"), lit(0).cast(DecimalType(38, 0))) +
+          wInit.cast(DecimalType(38, 0)) * col("y0")).as("l12"))
+      .localCheckpoint() // level table: forecast + error branches
+    val nDays = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), max(col("r")).as("rmax"))
+    val fc = l.join(nDays, l("event_type") === nDays("event_type") &&
+        l("r") === nDays("rmax"))
+      .select(l("event_type"), col("n_days"),
+        round(col("l12").cast("double") / lit(1e6)).cast("long")
+          .as("forecast_fp6"))
+    val er = daily.select(col("event_type"), col("r"), col("y"))
+      .join(l.select(col("event_type"), (col("r") + 1).as("r"),
+        col("l12").as("lp12")), Seq("event_type", "r"))
+      .select(col("event_type"),
+        abs(col("y").cast(DecimalType(38, 0)) * lit(1e12).cast("long") -
+          col("lp12")).as("ae"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("ae")).as("se"), count(lit(1)).as("ne"))
+    fc.join(er, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("forecast_fp6"),
+        round(col("se").cast("double") / col("ne").cast("double") /
+          lit(1e6)).cast("long").as("mae_fp6"))
+  }
+
+  val q234SesSql: String =
+    """WITH d0 AS (SELECT MIN(ts::DATE) AS d0 FROM events),
+      |daily AS MATERIALIZED (
+      |  SELECT event_type, d, y,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) - 1
+      |      AS BIGINT) AS r
+      |  FROM (
+      |    SELECT event_type,
+      |      CAST(date_diff('day', d0.d0, ts::DATE) AS BIGINT) AS d,
+      |      COUNT(*) AS y
+      |    FROM events, d0 GROUP BY 1, 2)),
+      |tails AS (
+      |  SELECT t.event_type, t.r,
+      |    SUM(CAST(round(0.3 * pow(0.7, CAST(t.r - j.r AS DOUBLE)) * 1e12)
+      |      AS BIGINT) * CAST(j.y AS HUGEINT)) AS sj
+      |  FROM daily t JOIN daily j ON j.event_type = t.event_type
+      |    AND j.r >= 1 AND j.r <= t.r
+      |  GROUP BY 1, 2),
+      |l AS MATERIALIZED (
+      |  SELECT t.event_type, t.r,
+      |    COALESCE(s.sj, 0) + CAST(round(pow(0.7, CAST(t.r AS DOUBLE))
+      |      * 1e12) AS BIGINT) * CAST(i.y AS HUGEINT) AS l12
+      |  FROM daily t
+      |  LEFT JOIN tails s ON s.event_type = t.event_type AND s.r = t.r
+      |  JOIN (SELECT event_type, y FROM daily WHERE r = 0) i
+      |    ON i.event_type = t.event_type),
+      |f AS (
+      |  SELECT event_type, COUNT(*) AS n_days, MAX(r) AS rmax
+      |  FROM daily GROUP BY 1),
+      |fc AS (
+      |  SELECT l.event_type, f.n_days,
+      |    CAST(round(CAST(l.l12 AS DOUBLE) / 1e6) AS BIGINT)
+      |      AS forecast_fp6
+      |  FROM l JOIN f ON l.event_type = f.event_type AND l.r = f.rmax),
+      |er AS (
+      |  SELECT y.event_type,
+      |    SUM(ABS(CAST(y.y AS HUGEINT) * 1000000000000 - lp.l12)) AS se,
+      |    COUNT(*) AS ne
+      |  FROM daily y JOIN l lp ON lp.event_type = y.event_type
+      |    AND lp.r = y.r - 1
+      |  GROUP BY 1)
+      |SELECT fc.event_type, fc.n_days, fc.forecast_fp6,
+      |  CAST(round(CAST(er.se AS DOUBLE) / CAST(er.ne AS DOUBLE) / 1e6)
+      |    AS BIGINT) AS mae_fp6
+      |FROM fc JOIN er ON fc.event_type = er.event_type""".stripMargin
+
   val q230AucSql: String =
     """WITH d0 AS (SELECT MIN(ts::DATE) AS d0 FROM events),
       |base AS (

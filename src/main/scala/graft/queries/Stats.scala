@@ -987,6 +987,143 @@ object Stats {
           .cast("long").as("jk_se_fp6"))
   }
 
+  /** q237: CUPED variance reduction (Deng et al. 2013) for the A/B
+    * comparison of mean purchase value: each user's PRE-period (first 14
+    * days) mean is the covariate X, the post-period mean is the metric Y;
+    * θ = cov(X,Y)/var(X) is fitted on the pooled user grid (exact
+    * Decimal moments over fp6-rounded per-user means — the q219 centered-
+    * moment discipline), and the adjusted metric Y′ = Y − θ(X − X̄) is
+    * fp6-rounded per user before the treated/control means and the
+    * variance-ratio — so every cross-user reduction is exact-integer.
+    * Reports the unadjusted and CUPED deltas plus var(Y′)/var(Y), the
+    * number that says how much experiment runtime the covariate buys.
+    *
+    * Scale: two corpus aggregates to the per-user grid (partitioned by
+    * user_id), then users-sized arithmetic; θ and X̄ broadcast back as
+    * 1-row grids. No corpus re-touch, no window.
+    */
+  def q237Cuped(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val minDay = e.agg(min(to_date(col("ts"))).as("d0"))
+    val base = e.filter(col("event_type") === "purchase")
+      .crossJoin(broadcast(minDay))
+      .select(col("user_id"),
+        (datediff(to_date(col("ts")), col("d0")) >= 14).as("post"),
+        round(col("value") * lit(1e6)).cast("long").as("v6"))
+    val perUser = base.groupBy(col("user_id")).agg(
+        sum(when(!col("post"), col("v6")).otherwise(0L)).as("s_pre"),
+        sum(when(!col("post"), 1L).otherwise(0L)).as("n_pre"),
+        sum(when(col("post"), col("v6")).otherwise(0L)).as("s_post"),
+        sum(when(col("post"), 1L).otherwise(0L)).as("n_post"))
+      .filter(col("n_pre") > 0 && col("n_post") > 0)
+      .select(col("user_id"), (col("user_id") % 2 === 1).as("t"),
+        round(col("s_pre").cast("double") / col("n_pre").cast("double"))
+          .cast("long").as("x6"),
+        round(col("s_post").cast("double") / col("n_post").cast("double"))
+          .cast("long").as("y6"))
+      .localCheckpoint() // users-sized grid; feeds θ fit + adjustment
+    def d38(c: Column) = c.cast(DecimalType(38, 0))
+    val mom = perUser.agg(count(lit(1)).as("n"),
+      sum(d38(col("x6"))).as("sx"), sum(d38(col("y6"))).as("sy"),
+      sum(d38(col("x6")) * d38(col("x6"))).as("sxx"),
+      sum(d38(col("x6")) * d38(col("y6"))).as("sxy"))
+    val nDec = col("n").cast(DecimalType(38, 0))
+    val theta = (nDec * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (nDec * col("sxx") - col("sx") * col("sx")).cast("double")
+    val thetaDf = mom.select(col("n"), theta.as("th"),
+      (col("sx").cast("double") / col("n").cast("double")).as("mx"))
+    val adj = perUser.crossJoin(broadcast(thetaDf))
+      .select(col("t"), col("y6"), col("n"), col("th"),
+        round(col("y6").cast("double") - col("th") *
+          (col("x6").cast("double") - col("mx"))).cast("long").as("a6"))
+    adj.groupBy(col("n"), col("th")).agg(
+        sum(when(col("t"), col("y6")).otherwise(0L)).as("syt"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("nt"),
+        sum(when(!col("t"), col("y6")).otherwise(0L)).as("syc"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("nc"),
+        sum(when(col("t"), col("a6")).otherwise(0L)).as("sat"),
+        sum(when(!col("t"), col("a6")).otherwise(0L)).as("sac"),
+        sum(d38(col("y6"))).as("sy"),
+        sum(d38(col("y6")) * d38(col("y6"))).as("syy"),
+        sum(d38(col("a6"))).as("sa"),
+        sum(d38(col("a6")) * d38(col("a6"))).as("saa"))
+      .select(col("n").as("n_users"),
+        round(col("th") * lit(1e6)).cast("long").as("theta_fp6"),
+        round(col("syt").cast("double") / col("nt").cast("double") -
+          col("syc").cast("double") / col("nc").cast("double"))
+          .cast("long").as("dm_raw_fp6"),
+        round(col("sat").cast("double") / col("nt").cast("double") -
+          col("sac").cast("double") / col("nc").cast("double"))
+          .cast("long").as("dm_cuped_fp6"),
+        round(lit(1e6) *
+          (col("n").cast(DecimalType(38, 0)) * col("saa") -
+            col("sa") * col("sa")).cast("double") /
+          (col("n").cast(DecimalType(38, 0)) * col("syy") -
+            col("sy") * col("sy")).cast("double"))
+          .cast("long").as("vr_fp6"))
+  }
+
+  val q237CupedSql: String =
+    """WITH d0 AS (SELECT MIN(ts::DATE) AS d0 FROM events),
+      |base AS (
+      |  SELECT user_id,
+      |    date_diff('day', d0.d0, ts::DATE) >= 14 AS post,
+      |    CAST(round(value * 1e6) AS BIGINT) AS v6
+      |  FROM events, d0 WHERE event_type = 'purchase'),
+      |pu AS (
+      |  SELECT user_id, user_id % 2 = 1 AS t,
+      |    CAST(round(CAST(SUM(CASE WHEN NOT post THEN v6 ELSE 0 END)
+      |        AS DOUBLE)
+      |      / CAST(SUM(CASE WHEN NOT post THEN 1 ELSE 0 END) AS DOUBLE))
+      |      AS BIGINT) AS x6,
+      |    CAST(round(CAST(SUM(CASE WHEN post THEN v6 ELSE 0 END) AS DOUBLE)
+      |      / CAST(SUM(CASE WHEN post THEN 1 ELSE 0 END) AS DOUBLE))
+      |      AS BIGINT) AS y6
+      |  FROM base GROUP BY 1
+      |  HAVING SUM(CASE WHEN NOT post THEN 1 ELSE 0 END) > 0
+      |    AND SUM(CASE WHEN post THEN 1 ELSE 0 END) > 0),
+      |mom AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(CAST(x6 AS HUGEINT)) AS sx, SUM(CAST(y6 AS HUGEINT)) AS sy,
+      |    SUM(CAST(x6 AS HUGEINT) * CAST(x6 AS HUGEINT)) AS sxx,
+      |    SUM(CAST(x6 AS HUGEINT) * CAST(y6 AS HUGEINT)) AS sxy
+      |  FROM pu),
+      |th AS (
+      |  SELECT n,
+      |    CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / CAST(n * sxx - sx * sx AS DOUBLE) AS th,
+      |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx
+      |  FROM mom),
+      |adj AS (
+      |  SELECT pu.t, pu.y6, th.n, th.th,
+      |    CAST(round(CAST(pu.y6 AS DOUBLE)
+      |      - th.th * (CAST(pu.x6 AS DOUBLE) - th.mx)) AS BIGINT) AS a6
+      |  FROM pu, th),
+      |agg AS (
+      |  SELECT n, th,
+      |    CAST(SUM(CASE WHEN t THEN y6 ELSE 0 END) AS BIGINT) AS syt,
+      |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+      |    CAST(SUM(CASE WHEN NOT t THEN y6 ELSE 0 END) AS BIGINT) AS syc,
+      |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+      |    CAST(SUM(CASE WHEN t THEN a6 ELSE 0 END) AS BIGINT) AS sat,
+      |    CAST(SUM(CASE WHEN NOT t THEN a6 ELSE 0 END) AS BIGINT) AS sac,
+      |    SUM(CAST(y6 AS HUGEINT)) AS sy,
+      |    SUM(CAST(y6 AS HUGEINT) * CAST(y6 AS HUGEINT)) AS syy,
+      |    SUM(CAST(a6 AS HUGEINT)) AS sa,
+      |    SUM(CAST(a6 AS HUGEINT) * CAST(a6 AS HUGEINT)) AS saa
+      |  FROM adj GROUP BY 1, 2)
+      |SELECT n AS n_users,
+      |  CAST(round(th * 1e6) AS BIGINT) AS theta_fp6,
+      |  CAST(round(CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+      |    - CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE)) AS BIGINT)
+      |    AS dm_raw_fp6,
+      |  CAST(round(CAST(sat AS DOUBLE) / CAST(nt AS DOUBLE)
+      |    - CAST(sac AS DOUBLE) / CAST(nc AS DOUBLE)) AS BIGINT)
+      |    AS dm_cuped_fp6,
+      |  CAST(round(1e6 * CAST(n * saa - sa * sa AS DOUBLE)
+      |    / CAST(n * syy - sy * sy AS DOUBLE)) AS BIGINT) AS vr_fp6
+      |FROM agg""".stripMargin
+
   val q232JackknifeSql: String =
     """WITH p AS (
       |  SELECT user_id, CAST(round(value * 1e6) AS BIGINT) AS v6

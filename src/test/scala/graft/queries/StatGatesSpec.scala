@@ -822,6 +822,149 @@ class StatGatesSpec extends SparkSpec {
     assert(r.getAs[Long]("alpha_fp6") === math.round(1e6 / h))
   }
 
+  test("q234: unrolled SES equals the literal recursion l = ay + (1-a)l") {
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    val d0 = rows.map(_._2).min
+    val got = MonitorQueries.q234Ses(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    rows.groupBy(_._1).foreach { case (et, g) =>
+      val ys = g.groupBy(r =>
+          java.time.temporal.ChronoUnit.DAYS.between(d0, r._2))
+        .toSeq.sortBy(_._1).map(_._2.length.toLong)
+      // the engine's closed form, replayed EXACTLY (fp12 weights, exact
+      // integer sums) — then ALSO sanity-bounded against the literal
+      // double recursion below
+      def l12(t: Int): BigInt =
+        (1 to t).map(j => BigInt(math.round(
+          0.3 * math.pow(0.7, (t - j).toDouble) * 1e12)) * ys(j)).sum +
+          BigInt(math.round(math.pow(0.7, t.toDouble) * 1e12)) * ys(0)
+      val last = ys.length - 1
+      val r = got(et)
+      assert(r.getAs[Long]("n_days") === ys.length.toLong)
+      assert(r.getAs[Long]("forecast_fp6") ===
+        math.round(l12(last).toDouble / 1e6))
+      val se = (1 to last).map(t =>
+        (BigInt(ys(t)) * BigInt(1000000000000L) - l12(t - 1)).abs).sum
+      assert(r.getAs[Long]("mae_fp6") ===
+        math.round(se.toDouble / last.toDouble / 1e6))
+      // literal recursion cross-check: the unrolled fixed-point level
+      // tracks the pure-double recursion to within quantization noise
+      var lev = ys(0).toDouble
+      (1 to last).foreach(t => lev = 0.3 * ys(t) + 0.7 * lev)
+      assert(math.abs(r.getAs[Long]("forecast_fp6") / 1e6 - lev) < 1e-4,
+        s"unrolled level diverges from the recursion for $et")
+    }
+  }
+
+  test("q235: retention triangle matches a plain-Scala cohort count") {
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val d0 = rows.map(_._2).min
+    val uw = rows.map(r => (r._1,
+      java.time.temporal.ChronoUnit.DAYS.between(d0, r._2) / 7)).distinct
+    val cohort = uw.groupBy(_._1).map { case (u, g) => u -> g.map(_._2).min }
+    val sizes = cohort.values.groupBy(identity).map(kv => kv._1 -> kv._2.size)
+    val cells = uw.groupBy { case (u, wk) => (cohort(u), wk) }
+      .map { case (k, g) => k -> g.size }
+    val got = Events.q235Retention(spark, sf).collect()
+    assert(got.length === cells.size)
+    got.foreach { r =>
+      val key = (r.getAs[Long]("cohort_week"), r.getAs[Long]("week"))
+      assert(r.getAs[Long]("n_active") === cells(key).toLong)
+      assert(r.getAs[Long]("n_cohort") === sizes(key._1).toLong)
+      assert(r.getAs[Long]("rate_fp6") === math.round(
+        1e6 * cells(key).toDouble / sizes(key._1).toDouble))
+    }
+  }
+
+  test("q236: entropy rate matches plain-Scala transition counts " +
+      "and is bounded by H0") {
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(1).getNanos, r.getLong(2), r.getString(3)))
+    val trans = rows.groupBy(_._1).values.flatMap { g =>
+      val s = g.sortBy(r => (r._2, r._3, r._4)).map(_._5)
+      s.zip(s.drop(1))
+    }.toSeq
+    val n = trans.length.toLong
+    val byA = trans.groupBy(_._1)
+    val h1 = byA.values.map { g =>
+      val na = g.length
+      val ha9 = g.groupBy(_._2).values.map { cell =>
+        val p = cell.length.toDouble / na.toDouble
+        math.round(-p * math.log(p) * 1e9)
+      }.sum
+      math.round(na.toDouble / n.toDouble * ha9.toDouble)
+    }.sum
+    val h0 = trans.groupBy(_._2).values.map { g =>
+      val p = g.length.toDouble / n.toDouble
+      math.round(-p * math.log(p) * 1e9)
+    }.sum
+    val r = Events.q236MarkovEntropy(spark, sf).collect().head
+    assert(r.getAs[Long]("n_transitions") === n)
+    assert(r.getAs[Long]("h0_fp9") === h0)
+    assert(r.getAs[Long]("h1_fp9") === h1)
+    assert(r.getAs[Long]("ratio_fp6") ===
+      math.round(1e6 * h1.toDouble / h0.toDouble))
+    // conditioning can only reduce entropy (up to quantization noise)
+    assert(h1 <= h0 + 1000L)
+  }
+
+  test("q237: CUPED delta and variance ratio match a plain-Scala replica") {
+    val rows = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        math.round(r.getDouble(2) * 1e6)))
+    val d0 = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day")).collect()
+      .map(_.getDate(0).toLocalDate).min
+    def post(d: java.time.LocalDate) =
+      java.time.temporal.ChronoUnit.DAYS.between(d0, d) >= 14
+    val pu = rows.groupBy(_._1).flatMap { case (u, g) =>
+      val pre = g.filterNot(r => post(r._2)).map(_._3)
+      val pos = g.filter(r => post(r._2)).map(_._3)
+      if (pre.isEmpty || pos.isEmpty) None
+      else Some((u % 2 == 1,
+        math.round(pre.sum.toDouble / pre.length.toDouble),
+        math.round(pos.sum.toDouble / pos.length.toDouble)))
+    }.toSeq
+    val n = pu.length
+    val sx = pu.map(p => BigInt(p._2)).sum
+    val sy = pu.map(p => BigInt(p._3)).sum
+    val sxx = pu.map(p => BigInt(p._2) * p._2).sum
+    val sxy = pu.map(p => BigInt(p._2) * p._3).sum
+    val th = (BigInt(n) * sxy - sx * sy).toDouble /
+      (BigInt(n) * sxx - sx * sx).toDouble
+    val mx = sx.toDouble / n.toDouble
+    val adj = pu.map(p => (p._1, p._3,
+      math.round(p._3.toDouble - th * (p._2.toDouble - mx))))
+    def mean(xs: Seq[Long]) = xs.sum.toDouble / xs.length.toDouble
+    val dmRaw = math.round(mean(adj.filter(_._1).map(_._2)) -
+      mean(adj.filterNot(_._1).map(_._2)))
+    val dmCuped = math.round(mean(adj.filter(_._1).map(_._3)) -
+      mean(adj.filterNot(_._1).map(_._3)))
+    def m2(xs: Seq[Long]): Double = {
+      val s1 = xs.map(BigInt(_)).sum
+      val s2 = xs.map(x => BigInt(x) * x).sum
+      (BigInt(xs.length) * s2 - s1 * s1).toDouble
+    }
+    val vr = math.round(1e6 * m2(adj.map(_._3)) / m2(adj.map(_._2)))
+    val r = Stats.q237Cuped(spark, sf).collect().head
+    assert(r.getAs[Long]("n_users") === n.toLong)
+    assert(r.getAs[Long]("theta_fp6") === math.round(th * 1e6))
+    assert(r.getAs[Long]("dm_raw_fp6") === dmRaw)
+    assert(r.getAs[Long]("dm_cuped_fp6") === dmCuped)
+    assert(r.getAs[Long]("vr_fp6") === vr)
+    // θ is the pooled OLS minimizer, so var(Y′) ≤ var(Y) in exact
+    // arithmetic; 100 fp6-units of headroom covers the a6 rounding
+    assert(r.getAs[Long]("vr_fp6") <= 1000100L)
+  }
+
   test("q224: weighted-sample keys and top-100 match a plain-Scala A-Res") {
     def hex8(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
