@@ -1924,10 +1924,14 @@ object Embeddings {
     * ‖Mv − λv‖/‖Mv‖); the GATE certifies the distributed iteration.
     *
     * Scale: the corpus is touched exactly once (the Gram aggregate, one
-    * shuffle of dim²/2 partial cells per task); each iteration is a
-    * 256-row join — iteration cost independent of corpus size, the
-    * standard distributed-PCA shape (matvec on aggregated moments, never
-    * on rows).
+    * shuffle of dim²/2 partial cells per task); the iteration then runs
+    * on the driver over the collected moment grid — the standard
+    * distributed-PCA split (matvec on aggregated moments, never on rows;
+    * MLlib's computePrincipalComponents does the same), with the collect
+    * bounded at dim·(dim+1)/2 = 136 longs by the fixed-dim contract. An
+    * earlier in-plan iteration was a semantic identity but re-derived
+    * the grid lineage per round — a 3⁵ tiny-job blowup, 49 s at sf0.1
+    * vs ~1 s for this form.
     */
   def q231PowerIteration(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -1958,40 +1962,34 @@ object Embeddings {
           col("s_i").cast("double") * col("s_j").cast("double") /
             col("n").cast("double")) / col("n").cast("double"))
           .cast("long").as("m"))
-    val m = mUpper
-      .union(mUpper.filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("m")))
-      .localCheckpoint() // the 256-cell operator; 4 matvecs reuse it
-    val v0 = spark.range(nd.toLong)
-      .select(col("id").as("j"), lit(250000000L).as("v9"))
-    def matvec(vv: DataFrame): DataFrame =
-      m.join(vv, Seq("j")).groupBy(col("i"))
-        .agg(sum(col("m").cast(DecimalType(38, 0)) * col("v9")).as("w"))
-    def normalize(w: DataFrame): DataFrame = {
-      val mx = w.agg(max(abs(col("w"))).as("mx"))
-      val w9 = w.crossJoin(broadcast(mx))
-        .select(col("i"),
-          round(col("w").cast("double") / col("mx").cast("double") *
-            lit(1e9)).cast("long").as("w9"))
-      val n2 = w9
-        .agg(sum(col("w9").cast(DecimalType(38, 0)) * col("w9")).as("n2"))
-      w9.crossJoin(broadcast(n2))
-        .select(col("i").as("j"),
-          round(col("w9").cast("double") / sqrt(col("n2").cast("double")) *
-            lit(1e9)).cast("long").as("v9"))
+    // Driver-BOUNDED collect (the MLlib computePrincipalComponents
+    // discipline: Gram/moment sums aggregate distributed, the k×k eigen
+    // solve runs on the driver): exactly dim·(dim+1)/2 = 136 longs by the
+    // operator's fixed-dim contract, corpus-size-independent. An earlier
+    // in-plan iteration was a semantic identity but re-derived the grid
+    // lineage per round — 3^5 tiny-job blowup, 49 s at sf0.1 vs ~1 s here.
+    val cells = mUpper.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val mM = Array.tabulate(nd, nd) { (i, j) =>
+      cells.getOrElse((math.min(i, j).toLong, math.max(i, j).toLong), 0L)
     }
-    val vFin = (1 to 5).foldLeft(v0)((vv, _) => normalize(matvec(vv)))
-      .localCheckpoint()
-    val wNext = matvec(vFin)
-    val kRow = vFin.orderBy(abs(col("v9")).desc, col("j")).limit(1)
-      .select(col("j").as("kdim"), col("v9").as("vk"))
-    val lam = wNext.crossJoin(broadcast(kRow))
-      .filter(col("i") === col("kdim"))
-      .select(round(col("w").cast("double") / col("vk").cast("double"))
-        .cast("long").as("lam_fp12"))
-    vFin.crossJoin(broadcast(lam))
-      .select(col("j").as("dim"), col("v9").as("loading_fp9"),
-        col("lam_fp12"))
+    def matvec(v9: Array[Long]): Array[BigInt] =
+      Array.tabulate(nd)(i =>
+        (0 until nd).map(j => BigInt(mM(i)(j)) * v9(j)).sum)
+    def normalize(w: Array[BigInt]): Array[Long] = {
+      val mx = w.map(_.abs).max
+      val w9 = w.map(x => math.round(x.toDouble / mx.toDouble * 1e9))
+      val n2 = w9.map(x => BigInt(x) * x).sum
+      w9.map(x => math.round(x.toDouble / math.sqrt(n2.toDouble) * 1e9))
+    }
+    var v9 = Array.fill(nd)(250000000L)
+    for (_ <- 1 to 5) v9 = normalize(matvec(v9))
+    val wNext = matvec(v9)
+    val k = (0 until nd).minBy(i => (-math.abs(v9(i)), i))
+    val lam = math.round(wNext(k).toDouble / v9(k).toDouble)
+    import spark.implicits._
+    (0 until nd).map(i => (i.toLong, v9(i), lam))
+      .toDF("dim", "loading_fp9", "lam_fp12")
   }
 
   val q231PowerIterationSql: String = {
