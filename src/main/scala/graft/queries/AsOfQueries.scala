@@ -107,6 +107,109 @@ object AsOfQueries {
       |SELECT p_id, user_id, COALESCE(n_views, 0) AS n_views
       |FROM p LEFT JOIN m USING (p_id)""".stripMargin
 
+  /** q241: matched-control ATT estimate — each TREATED order (urgent/
+    * high priority) is matched to the nearest CONTROL order by order
+    * date within its customer's market segment (exact match on the
+    * discrete confounder, nearest-neighbor on the continuous one — the
+    * caliper-free 1-NN matching design), and the effect is the mean
+    * treated-minus-matched-control price difference. Nearest-absolute is
+    * built from TWO passes of the as-of machinery ([[AsOf.joinPrior]]):
+    * backward on day, forward as backward on the negated day, then the
+    * closer candidate wins (backward on distance ties). Ties at equal
+    * day resolve to the max order key inside joinPrior's ordering —
+    * deterministic on both engines.
+    *
+    * Scale: the as-of union/window shape — one exchange per side on
+    * (segment), a single merge-ordered window, no pair explosion; the
+    * classic alternative (cross join + argmin) is quadratic per
+    * segment. At 100 TB the per-segment ordering shards exactly like
+    * the q174 family (ShardedOrder), noted in AsOf's scaladoc.
+    */
+  def q241MatchedAtt(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val base = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_orderkey").as("k"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("t"),
+        datediff(to_date(col("o_orderdate")),
+          lit("1990-01-01").cast("date")).cast("long").as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("y"))
+      .localCheckpoint() // treated/control split feeds two as-of passes
+    val treated = base.filter(col("t") === 1)
+      .select(col("seg"), col("k"), col("day"), col("y"))
+    val controls = base.filter(col("t") === 0)
+      .select(col("seg"), col("k").as("ck"), col("day").as("cday"),
+        col("y").as("cy"))
+    val back = AsOf.joinPrior(treated, controls, Seq("seg"), "day", "cday",
+        rightTieBreak = Seq("ck"))
+      .select(col("seg"), col("k"), col("day"), col("y"),
+        col("asof.cday").as("bday"), col("asof.cy").as("by"))
+    val fwdT = treated.withColumn("nday", -col("day"))
+    val fwdC = controls.withColumn("ncday", -col("cday"))
+    val fwd = AsOf.joinPrior(fwdT, fwdC, Seq("seg"), "nday", "ncday",
+        rightTieBreak = Seq("ck"))
+      .select(col("seg").as("seg2"), col("k").as("k2"),
+        col("asof.cday").as("fday"), col("asof.cy").as("fy"))
+    val both = back.join(fwd, col("seg") === col("seg2") &&
+        col("k") === col("k2"))
+    val db = col("day") - col("bday")
+    val df_ = col("fday") - col("day")
+    val useB = col("bday").isNotNull &&
+      (col("fday").isNull || db <= df_)
+    val matched = both
+      .filter(col("bday").isNotNull || col("fday").isNotNull)
+      .select(col("seg"), col("y"),
+        when(useB, col("by")).otherwise(col("fy")).as("ym"))
+    matched.agg(count(lit(1)).as("n_matched"),
+        sum(col("y") - col("ym")).as("sd"))
+      .select(col("n_matched"),
+        round(lit(1e6) * col("sd").cast("double") /
+          col("n_matched").cast("double")).cast("long").as("att_fp6"))
+  }
+
+  val q241MatchedAttSql: String =
+    """WITH base AS (
+      |  SELECT c.c_mktsegment AS seg, o.o_orderkey AS k,
+      |    CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END AS t,
+      |    CAST(date_diff('day', DATE '1990-01-01', o.o_orderdate::DATE)
+      |      AS BIGINT) AS day,
+      |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |u AS (
+      |  SELECT seg, k, t, day, y,
+      |    last_value(CASE WHEN t = 0 THEN day END IGNORE NULLS)
+      |      OVER wb AS bday,
+      |    last_value(CASE WHEN t = 0 THEN y END IGNORE NULLS)
+      |      OVER wb AS by
+      |  FROM base
+      |  WINDOW wb AS (PARTITION BY seg
+      |    ORDER BY day, t, CASE WHEN t = 0 THEN k END
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |v AS (
+      |  SELECT seg, k, t, day, y, bday, by,
+      |    last_value(CASE WHEN t = 0 THEN day END IGNORE NULLS)
+      |      OVER wf AS fday,
+      |    last_value(CASE WHEN t = 0 THEN y END IGNORE NULLS)
+      |      OVER wf AS fy
+      |  FROM u
+      |  WINDOW wf AS (PARTITION BY seg
+      |    ORDER BY -day, t, CASE WHEN t = 0 THEN k END
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |m AS (
+      |  SELECT seg, y,
+      |    CASE WHEN bday IS NOT NULL
+      |      AND (fday IS NULL OR day - bday <= fday - day)
+      |      THEN by ELSE fy END AS ym
+      |  FROM v
+      |  WHERE t = 1 AND (bday IS NOT NULL OR fday IS NOT NULL))
+      |SELECT COUNT(*) AS n_matched,
+      |  CAST(round(1e6 * CAST(SUM(y - ym) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS att_fp6
+      |FROM m""".stripMargin
+
   val q31AsofJoinSql: String =
     """WITH e AS (
       |  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, event_type

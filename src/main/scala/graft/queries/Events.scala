@@ -1417,6 +1417,97 @@ object Events {
       |    / CAST(s.n_cohort AS DOUBLE)) AS BIGINT) AS rate_fp6
       |FROM a JOIN s ON a.c = s.c""".stripMargin
 
+  /** q239: strictly-ordered session conversion funnel over q15's 30-min
+    * sessions: within each session, stage 1 = a view, stage 2 = a click
+    * STRICTLY AFTER that view, stage 3 = a purchase strictly after that
+    * click (min-timestamp chaining, so "clicked before viewing" never
+    * counts — the constraint flat event counts can't express). Reports
+    * per-stage session counts and conversion rates.
+    *
+    * Scale: the session id is the q15 gap-sum window (user-partitioned —
+    * parallelism scales with users); the three stage aggregates and the
+    * two chaining joins all partition on (user, session). Timestamps
+    * compare in microseconds on both engines (the q31 truncation rule).
+    */
+  def q239SessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("ts"), col("event_id"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("sid",
+        sum(when(col("gap").isNull || col("gap") > 1800000000L, 1L)
+          .otherwise(0L)).over(w))
+      .select(col("user_id"), col("sid"), col("event_type"), col("us"))
+      .localCheckpoint() // session-tagged events feed all three stages
+    val t1 = sess.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("sid")).agg(min(col("us")).as("t1"))
+    val t2 = sess.filter(col("event_type") === "click")
+      .join(t1, Seq("user_id", "sid"))
+      .filter(col("us") > col("t1"))
+      .groupBy(col("user_id"), col("sid")).agg(min(col("us")).as("t2"))
+    val t3 = sess.filter(col("event_type") === "purchase")
+      .join(t2, Seq("user_id", "sid"))
+      .filter(col("us") > col("t2"))
+      .groupBy(col("user_id"), col("sid")).agg(min(col("us")).as("t3"))
+    sess.select(col("user_id"), col("sid")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+      .crossJoin(t1.agg(count(lit(1)).as("n_view")))
+      .crossJoin(t2.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(t3.agg(count(lit(1)).as("n_view_click_buy")))
+      .select(col("n_sessions"), col("n_view"), col("n_view_click"),
+        col("n_view_click_buy"),
+        round(lit(1e6) * col("n_view").cast("double") /
+          col("n_sessions").cast("double")).cast("long").as("r1_fp6"),
+        round(lit(1e6) * col("n_view_click").cast("double") /
+          col("n_view").cast("double")).cast("long").as("r12_fp6"),
+        round(lit(1e6) * col("n_view_click_buy").cast("double") /
+          col("n_view_click").cast("double")).cast("long").as("r23_fp6"))
+  }
+
+  val q239SessionFunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_us(date_trunc('microseconds', ts)) AS us
+      |  FROM events),
+      |g AS (
+      |  SELECT *, us - lag(us, 1) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id) AS gap
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, event_type, us,
+      |    SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id) AS sid
+      |  FROM g),
+      |t1 AS (
+      |  SELECT user_id, sid, MIN(us) AS t1 FROM s
+      |  WHERE event_type = 'view' GROUP BY 1, 2),
+      |t2 AS (
+      |  SELECT s.user_id, s.sid, MIN(s.us) AS t2
+      |  FROM s JOIN t1 ON s.user_id = t1.user_id AND s.sid = t1.sid
+      |  WHERE s.event_type = 'click' AND s.us > t1.t1 GROUP BY 1, 2),
+      |t3 AS (
+      |  SELECT s.user_id, s.sid, MIN(s.us) AS t3
+      |  FROM s JOIN t2 ON s.user_id = t2.user_id AND s.sid = t2.sid
+      |  WHERE s.event_type = 'purchase' AND s.us > t2.t2 GROUP BY 1, 2),
+      |c AS (
+      |  SELECT
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT user_id, sid FROM s))
+      |      AS n_sessions,
+      |    (SELECT COUNT(*) FROM t1) AS n_view,
+      |    (SELECT COUNT(*) FROM t2) AS n_view_click,
+      |    (SELECT COUNT(*) FROM t3) AS n_view_click_buy)
+      |SELECT n_sessions, n_view, n_view_click, n_view_click_buy,
+      |  CAST(round(1e6 * CAST(n_view AS DOUBLE)
+      |    / CAST(n_sessions AS DOUBLE)) AS BIGINT) AS r1_fp6,
+      |  CAST(round(1e6 * CAST(n_view_click AS DOUBLE)
+      |    / CAST(n_view AS DOUBLE)) AS BIGINT) AS r12_fp6,
+      |  CAST(round(1e6 * CAST(n_view_click_buy AS DOUBLE)
+      |    / CAST(n_view_click AS DOUBLE)) AS BIGINT) AS r23_fp6
+      |FROM c""".stripMargin
+
   /** q236: entropy rate of the per-user event-type Markov chain —
     * H₁ = H(Xₜ₊₁ | Xₜ) from first-order transition counts vs the
     * zeroth-order H₀ = H(X); the gap (and ratio) measures how much

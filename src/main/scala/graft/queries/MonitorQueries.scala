@@ -1025,6 +1025,89 @@ object MonitorQueries {
         .cast("long").as("auc_fp6"))
   }
 
+  /** q240: decile gains table of the q221 predictor — users ranked by
+    * predicted purchase propensity, cut into 10 equal-rank deciles; each
+    * row reports the decile's evaluation-split event/purchase counts,
+    * rate, and the CUMULATIVE lift over the overall rate (the marketing
+    * "if we only touch the top k/10 of users" curve — the thresholded
+    * companion to q230's threshold-free AUC).
+    *
+    * Scale: the rank window runs over the USERS grid, never the corpus
+    * (ShardedOrder.shardedRowNumber is the 100 TB path); eval events
+    * join the per-user decile by user_id; the gains arithmetic is a
+    * 10-row window.
+    */
+  def q240Gains(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val minDay = e.agg(min(to_date(col("ts"))).as("d0"))
+    val base = e.crossJoin(broadcast(minDay))
+      .select(col("user_id"),
+        (datediff(to_date(col("ts")), col("d0")) >= 14).as("post"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("o"))
+    val pred = base.filter(!col("post"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_h"), sum(col("o")).as("k_h"))
+      .select(col("user_id"),
+        round(lit(1e9) * (col("k_h") + 1).cast("double") /
+          (col("n_h") + 5).cast("double")).cast("long").as("p9"))
+    val nU = pred.agg(count(lit(1)).as("n_users"))
+    val ranked = pred
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("p9").desc, col("user_id"))).cast("long"))
+      .crossJoin(broadcast(nU))
+      .select(col("user_id"),
+        expr("((rk - 1) * 10) div n_users").as("decile"))
+    val cells = base.filter(col("post")).join(ranked, "user_id")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_events"), sum(col("o")).as("n_purch"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("ce", sum(col("n_events")).over(wCum))
+      .withColumn("cp", sum(col("n_purch")).over(wCum))
+      .withColumn("te", sum(col("n_events")).over(wAll))
+      .withColumn("tp", sum(col("n_purch")).over(wAll))
+      .select(col("decile"), col("n_events"), col("n_purch"),
+        round(lit(1e6) * col("n_purch").cast("double") /
+          col("n_events").cast("double")).cast("long").as("rate_fp6"),
+        round(lit(1e6) *
+          (col("cp").cast("double") / col("ce").cast("double")) /
+          (col("tp").cast("double") / col("te").cast("double")))
+          .cast("long").as("cum_lift_fp6"))
+  }
+
+  val q240GainsSql: String =
+    s"""$q221GridSql,
+      |nu AS (SELECT COUNT(*) AS n_users FROM p),
+      |rk AS (
+      |  SELECT user_id,
+      |    ((ROW_NUMBER() OVER (ORDER BY p9 DESC, user_id) - 1) * 10)
+      |      // nu.n_users AS decile
+      |  FROM p, nu),
+      |cells AS (
+      |  SELECT rk.decile, COUNT(*) AS n_events,
+      |    CAST(SUM(base.o) AS BIGINT) AS n_purch
+      |  FROM base JOIN rk ON base.user_id = rk.user_id
+      |  WHERE base.post GROUP BY 1),
+      |cum AS (
+      |  SELECT decile, n_events, n_purch,
+      |    CAST(SUM(n_events) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS BIGINT) AS ce,
+      |    CAST(SUM(n_purch) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cp,
+      |    CAST(SUM(n_events) OVER () AS BIGINT) AS te,
+      |    CAST(SUM(n_purch) OVER () AS BIGINT) AS tp
+      |  FROM cells)
+      |SELECT decile, n_events, n_purch,
+      |  CAST(round(1e6 * CAST(n_purch AS DOUBLE)
+      |    / CAST(n_events AS DOUBLE)) AS BIGINT) AS rate_fp6,
+      |  CAST(round(1e6 * (CAST(cp AS DOUBLE) / CAST(ce AS DOUBLE))
+      |    / (CAST(tp AS DOUBLE) / CAST(te AS DOUBLE))) AS BIGINT)
+      |    AS cum_lift_fp6
+      |FROM cum""".stripMargin
+
   /** q234: simple exponential smoothing (α = 0.3) of each event type's
     * daily-count series — the next-day forecast l_T and the one-step-
     * ahead MAE, the pair a capacity monitor alarms on. The recursion

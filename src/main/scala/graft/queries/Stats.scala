@@ -945,6 +945,79 @@ object Stats {
       |    / CAST(SUM(n_x) OVER () AS DOUBLE)) AS BIGINT) AS ate_fp6
       |FROM d""".stripMargin
 
+  /** q238: Cochran–Mantel–Haenszel pooled odds ratio across market-
+    * segment strata — treatment = urgent/high priority, outcome =
+    * finished order status. The CMH estimator Σ(aᵢdᵢ/nᵢ)/Σ(bᵢcᵢ/nᵢ)
+    * pools 2×2 tables WITHOUT assuming a common baseline rate — the
+    * stratified counterpart to q212's marginal χ² and the odds-scale
+    * sibling of q223's ATE. Per-stratum numerator/denominator terms are
+    * fp9-rounded (exact-integer cell counts in, integers out), so the
+    * cross-stratum sums are order-free; strata with an empty cell are
+    * excluded on both sides (the estimator is undefined there).
+    *
+    * Scale: one fact–dim join into a strata-sized 2×2 grid; everything
+    * after is arithmetic on ≤ strata rows.
+    */
+  def q238CmhOddsRatio(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir).select(col("o_custkey"),
+      when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+        .otherwise(0L).as("t"),
+      when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    def cell(t: Long, y: Long) =
+      sum(when(col("t") === t && col("y") === y, 1L).otherwise(0L))
+    val s = o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(cell(1, 1).as("a"), cell(1, 0).as("b"),
+        cell(0, 1).as("cc"), cell(0, 0).as("d"))
+      .filter(col("a") > 0 && col("b") > 0 && col("cc") > 0 && col("d") > 0)
+    val n = (col("a") + col("b") + col("cc") + col("d")).cast("double")
+    val num9 = round(lit(1e9) * col("a").cast("double") *
+      col("d").cast("double") / n).cast("long")
+    val den9 = round(lit(1e9) * col("b").cast("double") *
+      col("cc").cast("double") / n).cast("long")
+    val orS = round(lit(1e6) * col("a").cast("double") *
+      col("d").cast("double") /
+      (col("b").cast("double") * col("cc").cast("double"))).cast("long")
+    val wAll = Window.partitionBy()
+    s.select(col("c_mktsegment"), col("a"), col("b"), col("cc"), col("d"),
+        orS.as("or_fp6"), num9.as("n9"), den9.as("d9"))
+      .withColumn("cmh_or_fp6",
+        round(lit(1e6) * sum(col("n9")).over(wAll).cast("double") /
+          sum(col("d9")).over(wAll).cast("double")).cast("long"))
+      .drop("n9", "d9")
+  }
+
+  val q238CmhOddsRatioSql: String =
+    """WITH j AS (
+      |  SELECT c.c_mktsegment,
+      |    CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END AS t,
+      |    CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |s AS (
+      |  SELECT c_mktsegment,
+      |    CAST(SUM(CASE WHEN t = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN t = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(SUM(CASE WHEN t = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+      |    CAST(SUM(CASE WHEN t = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM j GROUP BY 1),
+      |f AS (
+      |  SELECT c_mktsegment, a, b, cc, d,
+      |    CAST(round(1e6 * CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+      |      / (CAST(b AS DOUBLE) * CAST(cc AS DOUBLE))) AS BIGINT) AS or_fp6,
+      |    CAST(round(1e9 * CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+      |      / CAST(a + b + cc + d AS DOUBLE)) AS BIGINT) AS n9,
+      |    CAST(round(1e9 * CAST(b AS DOUBLE) * CAST(cc AS DOUBLE)
+      |      / CAST(a + b + cc + d AS DOUBLE)) AS BIGINT) AS d9
+      |  FROM s WHERE a > 0 AND b > 0 AND cc > 0 AND d > 0)
+      |SELECT c_mktsegment, a, b, cc, d, or_fp6,
+      |  CAST(round(1e6 * CAST(SUM(n9) OVER () AS DOUBLE)
+      |    / CAST(SUM(d9) OVER () AS DOUBLE)) AS BIGINT) AS cmh_or_fp6
+      |FROM f""".stripMargin
+
   /** q232: delete-one-group jackknife standard error of the mean purchase
     * value, grouped by user (the unit of dependence — events of one user
     * are correlated, so the i.i.d. bootstrap under-covers; the grouped

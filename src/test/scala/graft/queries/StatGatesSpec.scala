@@ -965,6 +965,152 @@ class StatGatesSpec extends SparkSpec {
     assert(r.getAs[Long]("vr_fp6") <= 1000100L)
   }
 
+  test("q238: CMH pooled odds ratio matches a plain-Scala 2x2 pool") {
+    val seg = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderpriority"), col("o_orderstatus"))
+      .collect().map(r => (seg(r.getLong(0)),
+        Set("1-URGENT", "2-HIGH")(r.getString(1)),
+        r.getString(2) == "F"))
+    val tables = orders.groupBy(_._1).map { case (s, g) =>
+      s -> ((g.count(r => r._2 && r._3).toLong,
+        g.count(r => r._2 && !r._3).toLong,
+        g.count(r => !r._2 && r._3).toLong,
+        g.count(r => !r._2 && !r._3).toLong))
+    }.filter { case (_, (a, b, c, d)) => a > 0 && b > 0 && c > 0 && d > 0 }
+    def n9(a: Long, d: Long, n: Long) =
+      math.round(1e9 * a.toDouble * d.toDouble / n.toDouble)
+    val num = tables.values.map { case (a, b, c, d) => n9(a, d, a + b + c + d) }.sum
+    val den = tables.values.map { case (a, b, c, d) => n9(b, c, a + b + c + d) }.sum
+    val cmh = math.round(1e6 * num.toDouble / den.toDouble)
+    val got = Stats.q238CmhOddsRatio(spark, sf).collect()
+    assert(got.length === tables.size)
+    got.foreach { r =>
+      val (a, b, c, d) = tables(r.getAs[String]("c_mktsegment"))
+      assert((r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("cc"), r.getAs[Long]("d")) === ((a, b, c, d)))
+      assert(r.getAs[Long]("or_fp6") === math.round(
+        1e6 * a.toDouble * d.toDouble / (b.toDouble * c.toDouble)))
+      assert(r.getAs[Long]("cmh_or_fp6") === cmh)
+    }
+  }
+
+  test("q239: session funnel matches a plain-Scala strict-order chain") {
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map { r =>
+        val t = r.getTimestamp(1)
+        val us = t.getTime / 1000 * 1000000 + t.getNanos / 1000
+        (r.getLong(0), us, r.getLong(2), r.getString(3))
+      }
+    var nS = 0L; var n1 = 0L; var n2 = 0L; var n3 = 0L
+    rows.groupBy(_._1).values.foreach { g =>
+      val ordered = g.sortBy(r => (r._2, r._3))
+      var sessions = List.empty[List[(Long, String)]]
+      var prev = Long.MinValue
+      ordered.foreach { r =>
+        if (prev == Long.MinValue || r._2 - prev > 1800000000L)
+          sessions = List.empty[(Long, String)] :: sessions
+        sessions = ((r._2, r._4) :: sessions.head) :: sessions.tail
+        prev = r._2
+      }
+      sessions.map(_.reverse).foreach { s =>
+        nS += 1
+        val t1 = s.collectFirst { case (u, "view") => u }
+        t1.foreach { v =>
+          n1 += 1
+          val t2 = s.collectFirst { case (u, "click") if u > v => u }
+          t2.foreach { c =>
+            n2 += 1
+            if (s.exists { case (u, e) => e == "purchase" && u > c }) n3 += 1
+          }
+        }
+      }
+    }
+    val r = Events.q239SessionFunnel(spark, sf).collect().head
+    assert(r.getAs[Long]("n_sessions") === nS)
+    assert(r.getAs[Long]("n_view") === n1)
+    assert(r.getAs[Long]("n_view_click") === n2)
+    assert(r.getAs[Long]("n_view_click_buy") === n3)
+    assert(r.getAs[Long]("r12_fp6") ===
+      math.round(1e6 * n2.toDouble / n1.toDouble))
+  }
+
+  test("q240: gains deciles match a plain-Scala ranked split") {
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getString(2)))
+    val d0 = rows.map(_._2).min
+    def dayOf(d: java.time.LocalDate) =
+      java.time.temporal.ChronoUnit.DAYS.between(d0, d)
+    val p9 = rows.filter(r => dayOf(r._2) < 14).groupBy(_._1).map {
+      case (u, g) =>
+        val k = g.count(_._3 == "purchase")
+        u -> math.round(1e9 * (k + 1).toDouble / (g.length + 5).toDouble)
+    }
+    val nU = p9.size
+    val decile = p9.toSeq.sortBy { case (u, p) => (-p, u) }.zipWithIndex
+      .map { case ((u, _), i) => u -> i.toLong * 10 / nU }.toMap
+    val cellsRaw = rows.filter(r => dayOf(r._2) >= 14)
+      .flatMap(r => decile.get(r._1).map(d => (d, r._3 == "purchase")))
+    val cells = cellsRaw.groupBy(_._1).map { case (d, g) =>
+      d -> ((g.length.toLong, g.count(_._2).toLong))
+    }
+    val te = cells.values.map(_._1).sum
+    val tp = cells.values.map(_._2).sum
+    val got = MonitorQueries.q240Gains(spark, sf).collect()
+      .map(r => r.getAs[Long]("decile") -> r).toMap
+    assert(got.keySet === cells.keySet)
+    cells.foreach { case (d, (ne, np)) =>
+      val ds = cells.filter(_._1 <= d).values
+      val (ce, cp) = (ds.map(_._1).sum, ds.map(_._2).sum)
+      val r = got(d)
+      assert(r.getAs[Long]("n_events") === ne)
+      assert(r.getAs[Long]("n_purch") === np)
+      assert(r.getAs[Long]("rate_fp6") ===
+        math.round(1e6 * np.toDouble / ne.toDouble))
+      assert(r.getAs[Long]("cum_lift_fp6") === math.round(
+        1e6 * (cp.toDouble / ce.toDouble) / (tp.toDouble / te.toDouble)))
+    }
+  }
+
+  test("q241: matched ATT equals a brute-force nearest-control match") {
+    val seg = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("d"), col("o_totalprice"))
+      .collect().map(r => (seg(r.getLong(0)), r.getLong(1),
+        Set("1-URGENT", "2-HIGH")(r.getString(2)),
+        r.getDate(3).toLocalDate.toEpochDay, // vs 1990 epoch: same offsets
+        math.round(r.getDouble(4) * 100)))
+    val bySeg = orders.groupBy(_._1)
+    var n = 0L; var sd = BigInt(0)
+    bySeg.values.foreach { g =>
+      val controls = g.filterNot(_._3)
+      g.filter(_._3).foreach { t =>
+        // brute force: nearest |Δday|; ties backward first, then max key
+        if (controls.nonEmpty) {
+          val best = controls.minBy { c =>
+            val delta = math.abs(c._4 - t._4)
+            val back = if (c._4 <= t._4) 0 else 1
+            (delta, back, -c._2)
+          }
+          n += 1
+          sd += BigInt(t._5 - best._5)
+        }
+      }
+    }
+    val r = AsOfQueries.q241MatchedAtt(spark, sf).collect().head
+    assert(r.getAs[Long]("n_matched") === n)
+    assert(r.getAs[Long]("att_fp6") ===
+      math.round(1e6 * sd.toDouble / n.toDouble))
+  }
+
   test("q224: weighted-sample keys and top-100 match a plain-Scala A-Res") {
     def hex8(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
