@@ -1895,11 +1895,16 @@ object Embeddings {
       .agg(sum(col("t9")).as("s9"))
     val cal = scored.filter(col("is_cal")).select(col("s9"))
     val nCal = cal.agg(count(lit(1)).as("n_cal"))
-    val qhat = cal
-      .withColumn("rk", row_number().over(Window.orderBy(col("s9"))))
+    // the one ordered step runs SHARDED (value-range buckets; only the
+    // bucket holding rank ⌈0.9(n+1)⌉ is windowed) — the production path
+    // this gate's scaladoc promises, certified by the UNCHANGED plain-
+    // rank oracle (the q72/q98 semantic-identity discipline)
+    val qhat = graft.ops.ShardedOrder.shardedValueAtRank(
+        cal.withColumn("g", lit(0)), Seq("g"), "s9", Nil,
+        n => ((lit(9L) * (n + lit(1L)) + lit(9L)) / lit(10L)).cast("long"),
+        outCol = "qhat_s9")
+      .select(col("qhat_s9"))
       .crossJoin(broadcast(nCal))
-      .filter(col("rk") === expr("(9 * (n_cal + 1) + 9) div 10"))
-      .select(col("s9").as("qhat_s9"), col("n_cal"))
     scored.filter(!col("is_cal"))
       .crossJoin(broadcast(qhat))
       .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
