@@ -799,7 +799,10 @@ object Stats {
     * the intercept is fp6 of price units.
     */
   def q219OlsRegression(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(
+    // the driver corpus is one row group → one scan task; the ten
+    // Decimal(38) accumulators are the bottleneck, so spread the scan
+    // (identity on any real multi-split table — Tables.spread contract)
+    val li = Tables.spread(Tables.lineitem(spark, dir)).select(
       col("l_returnflag"),
       round(col("l_quantity") * 100).cast("long").as("q"),
       round(col("l_discount") * 100).cast("long").as("d"),
