@@ -93,7 +93,9 @@ object AuditQueries {
     * the scale shape). The deterministic modulo split keeps both engines
     * on the identical train corpus without any hash-function contract. */
   def q144BigramLm(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // single-row-group corpus → one scan task; the bigram explode is the
+    // per-row kernel that needs the cores (spread = identity at scale)
+    val d = Tables.spread(Tables.documents(spark, dir))
     val (bi, counts, totals) =
       graft.ops.LangModel.bigramModel(d.filter(col("doc_id") % 10 < 8), "text")
     graft.ops.LangModel.scoreBitsPerBigram(

@@ -1306,7 +1306,7 @@ object TextQueries {
     * sources-sized. */
   def q216DistinctN(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.TextOps
-    val base = Tables.documents(spark, dir)
+    val base = Tables.spread(Tables.documents(spark, dir))
       .select(col("source"), split(col("text"), " ").as("ts"))
     val t = size(col("ts")).cast("long")
     val tot = base
@@ -1409,7 +1409,7 @@ object TextQueries {
     * the spectrum folds to languages × 7 counters. No joins, no
     * windows. */
   def q218GoodTuring(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(spark, dir)
+    val tf = Tables.spread(Tables.documents(spark, dir))
       .select(col("lang"),
         explode(graft.ops.TextOps.shingles(split(col("text"), " "), 3))
           .as("g"))
