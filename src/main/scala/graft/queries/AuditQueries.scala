@@ -138,6 +138,116 @@ object AuditQueries {
       |  CAST(round(CAST(SUM(c) AS DOUBLE) / COUNT(*)) AS BIGINT) AS bits_fp6
       |FROM costs GROUP BY doc_id""".stripMargin
 
+  /** Shared by q242/q243: q144's interpolated-bigram model (trained on
+    * doc_id % 10 < 8) scoring EVERY document with ≥2 tokens — the
+    * model-based quality signal the CCNet/DoReMi-style curation gates
+    * consume. */
+  private[queries] def bigramBitsAll(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val d = Tables.spread(Tables.documents(spark, dir))
+    val (bi, counts, totals) = graft.ops.LangModel.bigramModel(
+      d.filter(col("doc_id") % 10 < 8), "text")
+    graft.ops.LangModel.scoreBitsPerBigram(d, bi, counts, totals,
+      "doc_id", "text")
+  }
+
+  /** CTE chain mirroring [[bigramBitsAll]]: `bits(doc_id, bits_fp6)`.
+    * Identical arithmetic to the q144 oracle, minus its eval-split
+    * filter. */
+  private[queries] val bigramBitsAllSql: String =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM (
+      |    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+      |    FROM toks WHERE len(t) >= 2)),
+      |train_bg AS (
+      |  SELECT w1, w2, COUNT(*) AS c12 FROM bg
+      |  WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+      |train_tok AS (
+      |  SELECT tok AS term, COUNT(*) AS ct FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      |    WHERE doc_id % 10 < 8)
+      |  WHERE tok <> '' GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(ct) AS BIGINT) AS n_train, COUNT(*) AS v_train
+      |  FROM train_tok),
+      |costs AS (
+      |  SELECT b.doc_id,
+      |    CAST(round(-log2(
+      |      (CASE WHEN c1.ct IS NULL THEN 0.0
+      |        ELSE 0.9 * (CAST(COALESCE(tb.c12, 0) AS DOUBLE) / c1.ct) END)
+      |      + 0.1 * (CAST(COALESCE(cu.ct, 0) + 1 AS DOUBLE)
+      |               / (t.n_train + t.v_train + 1))
+      |    ) * 1000000.0) AS BIGINT) AS c
+      |  FROM bg b
+      |  LEFT JOIN train_bg tb ON tb.w1 = b.w1 AND tb.w2 = b.w2
+      |  LEFT JOIN train_tok c1 ON c1.term = b.w1
+      |  LEFT JOIN train_tok cu ON cu.term = b.w2
+      |  CROSS JOIN tot t),
+      |bits AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CAST(round(CAST(SUM(c) AS DOUBLE) / COUNT(*)) AS BIGINT)
+      |      AS bits_fp6
+      |  FROM costs GROUP BY doc_id)""".stripMargin
+
+  /** q242: CCNet-style head/middle/tail quality buckets (Wenzek et al.
+    * 2020): every document scored by the held-out-trained bigram LM,
+    * then cut at the PER-LANGUAGE score terciles — head = the best
+    * (lowest-bits) third, the slice CCNet keeps by default. The tercile
+    * boundaries are exact order statistics computed by
+    * [[graft.ops.ShardedOrder.shardedValueAtRank]] (only the bucket
+    * holding each target rank is windowed — no per-language corpus
+    * sort); the plain-rank oracle certifies the sharded cut as a
+    * semantic identity.
+    */
+  def q242CcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val bits = bigramBitsAll(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .select(col("lang"), col("doc_id"), col("bits_fp6"))
+      .localCheckpoint() // scored corpus feeds two rank cuts + the agg
+    def cut(rankOf: Column => Column, out: String) =
+      graft.ops.ShardedOrder.shardedValueAtRank(bits, Seq("lang"),
+        "bits_fp6", Nil, rankOf, outCol = out)
+    val t1 = cut(n => ((n + lit(2L)) / lit(3L)).cast("long"), "t1")
+    val t2 = cut(n => ((lit(2L) * n + lit(2L)) / lit(3L)).cast("long"), "t2")
+    val bucket = when(col("bits_fp6") <= col("t1"), "head")
+      .when(col("bits_fp6") <= col("t2"), "middle")
+      .otherwise("tail")
+    bits.join(broadcast(t1), Seq("lang")).join(broadcast(t2), Seq("lang"))
+      .select(col("lang"), bucket.as("bucket"), col("bits_fp6"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("bits_fp6")).cast("double") /
+          count(lit(1)).cast("double")).cast("long").as("mean_bits_fp6"))
+  }
+
+  val q242CcnetBucketsSql: String =
+    s"""WITH $bigramBitsAllSql,
+      |scored AS MATERIALIZED (
+      |  SELECT d.lang, b.doc_id, b.bits_fp6
+      |  FROM bits b JOIN documents d ON b.doc_id = d.doc_id),
+      |rk AS (
+      |  SELECT lang, bits_fp6,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY bits_fp6) AS r,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM scored),
+      |t AS (
+      |  SELECT lang,
+      |    MAX(CASE WHEN r = (n + 2) // 3 THEN bits_fp6 END) AS t1,
+      |    MAX(CASE WHEN r = (2 * n + 2) // 3 THEN bits_fp6 END) AS t2
+      |  FROM rk GROUP BY 1)
+      |SELECT s.lang,
+      |  CASE WHEN s.bits_fp6 <= t.t1 THEN 'head'
+      |       WHEN s.bits_fp6 <= t.t2 THEN 'middle'
+      |       ELSE 'tail' END AS bucket,
+      |  COUNT(*) AS n_docs,
+      |  CAST(round(CAST(SUM(s.bits_fp6) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mean_bits_fp6
+      |FROM scored s JOIN t ON s.lang = t.lang
+      |GROUP BY 1, 2""".stripMargin
+
   /** q147: mutual information between `lang` and `source` (plus both
     * marginal entropies) — the metadata-association audit: MI ≈ 0 means
     * language is balanced across sources (stratified sampling on either

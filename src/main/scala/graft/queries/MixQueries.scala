@@ -814,6 +814,86 @@ object MixQueries {
       .limit(100)
   }
 
+  /** q243: DoReMi-lite domain reweighting (Xie et al. 2023's minimax
+    * objective collapsed to its one-step proxy): each source's training
+    * share is multiplied by exp(η·excess) where excess = max(0, its mean
+    * LM bits − the corpus mean) — domains the reference model finds
+    * HARDER get upweighted; already-easy domains keep their natural
+    * share. Per-source means come from exact integer bit sums (the q144
+    * model over ALL docs); the single exp per source is fp9-rounded
+    * before the exact-integer normalization, so weights sum to ~1e9 and
+    * agree bit-for-bit across engines.
+    *
+    * Scale: the corpus is touched by the scoring pass only; everything
+    * here is a sources-sized grid (one window over ≤sources rows).
+    */
+  def q243DoremiWeights(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eta = 1.0
+    val perSrc = AuditQueries.bigramBitsAll(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("bits_fp6")).as("sb"))
+    val wAll = Window.partitionBy()
+    val withTot = perSrc
+      .withColumn("nn", sum(col("n_docs")).over(wAll))
+      .withColumn("sbAll", sum(col("sb")).over(wAll))
+      .withColumn("mean6",
+        round(col("sb").cast("double") / col("n_docs").cast("double"))
+          .cast("long"))
+      .withColumn("meanAll6",
+        round(col("sbAll").cast("double") / col("nn").cast("double"))
+          .cast("long"))
+      .withColumn("excess6",
+        greatest(lit(0L), col("mean6") - col("meanAll6")))
+      .withColumn("raw9",
+        round(lit(1e9) * (col("n_docs").cast("double") /
+          col("nn").cast("double")) *
+          exp(lit(eta) * col("excess6").cast("double") / lit(1e6)))
+          .cast("long"))
+    withTot
+      .withColumn("weight_fp9",
+        round(lit(1e9) * col("raw9").cast("double") /
+          sum(col("raw9")).over(wAll).cast("double")).cast("long"))
+      .select(col("source"), col("n_docs"), col("mean6").as("mean_bits_fp6"),
+        col("excess6").as("excess_fp6"), col("weight_fp9"))
+  }
+
+  val q243DoremiWeightsSql: String =
+    s"""WITH ${AuditQueries.bigramBitsAllSql},
+      |ps AS (
+      |  SELECT d.source, COUNT(*) AS n_docs,
+      |    CAST(SUM(b.bits_fp6) AS BIGINT) AS sb
+      |  FROM bits b JOIN documents d ON b.doc_id = d.doc_id
+      |  GROUP BY 1),
+      |w AS (
+      |  SELECT source, n_docs, sb,
+      |    CAST(SUM(n_docs) OVER () AS BIGINT) AS nn,
+      |    CAST(SUM(sb) OVER () AS BIGINT) AS sb_all
+      |  FROM ps),
+      |x AS (
+      |  SELECT source, n_docs,
+      |    CAST(round(CAST(sb AS DOUBLE) / CAST(n_docs AS DOUBLE))
+      |      AS BIGINT) AS mean6,
+      |    GREATEST(0,
+      |      CAST(round(CAST(sb AS DOUBLE) / CAST(n_docs AS DOUBLE))
+      |        AS BIGINT)
+      |      - CAST(round(CAST(sb_all AS DOUBLE) / CAST(nn AS DOUBLE))
+      |        AS BIGINT)) AS excess6,
+      |    nn
+      |  FROM w),
+      |r AS (
+      |  SELECT source, n_docs, mean6, excess6,
+      |    CAST(round(1e9 * (CAST(n_docs AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      * exp(1.0 * CAST(excess6 AS DOUBLE) / 1e6)) AS BIGINT) AS raw9
+      |  FROM x)
+      |SELECT source, n_docs, mean6 AS mean_bits_fp6,
+      |  excess6 AS excess_fp6,
+      |  CAST(round(1e9 * CAST(raw9 AS DOUBLE)
+      |    / CAST(SUM(raw9) OVER () AS DOUBLE)) AS BIGINT) AS weight_fp9
+      |FROM r""".stripMargin
+
   val q224WeightedSampleSql: String =
     s"""SELECT doc_id, n_chars AS w,
        |  CAST(round(ln(CAST(${hex8Sql("doc_id::VARCHAR || '#wrs'")} + 1

@@ -1111,6 +1111,70 @@ class StatGatesSpec extends SparkSpec {
       math.round(1e6 * sd.toDouble / n.toDouble))
   }
 
+  test("q242: tercile buckets match a plain-Scala cut of the scored corpus") {
+    // the LM scoring itself is gate-certified (q144) and spec'd in
+    // LangModelSpec; this pins the NEW mirrored math — the per-language
+    // tercile cut and bucket aggregation — against the engine's own
+    // scores collected once
+    val langOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bits = AuditQueries.bigramBitsAll(spark, sf).collect()
+      .map(r => (langOf(r.getAs[Long]("doc_id")), r.getAs[Long]("bits_fp6")))
+    val got = AuditQueries.q242CcnetBuckets(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("bucket")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("mean_bits_fp6")))).toMap
+    val expected = bits.groupBy(_._1).flatMap { case (lang, g) =>
+      val xs = g.map(_._2).sorted
+      val n = xs.length
+      val t1 = xs((n + 2) / 3 - 1)
+      val t2 = xs((2 * n + 2) / 3 - 1)
+      g.map(_._2).groupBy(b =>
+          if (b <= t1) "head" else if (b <= t2) "middle" else "tail")
+        .map { case (bk, ys) =>
+          (lang, bk) -> ((ys.length.toLong,
+            math.round(ys.sum.toDouble / ys.length.toDouble)))
+        }
+    }
+    assert(got === expected)
+  }
+
+  test("q243: DoReMi weights match a plain-Scala excess-loss reweight") {
+    val srcOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bits = AuditQueries.bigramBitsAll(spark, sf).collect()
+      .map(r => (srcOf(r.getAs[Long]("doc_id")), r.getAs[Long]("bits_fp6")))
+    val perSrc = bits.groupBy(_._1).map { case (s, g) =>
+      (s, g.length.toLong, g.map(_._2).sum)
+    }.toSeq
+    val nn = perSrc.map(_._2).sum
+    val sbAll = perSrc.map(_._3).sum
+    val meanAll = math.round(sbAll.toDouble / nn.toDouble)
+    val raw = perSrc.map { case (s, n, sb) =>
+      val mean6 = math.round(sb.toDouble / n.toDouble)
+      val ex = math.max(0L, mean6 - meanAll)
+      (s, n, mean6, ex, math.round(
+        1e9 * (n.toDouble / nn.toDouble) * math.exp(1.0 * ex.toDouble / 1e6)))
+    }
+    val tot = raw.map(_._5).sum
+    val got = MixQueries.q243DoremiWeights(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(got.size === raw.length)
+    var wSum = 0L
+    raw.foreach { case (s, n, mean6, ex, r9) =>
+      val r = got(s)
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(r.getAs[Long]("mean_bits_fp6") === mean6)
+      assert(r.getAs[Long]("excess_fp6") === ex)
+      val w = math.round(1e9 * r9.toDouble / tot.toDouble)
+      assert(r.getAs[Long]("weight_fp9") === w, s"weight for $s")
+      wSum += w
+    }
+    // weights are a (rounded) probability vector
+    assert(math.abs(wSum - 1000000000L) <= raw.length.toLong)
+  }
+
   test("q224: weighted-sample keys and top-100 match a plain-Scala A-Res") {
     def hex8(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
