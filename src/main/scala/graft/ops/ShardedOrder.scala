@@ -91,6 +91,50 @@ object ShardedOrder {
       .drop("_so_off", "_so_lrn", "_so_bucket")
   }
 
+  /** Global running sum `sum(inc) OVER (PARTITION BY part ORDER BY
+    * orderCol, ties ROWS UNBOUNDED PRECEDING)` PLUS the global
+    * row_number and the per-key row count, sharded: within-bucket
+    * prefix sums at keys × buckets parallelism, then per-bucket (count,
+    * inc-total) exclusive prefix offsets — a grid-sized window,
+    * broadcast back — restore the global walk arithmetically. This is
+    * the sequential-test / cumulative-LLR shape (q225): any per-key
+    * corpus walk that is a running sum in event order. `tieCols` must
+    * complete a total order within a key (row-frame semantics).
+    *
+    * Scale: one corpus shuffle on (key, bucket) — same count as the
+    * plain window, at keys × buckets sort-group parallelism — plus the
+    * map-side-combined bucket aggregate and the broadcast offsets. */
+  def shardedPrefixSum(df: DataFrame, partCols: Seq[String], orderCol: String,
+      tieCols: Seq[String], incCol: Column, cumCol: String, rnCol: String,
+      nCol: String, nBuckets: Int = 0): DataFrame = {
+    val nb = if (nBuckets >= 2) nBuckets else defaultBuckets(df)
+    val b = withRangeBucket(df, partCols, orderCol, nb)
+      .withColumn("_so_inc", incCol)
+    val grp = (partCols :+ "_so_bucket").map(col)
+    val wLoc = Window.partitionBy(grp: _*)
+      .orderBy((orderCol +: tieCols).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val counts = b.groupBy(grp: _*)
+      .agg(count(lit(1)).as("_so_bc"), sum(col("_so_inc")).as("_so_bs"))
+    val wCum = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col("_so_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(partCols.map(col): _*)
+    val offs = counts
+      .withColumn("_so_off", coalesce(sum(col("_so_bc")).over(wCum), lit(0L)))
+      .withColumn("_so_soff", sum(col("_so_bs")).over(wCum))
+      .withColumn(nCol, sum(col("_so_bc")).over(wAll))
+      .drop("_so_bc", "_so_bs")
+    b.withColumn("_so_lrn", row_number().over(wLoc).cast("long"))
+      .withColumn("_so_lcs", sum(col("_so_inc")).over(wLoc))
+      .join(broadcast(offs), partCols :+ "_so_bucket")
+      .withColumn(rnCol, col("_so_off") + col("_so_lrn"))
+      .withColumn(cumCol,
+        col("_so_lcs") + coalesce(col("_so_soff"), lit(0L).cast("long")))
+      .drop("_so_off", "_so_soff", "_so_lrn", "_so_lcs", "_so_inc",
+        "_so_bucket")
+  }
+
   /** The value at a per-key TARGET RANK of `ORDER BY value, ties` —
     * medians/quantiles by the cumulative-crossing rule — without ranking
     * any row outside the one bucket that contains the target: bucket
@@ -217,7 +261,12 @@ object ShardedOrder {
       .join(interior, partCols, "left")
       .join(bSum, partCols, "left")
       .select((partCols.map(col) :+ col("n") :+ col("s_all") :+
-        greatest(col("_so_hi") - col("_so_lo"), lit(0L)).as("n_kept") :+
+        // clamp the cuts into [0, n] before differencing: a caller whose
+        // hiOf exceeds the per-key row count (or loOf goes negative)
+        // would otherwise get an n_kept larger than the rows actually
+        // summed into s_kept (ADVICE r13)
+        greatest(least(col("_so_hi"), col("n")) -
+          greatest(col("_so_lo"), lit(0L)), lit(0L)).as("n_kept") :+
         (coalesce(col("_so_s_int"), lit(0L)) +
           coalesce(col("_so_s_bnd"), lit(0L))).as("s_kept")): _*)
   }

@@ -1981,17 +1981,22 @@ object Embeddings {
     def matvec(v9: Array[Long]): Array[BigInt] =
       Array.tabulate(nd)(i =>
         (0 until nd).map(j => BigInt(mM(i)(j)) * v9(j)).sum)
+    // half-AWAY-FROM-ZERO, matching Spark SQL round / DuckDB round on
+    // negatives (math.round is half-toward-+infinity: an exact −x.5
+    // quotient would round differently across engines — ADVICE r13)
+    def rnd(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     def normalize(w: Array[BigInt]): Array[Long] = {
       val mx = w.map(_.abs).max
-      val w9 = w.map(x => math.round(x.toDouble / mx.toDouble * 1e9))
+      val w9 = w.map(x => rnd(x.toDouble / mx.toDouble * 1e9))
       val n2 = w9.map(x => BigInt(x) * x).sum
-      w9.map(x => math.round(x.toDouble / math.sqrt(n2.toDouble) * 1e9))
+      w9.map(x => rnd(x.toDouble / math.sqrt(n2.toDouble) * 1e9))
     }
     var v9 = Array.fill(nd)(250000000L)
     for (_ <- 1 to 5) v9 = normalize(matvec(v9))
     val wNext = matvec(v9)
     val k = (0 until nd).minBy(i => (-math.abs(v9(i)), i))
-    val lam = math.round(wNext(k).toDouble / v9(k).toDouble)
+    val lam = rnd(wNext(k).toDouble / v9(k).toDouble)
     import spark.implicits._
     (0 until nd).map(i => (i.toLong, v9(i), lam))
       .toDF("dim", "loading_fp9", "lam_fp12")

@@ -1281,6 +1281,17 @@ object Events {
     * dies (d = n, always the last row) sets a −1e15 fp9 sentinel: exp
     * underflows to exactly 0.0 in both engines, the correct S = 0 tail.
     *
+    * Boundary convention: sessionization is the lag/gap-sum form (a gap
+    * of EXACTLY 30:00.000000 stays in the SAME session — `gap >
+    * 1800000000` µs starts a new one), written identically in both
+    * engines. `session_window` would close at exactly the gap
+    * (half-open [last, last+30min)), a divergence only an exact-gap
+    * input exposes — pinned by the exact-gap case in StatGatesSpec.
+    * Tie order within equal timestamps cannot change the result: gaps
+    * are diffs of the SORTED µs sequence, so the gap multiset — and
+    * with it session membership and min/max — is tie-permutation
+    * invariant (same argument as the oracle's untied ORDER BY ts).
+    *
     * Scale shape: sessionization shuffles once on user_id (high
     * cardinality — parallelism scales with users, not the q174 problem
     * shape); sessions fold to a ≤ minutes-observed grid; every window
@@ -1292,10 +1303,15 @@ object Events {
     val e = Tables.events(spark, dir)
     val mx = e.agg(max(unix_micros(col("ts"))).as("max_us"))
     val durUs = col("last_us") - col("first_us")
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("us"))
     val sessions = e
-      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-      .agg(min(unix_micros(col("ts"))).as("first_us"),
-        max(unix_micros(col("ts"))).as("last_us"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(wOrd))
+      .withColumn("sid",
+        sum(when(col("gap").isNull || col("gap") > 1800000000L, 1L)
+          .otherwise(0L)).over(wOrd))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
       .crossJoin(broadcast(mx))
       .select(
         ((durUs - pmod(durUs, lit(60000000L))) / 60000000L).cast("long")

@@ -769,28 +769,37 @@ object MonitorQueries {
     * stream ends inside the band).
     *
     * Scale: the walk is a per-type running sum — the q174/q184 single-
-    * ordering shape. ~10 event types pin the sort to ~10 tasks; the
-    * production path is `ShardedOrder.shardedPrefix*` (value-range
-    * buckets + per-bucket offsets); the gate keeps the plain window so
-    * the oracle runs the identical built-in operator.
+    * ordering shape, and ~10 event types would pin the plain window's
+    * sort to ~10 tasks at any cluster size (measured 4.1× growth at 10×
+    * data in r13). It runs as
+    * [[graft.ops.ShardedOrder.shardedPrefixSum]]: time-range buckets
+    * give keys × buckets sort parallelism, per-bucket LLR totals fold
+    * into exclusive prefix offsets at grid size, and the global walk is
+    * restored arithmetically — provably cut-invariant (the offsets ARE
+    * the missing prefix), so the UNCHANGED plain-window oracle
+    * hash-certifies the substitution (the q174/q184 two-phase
+    * discipline). The first crossing then comes from ONE aggregate —
+    * `min(struct(rn, llr))` — instead of the plain form's min-rank +
+    * corpus self-join, so the sharded form touches the corpus once
+    * fewer than what it replaced. µs ordering: ts → unix_micros is
+    * monotone injective, so (us, event_id) sorts exactly like the
+    * oracle's (ts, event_id).
     */
   def q225Sprt(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts"), col("event_id"))
-    val cum = Tables.events(spark, dir)
-      .select(col("event_type"), col("ts"), col("event_id"),
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"),
         when(col("value") > 50.0, lit(sprtL1)).otherwise(lit(sprtL0)).as("inc"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("llr9", sum(col("inc")).over(w))
-    val stops = cum
+    val cum = graft.ops.ShardedOrder.shardedPrefixSum(
+      base, Seq("event_type"), "us", Seq("event_id"), col("inc"),
+      "llr9", "rn", "n_all")
+    val at = cum
       .filter(col("llr9") >= sprtA9 || col("llr9") <= -sprtA9)
-      .groupBy(col("event_type")).agg(min(col("rn")).as("stop_rn"))
-    val at = cum.join(stops, Seq("event_type"))
-      .filter(col("rn") === col("stop_rn"))
-      .select(col("event_type"), col("stop_rn"),
-        col("llr9").as("llr9_at_stop"),
-        when(col("llr9") >= sprtA9, lit("h1")).otherwise(lit("h0"))
+      .groupBy(col("event_type"))
+      .agg(min(struct(col("rn"), col("llr9"))).as("st"))
+      .select(col("event_type"), col("st.rn").as("stop_rn"),
+        col("st.llr9").as("llr9_at_stop"),
+        when(col("st.llr9") >= sprtA9, lit("h1")).otherwise(lit("h0"))
           .as("decision"))
     Tables.events(spark, dir).groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"))

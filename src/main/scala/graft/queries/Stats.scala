@@ -1027,7 +1027,13 @@ object Stats {
     * jackknife is the standard fix). Each leave-user-out estimate
     * θ₍ᵤ₎ = (S − s_u)/(N − n_u) comes from exact integer totals, is
     * fp6-rounded (order-free), and the variance of the G pseudo-values
-    * uses exact Decimal(38,0) moment sums; SE = √((G−1)/G · Var).
+    * uses exact Decimal(38,0) moment sums; the delete-one-group
+    * jackknife variance is (G−1)/G · Σ(θ₍ᵤ₎ − θ̄₍·₎)² — in moment form
+    * (G−1)/G · (G·s2 − s1²)/G — and SE is its square root. (Round 13
+    * shipped an extra /G here, understating SE ~√G-fold; the oracle and
+    * spec mirrored the same expression, which is why the cross-engine
+    * hash could not catch it — the spec now re-derives the variance
+    * from the deviation form instead of the moment form.)
     *
     * Scale: one corpus aggregate to per-user (s_u, n_u) + one scalar
     * total broadcast back — the θ₍ᵤ₎ table is users-sized and never
@@ -1058,7 +1064,7 @@ object Stats {
         round(sqrt(
           (col("gg").cast(DecimalType(38, 0)) * col("s2") -
             col("s1") * col("s1")).cast("double") /
-          (col("gg").cast("double") * col("gg").cast("double")) *
+          col("gg").cast("double") *
           ((col("gg").cast("double") - 1.0) / col("gg").cast("double"))))
           .cast("long").as("jk_se_fp6"))
   }
@@ -1226,7 +1232,7 @@ object Stats {
       |    AS theta_fp6,
       |  CAST(round(sqrt(
       |    CAST(gg * s2 - s1 * s1 AS DOUBLE)
-      |    / (CAST(gg AS DOUBLE) * CAST(gg AS DOUBLE))
+      |    / CAST(gg AS DOUBLE)
       |    * ((CAST(gg AS DOUBLE) - 1.0) / CAST(gg AS DOUBLE))))
       |    AS BIGINT) AS jk_se_fp6
       |FROM m""".stripMargin

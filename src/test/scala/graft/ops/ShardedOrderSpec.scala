@@ -185,6 +185,42 @@ class ShardedOrderSpec extends SparkSpec {
     }
   }
 
+  test("shardedPrefixSum == plain running sum + row_number (tie-heavy)") {
+    // signed increments so the walk crosses zero repeatedly — the SPRT
+    // shape; ties on v share a bucket and the (v, id) tie-break totals
+    // the order, so the global cum is well-defined row-for-row
+    val df = tieHeavy.withColumn("inc", pmod(col("id") * 13L, lit(7L)) - 3L)
+    val w = Window.partitionBy(col("k")).orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("k"))
+    val want = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("v"), col("id"))).cast("long"))
+      .withColumn("cum", sum(col("inc")).over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val got = ShardedOrder.shardedPrefixSum(df, Seq("k"), "v", Seq("id"),
+      col("inc"), "cum", "rn", "n", nBuckets = 4)
+    assertSameRows(got, want)
+  }
+
+  test("shardedRangeSum clamps out-of-range cuts so n_kept matches s_kept") {
+    // ADVICE r13: hiOf beyond the per-key row count (or negative loOf)
+    // must clamp into [0, n] — n_kept counts the rows actually summed
+    val df = tieHeavy
+    val got = ShardedOrder.shardedRangeSum(df, Seq("k"), "v", Seq("id"),
+        loOf = n => n - n - 5L, hiOf = n => n * 2L, nBuckets = 4)
+      .collect()
+    val wantTotals = df.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.length === wantTotals.size)
+    got.foreach { r =>
+      val (n, s) = wantTotals(r.getAs[String]("k"))
+      assert(r.getAs[Long]("n_kept") === n, s"key ${r.getAs[String]("k")}")
+      assert(r.getAs[Long]("s_kept") === s)
+    }
+  }
+
   test("rewired gates shuffle on (type, bucket), not on the bare type") {
     // the 100 TB claim lives HERE: the corpus exchange must carry the
     // shard column so the sort runs at types x cores parallelism.
@@ -199,7 +235,8 @@ class ShardedOrderSpec extends SparkSpec {
         Seq("event_id"), n => shiftright(n + 1L, 1), "med_us"),
       graft.queries.MonitorQueries.q194RankSumAb(spark, sf),
       graft.queries.Events.q175Burstiness(spark, sf),
-      graft.queries.Events.q164Orderliness(spark, sf)
+      graft.queries.Events.q164Orderliness(spark, sf),
+      graft.queries.MonitorQueries.q225Sprt(spark, sf)
     ).foreach { df =>
       df.count()
       val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]

@@ -744,6 +744,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q225: the SPRT LLR walk runs on the SHARDED (type, bucket) " +
+      "exchange; offsets attach by broadcast only") {
+    val p = planOf(MonitorQueries.q225Sprt(spark, sf))
+    // r13's last scale-killer-shaped gate: the cumulative-LLR sort must
+    // carry the shard column (types x buckets parallelism), never the
+    // bare ~10-value event_type (VERDICT r13 item 1)
+    assert(p.contains("_so_bucket"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q196: centroid drift is a single-pass conditional aggregate — no joins") {
     val p = planOf(Embeddings.q196CentroidDrift(spark, sf))
     assert(!p.contains("Join"), p.take(2000))

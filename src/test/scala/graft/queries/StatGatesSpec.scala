@@ -339,6 +339,34 @@ class StatGatesSpec extends SparkSpec {
     }
   }
 
+  test("q217: an EXACT 30:00.000000 gap stays in the same session " +
+      "(the boundary convention the generator never exercises)") {
+    // ADVICE r13: session_window closes at exactly the gap (half-open
+    // [last, last+30min)) while the oracle's `ts - lag(ts) > INTERVAL 30
+    // MINUTE` keeps an exact-gap pair together — a divergence only this
+    // synthetic input exposes. The gate now uses the lag/gap-sum form;
+    // this pins the convention against a future session_window revert.
+    import spark.implicits._
+    val t0 = 1600000000000000L // µs
+    val far = t0 + 100L * 86400000000L
+    val rows = Seq(
+      (1L, t0), (1L, t0 + 1800000000L),      // EXACT 30-min gap: 1 session
+      (2L, t0), (2L, t0 + 1800000001L),      // 1 µs past: 2 sessions
+      (3L, far))                             // censored; sets max ts
+    val dir = tmpDir("q217-exact-gap")
+    rows.toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.q217KaplanMeier(spark, dir).collect()
+      .map(r => r.getAs[Long]("dur_min") ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("n_death"),
+          r.getAs[Long]("n_censor"), r.getAs[Long]("surv_fp6"))).toMap
+    // lag rule: u1 = one 30-min session, u2 = two 0-min, u3 censored 0-min
+    assert(got.keySet === Set(0L, 30L))
+    assert(got(0L) === ((4L, 2L, 1L, 500000L)))
+    assert(got(30L) === ((1L, 1L, 0L, 0L))) // d = n sentinel tail
+  }
+
   test("q218: Good-Turing spectrum matches plain-Scala trigram counts") {
     val docs = Tables.documents(spark, sf)
       .select(col("lang"), col("text")).collect()
@@ -794,11 +822,17 @@ class StatGatesSpec extends SparkSpec {
       val su = grp.map(_._2).sum
       math.round((ss - su).toDouble / (nn - grp.length).toDouble)
     }
+    // Independent derivation — the DEVIATION form of the delete-one-group
+    // jackknife, V = (G−1)/G · Σ(θᵤ − θ̄)², not the engines' moment form:
+    // deviations carry the common denominator G exactly as the integers
+    // (G·θᵤ − Σθ), so Σdev² = Σ(G·θᵤ − s1)²/G² in exact BigInt arithmetic
+    // and V = (G−1)·Σ(G·θᵤ − s1)² / G³. Mirroring the engines' expression
+    // here is what let round 13's extra /G survive the hash gate.
     val s1 = t6.map(BigInt(_)).sum
-    val s2 = t6.map(x => BigInt(x) * x).sum
+    val sqDev = t6.map { x => val d = BigInt(g) * x - s1; d * d }.sum
     val se = math.round(math.sqrt(
-      (BigInt(g) * s2 - s1 * s1).toDouble / (g.toDouble * g.toDouble) *
-        ((g.toDouble - 1.0) / g.toDouble)))
+      (g.toDouble - 1.0) * sqDev.toDouble /
+        (g.toDouble * g.toDouble * g.toDouble)))
     val r = Stats.q232Jackknife(spark, sf).collect().head
     assert(r.getAs[Long]("n_groups") === g.toLong)
     assert(r.getAs[Long]("n_events") === nn)
