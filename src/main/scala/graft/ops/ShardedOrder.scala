@@ -41,27 +41,80 @@ import org.apache.spark.sql.types.DecimalType
   */
 object ShardedOrder {
 
-  /** Default shard count per key: the session's core count — enough to
-    * engage the whole box at ~10 keys without grid bloat at 10k keys. */
+  /** MAX shard count per key: the session's core count — enough to
+    * engage the whole box at ~10 keys without grid bloat at 10k keys.
+    * The EFFECTIVE count per key adapts downward from this ceiling in
+    * [[withRangeBucket]] (≈ one bucket per [[targetRowsPerBucket]] rows):
+    * r13 measured a flat cores-sized count costing the five sharded
+    * gates +3.1 s of sf0.1 scheduling-floor constant that small keys
+    * never repay — ~30% of each gate's time at 60k rows/key, while the
+    * sf1 behavior (where keys are large enough to use every shard) is
+    * unchanged. */
   private def defaultBuckets(df: DataFrame): Int =
     math.max(2, df.sparkSession.sparkContext.defaultParallelism)
 
-  /** Adds `_so_bucket`: which of `nBuckets` per-key value ranges holds
-    * this row. Cut points are per-key approximate quantiles of
-    * `valueCol`; the bucket id is the count of cuts ≤ v (monotone in v,
-    * a pure function of v — ties share a bucket by construction). The
-    * cuts table is one grid-sized row per key, broadcast. */
+  /** A shard under ~50k rows mostly buys scheduling overhead, not sort
+    * parallelism: local sorts of ≤50k rows are sub-10ms, far below the
+    * per-group window + broadcast-row constants they'd amortize. */
+  private val targetRowsPerBucket = 50000L
+
+  /** Adds `_so_bucket` with EXACTLY `nBuckets` per-key value ranges —
+    * the non-adaptive form specs use to force boundary crossings on
+    * tiny synthetics. Gates reach the adaptive [[rangeBucketed]] by
+    * leaving `nBuckets` at its 0 default in the public methods. */
   def withRangeBucket(df: DataFrame, partCols: Seq[String], valueCol: String,
       nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, s"withRangeBucket: need >= 2 buckets, got $nBuckets")
-    val probs = array((1 until nBuckets)
-      .map(i => lit(i.toDouble / nBuckets)): _*)
+    rangeBucketed(df, partCols, valueCol, nBuckets)
+  }
+
+  /** Adds `_so_bucket`: which per-key value range holds this row. Cut
+    * points are per-key approximate quantiles of `valueCol` at the
+    * shard-count ceiling (explicit `nBuckets`, else the core count);
+    * the raw bucket id is the count of cuts ≤ v. On the DEFAULT path
+    * (`nBuckets < 2`) the raw id is then COALESCED per key to
+    * `clamp(ceil(n_key / 50k), 2, ceiling)` effective buckets by
+    * `floor(raw · eff / ceiling)` — small keys stop paying for shards
+    * their sorts can't use (r13's +3.1 s sf0.1 constant), while keys
+    * big enough to fill every shard still get them all. Everything
+    * stays a monotone pure function of v (per-key grid constants
+    * only), so ties never straddle a boundary and the library's
+    * cut-invariance argument is untouched — the coalescing steers load
+    * balance only. The per-key row count rides the SAME aggregate that
+    * computes the cuts, so adaptivity costs zero extra jobs. The cuts
+    * table is one grid-sized row per key, broadcast. */
+  private def rangeBucketed(df: DataFrame, partCols: Seq[String],
+      valueCol: String, nBuckets: Int): DataFrame = {
+    val adaptive = nBuckets < 2
+    val nb = if (adaptive) defaultBuckets(df) else nBuckets
+    val probs = array((1 until nb)
+      .map(i => lit(i.toDouble / nb)): _*)
+    val eff =
+      if (adaptive) least(greatest(
+        ceil(col("_so_kn").cast("double") / targetRowsPerBucket.toDouble),
+        lit(2L)), lit(nb.toLong))
+      else lit(nb.toLong)
+    // The coalescing SLICES the cut array in the keys-sized grid — cut k
+    // of the effective set is raw cut ceil(k·nb/eff), so `count(coalesced
+    // cuts ≤ v)` ≡ `floor(count(raw cuts ≤ v) · eff / nb)` — because the
+    // per-ROW bucket probe is an interpreted higher-order filter over the
+    // broadcast array: O(eff) per corpus row, not O(ceiling). Measured:
+    // probing all 31 ceiling cuts per row was the actual cost of the flat
+    // bucket count (~30% of each sharded gate at sf0.1), not the sort
+    // groups themselves. With eff = nb the slice is the identity, so the
+    // explicit-nBuckets path is byte-identical to the pre-adaptive form.
     val cuts = df.groupBy(partCols.map(col): _*)
-      .agg(percentile_approx(col(valueCol), probs, lit(10000)).as("_so_cuts"))
+      .agg(percentile_approx(col(valueCol), probs, lit(10000)).as("_so_cuts"),
+        count(lit(1)).as("_so_kn"))
+      .select((partCols.map(col) :+
+        transform(sequence(lit(1L), eff - 1L),
+          k => element_at(col("_so_cuts"),
+            ceil(k.cast("double") * lit(nb.toDouble) / eff).cast("int")))
+          .as("_so_ccuts")): _*)
     df.join(broadcast(cuts), partCols)
       .withColumn("_so_bucket",
-        size(filter(col("_so_cuts"), c => c <= col(valueCol))))
-      .drop("_so_cuts")
+        size(filter(col("_so_ccuts"), c => c <= col(valueCol))).cast("long"))
+      .drop("_so_ccuts")
   }
 
   /** Global `row_number() OVER (PARTITION BY part ORDER BY value, ties)`
@@ -71,8 +124,7 @@ object ShardedOrder {
   def shardedRowNumber(df: DataFrame, partCols: Seq[String], valueCol: String,
       tieCols: Seq[String], rnCol: String, nCol: String,
       nBuckets: Int = 0): DataFrame = {
-    val nb = if (nBuckets >= 2) nBuckets else defaultBuckets(df)
-    val b = withRangeBucket(df, partCols, valueCol, nb)
+    val b = rangeBucketed(df, partCols, valueCol, nBuckets)
     val grp = (partCols :+ "_so_bucket").map(col)
     val wLoc = Window.partitionBy(grp: _*)
       .orderBy((valueCol +: tieCols).map(col): _*)
@@ -107,8 +159,7 @@ object ShardedOrder {
   def shardedPrefixSum(df: DataFrame, partCols: Seq[String], orderCol: String,
       tieCols: Seq[String], incCol: Column, cumCol: String, rnCol: String,
       nCol: String, nBuckets: Int = 0): DataFrame = {
-    val nb = if (nBuckets >= 2) nBuckets else defaultBuckets(df)
-    val b = withRangeBucket(df, partCols, orderCol, nb)
+    val b = rangeBucketed(df, partCols, orderCol, nBuckets)
       .withColumn("_so_inc", incCol)
     val grp = (partCols :+ "_so_bucket").map(col)
     val wLoc = Window.partitionBy(grp: _*)
@@ -153,8 +204,7 @@ object ShardedOrder {
   def shardedValueAtRank(df: DataFrame, partCols: Seq[String],
       valueCol: String, tieCols: Seq[String], rankOf: Column => Column,
       outCol: String, nBuckets: Int = 0): DataFrame = {
-    val nb = if (nBuckets >= 2) nBuckets else defaultBuckets(df)
-    val b = withRangeBucket(df, partCols, valueCol, nb)
+    val b = rangeBucketed(df, partCols, valueCol, nBuckets)
     val grp = (partCols :+ "_so_bucket").map(col)
     val counts = b.groupBy(grp: _*).agg(count(lit(1)).as("_so_bc"))
     val wCum = Window.partitionBy(partCols.map(col): _*)
@@ -183,8 +233,7 @@ object ShardedOrder {
     * hashpartitioning(key, bucket) already clusters it. */
   def shardedRank2(df: DataFrame, partCols: Seq[String], valueCol: String,
       r2Col: String, nBuckets: Int = 0): DataFrame = {
-    val nb = if (nBuckets >= 2) nBuckets else defaultBuckets(df)
-    val b = withRangeBucket(df, partCols, valueCol, nb)
+    val b = rangeBucketed(df, partCols, valueCol, nBuckets)
     val grp = (partCols :+ "_so_bucket").map(col)
     val wLoc = Window.partitionBy(grp: _*).orderBy(col(valueCol))
     val wTie = Window.partitionBy(grp :+ col(valueCol): _*)
@@ -218,8 +267,7 @@ object ShardedOrder {
   def shardedRangeSum(df: DataFrame, partCols: Seq[String], valueCol: String,
       tieCols: Seq[String], loOf: Column => Column, hiOf: Column => Column,
       nBuckets: Int = 0): DataFrame = {
-    val nb = if (nBuckets >= 2) nBuckets else defaultBuckets(df)
-    val b = withRangeBucket(df, partCols, valueCol, nb)
+    val b = rangeBucketed(df, partCols, valueCol, nBuckets)
     val grp = (partCols :+ "_so_bucket").map(col)
     val counts = b.groupBy(grp: _*)
       .agg(count(lit(1)).as("_so_bc"), sum(col(valueCol)).as("_so_bs"))
@@ -280,8 +328,7 @@ object ShardedOrder {
     * individual ranks. */
   def shardedRank2Sum(df: DataFrame, partCols: Seq[String], valueCol: String,
       grpCols: Seq[String], nBuckets: Int = 0): DataFrame = {
-    val nb = if (nBuckets >= 2) nBuckets else defaultBuckets(df)
-    val b = withRangeBucket(df, partCols, valueCol, nb)
+    val b = rangeBucketed(df, partCols, valueCol, nBuckets)
     val grp = (partCols :+ "_so_bucket").map(col)
     val wLoc = Window.partitionBy(grp: _*).orderBy(col(valueCol))
     val wTie = Window.partitionBy(grp :+ col(valueCol): _*)
@@ -316,8 +363,7 @@ object ShardedOrder {
     * have no gaps and are dropped, matching the plain-window form. */
   def shardedGapStats(df: DataFrame, partCols: Seq[String], usCol: String,
       tieCol: String, nBuckets: Int = 0): DataFrame = {
-    val nb = if (nBuckets >= 2) nBuckets else defaultBuckets(df)
-    val b = withRangeBucket(df, partCols, usCol, nb)
+    val b = rangeBucketed(df, partCols, usCol, nBuckets)
     val grp = (partCols :+ "_so_bucket").map(col)
     val wLoc = Window.partitionBy(grp: _*).orderBy(col(usCol), col(tieCol))
     val perBucket = b
@@ -351,8 +397,7 @@ object ShardedOrder {
   def shardedPrefixMax(df: DataFrame, partCols: Seq[String],
       arrivalCol: String, valueCol: Column, outCol: String,
       nBuckets: Int = 0): DataFrame = {
-    val nb = if (nBuckets >= 2) nBuckets else defaultBuckets(df)
-    val b = withRangeBucket(df, partCols, arrivalCol, nb)
+    val b = rangeBucketed(df, partCols, arrivalCol, nBuckets)
       .withColumn("_so_v", valueCol)
     val grp = (partCols :+ "_so_bucket").map(col)
     val wLoc = Window.partitionBy(grp: _*).orderBy(col(arrivalCol))

@@ -221,6 +221,23 @@ class ShardedOrderSpec extends SparkSpec {
     }
   }
 
+  test("ADAPTIVE default path == plain window (events, coalesced cuts)") {
+    // gates take the nBuckets=0 default, where the per-key bucket count
+    // adapts to row mass (coalesced cut slices); the identity must hold
+    // there too, not just at the specs' pinned explicit counts
+    val e = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val want = e.withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val got = ShardedOrder.shardedRowNumber(
+      e, Seq("event_type"), "us", Seq("event_id"), "rn", "n")
+    assertSameRows(got, want)
+  }
+
   test("rewired gates shuffle on (type, bucket), not on the bare type") {
     // the 100 TB claim lives HERE: the corpus exchange must carry the
     // shard column so the sort runs at types x cores parallelism.
