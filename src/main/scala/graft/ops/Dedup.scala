@@ -103,7 +103,12 @@ object Dedup {
     candidatesFromSignatures(
       minhashSignatures(df, idCol, textCol, numHashes, shingleWidth), numHashes)
 
-  private def candidatesFromSignatures(sig: DataFrame, numHashes: Int): DataFrame = {
+  /** Candidate pairs from an ALREADY-COMPUTED exploded signature table
+    * (id, seed, mh) — lets a pipeline that needs both self-candidates
+    * and cross-candidates (q244's near-dup + decontam stages) pay the
+    * shingle+md5 kernel once instead of per consumer. */
+  private[graft] def candidatesFromSignatures(sig: DataFrame,
+      numHashes: Int): DataFrame = {
     val a = sig.select(col("seed"), col("mh"), col("id").as("id_a"))
     val b = sig.select(col("seed"), col("mh"), col("id").as("id_b"))
     a.join(b, Seq("seed", "mh"))
@@ -127,11 +132,18 @@ object Dedup {
     */
   def minhashCrossCandidates(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, numHashes: Int = 8,
-      shingleWidth: Int = 3): DataFrame = {
-    val sa = minhashSignatures(corpus, idCol, textCol, numHashes, shingleWidth)
-      .select(col("seed"), col("mh"), col("id").as("corpus_id"))
-    val sb = minhashSignatures(bench, idCol, textCol, numHashes, shingleWidth)
-      .select(col("seed"), col("mh"), col("id").as("bench_id"))
+      shingleWidth: Int = 3): DataFrame =
+    crossCandidatesFromSignatures(
+      minhashSignatures(corpus, idCol, textCol, numHashes, shingleWidth),
+      minhashSignatures(bench, idCol, textCol, numHashes, shingleWidth),
+      numHashes)
+
+  /** The cross-table candidate join over pre-computed signature tables —
+    * see [[candidatesFromSignatures]] for why this is exposed. */
+  private[graft] def crossCandidatesFromSignatures(corpusSig: DataFrame,
+      benchSig: DataFrame, numHashes: Int): DataFrame = {
+    val sa = corpusSig.select(col("seed"), col("mh"), col("id").as("corpus_id"))
+    val sb = benchSig.select(col("seed"), col("mh"), col("id").as("bench_id"))
     sa.join(org.apache.spark.sql.functions.broadcast(sb), Seq("seed", "mh"))
       .groupBy(col("corpus_id"), col("bench_id"))
       .agg((count(lit(1)).cast("double") / numHashes).as("est_jaccard"))

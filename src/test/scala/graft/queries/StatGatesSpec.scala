@@ -367,6 +367,34 @@ class StatGatesSpec extends SparkSpec {
     assert(got(30L) === ((1L, 1L, 0L, 0L))) // d = n sentinel tail
   }
 
+  test("q244: the curation funnel is internally consistent " +
+      "(monotone survivors, split partition, pack = train)") {
+    val rows = MixQueries.q244CurationPipeline(spark, sf).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_groups"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("id_sum"),
+          r.getAs[Long]("aux"))).toMap
+    def docs(s: String) = rows.get(s).map(_._1).getOrElse(0L)
+    // survivors can only shrink stage to stage
+    val chain = Seq("input", "quality", "exact_dedup", "strip_spans",
+      "near_dedup", "decontam", "mix")
+    chain.sliding(2).foreach { case Seq(a, b) =>
+      assert(docs(a) >= docs(b), s"$a (${docs(a)}) < $b (${docs(b)})")
+    }
+    // decontam drops are exactly the exact tier (aux) + fuzzy-only tier
+    val (nDec, fOnly, _, _, ex) = rows("decontam")
+    assert(nDec === docs("near_dedup") - ex - fOnly)
+    // the three split rows partition the mix survivors
+    val splits = rows.filter(_._1.startsWith("split_")).values
+    assert(splits.map(_._1).sum === docs("mix"))
+    assert(splits.map(_._3).sum === rows("mix")._3)
+    assert(splits.map(_._4).sum === rows("mix")._4)
+    // the packed set IS the train split, token for token
+    val tr = rows.getOrElse("split_train", (0L, 0L, 0L, 0L, 0L))
+    val pk = rows.getOrElse("pack", (0L, 0L, 0L, 0L, 0L))
+    assert(pk._1 === tr._1 && pk._3 === tr._3 && pk._4 === tr._4)
+  }
+
   test("q218: Good-Turing spectrum matches plain-Scala trigram counts") {
     val docs = Tables.documents(spark, sf)
       .select(col("lang"), col("text")).collect()
