@@ -55,10 +55,14 @@ object Graphs {
     *              donate their mass as dangling
     * @param iterations fixed round count (small, so the oracle can
     *                   unroll it as chained CTEs)
+    * @param barrierEvery lineage-barrier cadence: a `localCheckpoint`
+    *                     every this many rounds (never after the last).
+    *                     `Int.MaxValue` disables barriers — measurement
+    *                     use only (see [[graft.tools.Scratch]])
     * @return one row per node: `(id, score)` with `Σ score ≈` [[Scale]]
     */
   def pageRank(edges: DataFrame, nodes: DataFrame,
-      iterations: Int): DataFrame = {
+      iterations: Int, barrierEvery: Int = 4): DataFrame = {
     require(iterations >= 1, s"pageRank: iterations >= 1, got $iterations")
     // driver-side scalars by contract: two counts, nothing row-shaped
     val n = nodes.count()
@@ -71,7 +75,7 @@ object Graphs {
     val dangling = nodes.join(deg, nodes("id") === deg("src"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var score = nodes.select(col("id"), lit(Scale / n).as("score"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val dm = score.join(dangling, Seq("id"), "left_semi")
         .agg(coalesce(sum(col("score")), lit(0L)).as("dm"))
         .select(idiv(col("dm"), lit(n)).as("dshare"))
@@ -85,6 +89,20 @@ object Graphs {
         .select(col("id"), (lit(base) +
           idiv(lit(17L) * (coalesce(col("m"), lit(0L)) + col("dshare")),
             lit(20L))).as("score"))
+      // lineage barrier: each round reads `score` TWICE (the dangling
+      // aggregate and the contribution join), so the unbarriered plan
+      // doubles per round — the q231 blowup shape. Fine at the gate's 3
+      // rounds (8× a round's plan); past ~10 the analyzer, not the
+      // data, becomes the cost (Scratch-measured at sf0.001 — see the
+      // cadence note there). A localCheckpoint on a cadence caps the
+      // depth at 2^barrierEvery round-plans while adding zero barriers
+      // at ≤ barrierEvery rounds, so the q215 gate's bench cost is
+      // untouched; values are identical (the barrier only materializes
+      // the same integers), so the unrolled-CTE oracle needs no change
+      // (the ccWithRounds discipline, on a cadence instead of per
+      // generation).
+      if (i % barrierEvery == 0 && i < iterations)
+        score = score.localCheckpoint()
     }
     score
     // adj/dangling unpersist with the session; gates are one-shot

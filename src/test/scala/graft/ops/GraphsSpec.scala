@@ -87,4 +87,27 @@ class GraphsSpec extends SparkSpec {
     assert(total <= Graphs.Scale && total >= Graphs.Scale - bound,
       s"mass $total drifted more than $bound below ${Graphs.Scale}")
   }
+
+  test("deep round counts: lineage barrier changes no values") {
+    // 10 rounds crosses the default cadence twice (i = 4, 8); the
+    // barriered run, the unbarriered run, and the plain-Scala replica
+    // must produce byte-identical scores — the barrier is purely a
+    // plan-depth cap (Graphs.pageRank cadence note).
+    import spark.implicits._
+    val rng = new scala.util.Random(14L)
+    val n = 25
+    val nodes = (0L until n.toLong).toSeq
+    val edges = Seq.fill(2 * n)(
+      (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      .filter { case (s, d) => s != d }
+    val e = edges.toDF("src", "dst")
+    val v = nodes.toDF("id")
+    val want = replica(edges, nodes, 10)
+    val barriered = Graphs.pageRank(e, v, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = Graphs.pageRank(e, v, 10, barrierEvery = Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(barriered === want)
+    assert(plain === want)
+  }
 }
