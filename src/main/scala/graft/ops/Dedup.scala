@@ -671,23 +671,8 @@ object Dedup {
     // generation to the configured checkpoint dir — the right mode for a
     // 10-round job on a preemptible 100 TB cluster, where losing a
     // generation block mid-loop would otherwise kill the job.
-    if (reliable && spark.sparkContext.getCheckpointDir.isEmpty) {
-      // a tmpdir default is only sound in local mode: on a real cluster
-      // each executor would write its checkpoint blocks to its OWN node's
-      // tmpdir — unreadable from other nodes and gone on preemption, i.e.
-      // exactly the failure mode reliable=true exists to survive. Fail
-      // fast there instead of silently degrading to less-than-reliable.
-      if (!spark.sparkContext.isLocal)
-        throw new IllegalStateException(
-          "connectedComponents(reliable=true) on a non-local master requires " +
-            "an explicitly configured checkpoint dir on shared storage " +
-            "(spark.sparkContext.setCheckpointDir to an HDFS/S3/NFS path); " +
-            "the java.io.tmpdir fallback is node-local and defeats the mode")
-      spark.sparkContext.setCheckpointDir(
-        s"${sys.props("java.io.tmpdir")}/graft_cc_checkpoints")
-    }
-    def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    if (reliable) Lineage.ensureCheckpointDir(sym, "connectedComponents")
+    def ckpt(df: DataFrame): DataFrame = Lineage.barrier(df, reliable)
     var labels = ckpt(sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("rep")))
     var changed = 1L

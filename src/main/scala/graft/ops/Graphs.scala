@@ -55,15 +55,24 @@ object Graphs {
     *              donate their mass as dangling
     * @param iterations fixed round count (small, so the oracle can
     *                   unroll it as chained CTEs)
-    * @param barrierEvery lineage-barrier cadence: a `localCheckpoint`
-    *                     every this many rounds (never after the last).
+    * @param barrierEvery lineage-barrier cadence: a checkpoint every
+    *                     this many rounds (never after the last).
     *                     `Int.MaxValue` disables barriers — measurement
     *                     use only (see [[graft.tools.Scratch]])
+    * @param reliable barrier durability, mirroring
+    *                 [[Dedup.connectedComponents]]: `false` =
+    *                 localCheckpoint (fast; blocks lost on executor
+    *                 death), `true` = checkpoint to the configured dir —
+    *                 the mode for long runs on a preemptible cluster
     * @return one row per node: `(id, score)` with `Σ score ≈` [[Scale]]
     */
   def pageRank(edges: DataFrame, nodes: DataFrame,
-      iterations: Int, barrierEvery: Int = 4): DataFrame = {
+      iterations: Int, barrierEvery: Int = 4,
+      reliable: Boolean = false): DataFrame = {
     require(iterations >= 1, s"pageRank: iterations >= 1, got $iterations")
+    require(barrierEvery >= 1,
+      s"pageRank: barrierEvery >= 1, got $barrierEvery")
+    if (reliable) Lineage.ensureCheckpointDir(edges, "pageRank")
     // driver-side scalars by contract: two counts, nothing row-shaped
     val n = nodes.count()
     require(n > 0, "pageRank: empty node set")
@@ -102,7 +111,7 @@ object Graphs {
       // (the ccWithRounds discipline, on a cadence instead of per
       // generation).
       if (i % barrierEvery == 0 && i < iterations)
-        score = score.localCheckpoint()
+        score = Lineage.barrier(score, reliable)
     }
     score
     // adj/dangling unpersist with the session; gates are one-shot

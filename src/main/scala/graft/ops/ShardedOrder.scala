@@ -105,7 +105,11 @@ object ShardedOrder {
     // explicit-nBuckets path is byte-identical to the pre-adaptive form.
     val cuts = df.groupBy(partCols.map(col): _*)
       .agg(percentile_approx(col(valueCol), probs, lit(10000)).as("_so_cuts"),
-        count(lit(1)).as("_so_kn"))
+        // non-null mass only: percentile_approx excludes NULL valueCol
+        // rows from the cuts, so they must not inflate the bucket count
+        // either (NULL rows all land in bucket 0 regardless — the filter
+        // predicate is NULL — so extra buckets for them is pure drift)
+        count(col(valueCol)).as("_so_kn"))
       .select((partCols.map(col) :+
         transform(sequence(lit(1L), eff - 1L),
           k => element_at(col("_so_cuts"),

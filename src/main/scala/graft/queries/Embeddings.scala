@@ -1985,7 +1985,11 @@ object Embeddings {
     // negatives (math.round is half-toward-+infinity: an exact −x.5
     // quotient would round differently across engines — ADVICE r13)
     def rnd(x: Double): Long =
-      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      // degenerate guard: an all-zero matvec makes mx = 0 and x = 0/0 =
+      // NaN — BigDecimal(NaN) throws where the old math.round degraded
+      // to 0; keep the degrade-to-0 behavior (ADVICE r14)
+      if (x.isNaN || x.isInfinite) 0L
+      else BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     def normalize(w: Array[BigInt]): Array[Long] = {
       val mx = w.map(_.abs).max
       val w9 = w.map(x => rnd(x.toDouble / mx.toDouble * 1e9))

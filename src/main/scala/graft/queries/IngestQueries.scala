@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Ingest-robustness gates: what happens when the feed is NOT the clean
+  * declared-schema parquet every other source in this engine reads.
+  *
+  * The reference ingests third-party JSON whose shape it does not
+  * control (`API_manager.py:44-65` wraps the decode in try/except and
+  * maps failures to typed errors); at 100 TB that policy has to be
+  * row-granular, not file-granular — one malformed record in a billion
+  * must quarantine itself, not kill the job or silently vanish. Spark's
+  * contract for exactly this is PERMISSIVE mode + a corrupt-record
+  * column: the parser yields every row, malformed payloads land intact
+  * in the quarantine column (null everywhere else), fields absent from
+  * a record default to null, and numeric fields read under a WIDER
+  * declared type than the writer used (int token → double column) are
+  * widened per row. All three policies are exercised here against a
+  * deterministic dirty feed derived in-plan from `documents`, so the
+  * DuckDB oracle can replay the identical corruption and the identical
+  * parse outcomes with its own JSON kernel (`json_valid` /
+  * `json_extract`) — two independent parsers agreeing on the same
+  * quarantine set is the point of the gate.
+  *
+  * Scale shape: one corpus scan, one codegen'd projection building +
+  * parsing the feed (`from_json` is a per-row expression — no shuffle),
+  * one partial-aggregated groupBy on the handful of report buckets.
+  * Nothing here is corpus-size-sensitive beyond the scan itself.
+  */
+object IngestQueries {
+
+  /** The declared read schema. Deliberately WIDER and LARGER than what
+    * the feed carries: `n_chars` is declared double (writers emit
+    * integer tokens — per-row widening), `quality` is declared but no
+    * record carries it (missing-column defaulting → null), and
+    * `_corrupt` is the quarantine column PERMISSIVE mode fills. */
+  private val readSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("n_chars", DoubleType),
+    StructField("source", StringType),
+    StructField("quality", DoubleType),
+    StructField("_corrupt", StringType)))
+
+  /** The deterministic dirty feed, as a `(doc_id, raw)` projection:
+    * every 7th doc's JSON is truncated 2 bytes short (an unterminated
+    * string — unambiguously malformed to any parser), every remaining
+    * 5th doc omits the `source` field entirely, and all records emit
+    * `n_chars` as a bare integer token against the double-declared
+    * read schema. Shared by the gate and [[graft.etl]]-side tests. */
+  private[graft] def dirtyFeed(docs: DataFrame): DataFrame = {
+    val full = concat(
+      lit("{\"doc_id\":"), col("doc_id"),
+      lit(",\"lang\":\""), col("lang"),
+      lit("\",\"n_chars\":"), col("n_chars"),
+      lit(",\"source\":\""), col("source"), lit("\"}"))
+    val noSource = concat(
+      lit("{\"doc_id\":"), col("doc_id"),
+      lit(",\"lang\":\""), col("lang"),
+      lit("\",\"n_chars\":"), col("n_chars"), lit("}"))
+    docs.select(col("doc_id").as("feed_id"),
+      when(col("doc_id") % 7 === 0, full.substr(lit(1), length(full) - 2))
+        .when(col("doc_id") % 5 === 0, noSource)
+        .otherwise(full).as("raw"))
+  }
+
+  /** q245: the ingest report over the dirty feed — one row per language
+    * (plus the `__corrupt__` quarantine bucket) with the row count, the
+    * missing-`source` count, the defaulted-`quality` count, the widened
+    * char mass, and the byte mass of the ORIGINAL payloads (proving the
+    * quarantine channel preserves malformed records verbatim — the
+    * replayability requirement: a fixed upstream means quarantined rows
+    * re-ingest from the quarantine table, not from a re-crawl).
+    *
+    * Membership in every report column is gated on `_corrupt IS NULL`
+    * alone — never on a parsed field — because PERMISSIVE mode may
+    * PARTIALLY fill fields of a malformed record (whatever prefix
+    * parsed before the error), and partial-parse shape is parser
+    * implementation detail the oracle's independent JSON kernel need
+    * not share. Gating on the quarantine flag makes the report a pure
+    * function of the valid/invalid partition, which both parsers agree
+    * on by JSON's grammar. */
+  def q245IngestRobust(spark: SparkSession, dir: String): DataFrame = {
+    val feed = dirtyFeed(Tables.spread(Tables.documents(spark, dir)))
+    val parsed = feed.select(col("raw"),
+      from_json(col("raw"), readSchema, Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> "_corrupt")).as("rec"))
+    val valid = col("rec.`_corrupt`").isNull
+    val asLong: Column => Column = c => c.cast("int").cast("long")
+    parsed
+      .select(
+        when(valid, col("rec.lang")).otherwise(lit("__corrupt__")).as("bucket"),
+        asLong(valid && col("rec.source").isNull).as("miss_src"),
+        asLong(valid && col("rec.quality").isNull).as("def_q"),
+        when(valid, col("rec.n_chars")).otherwise(lit(0.0)).as("chars"),
+        length(col("raw")).cast("long").as("len"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("miss_src")).as("n_missing_source"),
+        sum(col("def_q")).as("n_quality_defaulted"),
+        sum(col("chars")).as("sum_chars_wide"),
+        sum(col("len")).as("quarantine_len"))
+  }
+
+  /** The oracle rebuilds the identical dirty feed with string concat and
+    * replays the parse with DuckDB's JSON kernel: `json_valid` decides
+    * the quarantine partition (both parsers agree by JSON's grammar —
+    * the truncation leaves an unterminated string), `json_extract*`
+    * NULLs on the missing field, and the double CAST widens the integer
+    * token exactly as the double-declared Spark schema does. */
+  val q245IngestRobustSql: String =
+    """WITH feed AS (
+      |  SELECT CASE
+      |      WHEN doc_id % 7 = 0 THEN substr(j_full, 1, length(j_full) - 2)
+      |      WHEN doc_id % 5 = 0 THEN j_nosrc
+      |      ELSE j_full END AS raw
+      |  FROM (
+      |    SELECT doc_id,
+      |      '{"doc_id":' || doc_id || ',"lang":"' || lang ||
+      |        '","n_chars":' || n_chars || ',"source":"' || source || '"}'
+      |        AS j_full,
+      |      '{"doc_id":' || doc_id || ',"lang":"' || lang ||
+      |        '","n_chars":' || n_chars || '}' AS j_nosrc
+      |    FROM documents)
+      |), parsed AS (
+      |  -- extracts guarded behind json_valid: DuckDB's json_extract
+      |  -- THROWS on malformed input (its quarantine decision is the
+      |  -- validity check itself), and CASE evaluates lazily per row
+      |  SELECT raw, json_valid(raw) AS ok,
+      |    CASE WHEN json_valid(raw)
+      |      THEN json_extract_string(raw, '$.lang') END AS lang,
+      |    CASE WHEN json_valid(raw)
+      |      THEN json_extract_string(raw, '$.source') END AS src,
+      |    CASE WHEN json_valid(raw)
+      |      THEN CAST(json_extract(raw, '$.n_chars') AS DOUBLE) END
+      |      AS n_chars
+      |  FROM feed)
+      |SELECT
+      |  CASE WHEN ok THEN lang ELSE '__corrupt__' END AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN ok AND src IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_missing_source,
+      |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_quality_defaulted,
+      |  sum(CASE WHEN ok THEN n_chars ELSE 0.0 END) AS sum_chars_wide,
+      |  CAST(sum(length(raw)) AS BIGINT) AS quarantine_len
+      |FROM parsed GROUP BY 1
+      |""".stripMargin
+}

@@ -110,4 +110,26 @@ class GraphsSpec extends SparkSpec {
     assert(barriered === want)
     assert(plain === want)
   }
+
+  test("barrierEvery is validated like iterations; reliable barriers " +
+      "change no values (ADVICE r14)") {
+    import spark.implicits._
+    val e = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val v = Seq(0L, 1L, 2L).toDF("id")
+    // 0 would throw ArithmeticException mid-loop (i % 0); negatives
+    // silently disabled barriers — both must fail fast at the door
+    intercept[IllegalArgumentException] {
+      Graphs.pageRank(e, v, 3, barrierEvery = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graphs.pageRank(e, v, 3, barrierEvery = -4)
+    }
+    // the reliable (checkpoint-dir) barrier is value-identical to the
+    // local one — same contract as connectedComponents' reliable knob
+    val want = Graphs.pageRank(e, v, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rel = Graphs.pageRank(e, v, 10, reliable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel === want)
+  }
 }

@@ -52,6 +52,28 @@ class ShardedOrderSpec extends SparkSpec {
     assertSameRows(got, want)
   }
 
+  test("shardedRowNumber == plain row_number + count (NULL-heavy key, " +
+      "adaptive buckets)") {
+    // ADVICE r14: the adaptive per-key mass must count NON-NULL value
+    // rows only (percentile_approx excludes NULLs from the cuts, and
+    // NULL rows all land in bucket 0 regardless) — this pins the output
+    // invariance on a key that is 80% NULLs, under the DEFAULT adaptive
+    // path (nBuckets = 0), where the mass feeds the bucket-count clamp
+    import spark.implicits._
+    val rows =
+      (1 to 40).map(i => ("nullish", i.toLong,
+        if (i % 5 == 0) Some((i % 7).toLong) else None)) ++
+      (1 to 60).map(i => ("mixed", i.toLong, Some((i * 3 % 5).toLong)))
+    val df = rows.toDF("k", "id", "v")
+    val wOrd = Window.partitionBy(col("k")).orderBy(col("v"), col("id"))
+    val wAll = Window.partitionBy(col("k"))
+    val want = df.withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val got = ShardedOrder.shardedRowNumber(
+      df, Seq("k"), "v", Seq("id"), "rn", "n")
+    assertSameRows(got, want)
+  }
+
   test("shardedRank2 == plain 2*rank + tie - 1 (tie-heavy, 8 buckets)") {
     val df = tieHeavy
     val want = df.withColumn("r2",

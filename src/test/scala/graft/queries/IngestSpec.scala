@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Edge semantics of the q245 ingest-robustness gate — the properties
+  * the hash gate certifies only in aggregate: quarantined payloads are
+  * byte-identical to the input, report membership never depends on
+  * partial-parse shape, the missing field defaults to null, and the
+  * int-token → double-column widening is per-row exact.
+  */
+class IngestSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val report =
+    IngestQueries.q245IngestRobust(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+
+  test("quarantine bucket holds exactly the doc_id % 7 rows, verbatim") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val nCorrupt = docs.filter($"doc_id" % 7 === 0).count()
+    val q = report("__corrupt__")
+    assert(q.getAs[Long]("n_rows") === nCorrupt)
+    // byte mass of the quarantined payloads equals the byte mass of the
+    // truncated originals — the replayability property (nothing lost,
+    // nothing re-encoded): full json length minus the 2 chopped bytes
+    val expLen = docs.filter($"doc_id" % 7 === 0)
+      .select(sum(length(concat(
+        lit("{\"doc_id\":"), $"doc_id", lit(",\"lang\":\""), $"lang",
+        lit("\",\"n_chars\":"), $"n_chars",
+        lit(",\"source\":\""), $"source", lit("\"}"))) - 2))
+      .head.getLong(0)
+    assert(q.getAs[Long]("quarantine_len") === expLen)
+  }
+
+  test("valid buckets: every row defaults the absent quality column; " +
+      "missing-source count is exactly the %5-not-%7 rows") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val langs = docs.select($"lang").distinct().as[String].collect()
+    for (l <- langs) {
+      val r = report(l)
+      // quality is declared in the read schema but no record carries it:
+      // defaulting must fire on EVERY valid row of the bucket
+      assert(r.getAs[Long]("n_quality_defaulted") === r.getAs[Long]("n_rows"),
+        s"lang $l: quality defaulting not universal")
+    }
+    val expMissing = docs
+      .filter($"doc_id" % 7 =!= 0 && $"doc_id" % 5 === 0).count()
+    assert(langs.map(l => report(l).getAs[Long]("n_missing_source")).sum
+      === expMissing)
+  }
+
+  test("widened char mass is the exact integer sum — per-row int token " +
+      "to double column, no precision loss") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val exp = docs.filter($"doc_id" % 7 =!= 0)
+      .groupBy($"lang").agg(sum($"n_chars".cast("double")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((l, s) <- exp)
+      assert(report(l).getAs[Double]("sum_chars_wide") === s, s"lang $l")
+  }
+
+  test("corrupt-row report membership is gated on the quarantine flag, " +
+      "never a parsed field (partial-parse independence)") {
+    // a malformed record whose PREFIX parses (doc_id, lang both land
+    // before the truncation point) must still contribute nothing to any
+    // lang bucket: total valid rows + quarantine rows = corpus rows
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val total = report.values.map(_.getAs[Long]("n_rows")).sum
+    assert(total === docs.count())
+    val validTotal = total - report("__corrupt__").getAs[Long]("n_rows")
+    assert(validTotal === docs.filter($"doc_id" % 7 =!= 0).count())
+  }
+
+  test("report stays one scan + one partial-aggregated exchange") {
+    val df = IngestQueries.q245IngestRobust(spark, sf)
+    df.count()
+    val p = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert("documents\\.parquet".r.findAllIn(p).length === 1,
+      s"corpus scanned more than once:\n${p.take(2000)}")
+    assert(!p.contains("Join"), p.take(2000))
+    // map-side combine: a partial HashAggregate must sit under the
+    // exchange so the shuffle moves bucket-counts, not corpus rows
+    assert(p.contains("partial"), s"no partial aggregate:\n${p.take(2000)}")
+  }
+}
