@@ -107,6 +107,94 @@ object IngestQueries {
         sum(col("len")).as("quarantine_len"))
   }
 
+  /** The unified lake-read contract for [[q246SchemaEvolution]]: what a
+    * catalog would declare over every epoch ever written. `n_chars` is
+    * LONG (old writers emitted int32 — widened per row on read),
+    * `source` exists only in epoch-0 files and `quality` only in
+    * epoch-1 files (each null-defaults where absent), `epoch` is the
+    * partition column with a pinned type. */
+  private val lakeSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("n_chars", LongType),
+    StructField("source", StringType),
+    StructField("quality", DoubleType),
+    StructField("epoch", IntegerType)))
+
+  /** q246: schema evolution across lake write epochs — the OTHER half of
+    * the 100 TB ingest story next to [[q245IngestRobust]]'s dirty rows:
+    * clean rows whose FILES were written by different generations of the
+    * producer. The gate materializes two real parquet epochs from
+    * `documents` (epoch 0: an old writer — `n_chars` int32, has
+    * `source`, no `quality`; epoch 1: a new writer — `n_chars` int64,
+    * has `quality` with occasional real NULLs, dropped `source`) and
+    * reads them back through ONE declared unified schema, exercising
+    * Spark's per-row int32→long widening, absent-column null
+    * defaulting in BOTH directions, and partition-column typing.
+    *
+    * Deliberately NOT `mergeSchema`: footer-merge cannot reconcile
+    * int32/int64 (CANNOT_MERGE_SCHEMAS) and, at a million files, even
+    * working footer inference is a driver-side O(files) stall — the
+    * scale answer is a catalog-declared schema, which is what this gate
+    * certifies. The report distinguishes physically-missing-column
+    * defaulting from real in-file NULLs (epoch 1's planted doc_id%3
+    * nulls), because at 100 TB those are different bugs.
+    *
+    * The oracle never touches the files: epoch content is a pure
+    * function of `documents` (parity `doc_id % 2`), so DuckDB rebuilds
+    * the logical rows from the view and must agree with what Spark
+    * read back through the physical epoch files — the round trip IS
+    * the property under test. */
+  def q246SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val root = java.nio.file.Files.createTempDirectory("graft_q246_lake")
+    root.toFile.deleteOnExit()
+    // epoch 0 — the OLD writer's physical layout (int32 n_chars, source
+    // present, quality not yet invented)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("int").as("n_chars"), col("source"))
+      .write.parquet(s"$root/epoch=0")
+    // epoch 1 — the NEW writer (int64 n_chars, quality added with real
+    // NULLs every third doc, source dropped)
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"),
+        when(col("doc_id") % 3 =!= 0, col("n_chars").cast("double") / 4.0)
+          .as("quality"))
+      .write.parquet(s"$root/epoch=1")
+    spark.read.schema(lakeSchema).parquet(root.toString)
+      .groupBy(col("epoch"), col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum((col("quality").isNull).cast("int").cast("long"))
+          .as("n_quality_null"),
+        sum((col("source").isNull).cast("int").cast("long"))
+          .as("n_source_null"),
+        sum(col("n_chars")).as("sum_chars_wide"),
+        sum(coalesce(col("quality"), lit(0.0))).as("sum_quality"))
+  }
+
+  /** Epoch content is `documents` split by doc_id parity, so the oracle
+    * rebuilds the unified rows from the view: epoch 0 rows default
+    * `quality` (physically absent), epoch 1 rows default `source` and
+    * carry `n_chars/4.0` quality except the planted `doc_id % 3` NULLs.
+    * Agreement certifies Spark's file-level widening/defaulting
+    * round-trip against content that never left the view. */
+  val q246SchemaEvolutionSql: String =
+    """SELECT
+      |  CAST(doc_id % 2 AS INT) AS epoch,
+      |  lang,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 0 OR doc_id % 3 = 0
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_null,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_source_null,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars_wide,
+      |  sum(CASE WHEN doc_id % 2 = 1 AND doc_id % 3 <> 0
+      |      THEN n_chars / 4.0 ELSE 0.0 END) AS sum_quality
+      |FROM documents GROUP BY 1, 2
+      |""".stripMargin
+
   /** The oracle rebuilds the identical dirty feed with string concat and
     * replays the parse with DuckDB's JSON kernel: `json_valid` decides
     * the quarantine partition (both parsers agree by JSON's grammar —

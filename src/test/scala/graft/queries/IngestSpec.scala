@@ -79,6 +79,48 @@ class IngestSpec extends SparkSpec {
     assert(validTotal === docs.filter($"doc_id" % 7 =!= 0).count())
   }
 
+  test("q246: epoch-0 files are PHYSICALLY int32 and the unified read " +
+      "widens them — the property the value gate can't see") {
+    import spark.implicits._
+    // rebuild the epochs the way the gate does, then check the footer:
+    // if epoch 0 silently wrote int64, the gate would pass without ever
+    // exercising the widening path
+    val root = java.nio.file.Files.createTempDirectory("graft_q246_spec")
+    root.toFile.deleteOnExit()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.filter($"doc_id" % 2 === 0)
+      .select($"doc_id", $"lang", $"n_chars".cast("int").as("n_chars"), $"source")
+      .write.parquet(s"$root/epoch=0")
+    docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"lang", $"n_chars".cast("long").as("n_chars"))
+      .write.parquet(s"$root/epoch=1")
+    import org.apache.spark.sql.types._
+    val e0 = spark.read.parquet(s"$root/epoch=0").schema("n_chars").dataType
+    val e1 = spark.read.parquet(s"$root/epoch=1").schema("n_chars").dataType
+    assert(e0 === IntegerType && e1 === LongType,
+      s"epoch footers not as planted: e0=$e0 e1=$e1")
+    // footer-merge inference REFUSES this layout — the documented reason
+    // the lake contract is a declared schema, not mergeSchema
+    val merged = intercept[org.apache.spark.SparkException] {
+      spark.read.option("mergeSchema", "true").parquet(root.toString).schema
+    }
+    assert(merged.getMessage.contains("CANNOT_MERGE_SCHEMAS"), merged.getMessage)
+    // the declared unified schema reads BOTH epochs, widened, with the
+    // absent column null-defaulted and the partition column typed
+    val uni = spark.read
+      .schema("doc_id LONG, lang STRING, n_chars LONG, source STRING, epoch INT")
+      .parquet(root.toString)
+    assert(uni.schema("n_chars").dataType === LongType)
+    assert(uni.schema("epoch").dataType === IntegerType)
+    val wantSum = docs.select(sum($"n_chars".cast("long"))).head.getLong(0)
+    assert(uni.select(sum($"n_chars")).head.getLong(0) === wantSum,
+      "widened read lost value mass")
+    val e1Rows = docs.filter($"doc_id" % 2 === 1).count()
+    assert(uni.filter($"epoch" === 1 && $"source".isNull).count() === e1Rows,
+      "absent column did not default to null in the newer epoch")
+    assert(uni.filter($"epoch" === 0 && $"source".isNull).count() === 0)
+  }
+
   test("report stays one scan + one partial-aggregated exchange") {
     val df = IngestQueries.q245IngestRobust(spark, sf)
     df.count()
