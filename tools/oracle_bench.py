@@ -15,6 +15,7 @@ default output is ORACLE_BENCH.json in the repo root. Each query is timed
 as min-of-3 on a quiet machine (the same discipline as the scaling notes).
 """
 import json
+import os
 import sys
 import time
 
@@ -36,20 +37,60 @@ def main():
     # with >100 GB free; a fixed generous limit is stable
     con.execute("SET memory_limit='48GB'")
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata is one flat file per table; Sf1Gen output is a
+        # Spark directory of part files — glob accordingly (as check.py)
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    # per-run wall budget: at sf1 one oracle replay (q92's unrolled
+    # k-means) ran >35 min without completing ONCE — the replay SQL is
+    # superlinear in DuckDB even where the engine side is not. A DNF is
+    # recorded at the budget (an under-estimate of the true floor, i.e.
+    # conservative for the Spark/oracle ratio) and listed in the
+    # artifact so the number is never mistaken for a measurement.
+    budget = float(os.environ.get("ORACLE_BENCH_BUDGET_S", "300"))
+
+    def timed_once(sql):
+        import threading
+        done = threading.Event()
+
+        def watchdog():
+            if not done.wait(budget):
+                con.interrupt()
+        w = threading.Thread(target=watchdog, daemon=True)
+        w.start()
+        t0 = time.monotonic()
+        try:
+            con.execute(sql).fetchall()
+            return time.monotonic() - t0, False
+        except duckdb.Error as e:
+            if "interrupt" in str(e).lower() or isinstance(
+                    e, getattr(duckdb, "InterruptException", ())):
+                return time.monotonic() - t0, True
+            raise
+        finally:
+            done.set()
+
     queries = {}
+    dnf = []
     for name in sorted(oracle_sql):
         sql = oracle_sql[name]
-        best = None
-        for _ in range(3):
-            t0 = time.monotonic()
-            con.execute(sql).fetchall()
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
+        best, hit = timed_once(sql)
+        if hit:
+            dnf.append(name)
+        elif best < 5.0:
+            # min-of-3 refines noise-dominated small numbers; a >5 s
+            # query's first measurement is already signal, and tripling
+            # a minutes-long replay buys nothing
+            for _ in range(2):
+                dt, h2 = timed_once(sql)
+                if not h2:
+                    best = min(best, dt)
         queries[name] = round(best, 6)
-        print(f"{name}: {best:.3f}s", file=sys.stderr)
-    out = {"sf": sf_dir, "engine": "duckdb",
+        print(f"{name}: {best:.3f}s{' DNF' if hit else ''}", file=sys.stderr)
+    out = {"sf": sf_dir, "engine": "duckdb", "budget_s": budget,
+           "dnf": dnf,
            "total_s": round(sum(queries.values()), 6), "queries": queries}
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
