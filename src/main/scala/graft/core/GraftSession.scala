@@ -106,6 +106,22 @@ object GraftSession {
     *    −2 s over the 74 gated queries, 6 interleaved sweeps). At real
     *    scale those decisions carry the job, so [[local]] keeps AQE ON;
     *    flip GRAFT_AQE to re-enable here.
+    *
+    *    sf1 re-measurement (r15): at 10× data the trade is no longer
+    *    one-sided. The graph-join family WANTS AQE's skew/coalesce
+    *    decisions (QuickBench medians at sf1: q143 5.07→1.98 s, q149
+    *    7.24→2.05 s, q170 2.68→1.67 s with GRAFT_AQE=true), while the
+    *    q244 composition pipeline pays 3.5× FOR it (12.5→43.4 s — its
+    *    dozens of tiny exchanges across eight persisted stages each
+    *    become a blocking stage + driver re-plan, a local-mode cost
+    *    that amortizes on a real cluster where stages carry real data).
+    *    Net over the registry the two effects roughly cancel, so the
+    *    static choice stands; on a production cluster both families run
+    *    under [[local]]-style AQE-on, where the q244 shape's exchanges
+    *    are no longer trivially small. Operators must not RELY on AQE
+    *    for correctness of shape — q229's grid learned this: cartesian
+    *    partition products must be declared (coalesce(1)), not left for
+    *    the AQE coalescer to clean up.
     */
   def tunedLocal(appName: String, dataDir: String, cores: Int = 32): SparkSession = {
     def size(f: java.io.File): Long =

@@ -954,7 +954,16 @@ object MonitorQueries {
   def q229Isotonic(spark: SparkSession, dir: String): DataFrame = {
     val bins = q221CalibrationEce(spark, dir)
       .select(col("bin"), col("n_b"), col("acc_fp6"))
-      .localCheckpoint() // ≤10 rows, feeds the interval grid three ways
+      // ≤10 rows, feeds the interval grid three ways. coalesce(1) BEFORE
+      // the barrier: the grid below crossJoins this table with itself
+      // twice, and cartesian partition counts MULTIPLY — a bins table
+      // that inherits the corpus shuffle partitioning turns the trivial
+      // grid into partitions³ empty tasks (measured 10.4 s vs 0.6 s at
+      // sf1 under the AQE-off bench session, whose coalescer otherwise
+      // hid it). Grid work must declare its grid size, not inherit the
+      // corpus's.
+      .coalesce(1)
+      .localCheckpoint()
     // interval sums via a small self-join: for (j,k) sum bins in range
     val sums = bins.select(col("bin"), col("n_b"),
         (col("acc_fp6") * col("n_b")).as("y6w"))

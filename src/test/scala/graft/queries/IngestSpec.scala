@@ -121,6 +121,37 @@ class IngestSpec extends SparkSpec {
     assert(uni.filter($"epoch" === 0 && $"source".isNull).count() === 0)
   }
 
+  test("q245 report is partition-order independent and a pure function " +
+      "of the corpus (seeded shuffles)") {
+    // the report must not depend on how rows land in partitions: the
+    // quarantine decision, defaulting, and widening are all per-row, and
+    // the aggregate is commutative — any divergence under repartition
+    // means order-sensitive state leaked in
+    import spark.implicits._
+    val base = IngestQueries.q245IngestRobust(spark, sf)
+      .collect().map(r => r.toSeq).sortBy(_.toString)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rng = new scala.util.Random(245L)
+    for (_ <- 1 to 3) {
+      val shuffled = docs.repartition(1 + rng.nextInt(16),
+        (col("doc_id") * (1 + rng.nextInt(97))) % 31)
+      val dir2 = tmpDir("q245-prop")
+      shuffled.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+      val got = IngestQueries.q245IngestRobust(spark, dir2)
+        .collect().map(r => r.toSeq).sortBy(_.toString)
+      assert(got.toSeq === base.toSeq)
+    }
+  }
+
+  test("q246 is idempotent: repeated invocations land identical reports " +
+      "(fresh epoch dirs each run, no cross-run contamination)") {
+    val a = IngestQueries.q246SchemaEvolution(spark, sf)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = IngestQueries.q246SchemaEvolution(spark, sf)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("report stays one scan + one partial-aggregated exchange") {
     val df = IngestQueries.q245IngestRobust(spark, sf)
     df.count()
