@@ -51,20 +51,33 @@ object IngestQueries {
     * string — unambiguously malformed to any parser), every remaining
     * 5th doc omits the `source` field entirely, and all records emit
     * `n_chars` as a bare integer token against the double-declared
-    * read schema. Shared by the gate and [[graft.etl]]-side tests. */
+    * read schema. Shared by the gate and [[graft.etl]]-side tests.
+    *
+    * Total over NULL inputs: the source columns are nullable in the
+    * parquet schema, and a NULL reaching `concat` would NULL the whole
+    * payload — Spark's `from_json(NULL)` then yields a null struct
+    * (quarantine flag NULL → row counted valid) while DuckDB's
+    * `json_valid(NULL)` is NULL (row routed corrupt) — a silent
+    * engine/oracle divergence. Each field is therefore coalesced to a
+    * fixed sentinel BEFORE serialization, identically on both sides,
+    * so a future generator that plants NULLs cannot split the gate. */
   private[graft] def dirtyFeed(docs: DataFrame): DataFrame = {
+    val id = coalesce(col("doc_id"), lit(-1L))
+    val lang = coalesce(col("lang"), lit("und"))
+    val chars = coalesce(col("n_chars"), lit(0L))
+    val source = coalesce(col("source"), lit("unknown"))
     val full = concat(
-      lit("{\"doc_id\":"), col("doc_id"),
-      lit(",\"lang\":\""), col("lang"),
-      lit("\",\"n_chars\":"), col("n_chars"),
-      lit(",\"source\":\""), col("source"), lit("\"}"))
+      lit("{\"doc_id\":"), id,
+      lit(",\"lang\":\""), lang,
+      lit("\",\"n_chars\":"), chars,
+      lit(",\"source\":\""), source, lit("\"}"))
     val noSource = concat(
-      lit("{\"doc_id\":"), col("doc_id"),
-      lit(",\"lang\":\""), col("lang"),
-      lit("\",\"n_chars\":"), col("n_chars"), lit("}"))
-    docs.select(col("doc_id").as("feed_id"),
-      when(col("doc_id") % 7 === 0, full.substr(lit(1), length(full) - 2))
-        .when(col("doc_id") % 5 === 0, noSource)
+      lit("{\"doc_id\":"), id,
+      lit(",\"lang\":\""), lang,
+      lit("\",\"n_chars\":"), chars, lit("}"))
+    docs.select(id.as("feed_id"),
+      when(id % 7 === 0, full.substr(lit(1), length(full) - 2))
+        .when(id % 5 === 0, noSource)
         .otherwise(full).as("raw"))
   }
 
@@ -145,24 +158,52 @@ object IngestQueries {
     * the logical rows from the view and must agree with what Spark
     * read back through the physical epoch files — the round trip IS
     * the property under test. */
+  /** One materialized epoch tree per input dir per JVM. The first
+    * invocation writes the two epochs; bench replays (min-of-N sweeps)
+    * and repeated plan builds reuse it — the gate certifies the READ
+    * path, so re-writing identical files per call bought nothing and
+    * leaked them: `deleteOnExit` cannot remove a non-empty directory,
+    * so every sweep stranded a full corpus copy in /tmp. A single
+    * shutdown hook walks each root deepest-first instead. */
+  private[graft] val epochRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try {
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+  }
+
+  private def epochRoot(spark: SparkSession, dir: String): java.nio.file.Path =
+    epochRoots.computeIfAbsent(dir, { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft_q246_lake")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try deleteTree(root) catch { case _: Exception => () }))
+      val docs = Tables.spread(Tables.documents(spark, dir))
+      // epoch 0 — the OLD writer's physical layout (int32 n_chars,
+      // source present, quality not yet invented)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("int").as("n_chars"), col("source"))
+        .write.parquet(s"$root/epoch=0")
+      // epoch 1 — the NEW writer (int64 n_chars, quality added with
+      // real NULLs every third doc, source dropped)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"),
+          when(col("doc_id") % 3 =!= 0, col("n_chars").cast("double") / 4.0)
+            .as("quality"))
+        .write.parquet(s"$root/epoch=1")
+      root
+    })
+
   def q246SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(Tables.documents(spark, dir))
-    val root = java.nio.file.Files.createTempDirectory("graft_q246_lake")
-    root.toFile.deleteOnExit()
-    // epoch 0 — the OLD writer's physical layout (int32 n_chars, source
-    // present, quality not yet invented)
-    docs.filter(col("doc_id") % 2 === 0)
-      .select(col("doc_id"), col("lang"),
-        col("n_chars").cast("int").as("n_chars"), col("source"))
-      .write.parquet(s"$root/epoch=0")
-    // epoch 1 — the NEW writer (int64 n_chars, quality added with real
-    // NULLs every third doc, source dropped)
-    docs.filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id"), col("lang"),
-        col("n_chars").cast("long").as("n_chars"),
-        when(col("doc_id") % 3 =!= 0, col("n_chars").cast("double") / 4.0)
-          .as("quality"))
-      .write.parquet(s"$root/epoch=1")
+    val root = epochRoot(spark, dir)
     spark.read.schema(lakeSchema).parquet(root.toString)
       .groupBy(col("epoch"), col("lang"))
       .agg(count(lit(1)).as("n_rows"),
@@ -208,12 +249,16 @@ object IngestQueries {
       |      WHEN doc_id % 5 = 0 THEN j_nosrc
       |      ELSE j_full END AS raw
       |  FROM (
-      |    SELECT doc_id,
-      |      '{"doc_id":' || doc_id || ',"lang":"' || lang ||
-      |        '","n_chars":' || n_chars || ',"source":"' || source || '"}'
-      |        AS j_full,
-      |      '{"doc_id":' || doc_id || ',"lang":"' || lang ||
-      |        '","n_chars":' || n_chars || '}' AS j_nosrc
+      |    -- same NULL sentinels as the engine's dirtyFeed: the feed
+      |    -- must be a total function of the row on BOTH sides
+      |    SELECT COALESCE(doc_id, -1) AS doc_id,
+      |      '{"doc_id":' || COALESCE(doc_id, -1) || ',"lang":"' ||
+      |        COALESCE(lang, 'und') || '","n_chars":' ||
+      |        COALESCE(n_chars, 0) || ',"source":"' ||
+      |        COALESCE(source, 'unknown') || '"}' AS j_full,
+      |      '{"doc_id":' || COALESCE(doc_id, -1) || ',"lang":"' ||
+      |        COALESCE(lang, 'und') || '","n_chars":' ||
+      |        COALESCE(n_chars, 0) || '}' AS j_nosrc
       |    FROM documents)
       |), parsed AS (
       |  -- extracts guarded behind json_valid: DuckDB's json_extract

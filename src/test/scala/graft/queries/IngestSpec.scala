@@ -143,13 +143,45 @@ class IngestSpec extends SparkSpec {
     }
   }
 
-  test("q246 is idempotent: repeated invocations land identical reports " +
-      "(fresh epoch dirs each run, no cross-run contamination)") {
+  test("q246 is idempotent AND memoized: repeated invocations land " +
+      "identical reports from ONE epoch tree per input dir") {
+    val before = IngestQueries.epochRoots.size()
     val a = IngestQueries.q246SchemaEvolution(spark, sf)
       .collect().map(_.toSeq).sortBy(_.toString)
+    val rootA = IngestQueries.epochRoots.get(sf)
     val b = IngestQueries.q246SchemaEvolution(spark, sf)
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(a.toSeq === b.toSeq)
+    // the second invocation must NOT have written a second corpus copy:
+    // bench min-of-N sweeps replay this gate, and per-call temp trees
+    // leaked permanently (deleteOnExit can't remove non-empty dirs)
+    assert(IngestQueries.epochRoots.get(sf) eq rootA)
+    assert(IngestQueries.epochRoots.size() <= before + 1)
+  }
+
+  test("dirtyFeed is total over NULL inputs: a NULL field never NULLs " +
+      "the payload, and both parsers agree on the NULL-row bucket") {
+    import spark.implicits._
+    // synthetic rows planting a NULL in each serialized field; doc_id 21
+    // (%7) still truncates, doc_id 10 (%5) still drops source — the
+    // corruption routing must survive the sentinel substitution
+    val rows = Seq(
+      (Some(21L), Option.empty[String], Some("s"), Some(100L)),
+      (Some(10L), Some("en"), Option.empty[String], Some(200L)),
+      (Some(3L), Some("fr"), Some("t"), Option.empty[Long]),
+      (Option.empty[Long], Some("de"), Some("u"), Some(300L)))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val feed = IngestQueries.dirtyFeed(rows).collect()
+      .map(r => Option(r.get(0)) -> r.getString(1)).toMap
+    // no payload may be NULL — that was the divergence: Spark counts a
+    // NULL raw as valid (null struct, null quarantine flag), DuckDB
+    // routes it corrupt (json_valid(NULL) IS NULL)
+    assert(feed.values.forall(_ != null))
+    assert(feed(Some(21L)).startsWith("{\"doc_id\":21,\"lang\":\"und\"")
+      && !feed(Some(21L)).endsWith("\"}")) // still truncated
+    assert(feed(Some(10L)) === "{\"doc_id\":10,\"lang\":\"en\",\"n_chars\":200}")
+    assert(feed(Some(3L)).contains("\"n_chars\":0,"))
+    assert(feed(Some(-1L)).startsWith("{\"doc_id\":-1,")) // null id sentinel
   }
 
   test("report stays one scan + one partial-aggregated exchange") {
