@@ -756,12 +756,18 @@ object Embeddings {
       .select(col("vec_id"), col("embedding").as("vec"), col("label"))
     val q = graft.ops.Quantize.quantize(e, "vec")
     val v = col("vec")
+    // zip_with, NOT an index fold probing col("qvec"): CollapseProject
+    // inlines the projected transform into each probe site, and HOF
+    // lambdas evaluate interpreted with no cross-lambda subexpression
+    // elimination — an element_at(qvec, i) fold re-ran the FULL
+    // quantization transform per element, O(d²) per row (measured 4×:
+    // 0.89 s → 0.23 s at sf0.1). zip_with evaluates qvec once as its
+    // child and walks both arrays in lockstep.
     val rowErr = aggregate(
-      sequence(lit(1), size(v)), lit(0L),
-      (acc, i) => acc +
-        round(abs(element_at(v, i).cast("double") -
-          element_at(col("qvec"), i).cast("double") / col("qscale")) *
-          lit(1e9)).cast("long"))
+      zip_with(v, col("qvec"), (x, qq) =>
+        round(abs(x.cast("double") - qq.cast("double") / col("qscale")) *
+          lit(1e9)).cast("long")),
+      lit(0L), (acc, e2) => acc + e2)
     q.select(col("label"), size(v).cast("long").as("dims"),
         rowErr.as("err_fp9"))
       .groupBy(col("label"))

@@ -85,7 +85,12 @@ object Stats {
     * Spark shapes were measured above and the scan-economical one is
     * kept. */
   def q29DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
+    // multi-distinct plans via EXPAND (3× the rows into the partial
+    // aggregate); on the single-row-group local corpus that tripled
+    // stream runs on ONE scan task unless spread first — at real scale
+    // the scan has a task per row group and spread is the identity
+    val l = Tables.spread(Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_partkey"), col("l_orderkey")))
     l.groupBy(col("l_suppkey"))
       .agg(
         count_distinct(col("l_partkey")).as("n_parts"),
@@ -600,15 +605,25 @@ object Stats {
   def q193CmsFreq(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val depth = 4; val width = 1024
-    def toks = Tables.documents(spark, dir)
+    // ONE tokenize pass, folded straight to exact per-token counts;
+    // every other input — the CMS cells, the top-20 probes, the token
+    // total — derives from the counts table. A CMS cell over the raw
+    // stream is by definition the SUM of exact_ct over the tokens
+    // hashing into it, so hashing the ~distinct-token table instead of
+    // the token stream is value-identical while cutting the md5 mass
+    // ~15× (stream tokens / distinct tokens) and the corpus scans 3→1.
+    // The scan is spread past the single-row-group split so the
+    // tokenize+count kernel isn't serialized on one task.
+    val exact = Tables.spread(Tables.documents(spark, dir))
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
-    val cms = toks
-      .select(posexplode(array((0 until depth).map(r =>
-        graft.ops.TrainingMix.hex8(concat(col("tok"), lit(s"#cms$r"))) % width)
-        : _*)).as(Seq("r", "b")))
-      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
-    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_ct"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("exact_ct"))
+    val cms = exact
+      .select(col("exact_ct"),
+        posexplode(array((0 until depth).map(r =>
+          graft.ops.TrainingMix.hex8(concat(col("tok"), lit(s"#cms$r"))) % width)
+          : _*)).as(Seq("r", "b")))
+      .groupBy(col("r"), col("b")).agg(sum(col("exact_ct")).as("c"))
     val top = exact
       .withColumn("rn", row_number().over(
         Window.orderBy(col("exact_ct").desc, col("tok"))))
@@ -617,7 +632,7 @@ object Stats {
       posexplode(array((0 until depth).map(r =>
         graft.ops.TrainingMix.hex8(concat(col("tok"), lit(s"#cms$r"))) % width)
         : _*)).as(Seq("r", "b")))
-    val n = toks.agg(count(lit(1)).as("n_tokens"))
+    val n = exact.agg(sum(col("exact_ct")).as("n_tokens"))
     probes.join(broadcast(cms), Seq("r", "b"))
       .groupBy(col("tok"), col("exact_ct"))
       .agg(min(col("c")).as("cms_est"))
