@@ -1369,4 +1369,97 @@ object DedupQueries {
        |    THEN CAST(round(1e6 * n_exact / n_pairs) AS BIGINT)
        |    ELSE 0 END AS exact_share_fp6
        |FROM cum""".stripMargin
+
+  /** q248: multi-resolution cross-document repeat profile — for every
+    * doc, the LONGEST window length (power-of-2 grid: 8/16/32/64
+    * tokens) at which it still shares a verbatim token window with
+    * ANOTHER document. This is the exact-substring dedup audit of Lee
+    * et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499) at suffix-array resolution collapsed to
+    * doubling widths: a doc whose max_w is 64 carries a near-verbatim
+    * block (memorization risk), max_w 8 only phrase-level overlap, 0
+    * none — and the per-(source, max_w) histogram is the curation
+    * dashboard that says WHICH feed ships boilerplate. Complements
+    * [[q93StripSpans]] (which removes fixed-width-8 spans) by measuring
+    * how DEEP the duplication runs before anything is removed.
+    *
+    * Construction: one corpus scan; per width the codegen'd
+    * [[graft.functions.TextFunctions.distinct_shingles]] kernel emits
+    * each doc's distinct w-token windows (distinct-per-doc ⇒ the global
+    * per-window count IS its document frequency), windows collapse to
+    * md5-hex8 ints before the shuffle (both engines hash identically,
+    * so collisions — ~n²/2³³ — are value-identical on both sides), one
+    * groupBy finds windows with df ≥ 2, one semi-join + two aggregates
+    * fold to the per-doc profile, and a left join restores the
+    * no-repeat docs into the max_w = 0 bucket.
+    *
+    * Scale: window mass is ~4 rows per token (Σ_w (L−w+1) < 4L), all
+    * long-hashed before any exchange; the df table and semi-join
+    * shuffle ints, never window text. At 100 TB this is the same
+    * shape as the certified MinHash band join — bounded fan-out per
+    * doc, no pair explosion (dup counting happens in the aggregate,
+    * not via doc-doc joins). */
+  def q248RepeatProfile(spark: SparkSession, dir: String): DataFrame = {
+    val widths = Seq(8, 16, 32, 64)
+    val d = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("text"))
+    val sh = d
+      .select(col("doc_id"), col("source"), explode(array(widths.map(w =>
+        struct(lit(w).as("w"),
+          graft.functions.TextFunctions.distinct_shingles(col("text"), w)
+            .as("s"))): _*)).as("x"))
+      .select(col("doc_id"), col("source"), col("x.w").as("w"),
+        explode(col("x.s")).as("sh"))
+      .select(col("doc_id"), col("source"), col("w"),
+        graft.ops.TrainingMix.hex8(col("sh")).as("h"))
+    val dup = sh.groupBy(col("w"), col("h"))
+      .agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+      .select(col("w"), col("h"))
+    val perDoc = sh.join(dup, Seq("w", "h"), "left_semi")
+      .groupBy(col("doc_id"), col("source"), col("w"))
+      .agg(count(lit(1)).as("n_dup"))
+    val prof = perDoc.groupBy(col("doc_id"), col("source"))
+      .agg(max(col("w")).as("max_w"),
+        sum(when(col("w") === 8, col("n_dup")).otherwise(lit(0L))).as("dup8"))
+    d.select(col("doc_id"), col("source"))
+      .join(prof.select(col("doc_id"), col("max_w"), col("dup8")),
+        Seq("doc_id"), "left")
+      .select(col("source"), coalesce(col("max_w"), lit(0)).as("max_w"),
+        coalesce(col("dup8"), lit(0L)).as("dup8"), col("doc_id"))
+      .groupBy(col("source"), col("max_w"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dup8")).as("dup8_mass"),
+        sum(col("doc_id")).as("id_sum"))
+  }
+
+  val q248RepeatProfileSql: String = {
+    import OracleFragments.hex8Sql
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, source, w, sh FROM (
+       |    SELECT doc_id, source, ws.w AS w,
+       |      unnest(list_transform(generate_series(1, len(t) - ws.w + 1),
+       |        i -> array_to_string(t[i:i+ws.w-1], ' '))) AS sh
+       |    FROM toks CROSS JOIN (SELECT unnest([8,16,32,64]) AS w) ws(w))),
+       |hashed AS (
+       |  SELECT doc_id, source, w, ${hex8Sql("sh")} AS h FROM sh),
+       |dup AS (
+       |  SELECT w, h FROM hashed GROUP BY w, h HAVING COUNT(*) >= 2),
+       |perdoc AS (
+       |  SELECT doc_id, source, w, COUNT(*) AS n_dup
+       |  FROM hashed JOIN dup USING (w, h) GROUP BY 1, 2, 3),
+       |prof AS (
+       |  SELECT doc_id, MAX(w) AS max_w,
+       |    SUM(CASE WHEN w = 8 THEN n_dup ELSE 0 END) AS dup8
+       |  FROM perdoc GROUP BY 1),
+       |alld AS (
+       |  SELECT d.source, COALESCE(p.max_w, 0) AS max_w,
+       |    COALESCE(p.dup8, 0) AS dup8, d.doc_id
+       |  FROM documents d LEFT JOIN prof p ON d.doc_id = p.doc_id)
+       |SELECT source, CAST(max_w AS INT) AS max_w,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(dup8) AS BIGINT) AS dup8_mass,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM alld GROUP BY 1, 2""".stripMargin
+  }
 }

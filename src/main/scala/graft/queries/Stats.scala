@@ -896,6 +896,163 @@ object Stats {
       |  CAST(round((b1 * mqp + b2 * mdp) / mpp * 1e6) AS BIGINT) AS r2_fp6
       |FROM b""".stripMargin
 
+  /** q247: per-row influence diagnostics for the q219 fit — hat values
+    * (leverage) and Cook's distance, the data-valuation triad a
+    * training-data pipeline runs to flag points that DOMINATE a fitted
+    * model (mislabeled rows, corrupted measurements, adversarial
+    * inserts) before they ship in a training mix. Closed form, two
+    * passes, zero driver math:
+    *
+    *   pass 1 — the q219 Gram aggregate (exact Decimal(38,0) power
+    *     sums per return flag);
+    *   pass 2 — broadcast the 3-row group stats back and score every
+    *     row: with centered integers U = n·qᵢ − Σq, V = n·dᵢ − Σd
+    *     (exact), the hat value is
+    *       hᵢ = 1/n + (mdd·U² − 2·mqd·U·V + mqq·V²)/(n·det)
+    *     (the p=3 design's leverage — scale-free, so the ×100 input
+    *     fixed-point cancels), the residual is
+    *       eᵢ = (n·pᵢ − Σp − b1·U − b2·V)/n,
+    *     and Cook's distance is Dᵢ = eᵢ²·hᵢ/(p·s²·(1−hᵢ)²) with
+    *     s² = SSE/(n−p) from the same moments.
+    *
+    * Both engines form identical integers and apply the identical
+    * double expression tree (the q219 discipline), so the fp6/fp9
+    * outputs match exactly; Σround(hᵢ·10⁶) ≈ p·10⁶ is the built-in
+    * self-check (trace of the hat matrix is exactly p). Cutoffs are
+    * the textbook h > 2p/n and D > 4/n, compared as h·n > 6 and
+    * D·n > 4 on identically-derived doubles.
+    *
+    * Scale: two map-side-combined passes over three fact columns —
+    * one aggregate, one broadcast-join projection + re-aggregate. No
+    * window, no driver collect; the 100 TB cost is two column scans
+    * (or one, when the caller persists the projected integers). */
+  def q247Leverage(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.spread(Tables.lineitem(spark, dir)).select(
+      col("l_returnflag"),
+      round(col("l_quantity") * 100).cast("long").as("q"),
+      round(col("l_discount") * 100).cast("long").as("d"),
+      round(col("l_extendedprice") * 100).cast("long").as("p"))
+    def dsum(a: Column, b: Column) =
+      sum(a.cast(DecimalType(38, 0)) * b.cast(DecimalType(38, 0)))
+    def dsum1(a: Column) = sum(a.cast(DecimalType(38, 0)))
+    val agg = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      dsum1(col("q")).as("sq"), dsum1(col("d")).as("sd"), dsum1(col("p")).as("sp"),
+      dsum(col("q"), col("q")).as("sqq"), dsum(col("q"), col("d")).as("sqd"),
+      dsum(col("d"), col("d")).as("sdd"), dsum(col("q"), col("p")).as("sqp"),
+      dsum(col("d"), col("p")).as("sdp"), dsum(col("p"), col("p")).as("spp"))
+    val nDec = col("n").cast(DecimalType(38, 0))
+    def m(sab: Column, sa: Column, sb: Column) =
+      (nDec * sab - sa * sb).cast("double")
+    val stats = agg.select(
+      col("l_returnflag"), col("n"), col("sq"), col("sd"), col("sp"),
+      m(col("sqq"), col("sq"), col("sq")).as("mqq"),
+      m(col("sqd"), col("sq"), col("sd")).as("mqd"),
+      m(col("sdd"), col("sd"), col("sd")).as("mdd"),
+      m(col("sqp"), col("sq"), col("sp")).as("mqp"),
+      m(col("sdp"), col("sd"), col("sp")).as("mdp"),
+      m(col("spp"), col("sp"), col("sp")).as("mpp"))
+      .withColumn("det", col("mqq") * col("mdd") - col("mqd") * col("mqd"))
+      .withColumn("b1",
+        (col("mdd") * col("mqp") - col("mqd") * col("mdp")) / col("det"))
+      .withColumn("b2",
+        (col("mqq") * col("mdp") - col("mqd") * col("mqp")) / col("det"))
+      .withColumn("s2",
+        (col("mpp") - col("b1") * col("mqp") - col("b2") * col("mdp")) /
+          col("n").cast("double") / (col("n").cast("double") - lit(3.0)))
+    def cint(x: Column, s: Column) =
+      (nDec * x.cast(DecimalType(38, 0)) - s).cast("double")
+    val nd = col("n").cast("double")
+    val scored = li.join(broadcast(stats), Seq("l_returnflag"))
+      .withColumn("u", cint(col("q"), col("sq")))
+      .withColumn("v", cint(col("d"), col("sd")))
+      .withColumn("ee", cint(col("p"), col("sp")))
+      .withColumn("h", lit(1.0) / nd +
+        (col("mdd") * col("u") * col("u") -
+          lit(2.0) * col("mqd") * col("u") * col("v") +
+          col("mqq") * col("v") * col("v")) / (nd * col("det")))
+      .withColumn("e",
+        (col("ee") - col("b1") * col("u") - col("b2") * col("v")) / nd)
+      .withColumn("cooks",
+        (col("e") * col("e") * col("h")) /
+          (lit(3.0) * col("s2") * (lit(1.0) - col("h")) * (lit(1.0) - col("h"))))
+    scored.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("h") * lit(1e6)).cast("long")).as("sum_h_fp6"),
+        max(round(col("h") * lit(1e9)).cast("long")).as("max_h_fp9"),
+        sum(when(col("h") * nd > lit(6.0), 1L).otherwise(0L))
+          .as("n_high_leverage"),
+        max(round(col("cooks") * lit(1e9)).cast("long")).as("max_cooks_fp9"),
+        sum(when(col("cooks") * nd > lit(4.0), 1L).otherwise(0L))
+          .as("n_influential"))
+  }
+
+  val q247LeverageSql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS q,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS d,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(q AS HUGEINT)) AS sq, SUM(CAST(d AS HUGEINT)) AS sd,
+      |    SUM(CAST(p AS HUGEINT)) AS sp,
+      |    SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS sqq,
+      |    SUM(CAST(q AS HUGEINT) * CAST(d AS HUGEINT)) AS sqd,
+      |    SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS sdd,
+      |    SUM(CAST(q AS HUGEINT) * CAST(p AS HUGEINT)) AS sqp,
+      |    SUM(CAST(d AS HUGEINT) * CAST(p AS HUGEINT)) AS sdp,
+      |    SUM(CAST(p AS HUGEINT) * CAST(p AS HUGEINT)) AS spp
+      |  FROM li GROUP BY 1),
+      |m AS (
+      |  SELECT l_returnflag, n, sq, sd, sp,
+      |    CAST(n * sqq - sq * sq AS DOUBLE) AS mqq,
+      |    CAST(n * sqd - sq * sd AS DOUBLE) AS mqd,
+      |    CAST(n * sdd - sd * sd AS DOUBLE) AS mdd,
+      |    CAST(n * sqp - sq * sp AS DOUBLE) AS mqp,
+      |    CAST(n * sdp - sd * sp AS DOUBLE) AS mdp,
+      |    CAST(n * spp - sp * sp AS DOUBLE) AS mpp
+      |  FROM s),
+      |c AS (
+      |  SELECT *, mqq * mdd - mqd * mqd AS det FROM m),
+      |c2 AS (
+      |  SELECT *,
+      |    (mdd * mqp - mqd * mdp) / det AS b1,
+      |    (mqq * mdp - mqd * mqp) / det AS b2
+      |  FROM c),
+      |c3 AS (
+      |  SELECT *,
+      |    (mpp - b1 * mqp - b2 * mdp) / CAST(n AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) - 3.0) AS s2
+      |  FROM c2),
+      |sc AS (
+      |  SELECT li.l_returnflag, CAST(c.n AS DOUBLE) AS nd,
+      |    c.mqq, c.mqd, c.mdd, c.det, c.b1, c.b2, c.s2,
+      |    CAST(CAST(c.n AS HUGEINT) * li.q - c.sq AS DOUBLE) AS u,
+      |    CAST(CAST(c.n AS HUGEINT) * li.d - c.sd AS DOUBLE) AS v,
+      |    CAST(CAST(c.n AS HUGEINT) * li.p - c.sp AS DOUBLE) AS ee
+      |  FROM li JOIN c3 c USING (l_returnflag)),
+      |hh AS (
+      |  SELECT l_returnflag, nd, s2,
+      |    1.0 / nd + (mdd * u * u - 2.0 * mqd * u * v + mqq * v * v)
+      |      / (nd * det) AS h,
+      |    (ee - b1 * u - b2 * v) / nd AS e
+      |  FROM sc),
+      |ck AS (
+      |  SELECT l_returnflag, nd, h,
+      |    (e * e * h) / (3.0 * s2 * (1.0 - h) * (1.0 - h)) AS cooks
+      |  FROM hh)
+      |SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(round(h * 1e6) AS BIGINT)) AS BIGINT) AS sum_h_fp6,
+      |  MAX(CAST(round(h * 1e9) AS BIGINT)) AS max_h_fp9,
+      |  CAST(SUM(CASE WHEN h * nd > 6.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_high_leverage,
+      |  MAX(CAST(round(cooks * 1e9) AS BIGINT)) AS max_cooks_fp9,
+      |  CAST(SUM(CASE WHEN cooks * nd > 4.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_influential
+      |FROM ck GROUP BY 1""".stripMargin
+
   /** q223: stratified inverse-propensity ATE estimate — treatment =
     * urgent/high order priority, outcome = order total (cents),
     * confounder strata = customer market segment. With a DISCRETE

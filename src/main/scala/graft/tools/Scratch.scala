@@ -1,66 +1,48 @@
 package graft.tools
 
-import org.apache.spark.sql.functions._
-
-import graft.core.{GraftSession, Tables}
+import graft.core.GraftSession
 
 /** Ad-hoc profiling scratchpad (dev tool, intentionally minimal): edit,
   * `sbt "runMain graft.tools.Scratch"`, discard. Durable scale evidence
   * belongs in ScaleSmoke / SCALING notes, not here.
   *
-  * Current contents: A/B of the q158 row-error fold forms — (A) fold
-  * over an index sequence probing the PROJECTED qvec expression (does
-  * CollapseProject inline the transform so it re-evaluates per probe?),
-  * (B) zip_with over (vec, qvec) so qvec is evaluated once as the
-  * zip's child, (C) form A over a spread scan.
+  * Current contents: per-job wall-time breakdown of the q244 curation
+  * pipeline — which of the stage barriers (persist+count,
+  * localCheckpoint) actually costs time, before touching any of them.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.tunedLocal("scratch", sfDir, 32)
-    def base = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding").as("vec"), col("label"))
-    def agg(df: org.apache.spark.sql.DataFrame, err: org.apache.spark.sql.Column) =
-      df.select(col("label"), size(col("vec")).cast("long").as("dims"),
-          err.as("err_fp9"))
-        .groupBy(col("label"))
-        .agg(count(lit(1)).as("n_vecs"), sum(col("dims")).as("n_dims"),
-          sum(col("err_fp9")).as("sum_err_fp9"))
-    val v = col("vec")
-    def formA(df: org.apache.spark.sql.DataFrame) = {
-      val q = graft.ops.Quantize.quantize(df, "vec")
-      agg(q, aggregate(
-        sequence(lit(1), size(v)), lit(0L),
-        (acc, i) => acc +
-          round(abs(element_at(v, i).cast("double") -
-            element_at(col("qvec"), i).cast("double") / col("qscale")) *
-            lit(1e9)).cast("long")))
+    val sc = spark.sparkContext
+    @volatile var jobs = List.empty[(Int, Long, String)]
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts.put(j.jobId, (System.nanoTime(),
+          Option(j.properties).map(_.getProperty("spark.job.description", ""))
+            .getOrElse("")))
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val (t0, d) = starts.getOrDefault(j.jobId, (0L, ""))
+        jobs ::= ((j.jobId, System.nanoTime() - t0, d))
+      }
+    })
+    def once(tag: String): Unit = {
+      spark.catalog.clearCache()
+      jobs = Nil
+      val t0 = System.nanoTime()
+      graft.queries.MixQueries.q244CurationPipeline(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      val total = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200) // let the listener bus drain
+      println(f"Q244 $tag total=$total%.3f jobs=${jobs.size}")
+      jobs.sortBy(_._1).foreach { case (id, ns, d) =>
+        println(f"  job $id%3d ${ns / 1e9}%7.3f  ${d.take(80)}")
+      }
     }
-    def formB(df: org.apache.spark.sql.DataFrame) = {
-      val q = graft.ops.Quantize.quantize(df, "vec")
-      agg(q, aggregate(
-        zip_with(v, col("qvec"), (x, qq) =>
-          round(abs(x.cast("double") - qq.cast("double") / col("qscale")) *
-            lit(1e9)).cast("long")),
-        lit(0L), (acc, e) => acc + e))
-    }
-    def time(tag: String, mk: () => org.apache.spark.sql.DataFrame): Unit = {
-      mk().write.mode("overwrite").format("noop").save() // warm
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        mk().write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      println(f"AB $tag%-14s median=${ts(1)}%6.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
-    }
-    // values must agree between forms
-    val a = formA(base).collect().map(_.toSeq).sortBy(_.toString)
-    val b = formB(base).collect().map(_.toSeq).sortBy(_.toString)
-    println(s"AB values_equal=${a.toSeq == b.toSeq}")
-    time("A_probe", () => formA(base))
-    time("B_zipwith", () => formB(base))
-    time("A_spread", () => formA(Tables.spread(base)))
-    time("B_spread", () => formB(Tables.spread(base)))
+    once("warm")
+    once("run1")
+    once("run2")
     spark.stop()
   }
 }

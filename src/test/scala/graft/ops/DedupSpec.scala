@@ -440,4 +440,40 @@ class DedupSpec extends SparkSpec {
         maxHamming = 4)
     }
   }
+
+  test("q248: repeat profile matches a plain-Scala sliding-window " +
+      "re-derivation on raw window STRINGS (no hashing)") {
+    // independent path: raw string windows + Scala sets — the gate's
+    // md5-hex8 collapse must be collision-free on this corpus for the
+    // two to agree, which the assertion also certifies
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val widths = Seq(8, 16, 32, 64)
+    // (w, window) -> set of docs containing it (distinct per doc)
+    val perDocSets: Map[(Long, Int), Set[String]] = (for {
+      (id, _, text) <- docs; w <- widths
+      toks = text.split(" ", -1)
+      if toks.length >= w
+    } yield ((id, w), toks.sliding(w).map(_.mkString(" ")).toSet)).toMap
+    val df = new scala.collection.mutable.HashMap[(Int, String), Int]()
+    for (((_, w), set) <- perDocSets; s <- set)
+      df((w, s)) = df.getOrElse((w, s), 0) + 1
+    val expected = docs.map { case (id, src, _) =>
+      val dupBy = widths.map { w =>
+        w -> perDocSets.getOrElse((id, w), Set.empty)
+          .count(s => df((w, s)) >= 2) }.toMap
+      val maxW = widths.filter(dupBy(_) > 0).sorted.lastOption.getOrElse(0)
+      (src, maxW, dupBy(8).toLong, id)
+    }.groupBy { case (src, maxW, _, _) => (src, maxW) }
+      .map { case ((src, maxW), g) =>
+        (src, maxW, g.length.toLong, g.map(_._3).sum, g.map(_._4).sum) }
+      .toSet
+    val got = graft.queries.DedupQueries.q248RepeatProfile(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("dup8_mass"),
+        r.getAs[Long]("id_sum"))).toSet
+    assert(got === expected)
+  }
 }

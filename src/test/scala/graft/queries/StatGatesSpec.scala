@@ -1256,4 +1256,74 @@ class StatGatesSpec extends SparkSpec {
         r.getAs[Long]("key_fp12"))).toSeq
     assert(got === expected)
   }
+
+  test("q247: hat values and Cook's distance match an exact-BigInt " +
+      "adjugate inversion of the full 3x3 normal matrix") {
+    // independent path: the gate never forms the 3x3 — it uses the
+    // centered 2x2 closed form. Here the UNcentered normal matrix
+    // A = X'X is inverted exactly via BigInt cofactors, h_i and the
+    // coefficient vector come out as exact rationals, and only the
+    // final comparisons drop to BigDecimal(DECIMAL128). A mirrored
+    // centering mistake in engine+oracle cannot survive this.
+    val mc = new java.math.MathContext(34)
+    def bd(b: BigInt) = BigDecimal(b, mc)
+    val rows = Tables.lineitem(spark, sf).select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long"),
+        round(col("l_discount") * 100).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = Stats.q247Leverage(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for ((flag, grp) <- rows.groupBy(_._1)) {
+      val n = BigInt(grp.length)
+      def s(f: ((String, Long, Long, Long)) => BigInt) = grp.map(f).sum
+      val sq = s(r => BigInt(r._2)); val sd = s(r => BigInt(r._3))
+      val sp = s(r => BigInt(r._4))
+      val sqq = s(r => BigInt(r._2) * r._2); val sqd = s(r => BigInt(r._2) * r._3)
+      val sdd = s(r => BigInt(r._3) * r._3); val sqp = s(r => BigInt(r._2) * r._4)
+      val sdp = s(r => BigInt(r._3) * r._4); val spp = s(r => BigInt(r._4) * r._4)
+      // A = [[n,sq,sd],[sq,sqq,sqd],[sd,sqd,sdd]]; adjugate + det, exact
+      val det = n * (sqq * sdd - sqd * sqd) - sq * (sq * sdd - sqd * sd) +
+        sd * (sq * sqd - sqq * sd)
+      val a00 = sqq * sdd - sqd * sqd; val a01 = -(sq * sdd - sqd * sd)
+      val a02 = sq * sqd - sqq * sd
+      val a11 = n * sdd - sd * sd; val a12 = -(n * sqd - sq * sd)
+      val a22 = n * sqq - sq * sq
+      // b = A^{-1} X'y via the adjugate (exact numerators)
+      val bn0 = a00 * sp + a01 * sqp + a02 * sdp
+      val bn1 = a01 * sp + a11 * sqp + a12 * sdp
+      val bn2 = a02 * sp + a12 * sqp + a22 * sdp
+      val detD = bd(det)
+      val b0 = bd(bn0) / detD; val b1 = bd(bn1) / detD; val b2 = bd(bn2) / detD
+      def hNum(q: BigInt, d: BigInt): BigInt =
+        a00 + a01 * q + a02 * d +
+          q * (a01 + a11 * q + a12 * d) +
+          d * (a02 + a12 * q + a22 * d)
+      val hs = grp.map { case (_, q, d, _) => bd(hNum(q, d)) / detD }
+      val es = grp.map { case (_, q, d, p) =>
+        bd(BigInt(p)) - b0 - b1 * bd(BigInt(q)) - b2 * bd(BigInt(d)) }
+      val s2 = es.map(e => e * e).sum / bd(n - 3)
+      val cooks = hs.zip(es).map { case (h, e) =>
+        (e * e * h) / (bd(3) * s2 * (bd(1) - h) * (bd(1) - h)) }
+      val r = got(flag)
+      assert(r.getAs[Long]("n_rows") === grp.length.toLong)
+      val sumH6 = hs.map(h => (h * bd(BigInt(1000000)))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+      assert(math.abs(r.getAs[Long]("sum_h_fp6") - sumH6) <= 2L, s"$flag sum_h")
+      val maxH9 = hs.map(h => (h * bd(BigInt(1000000000)))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).max
+      assert(math.abs(r.getAs[Long]("max_h_fp9") - maxH9) <= 2L, s"$flag max_h")
+      // cutoff h > 2p/n  <=>  n·hNum > 6·det: EXACT integer classification
+      val nHigh = grp.count { case (_, q, d, _) => n * hNum(q, d) > 6 * det }
+      assert(r.getAs[Long]("n_high_leverage") === nHigh.toLong, s"$flag n_high")
+      val maxC9 = cooks.map(c => (c * bd(BigInt(1000000000)))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).max
+      assert(math.abs(r.getAs[Long]("max_cooks_fp9") - maxC9) <= 2L, s"$flag cooks")
+      val nInf = cooks.count(c => c * bd(n) > bd(4))
+      assert(r.getAs[Long]("n_influential") === nInf.toLong, s"$flag n_inf")
+      // trace(H) = p exactly: the rounded sum sits within per-row jitter
+      assert(math.abs(sumH6 - 3000000L) <= grp.length.toLong, s"$flag trace")
+    }
+  }
 }
