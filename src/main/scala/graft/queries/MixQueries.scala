@@ -986,7 +986,9 @@ object MixQueries {
     // not a second shingle+md5 pass over the corpus)
     val sigs = Dedup.minhashSignatures(s3, "doc_id", "clean_text")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    sigs.count()
+    // no eager count: the FIRST consumer (cand → members.count() below)
+    // materializes the cache before the second (stage-5 fIds) exists —
+    // an extra barrier job here bought nothing but driver latency
     val cand = Dedup.candidatesFromSignatures(sigs, numHashes = 8)
       .filter(col("est_jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"))
@@ -1002,18 +1004,25 @@ object MixQueries {
     // 5. decontamination vs the untouched benchmark slice
     val bench = docsAll.filter(col("doc_id") < 50)
       .select(col("doc_id"), col("text").as("clean_text"))
-    val eIds = TrainingMix.contamination(
+    // both contamination channels materialize in ONE checkpoint job (a
+    // kind-tagged union) instead of two — each side is consumed three
+    // times below (fOnly anti-join, the s5 filter, the funnel counts),
+    // so the barrier stays; only the second driver round-trip goes
+    val exactIds = TrainingMix.contamination(
         s4.select(col("doc_id"), col("clean_text")), bench,
         "doc_id", "clean_text", n = 5)
       .select(col("id").as("doc_id"))
-      .localCheckpoint()
-    val fIds = Dedup.crossCandidatesFromSignatures(
+    val fuzzyIds = Dedup.crossCandidatesFromSignatures(
         sigs.join(s4.select(col("doc_id").as("id")), Seq("id"), "left_semi"),
         Dedup.minhashSignatures(bench, "doc_id", "clean_text"),
         numHashes = 8)
       .filter(col("est_jaccard") >= 0.5)
       .select(col("corpus_id").as("doc_id")).distinct()
+    val contam = exactIds.withColumn("kind", lit("e"))
+      .unionByName(fuzzyIds.withColumn("kind", lit("f")))
       .localCheckpoint()
+    val eIds = contam.filter(col("kind") === "e").select(col("doc_id"))
+    val fIds = contam.filter(col("kind") === "f").select(col("doc_id"))
     val fOnly = fIds.join(eIds, Seq("doc_id"), "left_anti")
     val s5 = s4.join(eIds.union(fIds).distinct(), Seq("doc_id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
