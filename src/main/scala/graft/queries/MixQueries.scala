@@ -1314,4 +1314,140 @@ object MixQueries {
        |  CAST(COALESCE(SUM(tok_start), 0) AS BIGINT)
        |FROM packed""".stripMargin
   }
+
+  /** q249: post-split leakage AUDIT — the adversarial verification of
+    * [[q155LeakFreeSplit]]'s guarantee, run as its own gate. q155
+    * certifies the split by construction (group-keyed assignment); this
+    * gate re-measures the property from the OUTPUT, the way an auditor
+    * who distrusts the pipeline would: rebuild the near-dup candidate
+    * pairs over the raw corpus and count, for every split pair, the
+    * candidates that straddle it. The cross-split rows must report
+    * ZERO near-dup pairs — a single straddler is a paraphrase of test
+    * data inside train. Beside the invariant, the gate quantifies the
+    * leakage the split rule does NOT promise to remove: distinct
+    * 5-gram types shared across split pairs (phrase-level overlap that
+    * survives any family-keyed split of a natural corpus), so the
+    * dashboard shows both "the guarantee holds" and "what residual
+    * overlap remains" in one table.
+    *
+    * Scale: the candidate join and the CC reuse their certified
+    * shapes; the gram audit collapses each doc's distinct 5-grams to
+    * md5-hex8 ints (per-row kernel), dedups per split, and self-joins
+    * on the int — shuffle mass is (splits × distinct grams) ints, pair
+    * fan-out ≤ splits² per gram. Nothing doc-pair-shaped exists
+    * outside the ≥0.5-Jaccard candidate set. */
+  def q249SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Dedup
+    val d = Tables.documents(spark, dir)
+    val clusters = DedupQueries.q62DedupGroups(spark, dir)
+    val keyed = d.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep_id"), col("doc_id")).as("grp"))
+    val labeled = TrainingMix.assignSplits(keyed, "grp", splitFracs)
+      .select(col("doc_id"), col("split"))
+      .localCheckpoint() // consumed by the pair audit AND the gram audit
+    val cand = Dedup.minhashCandidates(d, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val pairCounts = cand
+      .join(labeled.select(col("doc_id").as("id_a"), col("split").as("sa")),
+        Seq("id_a"))
+      .join(labeled.select(col("doc_id").as("id_b"), col("split").as("sb")),
+        Seq("id_b"))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_neardup_pairs"))
+    val grams = d.join(labeled, Seq("doc_id"))
+      .select(col("split"),
+        explode(graft.functions.TextFunctions.distinct_shingles(col("text"), 5))
+          .as("g"))
+      .select(col("split"), TrainingMix.hex8(col("g")).as("h"))
+      .distinct()
+    val shared = grams.select(col("split").as("sa"), col("h"))
+      .join(grams.select(col("split").as("sb"), col("h")), Seq("h"))
+      .filter(col("sa") <= col("sb"))
+      .groupBy(col("sa").as("split_a"), col("sb").as("split_b"))
+      .agg(count(lit(1)).as("n_shared_5grams"))
+    val splits = labeled.select(col("split")).distinct()
+    val grid = splits.select(col("split").as("sa"))
+      .crossJoin(splits.select(col("split").as("sb")))
+      .filter(col("sa") <= col("sb"))
+      .select(col("sa").as("split_a"), col("sb").as("split_b"))
+    grid
+      .join(pairCounts, Seq("split_a", "split_b"), "left")
+      .join(shared, Seq("split_a", "split_b"), "left")
+      .select(col("split_a"), col("split_b"),
+        coalesce(col("n_neardup_pairs"), lit(0L)).as("n_neardup_pairs"),
+        coalesce(col("n_shared_5grams"), lit(0L)).as("n_shared_5grams"),
+        (col("split_a") =!= col("split_b")).as("is_cross"))
+  }
+
+  val q249SplitLeakageSql: String = {
+    val thrs = TrainingMix.splitThresholds(splitFracs)
+    val cases = thrs.init
+      .map { case (name, thr) => s"WHEN u < $thr THEN '$name'" }
+      .mkString(" ")
+    s"""WITH RECURSIVE ${OracleFragments.minhashSigCtes("documents")},
+      |cand AS (
+      |  SELECT s1.doc_id AS id_a, s2.doc_id AS id_b
+      |  FROM sig s1
+      |  JOIN sig s2 ON s1.seed = s2.seed AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) / 8.0 >= 0.5),
+      |sym AS (
+      |  SELECT id_a AS src, id_b AS dst FROM cand
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM cand),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT src, src FROM sym
+      |  UNION
+      |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
+      |clusters AS (
+      |  SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS rep_id
+      |  FROM reach GROUP BY id),
+      |keyed AS (
+      |  SELECT d.doc_id, COALESCE(c.rep_id, d.doc_id) AS grp
+      |  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id),
+      |labeled AS (
+      |  SELECT doc_id,
+      |    CASE $cases ELSE '${thrs.last._1}' END AS split
+      |  FROM (SELECT doc_id,
+      |          ${hex8Sql("grp::VARCHAR || '#split'")} AS u
+      |        FROM keyed)),
+      |pairc AS (
+      |  SELECT least(la.split, lb.split) AS split_a,
+      |    greatest(la.split, lb.split) AS split_b,
+      |    COUNT(*) AS n_neardup_pairs
+      |  FROM cand c
+      |  JOIN labeled la ON la.doc_id = c.id_a
+      |  JOIN labeled lb ON lb.doc_id = c.id_b
+      |  GROUP BY 1, 2),
+      |g0 AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(generate_series(1, len(t) - 4),
+      |        i -> array_to_string(t[i:i+4], ' '))) AS sh
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |          FROM documents))),
+      |grams AS (
+      |  SELECT DISTINCT l.split, ${hex8Sql("sh")} AS h
+      |  FROM g0 JOIN labeled l USING (doc_id)),
+      |shared AS (
+      |  SELECT a.split AS split_a, b.split AS split_b,
+      |    COUNT(*) AS n_shared_5grams
+      |  FROM grams a JOIN grams b ON a.h = b.h AND a.split <= b.split
+      |  GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT a.split AS split_a, b.split AS split_b
+      |  FROM (SELECT DISTINCT split FROM labeled) a
+      |  JOIN (SELECT DISTINCT split FROM labeled) b ON a.split <= b.split)
+      |SELECT g.split_a, g.split_b,
+      |  CAST(COALESCE(p.n_neardup_pairs, 0) AS BIGINT) AS n_neardup_pairs,
+      |  CAST(COALESCE(s.n_shared_5grams, 0) AS BIGINT) AS n_shared_5grams,
+      |  g.split_a <> g.split_b AS is_cross
+      |FROM grid g
+      |LEFT JOIN pairc p ON p.split_a = g.split_a AND p.split_b = g.split_b
+      |LEFT JOIN shared s ON s.split_a = g.split_a AND s.split_b = g.split_b""".stripMargin
+  }
 }
