@@ -1339,16 +1339,23 @@ object MixQueries {
   def q249SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Dedup
     val d = Tables.documents(spark, dir)
-    val clusters = DedupQueries.q62DedupGroups(spark, dir)
+    // ONE signature pass serves both roles: the same candidate set
+    // keys the split (via its components) AND is the set the audit
+    // re-checks for straddlers — recomputing it per consumer doubled
+    // the gate's shingle+md5 mass for identical rows
+    val cand = Dedup.minhashCandidates(
+        Tables.spread(d), "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    val clusters = Dedup.connectedComponents(cand)
+      .select(col("id").as("doc_id"), col("rep").as("rep_id"))
     val keyed = d.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep_id"), col("doc_id")).as("grp"))
     val labeled = TrainingMix.assignSplits(keyed, "grp", splitFracs)
       .select(col("doc_id"), col("split"))
       .localCheckpoint() // consumed by the pair audit AND the gram audit
-    val cand = Dedup.minhashCandidates(d, "doc_id", "text")
-      .filter(col("est_jaccard") >= 0.5)
-      .select(col("id_a"), col("id_b"))
     val pairCounts = cand
       .join(labeled.select(col("doc_id").as("id_a"), col("split").as("sa")),
         Seq("id_a"))
