@@ -84,11 +84,15 @@ object LangModel {
     * extraction costs zero shuffles and no token-level self-join. */
   def bigramStream(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = split(col(textCol), " ")
+    // zip of two shifted slices, not element_at probes from an index
+    // lambda: the probe form re-ran the split per element (interpreted
+    // HOFs have no cross-lambda subexpression elimination) — O(L²)
+    // character work per doc; the slices evaluate the split twice
     df.filter(size(toks) >= 2)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), size(toks) - 1),
-        i => struct(element_at(toks, i).as("w1"),
-          element_at(toks, i + 1).as("w2")))).as("b"))
+      .select(col(idCol), explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
       .select(col(idCol), col("b.w1"), col("b.w2"))
   }
 

@@ -19,12 +19,24 @@ object TextOps {
     split(lower(text), "[^\\p{L}\\p{N}]+")
 
   /** Word n-gram shingles: `["a b c", "b c d", ...]`; empty when the doc has
-    * fewer than n tokens. */
-  def shingles(toks: Column, n: Int): Column =
+    * fewer than n tokens.
+    *
+    * Built by zipping n shifted slices, NOT by probing `toks` from an
+    * index-sequence lambda: interpreted HOF lambdas get no cross-lambda
+    * subexpression elimination, so `slice(toks, i, n)` inside a
+    * `transform` re-evaluates the FULL `toks` expression per element —
+    * O(L²) character work when the caller passes `split(text)` inline
+    * (the q158 probe class, measured 4×). The slices evaluate `toks`
+    * exactly n times per row; the lambda touches only struct fields. */
+  def shingles(toks: Column, n: Int): Column = {
+    val win = size(toks) - (n - 1)
+    val zipped = arrays_zip((1 to n).map(k =>
+      slice(toks, lit(k), win).as(s"t$k")): _*)
     when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      transform(zipped, s =>
+        concat_ws(" ", (1 to n).map(k => s.getField(s"t$k")): _*)))
       .otherwise(array())
+  }
 
   // ---- PII scrubbing --------------------------------------------------
 

@@ -658,9 +658,12 @@ object MixQueries {
     // re-ran the explode+hash per consumer — measured 2.5× slower)
     val gb = Tables.spread(Tables.documents(spark, dir))
       .filter(size(toks) >= 2)
-      .select(col("doc_id"), col("source"), explode(transform(
-        sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      // zip of two shifted slices — the element_at probe form re-ran
+      // the split per element (the q158 interpreted-HOF probe class)
+      .select(col("doc_id"), col("source"), explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
         .as("g"))
       .select(col("doc_id"), col("source"),
         (TrainingMix.hex8(concat(col("g"), lit("#dsir"))) % dim).as("bucket"))

@@ -854,4 +854,37 @@ class PlanSpec extends SparkSpec {
     val p = planOf(AuditQueries.q233Hill(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
+
+  test("q247: group stats join back as a broadcast; the fact is " +
+      "aggregated, never sorted or shuffle-joined") {
+    val p = planOf(Stats.q247Leverage(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "3-row stats join degraded to a fact shuffle")
+    assert(!p.contains("Window"), "leverage scoring must be join+agg only")
+    assert(!p.contains("l_shipdate") && !p.contains("l_partkey"),
+      "scan reads columns the diagnostics never touch")
+  }
+
+  test("q248: dup detection is aggregate+semi-join over hashed windows — " +
+      "no doc-doc join, no window text past the hash projection") {
+    val p = planOf(DedupQueries.q248RepeatProfile(spark, sf))
+    // the only joins are the LeftSemi (dup membership) and the final
+    // left outer restoring no-repeat docs; neither may be a cartesian
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(2000))
+    assert("LeftSemi".r.findAllIn(p).nonEmpty, "dup membership must be a semi-join")
+  }
+
+  test("q179: the packed MMR plan has NO per-round windows — one " +
+      "explode over the per-query kernel output") {
+    val p = planOf(Embeddings.q179Mmr(spark, sf))
+    assert(p.contains("mmrselect") || p.contains("MmrSelect") ||
+      p.toLowerCase.contains("mmr"), p.take(2000))
+    // the k-round form carried k row_number windows; the packed form
+    // carries none (bruteForceTopK's own ranking window is upstream of
+    // the checkpoint barrier and thus not in this plan)
+    assert(!"(?s)Window".r.findAllIn(p).exists(_ => true) ||
+      "(?s)Window".r.findAllIn(p).size <= 1, s"unexpected windows:\n${p.take(2000)}")
+  }
 }
