@@ -1125,15 +1125,19 @@ object Events {
   def q210RecMrr(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.events(spark, dir)
-    val minDay = e.agg(min(to_date(col("ts"))).as("d0"))
-    // ONE corpus pass: every downstream branch (history, model, targets)
-    // reads this slim barrier — un-barriered, the 8 consumers each
-    // replayed the scan + the 1-row anchor join (9 BNLJs measured)
-    val ev = e.crossJoin(broadcast(minDay))
-      .select(col("user_id"), col("event_id"), col("ts"),
+    // the split anchor is ONE scalar — fetched driver-side (a 1-row
+    // min aggregate, bounded by contract) and embedded as a literal.
+    // The former 1-row crossJoin(broadcast) anchor forced a corpus-wide
+    // row-serialized localCheckpoint to stop its BNLJ from replaying
+    // into all 8 consumers; as a literal, `ev` is a pure projection and
+    // can persist COLUMNAR (consumers read pruned cached batches instead
+    // of full serialized rows — the checkpoint write was ~60% of the
+    // gate at sf1)
+    val d0 = e.agg(min(to_date(col("ts")))).head().getDate(0)
+    val ev = e.select(col("user_id"), col("event_id"), col("ts"),
         get_json_object(col("props"), "$.k").cast("long").as("item"),
-        datediff(to_date(col("ts")), col("d0")).cast("long").as("d"))
-      .localCheckpoint()
+        datediff(to_date(col("ts")), lit(d0)).cast("long").as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val train = ev.filter(col("d") < 21)
     val ti = train.select(col("user_id"), col("item")).distinct()
       .localCheckpoint() // history: feeds scoring, exclusion, and the test gate
@@ -1170,7 +1174,9 @@ object Events {
     val nbr = sym.withColumn("rnk", row_number().over(
         Window.partitionBy(col("item")).orderBy(col("jacc_fp6").desc, col("neighbor"))))
       .filter(col("rnk") <= 5).select(col("item"), col("neighbor"), col("jacc_fp6"))
-      .localCheckpoint() // items x 5 neighbor lists
+    // nbr has exactly ONE consumer (the cs join) — no barrier: a
+    // checkpoint here would serialize items x 5 rows only to re-read
+    // them in the same final job
     val cs = ti.join(nbr, Seq("item"))
       .groupBy(col("user_id"), col("neighbor")).agg(sum(col("jacc_fp6")).as("score"))
       .join(ti.select(col("user_id"), col("item").as("neighbor")),

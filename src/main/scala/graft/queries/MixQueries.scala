@@ -945,10 +945,33 @@ object MixQueries {
     * checkpointed once and read by its consumers, tables only shrink,
     * and the per-stage operators keep their own certified scale shapes
     * (banded LSH, component propagation, broadcast thresholds,
-    * sharded packing). */
+    * sharded packing). Funnel rows for the barriered stages ride the
+    * barrier jobs themselves as observed metrics (CollectMetrics on
+    * the materialization action — the CC-loop discipline), so the
+    * final job aggregates only the frames nothing else materialized
+    * (s1, the contamination attribution, splits, pack): at 100 TB the
+    * funnel costs zero extra passes over any stage table. */
   def q244CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.{Observation, Row}
     import graft.ops.{Dedup, SpanDedup, TextOps}
+    // Funnel rows for the barriered stages RIDE the barrier jobs as
+    // observed metrics (the CC-loop discipline, Dedup.scala: metrics
+    // arrive on the materialization action's listener event, with a
+    // direct-aggregate fallback on the never-yet-seen timeout) — the
+    // former form re-scanned every persisted stage in the final job
+    // purely to re-aggregate what the barrier had already streamed past.
+    def longAt(r: Row, i: Int): Long =
+      if (r.isNullAt(i)) 0L else r.getLong(i)
+    def riding(obs: Observation, fallback: => Row): Row =
+      try scala.concurrent.Await
+        .result(obs.future, scala.concurrent.duration.Duration(60, "s"))
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          System.err.println(
+            "[q244] observation timed out — direct-aggregate fallback")
+          fallback
+      }
     val docsAll = Tables.documents(spark, dir)
     val tok0 = size(filter(split(col("text"), " "), t => t =!= "")).cast("long")
     val en = TextOps.langProfiles.head._2
@@ -958,19 +981,27 @@ object MixQueries {
       .select(col("doc_id"), col("source"), col("text"), tok0.as("n_tok0"),
         TextOps.qualityScore(col("text"), en).as("quality"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    d0.count()
+    val o0 = Observation()
+    d0.observe(o0, count(lit(1)).as("n"), sum(col("n_tok0")).as("t"),
+      sum(col("doc_id")).as("i")).count()
     // 1. per-source median quality gate
     val med = d0.groupBy(col("source"))
       .agg(expr("percentile(quality, 0.5)").as("m"))
     val s1 = d0.join(broadcast(med), "source")
       .filter(col("quality") >= col("m"))
       .select(col("doc_id"), col("source"), col("text"), col("n_tok0"))
-    // 2. exact dedup: min-id representative per text hash
+    // 2. exact dedup: min-id representative per text hash. (s1 is NOT
+    // observed: it appears twice in this stage's plan — the reps
+    // aggregate and the semi-join probe — so a CollectMetrics node on it
+    // would double-fire; its funnel row stays a lazy branch over the
+    // cached d0.)
     val reps = s1.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
     val s2 = s1.join(reps.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    s2.count()
+    val o2 = Observation()
+    s2.observe(o2, count(lit(1)).as("n"), sum(col("n_tok0")).as("t"),
+      sum(col("doc_id")).as("i")).count()
     // 3. strip spans duplicated within the SURVIVING corpus; drop docs
     // stripped to nothing (clean_tok = filtered tokens minus removed)
     val s3 = SpanDedup.removeDupSpans(s2, "doc_id", "text",
@@ -981,7 +1012,9 @@ object MixQueries {
       .select(col("doc_id"), col("source"), col("clean_text"),
         col("clean_tok"), col("n_removed"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    s3.count()
+    val o3 = Observation()
+    s3.observe(o3, count(lit(1)).as("n"), sum(col("clean_tok")).as("t"),
+      sum(col("doc_id")).as("i"), sum(col("n_removed")).as("rm")).count()
     // 4. near-dup components over CLEAN text, keep-longest canonical.
     // Signatures are computed ONCE here and reused by the stage-5 fuzzy
     // decontamination (signatures are a per-doc pure function, so the
@@ -995,15 +1028,23 @@ object MixQueries {
     val cand = Dedup.candidatesFromSignatures(sigs, numHashes = 8)
       .filter(col("est_jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"))
+    // n_groups rides the members barrier: converged min-label CC gives
+    // every component exactly one self-labeled row (the min-id node has
+    // rep == id — DedupSpec pins the identity against countDistinct),
+    // so the distinct-rep count is a plain observable sum
     val members = Dedup.connectedComponents(cand)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    members.count()
+    val oM = Observation()
+    members.observe(oM, sum(when(col("rep") === col("id"), 1L)
+      .otherwise(0L)).as("g")).count()
     val dropNd = Dedup.canonicalByScore(members,
         s3.select(col("doc_id"), col("clean_tok")), "doc_id", "clean_tok")
       .filter(!col("keep")).select(col("id").as("doc_id"))
     val s4 = s3.join(dropNd, Seq("doc_id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    s4.count()
+    val o4 = Observation()
+    s4.observe(o4, count(lit(1)).as("n"), sum(col("clean_tok")).as("t"),
+      sum(col("doc_id")).as("i")).count()
     // 5. decontamination vs the untouched benchmark slice
     val bench = docsAll.filter(col("doc_id") < 50)
       .select(col("doc_id"), col("text").as("clean_text"))
@@ -1029,12 +1070,20 @@ object MixQueries {
     val fOnly = fIds.join(eIds, Seq("doc_id"), "left_anti")
     val s5 = s4.join(eIds.union(fIds).distinct(), Seq("doc_id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    s5.count()
-    // 6. mix to the 6000-token budget over clean-token mass
-    val s6 = TrainingMix.mixToBudget(
+    val o5 = Observation()
+    s5.observe(o5, count(lit(1)).as("n"), sum(col("clean_tok")).as("t"),
+      sum(col("doc_id")).as("i")).count()
+    // 6. mix to the 6000-token budget over clean-token mass. s6 has
+    // exactly ONE consumer (the keyed join below), so its funnel row
+    // rides the labeled checkpoint as an observation instead of a
+    // second mixToBudget execution in the final job.
+    val o6 = Observation()
+    val s6raw = TrainingMix.mixToBudget(
       s5.select(col("doc_id"), col("source"), col("clean_tok")),
       "doc_id", "source", "clean_tok", mixTargets,
       defaultFrac = 0.02, budgetTokens = 6000L)
+    val s6 = s6raw.observe(o6, count(lit(1)).as("n"),
+      sum(col("clean_tok")).as("t"), sum(col("doc_id")).as("i"))
     // 7. leakage-free split keyed by the stage-4 cluster rep
     val keyed = s6
       .join(members.select(col("id").as("doc_id"), col("rep")),
@@ -1049,6 +1098,28 @@ object MixQueries {
         .join(s5.select(col("doc_id"), col("clean_text")), "doc_id"),
       "doc_id", "clean_text", budgetTokens = 1024L, shards = 8)
     // ---- the funnel ----
+    // Barriered stages' rows are LITERALS assembled from the riding
+    // observations (every barrier above has already run by this point);
+    // only the never-materialized frames (s1, the contamination
+    // attribution, splits, pack) still aggregate in the final job.
+    val r0 = riding(o0,
+      d0.agg(count(lit(1)), sum(col("n_tok0")), sum(col("doc_id"))).head())
+    val r2 = riding(o2,
+      s2.agg(count(lit(1)), sum(col("n_tok0")), sum(col("doc_id"))).head())
+    val r3 = riding(o3, s3.agg(count(lit(1)), sum(col("clean_tok")),
+      sum(col("doc_id")), sum(col("n_removed"))).head())
+    val rM = riding(oM, members.agg(countDistinct(col("rep"))).head())
+    val r4 = riding(o4,
+      s4.agg(count(lit(1)), sum(col("clean_tok")), sum(col("doc_id"))).head())
+    val r5 = riding(o5,
+      s5.agg(count(lit(1)), sum(col("clean_tok")), sum(col("doc_id"))).head())
+    val r6 = riding(o6,
+      s6raw.agg(count(lit(1)), sum(col("clean_tok")), sum(col("doc_id"))).head())
+    import spark.implicits._
+    def lrow(stage: String, n: Long, g: Long, t: Long, i: Long,
+        aux: Long): DataFrame =
+      Seq((stage, n, g, t, i, aux))
+        .toDF("stage", "n_docs", "n_groups", "n_tokens", "id_sum", "aux")
     def z(c: org.apache.spark.sql.Column) = coalesce(c, lit(0L))
     def row(stage: String, df: DataFrame, tokCol: String): DataFrame =
       df.agg(count(lit(1)).as("n_docs"), sum(col(tokCol)).as("t"),
@@ -1056,25 +1127,11 @@ object MixQueries {
         .select(lit(stage).as("stage"), col("n_docs"),
           lit(0L).as("n_groups"), z(col("t")).as("n_tokens"),
           z(col("i")).as("id_sum"), lit(0L).as("aux"))
-    val fStrip = s3.agg(count(lit(1)).as("n_docs"),
-        sum(col("clean_tok")).as("t"), sum(col("doc_id")).as("i"),
-        sum(col("n_removed")).as("rm"))
-      .select(lit("strip_spans").as("stage"), col("n_docs"),
-        lit(0L).as("n_groups"), z(col("t")).as("n_tokens"),
-        z(col("i")).as("id_sum"), z(col("rm")).as("aux"))
-    val fNd = s4.agg(count(lit(1)).as("n_docs"),
-        sum(col("clean_tok")).as("t"), sum(col("doc_id")).as("i"))
-      .crossJoin(members.agg(countDistinct(col("rep")).as("n_groups")))
-      .select(lit("near_dedup").as("stage"), col("n_docs"),
-        col("n_groups"), z(col("t")).as("n_tokens"),
-        z(col("i")).as("id_sum"), lit(0L).as("aux"))
-    val fDecon = s5.agg(count(lit(1)).as("n_docs"),
-        sum(col("clean_tok")).as("t"), sum(col("doc_id")).as("i"))
-      .crossJoin(fOnly.agg(count(lit(1)).as("n_groups")))
+    val fDecon = fOnly.agg(count(lit(1)).as("n_groups"))
       .crossJoin(eIds.agg(count(lit(1)).as("aux")))
-      .select(lit("decontam").as("stage"), col("n_docs"),
-        col("n_groups"), z(col("t")).as("n_tokens"),
-        z(col("i")).as("id_sum"), col("aux"))
+      .select(lit("decontam").as("stage"), lit(longAt(r5, 0)).as("n_docs"),
+        col("n_groups"), lit(longAt(r5, 1)).as("n_tokens"),
+        lit(longAt(r5, 2)).as("id_sum"), col("aux"))
     val fSplit = labeled.groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("grp")).as("n_groups"),
@@ -1089,13 +1146,17 @@ object MixQueries {
       .select(lit("pack").as("stage"), col("n_docs"), col("n_groups"),
         z(col("t")).as("n_tokens"), z(col("i")).as("id_sum"),
         z(col("ts")).as("aux"))
-    row("input", d0, "n_tok0")
+    lrow("input", longAt(r0, 0), 0L, longAt(r0, 1), longAt(r0, 2), 0L)
       .unionByName(row("quality", s1, "n_tok0"))
-      .unionByName(row("exact_dedup", s2, "n_tok0"))
-      .unionByName(fStrip)
-      .unionByName(fNd)
+      .unionByName(lrow("exact_dedup",
+        longAt(r2, 0), 0L, longAt(r2, 1), longAt(r2, 2), 0L))
+      .unionByName(lrow("strip_spans",
+        longAt(r3, 0), 0L, longAt(r3, 1), longAt(r3, 2), longAt(r3, 3)))
+      .unionByName(lrow("near_dedup",
+        longAt(r4, 0), longAt(rM, 0), longAt(r4, 1), longAt(r4, 2), 0L))
       .unionByName(fDecon)
-      .unionByName(row("mix", s6, "clean_tok"))
+      .unionByName(lrow("mix",
+        longAt(r6, 0), 0L, longAt(r6, 1), longAt(r6, 2), 0L))
       .unionByName(fSplit)
       .unionByName(fPack)
   }

@@ -170,6 +170,13 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(capped(11L) === 10L)
     assert(capped(14L) === 13L) // one round only reaches the neighbor
+    // converged labels: every component has exactly one self-labeled row
+    // (the min-id node carries rep == id), so count(rep == id) ≡
+    // countDistinct(rep) — the identity q244's near-dedup funnel row
+    // rides its barrier with (an observation can sum a predicate but
+    // cannot count distinct)
+    assert(got.count { case (id, rep) => id == rep } ===
+      got.values.toSet.size)
   }
 
   test("pointer jumping closes a 64-chain in O(log n) rounds") {
