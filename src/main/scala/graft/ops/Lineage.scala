@@ -38,7 +38,15 @@ private[graft] object Lineage {
   }
 
   /** The barrier itself. Callers wanting `reliable = true` must have
-    * called [[ensureCheckpointDir]] once before the loop. */
+    * called [[ensureCheckpointDir]] once before the loop.
+    *
+    * The carried plan statistics are STRIPPED from the barrier node:
+    * checkpoint preserves the parent plan's stats, and in a loop whose
+    * next round joins this barrier, join-size estimates compound
+    * multiplicatively per generation until stats arithmetic alone wedges
+    * the driver (~20+ rounds — see
+    * [[org.apache.spark.sql.graft.Bridge.dropCarriedStats]]). */
   def barrier(df: DataFrame, reliable: Boolean): DataFrame =
-    if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    org.apache.spark.sql.graft.Bridge.dropCarriedStats(
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true))
 }

@@ -1462,4 +1462,104 @@ object DedupQueries {
        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
        |FROM alld GROUP BY 1, 2""".stripMargin
   }
+
+  /** q250 gram width (tokens), winnow window (grams), and the
+    * boilerplate mask: hashes fingerprinting more than this many docs
+    * are dropped before the pair join (the MOSS "too common to be
+    * interesting" rule — shared headers/footers would otherwise link
+    * every doc to every doc). Shared with the oracle SQL. */
+  private val WinK = 4
+  private val WinW = 4
+  private val WinMaxDf = 50
+
+  /** q250: winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+    * MOSS algorithm) + the cross-document overlap report. Each doc's
+    * k-token grams hash to hex8 ints; every w-gram window contributes
+    * its MINIMUM hash, and the distinct per-doc minima are the
+    * fingerprint set — the winnowing guarantee: any shared run of
+    * k+w−1 tokens between two docs yields at least one shared
+    * fingerprint, with expected density 2/(w+1) of the gram stream
+    * (~8× smaller than the full gram set q248 ships). The report:
+    * doc pairs sharing ≥2 fingerprints, heaviest overlap first.
+    * (The classic rightmost-tie rule only disambiguates WHICH position
+    * carries a repeated window minimum; the fingerprint SET — all the
+    * report consumes — is the distinct per-window minima either way,
+    * so neither engine needs positional tie-breaking.)
+    *
+    * Scale shape: grams stream as (pos, hex8) longs — one corpus pass,
+    * window ids via a bounded explode (≤ w per gram), the per-window
+    * min is a map-side-combined aggregate on (doc, window), and the
+    * surviving fingerprint table is ~2/(w+1) of the gram count. The
+    * pair join runs on fingerprint hashes AFTER the df ≤ MaxDf mask,
+    * which caps per-hash fan-out at MaxDf² pairs — the same bounded-
+    * block argument as the capped ER join (q205). */
+  def q250Winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+    val arr = graft.ops.TextOps.shingles(
+      graft.ops.TextOps.tokenize(col("text")), WinK)
+    // ordered gram stream: 1-based pos, hex8 key, per-doc gram count
+    val g = d.select(col("doc_id"), size(arr).as("mg"),
+        posexplode(arr).as(Seq("p0", "sh")))
+      .select(col("doc_id"), col("mg"), (col("p0") + 1).as("pos"),
+        graft.ops.TrainingMix.hex8(col("sh")).as("h"))
+    // full windows only: gram at pos covers windows [pos−w+1, pos] ∩
+    // [1, mg−w+1]
+    val wg = g.filter(col("mg") >= WinW)
+      .select(col("doc_id"), col("h"),
+        explode(sequence(greatest(lit(1), col("pos") - (WinW - 1)),
+          least(col("pos"), col("mg") - (WinW - 1)))).as("wi"))
+    // fingerprints: distinct per-window minima; barriered — the df mask
+    // and both pair-join sides read it (fingerprint-sized: ~2/(w+1) of
+    // the gram stream)
+    val sel = wg.groupBy(col("doc_id"), col("wi"))
+      .agg(min(col("h")).as("h"))
+      .select(col("doc_id"), col("h")).distinct()
+      .localCheckpoint()
+    val masked = sel.join(
+      sel.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > WinMaxDf).select(col("h")),
+      Seq("h"), "left_anti")
+    masked.select(col("h"), col("doc_id").as("id_a"))
+      .join(masked.select(col("h"), col("doc_id").as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy(col("n_shared").desc, col("id_a"), col("id_b"))
+      .limit(50)
+  }
+
+  val q250WinnowingSql: String = {
+    import OracleFragments.hex8Sql
+    val k = WinK; val w = WinW
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |g0 AS (
+       |  SELECT doc_id, len(t) - ${k - 1} AS mg,
+       |    unnest(list_transform(generate_series(1, len(t) - ${k - 1}),
+       |      i -> struct_pack(pos := i,
+       |             sh := array_to_string(t[i:i+${k - 1}], ' ')))) AS u
+       |  FROM toks),
+       |g AS (
+       |  SELECT doc_id, mg, u.pos AS pos, ${hex8Sql("u.sh")} AS h FROM g0),
+       |wg AS (
+       |  SELECT doc_id, h,
+       |    unnest(generate_series(greatest(1, pos - ${w - 1}),
+       |                           least(pos, mg - ${w - 1}))) AS wi
+       |  FROM g WHERE mg >= $w),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, h FROM (
+       |    SELECT doc_id, wi, MIN(h) AS h FROM wg GROUP BY 1, 2)),
+       |mask AS (
+       |  SELECT h FROM sel GROUP BY h HAVING COUNT(*) > $WinMaxDf),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+       |  FROM sel a
+       |  JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  WHERE a.h NOT IN (SELECT h FROM mask)
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+       |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+       |FROM pairs ORDER BY n_shared DESC, id_a, id_b LIMIT 50""".stripMargin
+  }
 }

@@ -2105,4 +2105,206 @@ object Embeddings {
       |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6) AS BIGINT)
       |    AS coverage_fp6
       |FROM sc, qh WHERE NOT sc.is_cal""".stripMargin
+
+  /** q251 geometry: eps-ball radius on the 2-D projection and the
+    * DBSCAN density floor (|N_eps(p)| ≥ minPts, p included — i.e.
+    * ≥ minPts−1 proper neighbors). Shared with the oracle SQL. */
+  private val DbEps = 0.01
+  private val DbMinPts = 4
+
+  /** q251: grid-blocked DBSCAN over the (dim0, dim1) projection of the
+    * embedding corpus — density clustering for the corpus-map /
+    * visualization workflows that run DBSCAN on a 2-D reduction
+    * (t-SNE/UMAP-style) of document embeddings. Core points (≥ minPts
+    * points within eps, self included) cluster by connectivity through
+    * core-core eps-edges (min-id representative); border points (non-
+    * core with ≥ 1 core neighbor) join their minimum-rep core
+    * neighbor's cluster — the deterministic resolution of DBSCAN's
+    * classic border ambiguity; everything else is noise. Output: one
+    * row per cluster (rep, size, core count, id checksum) plus the
+    * noise row under cluster −1.
+    *
+    * Scale shape: the eps-neighborhood join never goes all-pairs — each
+    * point lands in one eps-sized grid cell, one side explodes to its
+    * 3×3 cell neighborhood, and the equi-join on cell ids yields every
+    * ordered candidate pair exactly once (the b-side cell is unique)
+    * before the exact distance filter. Pair volume is bounded by cell
+    * occupancy (skewed-dense cells are AQE skew-join territory, same as
+    * the LSH bucket joins); the CC runs on core-core edges only, via
+    * the certified [[graft.ops.Dedup.connectedComponents]] doubling
+    * loop. */
+  def q251DbscanGrid(spark: SparkSession, dir: String): DataFrame = {
+    val eps = DbEps
+    val p = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"))
+      .localCheckpoint() // points-sized (id, x, y); feeds both join sides
+    val cx = floor(col("x") / eps).cast("long")
+    val cy = floor(col("y") / eps).cast("long")
+    val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
+    val a = p.select(col("id"), col("x"), col("y"),
+        cx.as("acx"), cy.as("acy"), explode(offsets).as("o"))
+      .select(col("id"), col("x"), col("y"),
+        (col("acx") + col("o.dx")).as("jx"), (col("acy") + col("o.dy")).as("jy"))
+    val b = p.select(col("id").as("nb"), col("x").as("bx"), col("y").as("by"),
+      cx.as("jx"), cy.as("jy"))
+    val d2 = (col("x") - col("bx")) * (col("x") - col("bx")) +
+      (col("y") - col("by")) * (col("y") - col("by"))
+    // every ordered pair (id, nb) exactly once: nb's home cell is unique
+    // and id's 3x3 halo covers it iff they can be within eps
+    val pairs = a.join(b, Seq("jx", "jy"))
+      .filter(col("id") =!= col("nb") && d2 <= lit(eps * eps))
+      .select(col("id"), col("nb"))
+      .localCheckpoint() // read by the degree count, CC edges, and border
+    val core = pairs.groupBy(col("id"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= DbMinPts - 1).select(col("id"))
+    val ce = pairs
+      .join(core, Seq("id"), "left_semi")
+      .join(core.select(col("id").as("nb")), Seq("nb"), "left_semi")
+      .filter(col("id") < col("nb"))
+      .select(col("id").as("id_a"), col("nb").as("id_b"))
+    // eps-graph components are FILAMENTS, not stars: label propagation
+    // with the single pointer jump converges in ~0.7× the min node's
+    // eccentricity (measured 27 rounds at ecc 37 on sf0.1), so the
+    // default 20-round budget under-runs; 100 covers 10× data with the
+    // loop still exiting on convergence
+    val comp = graft.ops.Dedup.connectedComponents(ce, maxIter = 100)
+    // singleton cores (no core neighbor) are their own cluster
+    val coreRep = core.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+      .localCheckpoint() // read by the border join and the core rollup
+    val border = pairs
+      .join(core, Seq("id"), "left_anti") // non-core side
+      .join(coreRep.select(col("id").as("nb"), col("rep")), Seq("nb"))
+      .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+    val assigned = coreRep.select(col("id"), col("rep"), lit(1L).as("is_core"))
+      .unionByName(border.select(col("id"), col("rep"), lit(0L).as("is_core")))
+    val clusters = assigned.groupBy(col("rep").as("cluster"))
+      .agg(count(lit(1)).as("n_pts"), sum(col("is_core")).as("n_core"),
+        sum(col("id")).as("id_sum"))
+    val noise = p.join(assigned.select(col("id")), Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("n_pts"), sum(col("id")).as("id_sum"))
+      .select(lit(-1L).as("cluster"), col("n_pts"), lit(0L).as("n_core"),
+        coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+    clusters.unionByName(noise)
+  }
+
+  val q251DbscanGridSql: String = {
+    val eps = DbEps
+    s"""WITH RECURSIVE p AS (
+       |  SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+       |    CAST(embedding[2] AS DOUBLE) AS y
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT a.id AS id, b.id AS nb
+       |  FROM p a JOIN p b ON b.id <> a.id
+       |    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       |        <= ${eps * eps}),
+       |core AS (
+       |  SELECT id FROM e GROUP BY id HAVING COUNT(*) >= ${DbMinPts - 1}),
+       |ce AS (
+       |  SELECT e.id AS src, e.nb AS dst FROM e
+       |  WHERE e.id IN (SELECT id FROM core)
+       |    AND e.nb IN (SELECT id FROM core)),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM ce
+       |  UNION
+       |  SELECT s.dst, reach.r FROM reach JOIN ce s ON s.src = reach.id),
+       |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+       |corerep AS (
+       |  SELECT c.id, COALESCE(m.rep, c.id) AS rep
+       |  FROM core c LEFT JOIN comp m ON m.id = c.id),
+       |border AS (
+       |  SELECT e.id, MIN(cr.rep) AS rep
+       |  FROM e JOIN corerep cr ON cr.id = e.nb
+       |  WHERE e.id NOT IN (SELECT id FROM core)
+       |  GROUP BY e.id),
+       |assigned AS (
+       |  SELECT id, rep, 1 AS is_core FROM corerep
+       |  UNION ALL
+       |  SELECT id, rep, 0 AS is_core FROM border)
+       |SELECT rep AS cluster, COUNT(*) AS n_pts,
+       |  CAST(SUM(is_core) AS BIGINT) AS n_core,
+       |  CAST(SUM(id) AS BIGINT) AS id_sum
+       |FROM assigned GROUP BY rep
+       |UNION ALL
+       |SELECT -1, COUNT(*), 0, CAST(COALESCE(SUM(id), 0) AS BIGINT)
+       |FROM p WHERE id NOT IN (SELECT id FROM assigned)""".stripMargin
+  }
+
+  /** q252: k-center greedy coreset (Gonzalez 1985 2-approximation) over
+    * cosine distance — the geometric data-selection counterpart to the
+    * relevance-based MMR (q179): pick the min-id seed, then k−1 times
+    * the point FARTHEST from its nearest chosen center (tie → min id).
+    * The selected set is a coverage coreset (every point within 2× the
+    * optimal k-center radius of a pick) — the standard seed for
+    * diversity sampling, k-means++-style init, and eval-set carving.
+    * Output: (round, center_id, radius) where radius is the chosen
+    * point's distance to the nearest earlier center — the coverage
+    * radius of the first round−1 centers, a monotone curve both engines
+    * must reproduce bit-identically (the cosine kernel folds
+    * sequentially in double on both sides, the q20 discipline).
+    *
+    * Scale shape: the running min-distance column updates by ONE
+    * cosine against the newly collected center per round — a literal-
+    * embedded projection over the cached corpus, no join, no shuffle;
+    * each round's argmax is a TakeOrdered (per-partition top-1, driver
+    * merges partition winners). Recompute-from-cache gives the round-r
+    * plan an r-deep least() chain (Σr ≈ k²/2 kernel passes) — chosen
+    * over per-round checkpoints, which would write the corpus k times
+    * to save arithmetic that is a bounded k× of the single mandatory
+    * O(k·n) pass. */
+  def q252KcenterCoreset(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val spark2 = spark
+    import spark2.implicits._
+    val v = vectors(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = v.orderBy(col("id")).select(col("id"), col("vec")).head()
+    var picks = List((1L, seed.getLong(0), 0.0))
+    var centerVec: Seq[Float] = seed.getSeq[Float](1)
+    var cur = v.withColumn("mind",
+      lit(1.0) - Similarity.cosine(col("vec"), typedlit(centerVec)))
+    (2 to k).foreach { r =>
+      val next = cur.orderBy(col("mind").desc, col("id"))
+        .select(col("id"), col("vec"), col("mind")).head()
+      picks ::= ((r.toLong, next.getLong(0), next.getDouble(2)))
+      centerVec = next.getSeq[Float](1)
+      cur = cur.withColumn("mind", least(col("mind"),
+        lit(1.0) - Similarity.cosine(col("vec"), typedlit(centerVec))))
+    }
+    v.unpersist()
+    picks.reverse.toDF("round", "center_id", "radius")
+  }
+
+  val q252KcenterCoresetSql: String = {
+    val k = 8
+    val ctes = (2 to k).map { r =>
+      s"""c$r AS (SELECT id, vec, mind FROM d${r - 1}
+         |  ORDER BY mind DESC, id LIMIT 1),
+         |d$r AS (
+         |  SELECT d.id, d.vec,
+         |    LEAST(d.mind, 1.0 - list_cosine_similarity(d.vec, c$r.vec))
+         |      AS mind
+         |  FROM d${r - 1} d, c$r)""".stripMargin
+    }.mkString(",\n")
+    val rows = (2 to k)
+      .map(r => s"SELECT ${r}::BIGINT, id, mind FROM c$r")
+      .mkString(" UNION ALL ")
+    s"""WITH v AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |c1 AS (SELECT id, vec FROM v ORDER BY id LIMIT 1),
+       |d1 AS (
+       |  SELECT v.id, v.vec,
+       |    1.0 - list_cosine_similarity(v.vec, c1.vec) AS mind
+       |  FROM v, c1),
+       |$ctes
+       |SELECT round, CAST(center_id AS BIGINT) AS center_id, radius FROM (
+       |  SELECT 1::BIGINT AS round, id AS center_id, 0.0 AS radius FROM c1
+       |  UNION ALL $rows
+       |) ORDER BY round""".stripMargin
+  }
 }

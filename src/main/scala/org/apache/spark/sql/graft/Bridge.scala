@@ -30,6 +30,29 @@ object Bridge {
   def backingRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
     analyzed(df).collect { case lr: execution.LogicalRDD => lr.rdd }
 
+  /** Rebuild a just-checkpointed frame WITHOUT the carried
+    * `originStats`/`originConstraints`. `Dataset.checkpoint` preserves
+    * the parent plan's `Statistics` into the barrier's `LogicalRDD`
+    * (SPARK-41345 lineage-trim semantics keep stats for the optimizer);
+    * in an ITERATIVE loop whose round-n plan joins the round-(n−1)
+    * barrier, join size estimates are PRODUCTS, so the preserved
+    * sizeInBytes compounds per round — its bit-length roughly doubles
+    * each generation, and past ~20 rounds the driver spends seconds per
+    * round multiplying million-bit `BigInt`s inside stats estimation
+    * (measured: the q251 grid-DBSCAN component loop, 27 rounds, wedged
+    * the driver in `BigInteger.multiplyToomCook3`). Fresh default stats
+    * restore O(1) planning per round; data, partitioning, and ordering
+    * are untouched, and the default (conservative, large) size keeps
+    * the loop's joins on their pinned shuffle-hash shapes. */
+  def dropCarriedStats(df: DataFrame): DataFrame = analyzed(df) match {
+    case lr: execution.LogicalRDD =>
+      ofRows(df.sparkSession, execution.LogicalRDD(
+        lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+        lr.isStreaming, lr.stream)(
+        df.sparkSession.asInstanceOf[classic.SparkSession], None, None))
+    case _ => df
+  }
+
   /** Idempotently register an extra planner strategy on a live session —
     * the runtime fallback for sessions built without
     * `withExtensions(new GraftExtensions)`. */

@@ -179,6 +179,27 @@ class DedupSpec extends SparkSpec {
       got.values.toSet.size)
   }
 
+  test("CC on an id-shuffled path: many rounds converge without the " +
+      "carried-stats planning blowup (Lineage.barrier strips originStats)") {
+    // a PATH whose node ids are a fixed pseudo-random permutation: with
+    // ids uncorrelated to geometry the pointer jump degrades toward
+    // hop-speed (the q251 eps-filament shape), forcing rounds well past
+    // the default budget — exactly the regime where checkpoint-carried
+    // statistics used to compound multiplicatively per round until the
+    // driver wedged in BigInteger stats arithmetic
+    val n = 120
+    val ids = (0L until n.toLong).map(i => (i * 73L) % n) // 73 coprime to 120
+    val path = (0 until n - 1).map(i => (ids(i), ids(i + 1))).toDF("id_a", "id_b")
+    val t0 = System.nanoTime()
+    val (labels, rounds, converged) = Dedup.ccWithRounds(path, maxIter = 100)
+    val wall = (System.nanoTime() - t0) / 1e9
+    assert(converged, s"did not converge in 100 rounds")
+    assert(rounds > 20, s"expected a slow topology, converged in $rounds")
+    assert(labels.as[(Long, Long)].collect().forall(_._2 === 0L))
+    // the old behavior was minutes-to-wedged by round ~25; generous bound
+    assert(wall < 120.0, f"CC took $wall%.1f s — stats blowup is back?")
+  }
+
   test("pointer jumping closes a 64-chain in O(log n) rounds") {
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val (labels, rounds, converged) = Dedup.ccWithRounds(chain, maxIter = 15)

@@ -876,6 +876,35 @@ class PlanSpec extends SparkSpec {
     assert("LeftSemi".r.findAllIn(p).nonEmpty, "dup membership must be a semi-join")
   }
 
+  // the fingerprint table is checkpointed, so the visible plan starts at
+  // the barrier; the bounded window-id explode upstream is covered by
+  // NewOpsSpec's plain-Scala replica
+  test("q250: winnowing pair join is an equi-join on fingerprint hashes — " +
+      "never a cartesian") {
+    val p = planOf(DedupQueries.q250Winnowing(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(2000))
+    // both pair-join sides read the SAME checkpointed fingerprint RDD
+    assert(p.contains("ExistingRDD"), p.take(1000))
+  }
+
+  test("q251: the DBSCAN output plan carries no cartesian anywhere " +
+      "(neighborhood pairs are checkpointed grid-join output)") {
+    val p = planOf(Embeddings.q251DbscanGrid(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(2000))
+    assert(p.contains("ExistingRDD"), p.take(1000))
+  }
+
+  test("q252: per-round distance update is a literal-center projection — " +
+      "no join anywhere in the k-center plan") {
+    val p = planOf(Embeddings.q252KcenterCoreset(spark, sf))
+    // the gate's driver loop already ran; the returned frame is literal
+    // rows — the property to pin is that building it planned no joins
+    // (centers embed as literals, never as a joined 1-row frame)
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("q179: the packed MMR plan has NO per-round windows — one " +
       "explode over the per-query kernel output") {
     val p = planOf(Embeddings.q179Mmr(spark, sf))
