@@ -1486,35 +1486,28 @@ object DedupQueries {
     * report consumes — is the distinct per-window minima either way,
     * so neither engine needs positional tie-breaking.)
     *
-    * Scale shape: grams stream as (pos, hex8) longs — one corpus pass,
-    * window ids via a bounded explode (≤ w per gram), the per-window
-    * min is a map-side-combined aggregate on (doc, window), and the
-    * surviving fingerprint table is ~2/(w+1) of the gram count. The
-    * pair join runs on fingerprint hashes AFTER the df ≤ MaxDf mask,
-    * which caps per-hash fan-out at MaxDf² pairs — the same bounded-
-    * block argument as the capped ER join (q205). */
+    * Scale shape: the whole per-doc computation — gram hex8 keys, the
+    * O(m) monotone-deque sliding minimum, the distinct — runs inside
+    * the codegen'd [[graft.functions.WinnowFingerprintsExpr]] kernel as
+    * ONE projection (the MinHashSlicesExpr discipline): nothing row-
+    * explodes before the fingerprint table, which is ~2/(w+1) of the
+    * gram count. (The first cut was declarative — gram posexplode +
+    * window-id explode + per-window min aggregate — and CollapseProject
+    * pushed the interpreted shingle zip past the generators, re-
+    * evaluating it per exploded row: the q158 probe class, 40–90 s at
+    * sf0.1 vs ~1 s here.) The pair join runs on fingerprint hashes
+    * AFTER the df ≤ MaxDf mask, which caps per-hash fan-out at MaxDf²
+    * pairs — the same bounded-block argument as the capped ER join
+    * (q205). */
   def q250Winnowing(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("text"))
-    val arr = graft.ops.TextOps.shingles(
-      graft.ops.TextOps.tokenize(col("text")), WinK)
-    // ordered gram stream: 1-based pos, hex8 key, per-doc gram count
-    val g = d.select(col("doc_id"), size(arr).as("mg"),
-        posexplode(arr).as(Seq("p0", "sh")))
-      .select(col("doc_id"), col("mg"), (col("p0") + 1).as("pos"),
-        graft.ops.TrainingMix.hex8(col("sh")).as("h"))
-    // full windows only: gram at pos covers windows [pos−w+1, pos] ∩
-    // [1, mg−w+1]
-    val wg = g.filter(col("mg") >= WinW)
-      .select(col("doc_id"), col("h"),
-        explode(sequence(greatest(lit(1), col("pos") - (WinW - 1)),
-          least(col("pos"), col("mg") - (WinW - 1)))).as("wi"))
-    // fingerprints: distinct per-window minima; barriered — the df mask
-    // and both pair-join sides read it (fingerprint-sized: ~2/(w+1) of
-    // the gram stream)
-    val sel = wg.groupBy(col("doc_id"), col("wi"))
-      .agg(min(col("h")).as("h"))
-      .select(col("doc_id"), col("h")).distinct()
+    // fingerprints: distinct per-window minima (kernel output is already
+    // distinct per doc); barriered — the df mask and both pair-join
+    // sides read it (fingerprint-sized: ~2/(w+1) of the gram stream)
+    val sel = d.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.winnow_fingerprints(
+          col("text"), WinK, WinW)).as("h"))
       .localCheckpoint()
     val masked = sel.join(
       sel.groupBy(col("h")).agg(count(lit(1)).as("df"))

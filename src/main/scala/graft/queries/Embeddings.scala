@@ -2106,10 +2106,20 @@ object Embeddings {
       |    AS coverage_fp6
       |FROM sc, qh WHERE NOT sc.is_cal""".stripMargin
 
-  /** q251 geometry: eps-ball radius on the 2-D projection and the
+  /** q251 geometry: the eps-ball radius on the 2-D projection follows
+    * the DENSITY RULE eps = 0.45/√n (the autoBits discipline) — in 2-D
+    * the expected eps-neighborhood count is ∝ n·eps², so the rule holds
+    * occupancy constant as the corpus grows. A pinned eps degenerates
+    * BOTH sides at 10× density: the clustering collapses toward one
+    * giant component (no longer a useful density map) and the oracle's
+    * reach-CTE — O(Σ comp²) rows — goes quadratic in it (measured: the
+    * pinned 0.01 at sf1 merges 19.5k of 20k points into one component;
+    * the rule keeps the largest at ~92 with Σ comp² ≈ 237k). Both
+    * engines derive eps from count(*) with the identical double
+    * arithmetic, so the oracle certifies the rule itself. minPts is the
     * DBSCAN density floor (|N_eps(p)| ≥ minPts, p included — i.e.
-    * ≥ minPts−1 proper neighbors). Shared with the oracle SQL. */
-  private val DbEps = 0.01
+    * ≥ minPts−1 proper neighbors). */
+  private[graft] def dbEps(n: Long): Double = 0.45 / math.sqrt(n.toDouble)
   private val DbMinPts = 4
 
   /** q251: grid-blocked DBSCAN over the (dim0, dim1) projection of the
@@ -2134,12 +2144,12 @@ object Embeddings {
     * the certified [[graft.ops.Dedup.connectedComponents]] doubling
     * loop. */
   def q251DbscanGrid(spark: SparkSession, dir: String): DataFrame = {
-    val eps = DbEps
     val p = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"),
         element_at(col("embedding"), 1).cast("double").as("x"),
         element_at(col("embedding"), 2).cast("double").as("y"))
       .localCheckpoint() // points-sized (id, x, y); feeds both join sides
+    val eps = dbEps(p.count()) // density-ruled; counts the checkpointed frame
     val cx = floor(col("x") / eps).cast("long")
     val cy = floor(col("y") / eps).cast("long")
     val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
@@ -2153,10 +2163,11 @@ object Embeddings {
     val d2 = (col("x") - col("bx")) * (col("x") - col("bx")) +
       (col("y") - col("by")) * (col("y") - col("by"))
     // every ordered pair (id, nb) exactly once: nb's home cell is unique
-    // and id's 3x3 halo covers it iff they can be within eps
+    // and id's 3x3 halo covers it iff they can be within eps. The shared
+    // cell (jx, jy) rides along as the locality key for the condensed CC.
     val pairs = a.join(b, Seq("jx", "jy"))
       .filter(col("id") =!= col("nb") && d2 <= lit(eps * eps))
-      .select(col("id"), col("nb"))
+      .select(col("id"), col("nb"), col("jx"), col("jy"))
       .localCheckpoint() // read by the degree count, CC edges, and border
     val core = pairs.groupBy(col("id"))
       .agg(count(lit(1)).as("deg"))
@@ -2165,13 +2176,18 @@ object Embeddings {
       .join(core, Seq("id"), "left_semi")
       .join(core.select(col("id").as("nb")), Seq("nb"), "left_semi")
       .filter(col("id") < col("nb"))
-      .select(col("id").as("id_a"), col("nb").as("id_b"))
-    // eps-graph components are FILAMENTS, not stars: label propagation
-    // with the single pointer jump converges in ~0.7× the min node's
-    // eccentricity (measured 27 rounds at ecc 37 on sf0.1), so the
-    // default 20-round budget under-runs; 100 covers 10× data with the
-    // loop still exiting on convergence
-    val comp = graft.ops.Dedup.connectedComponents(ce, maxIter = 100)
+      .select(col("id").as("id_a"), col("nb").as("id_b"),
+        col("jx"), col("jy"))
+    // eps-graph components are FILAMENTS with ids uncorrelated to
+    // geometry: plain min-label propagation is hop-bound (measured 27
+    // rounds at eccentricity 37 on sf0.1, jump depth irrelevant). The
+    // condensed pre-pass union-finds each 16×16-cell block locally, so
+    // the loop runs on block-adjacency diameter — a few rounds.
+    val block = struct(
+      floor(col("jx").cast("double") / 16).cast("long"),
+      floor(col("jy").cast("double") / 16).cast("long"))
+    val comp = graft.ops.Dedup.connectedComponentsCondensed(
+      ce, block, maxIter = 100)
     // singleton cores (no core neighbor) are their own cluster
     val coreRep = core.join(comp, Seq("id"), "left")
       .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
@@ -2193,16 +2209,17 @@ object Embeddings {
   }
 
   val q251DbscanGridSql: String = {
-    val eps = DbEps
     s"""WITH RECURSIVE p AS (
        |  SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
        |    CAST(embedding[2] AS DOUBLE) AS y
        |  FROM embeddings),
+       |epsq AS (SELECT 0.45 / sqrt(COUNT(*)) AS eps FROM p),
        |e AS (
        |  SELECT a.id AS id, b.id AS nb
-       |  FROM p a JOIN p b ON b.id <> a.id
+       |  FROM p a, p b, epsq
+       |  WHERE b.id <> a.id
        |    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
-       |        <= ${eps * eps}),
+       |        <= epsq.eps * epsq.eps),
        |core AS (
        |  SELECT id FROM e GROUP BY id HAVING COUNT(*) >= ${DbMinPts - 1}),
        |ce AS (

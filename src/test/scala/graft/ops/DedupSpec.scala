@@ -200,6 +200,25 @@ class DedupSpec extends SparkSpec {
     assert(wall < 120.0, f"CC took $wall%.1f s — stats blowup is back?")
   }
 
+  test("condensed CC equals plain CC — with a locality key and with a " +
+      "pure-noise key (correctness never depends on key quality)") {
+    val n = 120
+    val ids = (0L until n.toLong).map(i => (i * 73L) % n)
+    val path = (0 until n - 1)
+      .map(i => (ids(i), ids(i + 1), i / 10)) // position-block locality
+      .toDF("id_a", "id_b", "blk")
+    val plain = Dedup.connectedComponents(
+        path.select(col("id_a"), col("id_b")), maxIter = 100)
+      .as[(Long, Long)].collect().toMap
+    val good = Dedup.connectedComponentsCondensed(path, col("blk"))
+      .as[(Long, Long)].collect().toMap
+    assert(good === plain)
+    val noise = Dedup.connectedComponentsCondensed(
+        path, pmod(col("id_a") * 2654435761L, lit(97L)))
+      .as[(Long, Long)].collect().toMap
+    assert(noise === plain)
+  }
+
   test("pointer jumping closes a 64-chain in O(log n) rounds") {
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val (labels, rounds, converged) = Dedup.ccWithRounds(chain, maxIter = 15)

@@ -55,11 +55,12 @@ class NewOpsSpec extends SparkSpec {
 
   test("q251: grid-blocked DBSCAN equals a plain-Scala all-pairs DBSCAN " +
       "(same eps/minPts/border rule)") {
-    val eps = 0.01; val minPts = 4
+    val minPts = 4
     val pts = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).head.toDouble,
         r.getSeq[Float](1)(1).toDouble))
+    val eps = Embeddings.dbEps(pts.length.toLong) // same density rule
     def near(a: (Long, Double, Double), b: (Long, Double, Double)) = {
       val dx = a._2 - b._2; val dy = a._3 - b._3
       dx * dx + dy * dy <= eps * eps
