@@ -2214,11 +2214,21 @@ object Embeddings {
        |    CAST(embedding[2] AS DOUBLE) AS y
        |  FROM embeddings),
        |epsq AS (SELECT 0.45 / sqrt(COUNT(*)) AS eps FROM p),
+       |cells AS (
+       |  SELECT id, x, y, CAST(floor(x / eps) AS BIGINT) AS cx,
+       |    CAST(floor(y / eps) AS BIGINT) AS cy
+       |  FROM p, epsq),
        |e AS (
        |  SELECT a.id AS id, b.id AS nb
-       |  FROM p a, p b, epsq
+       |  FROM (SELECT c.id, c.x, c.y, c.cx + dx.dx AS jx, c.cy + dy.dy AS jy
+       |        FROM cells c,
+       |          (SELECT unnest([-1, 0, 1]) AS dx) dx,
+       |          (SELECT unnest([-1, 0, 1]) AS dy) dy) a
+       |  JOIN (SELECT id, x AS bx, y AS by, cx AS jx, cy AS jy
+       |        FROM cells) b USING (jx, jy)
+       |  CROSS JOIN epsq
        |  WHERE b.id <> a.id
-       |    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       |    AND (a.x - b.bx) * (a.x - b.bx) + (a.y - b.by) * (a.y - b.by)
        |        <= epsq.eps * epsq.eps),
        |core AS (
        |  SELECT id FROM e GROUP BY id HAVING COUNT(*) >= ${DbMinPts - 1}),
