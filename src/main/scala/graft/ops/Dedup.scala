@@ -623,15 +623,34 @@ object Dedup {
     * barrier job). Ids must be LONG (the union-find buffers them).
     * With a locality key that is pure noise the pre-pass still merges
     * whatever lands together and the loop degrades to its usual bound
-    * — correctness never depends on the key quality. */
+    * — correctness never depends on the key quality.
+    *
+    * MEMORY BOUND (r17): the per-partition union-find holds one
+    * HashMap entry per NON-ROOT node touched in that partition —
+    * O(distinct ids per partition) longs (~48 B/entry), NOT O(edges)
+    * (edges stream through the iterator). The hash repartition spreads
+    * `localityKey` over spark.sql.shuffle.partitions tasks, so a
+    * LOW-CARDINALITY key (distinct(_loc) ≪ partitions) funnels the
+    * whole edge set into a few tasks: correctness holds but one task
+    * carries O(all nodes) memory and the stage serializes. `salt > 1`
+    * guards that regime — it splits each locality group across `salt`
+    * sub-partitions (hash of id_a, deterministic), bounding any task
+    * at ~1/salt of a group's nodes at the cost of proportionally less
+    * condensation (cross-salt paths close in the main loop, exactly
+    * like cross-partition paths). Size so a task's node count × 48 B
+    * fits comfortably in executor heap; keep salt = 1 when the key
+    * cardinality is ≳ the partition count (the q251 grid regime). */
   def connectedComponentsCondensed(edges: DataFrame, localityKey: Column,
-      maxIter: Int = 100, reliable: Boolean = false): DataFrame = {
+      maxIter: Int = 100, reliable: Boolean = false,
+      salt: Int = 1): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val saltCol =
+      if (salt <= 1) lit(0) else pmod(hash(col("id_a")), lit(salt))
     val stars = edges
       .select(col("id_a").cast("long"), col("id_b").cast("long"),
         localityKey.as("_loc"))
-      .repartition(col("_loc"))
+      .repartition(col("_loc"), saltCol)
       .select(col("id_a"), col("id_b")).as[(Long, Long)]
       .mapPartitions { it =>
         val parent = new java.util.HashMap[Long, Long]()

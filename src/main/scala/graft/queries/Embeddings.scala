@@ -68,20 +68,29 @@ object Embeddings {
     * cross-check.
     *
     * SEMANTICS NOTE (changed in round 2, applies to q48 too): this gate is
-    * now approximate-by-design — LSH blocking at threshold 0.35 sits well
-    * below the high-similarity regime the 16×6 table defaults target, so
+    * approximate-by-design — LSH blocking at threshold 0.35 sits well
+    * below the high-similarity regime the table defaults target, so
     * pairs the blocking misses are absent from BOTH engines (the oracle
-    * replays the same blocking; recall vs exact all-pairs is ~0.65 on this
-    * corpus, measured in SimilaritySpec). The gate certifies determinism
-    * of the blocked pipeline, not full recall; the exact all-pairs form
-    * remains available as [[Similarity.nearDupPairs]]. */
+    * replays the same blocking). The gate certifies determinism of the
+    * blocked pipeline, not full recall; the exact all-pairs form remains
+    * available as [[Similarity.nearDupPairs]].
+    *
+    * GEOMETRY (round 17): migrated from the pinned 16×6 width — the r16
+    * verdict's named scale-killer (in-bucket pairs grew ~n²/2⁶, the
+    * registry's worst 10× growth line at 6.7×) — to the [[Similarity
+    * .autoBits]] density rule at targetBucketRows = 8, the TIGHT-occupancy
+    * operating point (q73/q48 certify the same rule at 30 rows/bucket).
+    * Verify work is now linear in n at both certified operating points,
+    * and the oracle rebuilds the width from `COUNT(*)` exactly as the
+    * engine does (the q48 precedent). */
   def q21EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
-    Similarity.lshNearDupCandidates(v, threshold = 0.35)
+    Similarity.lshNearDupCandidatesAuto(v, threshold = 0.35,
+      targetBucketRows = 8)
   }
 
   val q21EmbedNearDupSql: String =
-    s"""WITH ${sigCtes(16, 6, 64)},
+    s"""WITH ${sigCtesAuto(16, 64, targetBucketRows = 8)},
       |cand AS (
       |  SELECT a.id AS id_a, b.id AS id_b
       |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig AND a.id < b.id)
@@ -94,15 +103,16 @@ object Embeddings {
 
   /** [[sigCtes]] with the signature WIDTH chosen by the density rule
     * inside the SQL itself: bits = the smallest b in [4,28] with
-    * 30·2ᵇ ≥ count(*) — the same integer comparison
+    * targetBucketRows·2ᵇ ≥ count(*) — the same integer comparison
     * [[Similarity.autoBits]] runs, so both engines derive the width from
     * the data rather than a pinned constant. The coefficient table is
     * built at the 28-bit maximum and filtered, keeping the md5 material
     * identical to the fixed-width form at every width. */
-  private[graft] def sigCtesAuto(nTables: Int, dim: Int): String =
+  private[graft] def sigCtesAuto(nTables: Int, dim: Int,
+      targetBucketRows: Int = 30): String =
     s"""nn AS (SELECT COUNT(*) AS n FROM embeddings),
        |bw AS (SELECT COALESCE((SELECT MIN(b) FROM range(4, 29) t(b), nn
-       |                        WHERE (30::BIGINT << b) >= nn.n), 28) AS bits),
+       |                        WHERE ($targetBucketRows::BIGINT << b) >= nn.n), 28) AS bits),
        |coeff AS (
        |  SELECT t, b, d,
        |    CASE WHEN (strpos('0123456789abcdef',
@@ -2290,7 +2300,17 @@ object Embeddings {
     import spark2.implicits._
     val v = vectors(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seed = v.orderBy(col("id")).select(col("id"), col("vec")).head()
+    // r17 (advice): head() on an empty corpus threw NoSuchElementException
+    // before the driver loop ever ran — mirror the SQL's empty-result
+    // behavior (no c1 row → zero output rows) with an empty frame
+    val seedOpt = v.orderBy(col("id")).select(col("id"), col("vec"))
+      .head(1).headOption
+    if (seedOpt.isEmpty) {
+      v.unpersist()
+      return List.empty[(Long, Long, Double)]
+        .toDF("round", "center_id", "radius")
+    }
+    val seed = seedOpt.get
     var picks = List((1L, seed.getLong(0), 0.0))
     var centerVec: Seq[Float] = seed.getSeq[Float](1)
     var cur = v.withColumn("mind",

@@ -1133,7 +1133,28 @@ object Events {
     // can persist COLUMNAR (consumers read pruned cached batches instead
     // of full serialized rows — the checkpoint write was ~60% of the
     // gate at sf1)
-    val d0 = e.agg(min(to_date(col("ts")))).head().getDate(0)
+    // r17 (advice): min over an empty table is NULL — the former
+    // .getDate(0) NPE'd where the old crossJoin anchor degraded
+    // gracefully. An empty corpus returns the empty frame (the SQL's
+    // aggregate-over-empty row is all-NULL/0 and never compared —
+    // the driver gates on rows > 0), and `ev` is unpersisted after
+    // the final action below so the cache doesn't outlive the gate.
+    val d0row = e.agg(min(to_date(col("ts")))).head()
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_test_users",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("hits_at1",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("hits_at5",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("hits_at10",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("mrr_fp6",
+        org.apache.spark.sql.types.LongType)))
+    if (d0row.isNullAt(0))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val d0 = d0row.getDate(0)
     val ev = e.select(col("user_id"), col("event_id"), col("ts"),
         get_json_object(col("props"), "$.k").cast("long").as("item"),
         datediff(to_date(col("ts")), lit(d0)).cast("long").as("d"))
@@ -1188,7 +1209,7 @@ object Events {
       .join(ti.select(col("user_id")).distinct(), Seq("user_id"), "left_semi")
       .join(rk.select(col("user_id"), col("neighbor").as("target"), col("rnk")),
         Seq("user_id", "target"), "left")
-    ej.agg(count(lit(1)).as("n_test_users"),
+    val out = ej.agg(count(lit(1)).as("n_test_users"),
         sum(when(col("rnk") === 1, lit(1L)).otherwise(lit(0L))).as("hits_at1"),
         sum(when(col("rnk") <= 5, lit(1L)).otherwise(lit(0L))).as("hits_at5"),
         sum(when(col("rnk") <= 10, lit(1L)).otherwise(lit(0L))).as("hits_at10"),
@@ -1198,6 +1219,12 @@ object Events {
         col("hits_at10"),
         round(col("sum_rr").cast("double") / col("n_test_users")).cast("long")
           .as("mrr_fp6"))
+    // the result is ONE row — materialize it while `ev` is cached, then
+    // release the cache (it formerly outlived the gate in multi-gate
+    // sessions) and hand back the literal frame
+    val collected = java.util.Arrays.asList(out.collect(): _*)
+    ev.unpersist()
+    spark.createDataFrame(collected, out.schema)
   }
 
   val q210RecMrrSql: String =

@@ -963,13 +963,26 @@ object MixQueries {
     // purely to re-aggregate what the barrier had already streamed past.
     def longAt(r: Row, i: Int): Long =
       if (r.isNullAt(i)) 0L else r.getLong(i)
+    // r17 (advice): by the time riding() runs every barrier action has
+    // already completed, so the metrics are normally delivered — a short
+    // timeout suffices, and a LONG one compounds: 7 sequential awaits ×
+    // 60 s stalled gate construction ~7 min if the listener bus dropped
+    // events under load (a known Spark failure mode). 5 s each bounds
+    // the worst case at ~35 s, and ANY failure (interrupt, bus death)
+    // takes the same correct direct-aggregate fallback as a timeout.
     def riding(obs: Observation, fallback: => Row): Row =
       try scala.concurrent.Await
-        .result(obs.future, scala.concurrent.duration.Duration(60, "s"))
+        .result(obs.future, scala.concurrent.duration.Duration(5, "s"))
       catch {
-        case _: java.util.concurrent.TimeoutException =>
+        case _: InterruptedException =>
+          Thread.currentThread().interrupt()
           System.err.println(
-            "[q244] observation timed out — direct-aggregate fallback")
+            "[q244] observation await interrupted — direct-aggregate fallback")
+          fallback
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[q244] observation unavailable (${e.getClass.getSimpleName}) " +
+              "— direct-aggregate fallback")
           fallback
       }
     val docsAll = Tables.documents(spark, dir)
@@ -1031,9 +1044,18 @@ object MixQueries {
     // n_groups rides the members barrier: converged min-label CC gives
     // every component exactly one self-labeled row (the min-id node has
     // rep == id — DedupSpec pins the identity against countDistinct),
-    // so the distinct-rep count is a plain observable sum
-    val members = Dedup.connectedComponents(cand)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // so the distinct-rep count is a plain observable sum. r17 (advice):
+    // that identity holds ONLY for converged labels, and the plain entry
+    // point merely warns on maxIter exhaustion — this gate asserts
+    // convergence (generous bound; doubling needs O(log diameter) rounds)
+    // so a non-converged run fails loudly instead of reporting a silently
+    // wrong group count.
+    val (ccLabels, _, ccConverged) =
+      Dedup.ccWithRounds(cand, maxIter = 100, doubling = true)
+    require(ccConverged,
+      "q244 near-dup CC did not converge at maxIter=100 — the funnel's " +
+        "n_groups identity (sum of rep==id) requires converged labels")
+    val members = ccLabels.persist(StorageLevel.MEMORY_AND_DISK)
     val oM = Observation()
     members.observe(oM, sum(when(col("rep") === col("id"), 1L)
       .otherwise(0L)).as("g")).count()
