@@ -29,7 +29,12 @@ object Bench {
     val loadStart = load1()
     val spark = GraftSession.tunedLocal("graft-bench", sfDir, cpus)
 
+    // SPARK_GRAFT_ONLY: comma-separated gate names — builder-side subset
+    // timing (before/after on one gate); the driver's env-free run
+    // benches everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val headline = Registry.all.filter(_.bench)
+      .filter(g => only.forall(_.contains(g.name)))
     // noop sink: full materialization of every output row — a bare count()
     // would let Catalyst prune the projections being measured
     def run(g: graft.queries.Gated, dir: String): Unit =

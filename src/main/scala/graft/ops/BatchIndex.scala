@@ -153,6 +153,11 @@ object BatchIndex {
       .map(_.toString).toSeq
   }
 
+  /** Number of committed data files — callers gate [[compact]] on this
+    * (a long-lived ingest loop accretes one file set per batch). */
+  def committedFileCount(spark: SparkSession, path: String): Int =
+    committedFiles(hFs(spark, path), path).size
+
   /** The committed view of the index — the only read serve paths may use
     * (`spark.read.parquet(dir)` would surface crashed partials). Memoized
     * on the exact committed file list, so an append changes the cache key

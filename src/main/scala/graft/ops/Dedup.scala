@@ -567,6 +567,82 @@ object Dedup {
       numHashes, shingleWidth, fast, batchId, compactAbove)
   }
 
+  // ---- winnowing fingerprint index (r17: the q68/q101 exactly-once
+  // contract applied to the q250 span-fingerprint family) ----
+
+  /** Winnowing fingerprint rows (id, h): the distinct per-window k-gram
+    * hash minima from the codegen'd
+    * [[graft.functions.TextExprs WinnowFingerprintsExpr]] kernel — one
+    * projection per doc, ~2/(w+1) of the gram stream survives. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(graft.functions.TextFunctions.winnow_fingerprints(
+        col(textCol), k, w)).as("h"))
+
+  private def winnowIndexMeta(k: Int, w: Int) =
+    s"winnow,k=$k,w=$w,hash=hex8md5"
+
+  /** Exactly-once append of one batch's winnowing fingerprints to a
+    * persisted index ([[BatchIndex]] protocol: staged files, `b<id>_`
+    * prefix, marker committed LAST — replays are no-ops, crashed
+    * attempts are healed on retry). Auto-compacts past `compactAbove`
+    * committed files (≤0 disables). Per-ingest cost ∝ batch. */
+  def appendToWinnowIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, batchId: Long, k: Int = 4, w: Int = 4,
+      compactAbove: Int = 64): Unit = {
+    val spark = df.sparkSession
+    BatchIndex.appendBatch(winnowFingerprints(df, idCol, textCol, k, w),
+      path, batchId, winnowIndexMeta(k, w))
+    if (compactAbove > 0 &&
+        BatchIndex.committedFileCount(spark, path) > compactAbove)
+      BatchIndex.compact(spark, path)
+  }
+
+  /** Committed view of a winnowing fingerprint index. */
+  def readWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = BatchIndex.readCommitted(spark, path)
+
+  /** Span-overlap candidates for a NEW batch against a stored winnowing
+    * index: every (id_a, id_b, n_shared) pair sharing ≥ `minShared`
+    * surviving fingerprints with at least one batch endpoint —
+    * batch-vs-index and batch-vs-batch, never index-vs-index (those
+    * pairs were emitted when THEIR batches arrived; the
+    * [[minhashCandidatesIncremental]] discipline). The boilerplate mask
+    * (MOSS df > maxDf) is CUMULATIVE — counted over index ∪ batch — so
+    * after the final batch the union of per-batch candidate sets
+    * converges on the full-recompute report (spec-pinned; q253 gates
+    * the index==full identity).
+    *
+    * 100 TB note: the mask aggregate reads ONE long column of the index
+    * per ingest (fingerprints ≈ 2/(w+1) of the token stream). A
+    * long-lived loop that can't afford even that scan should maintain
+    * (h, df) running counts as their own compacted BatchIndex and union
+    * only the batch's deltas — the protocol is identical. */
+  def winnowCandidatesIncremental(batch: DataFrame, idCol: String,
+      textCol: String, index: DataFrame, k: Int = 4, w: Int = 4,
+      maxDf: Int = 50, minShared: Int = 2): DataFrame = {
+    val newFp = winnowFingerprints(batch, idCol, textCol, k, w)
+      // feeds the mask, the probe side, and the union — without a persist
+      // the kernel (the dominant per-ingest CPU) would run three times
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = index.select(col("id"), col("h"), lit(false).as("isNew"))
+      .unionByName(newFp.select(col("id"), col("h"), lit(true).as("isNew")))
+    val mask = all.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("h"))
+    val b = all.join(mask, Seq("h"), "left_anti")
+    val a = b.filter(col("isNew")).select(col("h"), col("id").as("ia"))
+    a.join(b.select(col("h"), col("id").as("ib"), col("isNew")), Seq("h"))
+      // batch-vs-index pairs appear once (a is always the batch side);
+      // batch-vs-batch pairs are kept in one orientation only
+      .filter((!col("isNew") && col("ia") =!= col("ib")) ||
+        (col("isNew") && col("ia") < col("ib")))
+      .groupBy(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Near-dup groups from candidate pairs above a threshold: connected
     * components approximated by min-representative propagation (1 round —
     * exact for pair-clusters, which dominate dedup workloads; iterate for

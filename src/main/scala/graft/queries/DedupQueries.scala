@@ -945,7 +945,8 @@ object DedupQueries {
     * family of gates, which handle exactly that mass without
     * enumeration. The cap is part of the certified semantics: the oracle
     * applies the identical rule, at every SF. */
-  private def blockedTitlePairs(spark: SparkSession, dir: String): DataFrame = {
+  private def blockedTitlePairs(spark: SparkSession, dir: String,
+      keepBlock: Boolean = false): DataFrame = {
     val t = Tables.documents(spark, dir)
       .filter(col("n_chars") >= 32)
       .select(col("doc_id"), substring(col("text"), 1, 32).as("title"))
@@ -960,8 +961,16 @@ object DedupQueries {
       .filter(col("bn") <= 256).drop("bn")
     val a = blocked.select(col("bk"), col("doc_id").as("id_a"), col("title").as("ta"))
     val b = blocked.select(col("bk"), col("doc_id").as("id_b"), col("title").as("tb"))
-    a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("ta"), col("tb")).distinct()
+    val base = a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+    // keepBlock retains the blocking key as a LOCALITY column for CC
+    // condensation (q205) — a pair found under both block keys then
+    // keeps both rows (duplicate edges are harmless to union-find/CC;
+    // the gated pair forms keep the bk-free distinct contract)
+    if (keepBlock)
+      base.select(col("id_a"), col("id_b"), col("ta"), col("tb"), col("bk"))
+        .distinct()
+    else
+      base.select(col("id_a"), col("id_b"), col("ta"), col("tb")).distinct()
   }
 
   /** The q172/q182 shared oracle CTEs ending in
@@ -1104,18 +1113,23 @@ object DedupQueries {
     * (never all-pairs), then a pure scoring projection inside codegen;
     * the weights are compile-time integer literals (see [[fsFields]]),
     * so scoring adds zero float work per pair. */
-  def q192FellegiSunter(spark: SparkSession, dir: String): DataFrame = {
+  /** The Fellegi–Sunter fp6 match weight over (ta, tb) — shared by the
+    * q192 gate and the q205 link generation. */
+  private def fsScoreFp6: org.apache.spark.sql.Column = {
     val jw6 = round(graft.functions.TextFunctions.jaro_winkler(col("ta"), col("tb"))
       * lit(1e6)).cast("long")
     val agree = Seq(
       substring(col("ta"), 1, 8) === substring(col("tb"), 1, 8),
       levenshtein(substring(col("ta"), 9, 8), substring(col("tb"), 9, 8)) <= 2,
       jw6 >= 900000L)
-    val score = agree.zipWithIndex.map { case (a, i) =>
+    agree.zipWithIndex.map { case (a, i) =>
       when(a, lit(fsAgree(i))).otherwise(lit(fsDisagree(i)))
     }.reduce(_ + _)
+  }
+
+  def q192FellegiSunter(spark: SparkSession, dir: String): DataFrame = {
     blockedTitlePairs(spark, dir)
-      .withColumn("score_fp6", score)
+      .withColumn("score_fp6", fsScoreFp6)
       .select(col("id_a"), col("id_b"), col("score_fp6"),
         when(col("score_fp6") >= 10000000L, lit("link"))
           .when(col("score_fp6") <= 0L, lit("nonlink"))
@@ -1256,14 +1270,20 @@ object DedupQueries {
     * transitive-closure oracle.
     *
     * Scale shape: the edge list is capped-block linear (q192's
-    * guarantee); CC is the q62 pointer-jumping path — O(log diameter)
-    * rounds of broadcast/hash joins with an eager checkpoint per
-    * generation. */
+    * guarantee); CC runs the LOCALITY-CONDENSED path (r17): the `link`
+    * decision requires ≥ 10 fp-bits, reachable ONLY when all three
+    * fields agree (best two-of-three tops out at 9.81 bits), and
+    * field 1 agreement IS head-8 title equality — so every link edge's
+    * endpoints share the head-8 block key, transitively the whole
+    * component does, and the per-partition union-find pre-pass keyed
+    * on `bk` collapses each component to a single star before the
+    * loop ever runs (the loop then closes on identity edges in one
+    * round instead of O(log diameter) join+checkpoint generations). */
   def q205ErClusters(spark: SparkSession, dir: String): DataFrame = {
-    val links = q192FellegiSunter(spark, dir)
-      .filter(col("decision") === "link")
-      .select(col("id_a"), col("id_b"))
-    Dedup.connectedComponents(links)
+    val links = blockedTitlePairs(spark, dir, keepBlock = true)
+      .filter(fsScoreFp6 >= 10000000L)
+      .select(col("id_a"), col("id_b"), col("bk"))
+    Dedup.connectedComponentsCondensed(links, col("bk"))
       .groupBy(col("rep")).agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") >= 2)
       .select(col("rep").as("cluster_rep"), col("n_members"))
@@ -1523,10 +1543,13 @@ object DedupQueries {
       .limit(50)
   }
 
-  val q250WinnowingSql: String = {
+  /** The q250/q253 shared oracle CTEs ending in `sel(doc_id, h)` (the
+    * per-doc distinct winnowing fingerprints) and `mask(h)` (the
+    * boilerplate hashes with df > [[WinMaxDf]]). */
+  private def winnowSelMaskCtes: String = {
     import OracleFragments.hex8Sql
     val k = WinK; val w = WinW
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |g0 AS (
        |  SELECT doc_id, len(t) - ${k - 1} AS mg,
@@ -1545,7 +1568,11 @@ object DedupQueries {
        |  SELECT DISTINCT doc_id, h FROM (
        |    SELECT doc_id, wi, MIN(h) AS h FROM wg GROUP BY 1, 2)),
        |mask AS (
-       |  SELECT h FROM sel GROUP BY h HAVING COUNT(*) > $WinMaxDf),
+       |  SELECT h FROM sel GROUP BY h HAVING COUNT(*) > $WinMaxDf)""".stripMargin
+  }
+
+  val q250WinnowingSql: String =
+    s"""WITH $winnowSelMaskCtes,
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
        |  FROM sel a
@@ -1554,5 +1581,51 @@ object DedupQueries {
        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
        |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
        |FROM pairs ORDER BY n_shared DESC, id_a, id_b LIMIT 50""".stripMargin
+
+  /** q253: incremental winnowing-fingerprint ingest — the q68/q101
+    * exactly-once index contract applied to the q250 span-fingerprint
+    * family, completing the span-dedup tier for streaming ingest. The
+    * corpus splits at the median doc_id: the "already-ingested" half's
+    * fingerprints live in a persisted [[graft.ops.BatchIndex]] built by
+    * TWO committed batch appends (quarter split — the protocol itself is
+    * under test: replayed appends are no-ops, so re-runs serve straight
+    * from parquet); the "new batch" half is fingerprinted once and
+    * joined against index ∪ itself, never index-vs-index. Output =
+    * every pair sharing ≥ 2 surviving fingerprints with at least one
+    * new-batch endpoint (id_b ≥ split ⟺ ≥1 new endpoint, since id_b is
+    * the greater id). The boilerplate mask is cumulative (df over
+    * index ∪ batch = the full corpus here), so the oracle — a full
+    * recompute filtered to id_b ≥ split — certifies that the
+    * incremental path loses nothing vs recomputing from scratch. */
+  def q253WinnowIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+    // one 2-value scalar to the driver: the split keys the artifact path,
+    // so it cannot stay lazy (the q68 discipline)
+    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val split = (lo + hi) / 2
+    val quarter = (lo + split) / 2
+    val indexPath = graft.core.Artifacts.path(spark,
+      s"$dir/documents.parquet", s"winidx_k${WinK}_w${WinW}_s$split")
+    Dedup.appendToWinnowIndex(docs.filter(col("doc_id") < quarter),
+      "doc_id", "text", indexPath, batchId = 0L, k = WinK, w = WinW)
+    Dedup.appendToWinnowIndex(
+      docs.filter(col("doc_id") >= quarter && col("doc_id") < split),
+      "doc_id", "text", indexPath, batchId = 1L, k = WinK, w = WinW)
+    Dedup.winnowCandidatesIncremental(docs.filter(col("doc_id") >= split),
+      "doc_id", "text", Dedup.readWinnowIndex(spark, indexPath),
+      k = WinK, w = WinW, maxDf = WinMaxDf, minShared = 2)
   }
+
+  val q253WinnowIngestSql: String =
+    s"""WITH $winnowSelMaskCtes,
+       |split AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS v FROM documents)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM sel a
+       |JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+       |WHERE a.h NOT IN (SELECT h FROM mask)
+       |  AND b.doc_id >= (SELECT v FROM split)
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin
 }

@@ -217,6 +217,13 @@ class DedupSpec extends SparkSpec {
         path, pmod(col("id_a") * 2654435761L, lit(97L)))
       .as[(Long, Long)].collect().toMap
     assert(noise === plain)
+    // r17: salting (the low-cardinality-key memory guard) splits each
+    // locality group across sub-partitions — less condensation, same
+    // labels (cross-salt paths close in the main loop)
+    val salted = Dedup.connectedComponentsCondensed(
+        path, lit(0), salt = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(salted === plain)
   }
 
   test("pointer jumping closes a 64-chain in O(log n) rounds") {
@@ -234,6 +241,50 @@ class DedupSpec extends SparkSpec {
     assert(linRounds === 10)
     assert(!linConv)
     assert(lin.as[(Long, Long)].collect().exists(_._2 !== 0L))
+  }
+
+  test("incremental winnowing index: batched appends + candidates equal " +
+      "the full recompute; replayed appends are exactly-once") {
+    val c = corpus()
+    val split = 50L
+    val tmp = java.nio.file.Files.createTempDirectory("graft_winidx_spec")
+      .toString + "/idx"
+    // the "already-ingested" half arrives in TWO committed batches
+    Dedup.appendToWinnowIndex(c.filter(col("doc_id") < 10), "doc_id", "text",
+      tmp, batchId = 0L)
+    Dedup.appendToWinnowIndex(
+      c.filter(col("doc_id") >= 10 && col("doc_id") < split), "doc_id",
+      "text", tmp, batchId = 1L)
+    val afterTwo = Dedup.readWinnowIndex(spark, tmp)
+      .as[(Long, Long)].collect().sorted.toSeq
+    // exactly-once: replaying a committed batch changes nothing
+    Dedup.appendToWinnowIndex(c.filter(col("doc_id") < 10), "doc_id", "text",
+      tmp, batchId = 0L)
+    assert(Dedup.readWinnowIndex(spark, tmp)
+      .as[(Long, Long)].collect().sorted.toSeq === afterTwo)
+    // the index holds exactly the full recompute's fingerprints
+    val fullFp = Dedup.winnowFingerprints(
+        c.filter(col("doc_id") < split), "doc_id", "text")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(afterTwo === fullFp)
+    // incremental candidates (batch vs index ∪ batch, cumulative mask)
+    // equal the full recompute restricted to >= 1 new endpoint
+    val inc = Dedup.winnowCandidatesIncremental(
+        c.filter(col("doc_id") >= split), "doc_id", "text",
+        Dedup.readWinnowIndex(spark, tmp), maxDf = 50, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val allFp = Dedup.winnowFingerprints(c, "doc_id", "text")
+    val masked = allFp.join(
+      allFp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 50).select(col("h")), Seq("h"), "left_anti")
+    val full = masked.select(col("h"), col("id").as("id_a"))
+      .join(masked.select(col("h"), col("id").as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2 && col("id_b") >= split)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inc === full)
+    assert(inc.nonEmpty)
   }
 
   test("incremental dedup against a stored index equals the full recompute") {

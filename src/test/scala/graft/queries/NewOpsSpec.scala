@@ -133,4 +133,23 @@ class NewOpsSpec extends SparkSpec {
       assert(g._3 === e._3, s"radius drift at round ${g._1}")
     }
   }
+
+  test("q205: the locality-condensed CC path returns the identical " +
+      "clusters to plain CC over the same q192 link edges") {
+    // q205 condenses on the head-8 block key (r17) — valid because a
+    // `link` decision requires all three FS fields to agree, so every
+    // link edge's endpoints share head-8 and the whole component
+    // carries one bk. This pin re-derives the clusters through the
+    // PLAIN loop over the gate's own public link output.
+    val links = DedupQueries.q192FellegiSunter(spark, sf)
+      .filter(col("decision") === "link")
+      .select(col("id_a"), col("id_b"))
+    val plain = graft.ops.Dedup.connectedComponents(links, maxIter = 100)
+      .groupBy(col("rep")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = DedupQueries.q205ErClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === plain)
+  }
 }
