@@ -98,6 +98,106 @@ object TextRank {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_fp6"))
   }
 
+  // ---- BM25 posting index (r17: serving-shape retrieval — the q101
+  // exactly-once contract applied to the q76 scorer, so repeated
+  // retrieval serves from a persisted inverted index instead of
+  // re-tokenizing and re-scoring the raw corpus every run) ----
+
+  private val postingIndexMeta = "bm25postings,tok=ws,stats=sentinel"
+
+  /** One batch's posting rows: `(term, doc_id, tf, len_d)` per distinct
+    * (term, doc) — the inverted index — plus ONE batch-stats sentinel
+    * row (`term` NULL, `doc_id` = the batch's doc count, `tf` = its
+    * total token count, `len_d` = 0). Storing the corpus stats inline
+    * keeps each batch append ATOMIC (one marker commits postings and
+    * stats together); serve paths aggregate the sentinels for
+    * (n_docs, tot_len) and never scan the posting rows for them. */
+  private[graft] def postingRows(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val lens = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len_d"))
+    val posts = tok.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .join(lens, Seq("doc_id"))
+      .select(col("term"), col("doc_id"), col("tf"), col("len_d"))
+    val sentinel = lens
+      .agg(count(lit(1)).as("doc_id"), sum(col("len_d")).as("tf"))
+      .select(lit(null).cast("string").as("term"), col("doc_id"),
+        col("tf"), lit(0L).as("len_d"))
+    posts.unionByName(sentinel)
+  }
+
+  /** Exactly-once append of one batch's postings ([[graft.ops.BatchIndex]]
+    * protocol — replays no-op, crashed attempts heal on retry;
+    * auto-compacts past `compactAbove` committed files). Batch doc ids
+    * must be DISJOINT across batches (the monotone-ingest contract every
+    * index here shares): df-per-term is then the posting-row count, and
+    * the stats sentinels sum without double counting. */
+  def appendToPostingIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, batchId: Long, compactAbove: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    BatchIndex.appendBatch(postingRows(docs, idCol, textCol), path, batchId,
+      postingIndexMeta)
+    if (compactAbove > 0 &&
+        BatchIndex.committedFileCount(spark, path) > compactAbove)
+      BatchIndex.compact(spark, path)
+  }
+
+  /** Committed view of a posting index. */
+  def readPostingIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = BatchIndex.readCommitted(spark, path)
+
+  /** [[bm25TopK]] served FROM a posting index: identical scores (the
+    * same literal-for-literal IEEE expression tree over the same exact
+    * integer inputs — tf, len_d, df, n_docs, tot_len are lossless in
+    * the index), but the per-query cost is an index lookup: the posting
+    * scan is pruned to query terms (parquet row-group pruning on the
+    * `term` dictionary does this at the scan), corpus stats come from
+    * the per-batch sentinel rows, and the raw corpus is never touched.
+    * At 100 TB this is the difference between a retrieval SERVICE and a
+    * per-query corpus job — re-scoring from raw tokens costs a full
+    * token explode + two corpus-wide aggregations per run; the index
+    * amortizes that into the one-time (batched, exactly-once) build. */
+  def bm25TopKIndexed(index: DataFrame, queries: Seq[(Long, Seq[String])],
+      k: Int): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val qt = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val stats = index.filter(col("term").isNull)
+      .agg(sum(col("doc_id")).as("n_docs"), sum(col("tf")).as("tot_len"))
+    val post = index
+      .join(broadcast(qt.select(col("term")).distinct()), Seq("term"))
+    // one posting row per (term, doc) across disjoint batches → the row
+    // count IS count_distinct(doc_id)
+    val dfs = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tf = post.join(broadcast(qt), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("term"), col("tf"),
+        col("len_d"))
+    // expression tree mirrored VERBATIM from bm25TopK (and the oracle
+    // SQL) — same literals, same association, so scores are identical
+    val avgdl = col("tot_len").cast("double") / col("n_docs")
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val tfn = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("len_d") / avgdl)))
+    val contrib = tf
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round(idf * tfn * lit(1e6)).cast("long").as("c"))
+    val scores = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("score_fp6"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp6").desc, col("doc_id"))
+    scores
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_fp6"))
+  }
+
   /** Graded-relevance cap for [[ndcgAtK]]: term-frequency-derived labels
     * saturate at this grade (the usual 0..4 editorial scale). */
   val MaxRel = 4L

@@ -271,6 +271,37 @@ object TextQueries {
     s"""WITH ${bm25Ctes(10)}
       |SELECT query_id, rank, doc_id, score_fp6 FROM lex""".stripMargin
 
+  /** q254: BM25 served from a persisted POSTING INDEX — the q101
+    * exactly-once artifact contract applied to the q76 scorer, so
+    * retrieval is a serving-shape index lookup instead of a per-query
+    * corpus job. The index (one [[graft.ops.BatchIndex]] of
+    * (term, doc_id, tf, len_d) posting rows + per-batch corpus-stats
+    * sentinels) is built in TWO committed batch appends split at the
+    * median doc_id — replayed appends no-op, so re-runs serve straight
+    * from parquet; the artifact path is keyed by the source's len+mtime
+    * so a regenerated corpus can never serve stale postings. The oracle
+    * is the q76 full-recompute SQL verbatim: identical output certifies
+    * the index round-trip (build → append → committed read → score)
+    * loses nothing vs scoring raw text, to the last fixed-point bit. */
+  def q254Bm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{BatchIndex, TextRank}
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val split = (r.getLong(0) + r.getLong(1)) / 2
+    val path = graft.core.Artifacts.path(spark, s"$dir/documents.parquet",
+      s"bm25idx_ws_s$split")
+    if (!BatchIndex.isCommitted(spark, path, 0L))
+      TextRank.appendToPostingIndex(docs.filter(col("doc_id") < split),
+        "doc_id", "text", path, batchId = 0L)
+    if (!BatchIndex.isCommitted(spark, path, 1L))
+      TextRank.appendToPostingIndex(docs.filter(col("doc_id") >= split),
+        "doc_id", "text", path, batchId = 1L)
+    TextRank.bm25TopKIndexed(TextRank.readPostingIndex(spark, path),
+      Bm25Queries, k = 10)
+  }
+
+  val q254Bm25IndexedSql: String = q76Bm25Sql
+
 
   /** Hybrid-retrieval fusion gate: reciprocal-rank fusion (Cormack et
     * al. 2009, the standard hybrid-search combiner) of the q76 BM25

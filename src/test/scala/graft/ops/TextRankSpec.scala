@@ -41,6 +41,46 @@ class TextRankSpec extends SparkSpec {
     assert(got.head._3 === 1L && got.head._2 === 1L)
   }
 
+  test("posting index: batched appends serve scores identical to the " +
+      "direct corpus scorer; replayed appends are exactly-once") {
+    import org.apache.spark.sql.functions.col
+    val c = corpus()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25idx_spec")
+      .toString + "/idx"
+    val qs = Seq(1L -> Seq("rare", "common"), 2L -> Seq("alpha", "beta"))
+    // append-vs-rebuild parity: two batch appends == one-shot posting rows
+    TextRank.appendToPostingIndex(c.filter(col("doc_id") <= 2), "doc_id",
+      "text", tmp, batchId = 0L)
+    TextRank.appendToPostingIndex(c.filter(col("doc_id") > 2), "doc_id",
+      "text", tmp, batchId = 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getLong(2), r.getLong(3))).sorted.toSeq
+    val idx = rows(TextRank.readPostingIndex(spark, tmp))
+    // the only difference vs a one-shot build: per-batch stats sentinels
+    // (two rows summing to the corpus row) — posting rows identical
+    val oneShot = rows(TextRank.postingRows(c, "doc_id", "text"))
+    assert(idx.filter(_._1.isDefined) === oneShot.filter(_._1.isDefined))
+    val sent = idx.filter(_._1.isEmpty)
+    val sentOne = oneShot.filter(_._1.isEmpty)
+    assert(sent.map(_._2).sum === sentOne.map(_._2).sum) // n_docs
+    assert(sent.map(_._3).sum === sentOne.map(_._3).sum) // tot_len
+    // exactly-once: replaying a committed batch changes nothing
+    TextRank.appendToPostingIndex(c.filter(col("doc_id") <= 2), "doc_id",
+      "text", tmp, batchId = 0L)
+    assert(rows(TextRank.readPostingIndex(spark, tmp)) === idx)
+    // served scores == direct scorer, to the fixed-point bit
+    val direct = TextRank.bm25TopK(c, qs, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val served = TextRank.bm25TopKIndexed(
+        TextRank.readPostingIndex(spark, tmp), qs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(served === direct)
+    assert(served.nonEmpty)
+  }
+
   test("rare-term idf outweighs common-term tf saturation") {
     // doc 4 has 7x the common tf of doc 1 but never outranks doc 1's
     // single rare hit — the property that distinguishes BM25 from tf
