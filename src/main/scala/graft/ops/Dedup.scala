@@ -626,6 +626,14 @@ object Dedup {
       // feeds the mask, the probe side, and the union — without a persist
       // the kernel (the dominant per-ingest CPU) would run three times
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    winnowCandidatesFromFp(newFp, index, maxDf, minShared)
+  }
+
+  /** [[winnowCandidatesIncremental]] over PRECOMPUTED batch fingerprints
+    * (callers that also append the same fingerprints — the ingest loop —
+    * compute them once and share). */
+  private[graft] def winnowCandidatesFromFp(newFp: DataFrame,
+      index: DataFrame, maxDf: Int, minShared: Int): DataFrame = {
     val all = index.select(col("id"), col("h"), lit(false).as("isNew"))
       .unionByName(newFp.select(col("id"), col("h"), lit(true).as("isNew")))
     val mask = all.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -641,6 +649,54 @@ object Dedup {
         greatest(col("ia"), col("ib")).as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** One EXACTLY-ONCE winnowing-ingest step (the [[ingestBatch]] contract
+    * on the span-fingerprint index — `foreachBatch` wires this per
+    * micro-batch, [[graft.streaming.DocStream.winnowIngest]]):
+    *
+    *  1. candidates: the batch's span-overlap pairs vs (committed
+    *     index ∪ batch) under the cumulative df mask — per-ingest cost
+    *     ∝ batch (plus the one-long-column mask aggregate);
+    *  2. sink: candidates land at `<candPath>/batch=<batchId>`
+    *     (idempotent per-batch overwrite);
+    *  3. index: the batch's fingerprints append under the same batchId,
+    *     committed by marker LAST.
+    *
+    * The marker proves steps 1–3 completed: a replay (same batchId)
+    * returns immediately; a crash at any intermediate point is healed by
+    * the retry (sink overwrite is idempotent, index files are replaced
+    * not doubled). Candidates are deterministic given (batch, committed
+    * index), so a retried batch emits exactly the same pairs. Batch doc
+    * ids must be disjoint from indexed ids (the monotone-ingest
+    * contract). */
+  def winnowIngestBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      candPath: String, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 4, w: Int = 4, maxDf: Int = 50, minShared: Int = 2,
+      compactAbove: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    if (BatchIndex.isCommitted(spark, indexPath, batchId)) return
+    val newFp = winnowFingerprints(batch, idCol, textCol, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // first batch: no committed index yet — candidates are batch-only
+      val index =
+        if (BatchIndex.committedFileCount(spark, indexPath) > 0)
+          BatchIndex.readCommitted(spark, indexPath)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("h",
+              org.apache.spark.sql.types.LongType))))
+      winnowCandidatesFromFp(newFp, index, maxDf, minShared)
+        .write.mode("overwrite").parquet(s"$candPath/batch=$batchId")
+      BatchIndex.appendBatch(newFp, indexPath, batchId, winnowIndexMeta(k, w))
+      if (compactAbove > 0 &&
+          BatchIndex.committedFileCount(spark, indexPath) > compactAbove)
+        BatchIndex.compact(spark, indexPath)
+    } finally { newFp.unpersist(); () }
   }
 
   /** Near-dup groups from candidate pairs above a threshold: connected

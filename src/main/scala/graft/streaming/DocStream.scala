@@ -54,6 +54,25 @@ object DocStream {
       }
       .start()
 
+  /** Streaming WINNOWING ingest (r17 — the q253 surface over an unbounded
+    * stream): per micro-batch via `foreachBatch`, the batch's span-overlap
+    * candidate pairs against the committed fingerprint index (and itself)
+    * land at `<candPath>/batch=<id>` (idempotent overwrite), then the
+    * batch's fingerprints append to the index under the micro-batch id,
+    * marker committed LAST — effectively-once end to end, the
+    * [[dedupIngest]] contract applied to the span-fingerprint family
+    * (see [[graft.ops.Dedup.winnowIngestBatch]]). */
+  def winnowIngest(docs: DataFrame, indexPath: String, candPath: String,
+      checkpoint: String, k: Int = 4, w: Int = 4, maxDf: Int = 50,
+      minShared: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.ops.Dedup.winnowIngestBatch(batch, id, indexPath, candPath,
+          "doc_id", "text", k, w, maxDf, minShared)
+      }
+      .start()
+
   /** Exact streaming dedup: drop any doc whose exact content (md5) was
     * already seen within the watermark — the streaming form of
     * `Dedup.exact`, state bounded by the watermark. */

@@ -406,4 +406,62 @@ class DocStreamSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+  test("winnowIngest stream: per-batch span candidates, exactly-once " +
+      "across a restart, union equals the full recompute") {
+    val dir = tmpDir("docs-winnow-src")
+    // shared 12-token span between docs 1 and 3 (>= k+w-1 = 7 tokens →
+    // guaranteed shared fingerprints); everything else is random
+    val span = doc(12)
+    val base = Seq(
+      (0L, ts(0), doc(30)),
+      (1L, ts(1), s"${doc(10)} $span ${doc(8)}"),
+      (2L, ts(2), doc(30)),
+      (3L, ts(3), s"$span ${doc(15)}"))
+    base.toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val t0 = System.currentTimeMillis() - 120000
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => assert(f.setLastModified(t0)))
+    // file 2: doc 10 repeats the span (must pair with BOTH earlier docs
+    // via the index — cross-batch), doc 11 is fresh
+    Seq((10L, ts(4), s"${doc(5)} $span"), (11L, ts(5), doc(30)))
+      .toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .filter(_.lastModified() > t0).foreach(f => assert(f.setLastModified(t0 + 30000)))
+    val root = tmpDir("docs-winnow-out")
+    val idx = s"$root/idx"; val out = s"$root/cand"; val ckpt = s"$root/ckpt"
+    val q = DocStream.winnowIngest(
+      DocStream.read(spark, dir).select("doc_id", "text"), idx, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    def cands() = spark.read.parquet(out)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val afterTwo = cands()
+    assert(afterTwo.contains((1L, 3L)))
+    assert(afterTwo.contains((1L, 10L)) && afterTwo.contains((3L, 10L)))
+    // restart from the same checkpoint with one more file: processed
+    // batches are not re-run (their candidate sets unchanged), the new
+    // batch pairs only against index ∪ itself
+    Seq((20L, ts(6), s"$span ${doc(3)}"))
+      .toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q2 = DocStream.winnowIngest(
+      DocStream.read(spark, dir).select("doc_id", "text"), idx, out, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val afterThree = cands()
+    assert(afterThree -- afterTwo === Set((1L, 20L), (3L, 20L), (10L, 20L)))
+    // the union of per-batch emissions equals the full recompute (every
+    // pair lands exactly once — when its greater endpoint's batch runs)
+    val allFp = graft.ops.Dedup.winnowFingerprints(
+      spark.read.parquet(dir).select(col("doc_id"), col("text")),
+      "doc_id", "text")
+    val full = allFp.select(col("h"), col("id").as("id_a"))
+      .join(allFp.select(col("h"), col("id").as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(afterThree === full)
+  }
+
 }
