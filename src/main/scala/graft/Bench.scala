@@ -102,8 +102,15 @@ object Bench {
     // self-report the oracle comparison when tools/oracle_bench.py has
     // produced the DuckDB side for THIS corpus (same parquet, same SQL):
     // the bench line then carries the gate ratio directly instead of
-    // requiring a cross-reference against scaling notes
-    val oracleFields = {
+    // requiring a cross-reference against scaling notes.
+    // SUBSET HONESTY: an SPARK_GRAFT_ONLY run times a slice of the
+    // registry, so its sum is NOT the headline total and a ratio against
+    // the FULL-registry oracle total would be fiction — the subset line
+    // carries an explicit "only" field, nulls "value", and suppresses the
+    // oracle fields entirely, so it can never be mistaken for (or graded
+    // as) a full-registry measurement. Per-query times stay: they are the
+    // actual payload of a subset run (before/after and growth diffs).
+    val oracleFields = if (only.isDefined) "" else {
       val path = sys.env.getOrElse("SPARK_GRAFT_ORACLE_JSON", "ORACLE_BENCH.json")
       try {
         val text = new String(java.nio.file.Files.readAllBytes(
@@ -121,7 +128,11 @@ object Bench {
     }
     val loadFields =
       f""","load1_start":$loadStart%.2f,"load1_end":${load1()}%.2f"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs$oracleFields$loadFields,"sf":"$sfDir"}""")
+    val onlyFields = only.fold("") { names =>
+      s""","only":${jstr(names.toSeq.sorted.mkString(","))},"subset_sum":$total"""
+    }
+    val totalField = if (only.isDefined) "null" else total.toString
+    println(s"""{"metric":"total","value":$totalField,"unit":"sec","queries":$qs,"errors":$errs$oracleFields$loadFields$onlyFields,"sf":"$sfDir"}""")
     if (results.exists(_._2.isLeft)) System.err.println(
       "BENCH ERRORS: " + results.collect { case (k, Left(e)) => s"$k -> $e" }.mkString("; "))
     spark.stop()

@@ -109,12 +109,38 @@ object Bloom {
     * items, bits)` → binary filter; `graft_bloom_contains(filter,
     * xxhash64(k))` → boolean. The aggregate builder returns the BARE
     * `AggregateFunction` — the analyzer wraps it at resolution, which is
-    * what makes `GROUP BY` forms legal in SQL. */
+    * what makes `GROUP BY` forms legal in SQL.
+    *
+    * FOLDABLE-FILTER DISCIPLINE: Spark's `BloomFilterMightContain`
+    * analyzes fine with a scalar-subquery filter child, but on that shape
+    * its generated code fails Janino ("Expression java.lang.Long is not
+    * an rvalue") and the whole projection silently falls back to
+    * interpreted mode with only a WARN — a registered native kernel that
+    * quietly de-optimizes. So the SQL surface REJECTS non-foldable filter
+    * children at registration with a clear error instead: build the
+    * filter first and embed it as a literal (Scala: [[mightContainKey]]
+    * does exactly this; SQL: a binary literal `X'..'`), which is also the
+    * only shape the scan stage can evaluate without a subquery barrier.
+    * GraftExtensionsSpec pins both halves: the literal form runs with
+    * `spark.sql.codegen.fallback=false` (a compile failure would throw,
+    * not degrade), and the subquery form raises this AnalysisException. */
   private[graft] val sqlBuilders: Seq[(String,
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
     "graft_bloom_agg" -> (es => new BloomFilterAggregate(es(0), es(1), es(2))),
-    "graft_bloom_contains" -> (es => BloomFilterMightContain(es(0), es(1))))
+    "graft_bloom_contains" -> { es =>
+      if (!es(0).foldable) throw new org.apache.spark.sql.AnalysisException(
+        "graft_bloom_contains requires a foldable (constant) bloom-filter " +
+          "argument: subqueries and columns fall back to interpreted " +
+          "execution in Spark's codegen. Materialize the filter first and " +
+          "pass it as a literal — graft.ops.Bloom.mightContainKey builds " +
+          // .sql/.toString can throw on still-unresolved children at
+          // function-resolution time; the class name is always safe
+          s"that shape; got: ${es(0).getClass.getSimpleName}",
+        None, None, None, None, Map.empty[String, String],
+        Array.empty[org.apache.spark.QueryContext])
+      BloomFilterMightContain(es(0), es(1))
+    })
 
   /** Register the SQL names on a live session. */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -609,10 +609,22 @@ object Dedup {
     * batch-vs-index and batch-vs-batch, never index-vs-index (those
     * pairs were emitted when THEIR batches arrived; the
     * [[minhashCandidatesIncremental]] discipline). The boilerplate mask
-    * (MOSS df > maxDf) is CUMULATIVE — counted over index ∪ batch — so
-    * after the final batch the union of per-batch candidate sets
-    * converges on the full-recompute report (spec-pinned; q253 gates
-    * the index==full identity).
+    * (MOSS df > maxDf) is CUMULATIVE — counted over index ∪ batch.
+    *
+    * MASK MONOTONICITY (what the per-batch emissions guarantee): each
+    * single emission equals the full recompute restricted to pairs with
+    * ≥1 batch endpoint UNDER THE MASK AS OF THAT BATCH (q253 gates
+    * exactly this identity). Across batches the mask only GROWS, and
+    * pairs are never retracted — so a pair emitted before its shared
+    * hash's cumulative df crossed `maxDf` survives in earlier outputs
+    * that a from-scratch recompute would mask out. The union of all
+    * emissions is therefore RECALL-PRESERVING: a superset of the full
+    * recompute (no true span-overlap pair is ever lost), equal to it
+    * exactly when no hash crosses `maxDf` mid-stream (DedupSpec pins
+    * both directions, including an explicit df-crossing divergence).
+    * Consumers that need the exact final-mask report re-filter the
+    * accumulated pairs against the final mask — one anti-join, no
+    * re-fingerprinting.
     *
     * 100 TB note: the mask aggregate reads ONE long column of the index
     * per ingest (fingerprints ≈ 2/(w+1) of the token stream). A
@@ -624,9 +636,30 @@ object Dedup {
       maxDf: Int = 50, minShared: Int = 2): DataFrame = {
     val newFp = winnowFingerprints(batch, idCol, textCol, k, w)
       // feeds the mask, the probe side, and the union — without a persist
-      // the kernel (the dominant per-ingest CPU) would run three times
+      // the kernel (the dominant per-ingest CPU) would run three times.
+      // The cached block is method-local and lives until the session
+      // clears its cache — fine for one-shot callers (the q253 gate;
+      // Verify/Bench clear between queries); a long-lived ingest loop
+      // must use [[winnowIngestBatch]] or [[withWinnowCandidates]],
+      // which unpersist after each ingest (the
+      // [[minhashCandidatesIncremental]] / [[withIncrementalCandidates]]
+      // twin contract).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     winnowCandidatesFromFp(newFp, index, maxDf, minShared)
+  }
+
+  /** Loan-pattern twin of [[winnowCandidatesIncremental]] (the
+    * [[withIncrementalCandidates]] discipline): fingerprints the batch
+    * ONCE (persisted), hands the candidate frame to `f`, and ALWAYS
+    * unpersists afterwards — the form a long-lived ingest loop must use
+    * so per-batch caches don't accumulate across the loop. */
+  def withWinnowCandidates[T](batch: DataFrame, idCol: String,
+      textCol: String, index: DataFrame, k: Int = 4, w: Int = 4,
+      maxDf: Int = 50, minShared: Int = 2)(f: DataFrame => T): T = {
+    val newFp = winnowFingerprints(batch, idCol, textCol, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try f(winnowCandidatesFromFp(newFp, index, maxDf, minShared))
+    finally { newFp.unpersist(); () }
   }
 
   /** [[winnowCandidatesIncremental]] over PRECOMPUTED batch fingerprints

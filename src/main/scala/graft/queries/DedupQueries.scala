@@ -1603,6 +1603,17 @@ object DedupQueries {
     // one 2-value scalar to the driver: the split keys the artifact path,
     // so it cannot stay lazy (the q68 discipline)
     val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    // min/max over an empty corpus is the all-NULL row (the r17 q210
+    // lesson): return the empty candidate frame instead of NPEing
+    if (r.isNullAt(0)) return spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id_b",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_shared",
+          org.apache.spark.sql.types.LongType))))
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     val split = (lo + hi) / 2
     val quarter = (lo + split) / 2

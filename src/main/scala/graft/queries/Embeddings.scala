@@ -182,8 +182,10 @@ object Embeddings {
     * candidate pairs). Runs the AUTO-SIZED geometry (round 9 — was the
     * pinned 16×6 width, flagged scale-weak by the r8 verdict): the width
     * is `autoBits(count)`, so verify work stays linear in n and the
-    * oracle rebuilds the identical geometry from `COUNT(*)`. q21 keeps
-    * the pinned width as the fixed-geometry certification. */
+    * oracle rebuilds the identical geometry from `COUNT(*)`. Since r17
+    * every near-dup gate runs autoBits — q21 certifies a SECOND
+    * operating point (targetBucketRows = 8 vs the 30 here); no gate
+    * pins a data-independent signature width anymore. */
   def q48EmbedCuration(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Curation.curateEmbeddings(vectors(spark, dir), 0.35,
       method = "lsh-auto")

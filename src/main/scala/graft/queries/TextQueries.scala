@@ -287,6 +287,20 @@ object TextQueries {
     import graft.ops.{BatchIndex, TextRank}
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    // min/max over an empty corpus is the all-NULL row (the r17 q210
+    // lesson): return the empty output frame instead of keying an
+    // artifact path off a NULL split
+    if (r.isNullAt(0)) return spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score_fp6",
+          org.apache.spark.sql.types.LongType))))
     val split = (r.getLong(0) + r.getLong(1)) / 2
     val path = graft.core.Artifacts.path(spark, s"$dir/documents.parquet",
       s"bm25idx_ws_s$split")

@@ -1,3 +1,5 @@
+package graft.tools
+
 object FloorProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = "/root/testdata/sf0.1"

@@ -1,3 +1,5 @@
+package graft.tools
+
 object FloorProbe3 {
   def main(args: Array[String]): Unit = {
     import org.apache.spark.sql.SparkSession

@@ -41,26 +41,48 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // 'a  b' splits to [a, '', b]: three distinct tokens, max multiplicity 1
   }
 
-  test("bloom primitives are callable from SQL") {
+  test("bloom primitives are callable from SQL — compiled, no fallback") {
     val spark = GraftSession.local("graft-ext-test", 2)
     graft.ops.Bloom.registerSql(spark)
     spark.range(0, 100).createOrReplaceTempView("bloom_keys")
-    // build over 0..99, probe a member and a non-member: a bloom filter
-    // has no false negatives, so the member MUST hit; the non-member
-    // check uses 50 distant probes and only requires one miss (fpp 3%)
-    val hit = spark.sql(
-      """WITH f AS (SELECT graft_bloom_agg(xxhash64(id), 100L, 960L) AS b
-        |           FROM bloom_keys)
-        |SELECT graft_bloom_contains((SELECT b FROM f), xxhash64(42L))""".stripMargin)
-      .collect().head.getBoolean(0)
-    assert(hit, "member key must hit (no false negatives)")
-    val misses = spark.sql(
-      """WITH f AS (SELECT graft_bloom_agg(xxhash64(id), 100L, 960L) AS b
-        |           FROM bloom_keys)
-        |SELECT count(*) FROM range(1000000, 1000050)
-        |WHERE NOT graft_bloom_contains((SELECT b FROM f), xxhash64(id))""".stripMargin)
-      .collect().head.getLong(0)
-    assert(misses > 0, "at least one distant key must miss")
+    // build over 0..99 via the aggregate kernel, then embed the filter as
+    // a hex LITERAL — the foldable shape the surface requires (the
+    // mightContainKey discipline, expressed in pure SQL)
+    val bytes = spark.sql(
+      "SELECT graft_bloom_agg(xxhash64(id), 100L, 960L) AS b FROM bloom_keys")
+      .collect().head.getAs[Array[Byte]](0)
+    val hex = bytes.map(b => f"$b%02X").mkString
+    // PIN: with codegen fallback disabled, a Janino compile failure in the
+    // probe projection THROWS instead of silently degrading to interpreted
+    // mode — the no-silent-deoptimization guarantee for the SQL surface
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      // probe a member and a non-member: a bloom filter has no false
+      // negatives, so the member MUST hit; the non-member check uses 50
+      // distant probes and only requires one miss (fpp 3%)
+      val hit = spark.sql(
+        s"SELECT graft_bloom_contains(X'$hex', xxhash64(42L))")
+        .collect().head.getBoolean(0)
+      assert(hit, "member key must hit (no false negatives)")
+      val misses = spark.sql(
+        s"""SELECT count(*) FROM range(1000000, 1000050)
+           |WHERE NOT graft_bloom_contains(X'$hex', xxhash64(id))""".stripMargin)
+        .collect().head.getLong(0)
+      assert(misses > 0, "at least one distant key must miss")
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+    // the scalar-subquery filter shape fails Janino inside Spark's
+    // BloomFilterMightContain and would silently run interpreted — the
+    // surface rejects it at analysis with a clear error instead
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """WITH f AS (SELECT graft_bloom_agg(xxhash64(id), 100L, 960L) AS b
+          |           FROM bloom_keys)
+          |SELECT graft_bloom_contains((SELECT b FROM f), xxhash64(42L))""".stripMargin)
+        .collect()
+    }
+    assert(e.getMessage.contains("foldable"),
+      s"expected the foldable-filter rejection, got: ${e.getMessage}")
   }
 
   test("extensions class registers all native function builders") {

@@ -574,4 +574,67 @@ class DedupSpec extends SparkSpec {
         r.getAs[Long]("id_sum"))).toSet
     assert(got === expected)
   }
+
+  test("winnow incremental emissions are recall-preserving, NOT equal to " +
+      "the full recompute when a hash crosses maxDf mid-stream") {
+    // four IDENTICAL docs → identical fingerprint sets. Batch 0 ingests
+    // docs 1,2: every shared hash has cumulative df = 2 = maxDf (not
+    // masked) → pair (1,2) is emitted. Batch 1 ingests docs 3,4: df
+    // becomes 4 > maxDf, the mask swallows every hash → batch 1 emits
+    // NOTHING. Pairs are never retracted, so the union keeps (1,2) —
+    // while a from-scratch recompute under the FINAL mask reports no
+    // pairs at all. This pins the one-way contract the scaladoc states:
+    // union ⊇ full recompute (recall preserved), equality only when no
+    // hash crosses maxDf mid-stream.
+    val span = (0 until 30).map(i => s"s$i").mkString(" ")
+    val all = Seq((1L, span), (2L, span), (3L, span), (4L, span))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_winnow_dfx").toString
+    val idx = s"$root/idx"; val cand = s"$root/cand"
+    Dedup.winnowIngestBatch(all.filter(col("doc_id") <= 2), 0L, idx, cand,
+      maxDf = 2, minShared = 2)
+    Dedup.winnowIngestBatch(all.filter(col("doc_id") > 2), 1L, idx, cand,
+      maxDf = 2, minShared = 2)
+    val union = spark.read.parquet(cand)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(union === Set((1L, 2L)),
+      "batch 0 pair kept; batch 1 fully masked must emit nothing")
+    // the full recompute under the final mask is EMPTY — strict divergence
+    val allFp = Dedup.winnowFingerprints(all, "doc_id", "text")
+    val mask = allFp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 2).select(col("h"))
+    val full = allFp.join(mask, Seq("h"), "left_anti")
+      .select(col("h"), col("id").as("id_a"))
+      .join(allFp.join(mask, Seq("h"), "left_anti")
+        .select(col("h"), col("id").as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(full.isEmpty, "every hash crossed maxDf: final-mask report empty")
+    assert(full.subsetOf(union), "recall preservation: union ⊇ full")
+  }
+
+  test("withWinnowCandidates releases the batch fingerprint cache") {
+    // the loan-pattern twin: candidates match the direct form, and the
+    // per-batch persist is gone once the loan returns (the long-lived
+    // ingest-loop contract)
+    val span = (0 until 30).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, span), (2L, span)).toDF("doc_id", "text")
+    val emptyIdx = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.LongType))))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Dedup.withWinnowCandidates(docs, "doc_id", "text", emptyIdx)(
+      _.as[(Long, Long, Long)].collect().toSet)
+    assert(got.map(t => (t._1, t._2)) === Set((1L, 2L)))
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"loan must unpersist its fingerprint cache, leaked ids: ${after -- before}")
+  }
 }
