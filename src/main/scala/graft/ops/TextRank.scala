@@ -150,6 +150,37 @@ object TextRank {
   def readPostingIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = BatchIndex.readCommitted(spark, path)
 
+  /** One EXACTLY-ONCE BM25 posting-ingest step — the
+    * [[Dedup.ingestBatch]]/[[Dedup.winnowIngestBatch]] contract applied
+    * to the retrieval index (`foreachBatch` wires this per micro-batch:
+    * [[graft.streaming.DocStream.bm25Ingest]]):
+    *
+    *  1. admit: exact within-batch dedup (min-id per distinct text) —
+    *     deterministic given the batch, so a replay admits exactly the
+    *     same docs;
+    *  2. index: the admitted docs' postings + the batch's corpus-stats
+    *     sentinel append under the micro-batch id, marker committed LAST
+    *     ([[appendToPostingIndex]]).
+    *
+    * The marker proves both steps completed: a replay (same batchId)
+    * returns immediately; a crash at any intermediate point is healed by
+    * the retry ([[BatchIndex]] protocol — uncommitted prefixed files are
+    * dropped before the re-stage, so posting and sentinel rows land
+    * exactly once). Batch doc ids must be disjoint across batches (the
+    * monotone-ingest contract every index here shares): df-per-term
+    * stays the posting-row count and the stats sentinels sum without
+    * double counting. Cross-batch TEXT dedup is deliberately not this
+    * loop's job — chain [[graft.streaming.DocStream.dedupIngest]]'s
+    * admitted output in front when the corpus needs it. */
+  def postingIngestBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      compactAbove: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    if (BatchIndex.isCommitted(spark, indexPath, batchId)) return
+    appendToPostingIndex(Dedup.exact(batch, idCol, textCol), idCol, textCol,
+      indexPath, batchId, compactAbove)
+  }
+
   /** [[bm25TopK]] served FROM a posting index: identical scores (the
     * same literal-for-literal IEEE expression tree over the same exact
     * integer inputs — tf, len_d, df, n_docs, tot_len are lossless in

@@ -73,6 +73,28 @@ object DocStream {
       }
       .start()
 
+  /** Streaming BM25 POSTING-INDEX ingest (r18 — the q254 serving index
+    * over an unbounded stream): per micro-batch via `foreachBatch`,
+    * exact within-batch dedup admits docs, then their postings + the
+    * batch's corpus-stats sentinel append to the index under the
+    * micro-batch id, marker committed LAST — effectively-once end to
+    * end, the [[dedupIngest]]/[[winnowIngest]] contract applied to the
+    * retrieval index (see [[graft.ops.TextRank.postingIngestBatch]]).
+    * Retrieval serves from the committed view at any point
+    * ([[graft.ops.TextRank.bm25TopKIndexed]]) with scores identical to
+    * a full rebuild over the admitted corpus — DocStreamSpec pins the
+    * parity across a restart. */
+  def bm25Ingest(docs: DataFrame, indexPath: String, checkpoint: String,
+      compactAbove: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.ops.TextRank.postingIngestBatch(batch, id, indexPath,
+          "doc_id", "text", compactAbove)
+      }
+      .start()
+
   /** Exact streaming dedup: drop any doc whose exact content (md5) was
     * already seen within the watermark — the streaming form of
     * `Dedup.exact`, state bounded by the watermark. */

@@ -110,4 +110,45 @@ class BatchIndexSpec extends SparkSpec {
     // every posting's cid is a real codebook entry
     assert(out.filter(!col("cid").isin(0L, 1L)).count() == 0L)
   }
+
+  test("soak: 200 appends on the auto-compaction cadence keep the " +
+      "committed file count bounded, serve identically to a single-shot " +
+      "build, and stay replay-safe across compactions") {
+    // the 100 TB ingest loop runs thousands of appends with the
+    // compactAbove cadence the serving indexes use (one compact whenever
+    // the committed count crosses the threshold) — this drives the full
+    // protocol through 200 cycles and pins the three lifecycle
+    // invariants at soak length, not just one append deep
+    val path = idx("bi_soak")
+    val compactAbove = 16
+    var maxFiles = 0
+    (0 until 200).foreach { b =>
+      BatchIndex.appendBatch(
+        Seq((b.toLong, b * 10L)).toDF("id", "v").coalesce(1),
+        path, b.toLong, "soak v1")
+      if (BatchIndex.committedFileCount(spark, path) > compactAbove)
+        BatchIndex.compact(spark, path)
+      maxFiles = math.max(maxFiles, BatchIndex.committedFileCount(spark, path))
+      if (b % 50 == 49) {
+        // replay an old batch whose files were long since compacted away:
+        // its marker must have survived every intervening compaction, so
+        // the replay is a no-op and its (different!) rows never land
+        BatchIndex.appendBatch(Seq((999L, 999L)).toDF("id", "v"), path,
+          (b / 2).toLong, "soak v1")
+        assert(BatchIndex.readCommitted(spark, path)
+          .filter(col("id") === 999L).isEmpty,
+          s"replay of batch ${b / 2} after compaction must be a no-op")
+      }
+    }
+    // bound: appends grow the count to compactAbove + 1 at most, then the
+    // cadence compacts back down — a leak here is the listing/footer tax
+    // the 100 TB loop cannot pay
+    assert(maxFiles <= compactAbove + 1,
+      s"committed file count leaked past the cadence bound: $maxFiles")
+    // served view identical to a single-shot build of the same rows
+    val served = BatchIndex.readCommitted(spark, path)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(served == (0 until 200).map(b => (b.toLong, b * 10L)),
+      "soaked index must serve exactly the single-shot row set")
+  }
 }

@@ -470,4 +470,64 @@ class DocStreamSpec extends SparkSpec {
     assert(afterThree === full)
   }
 
+  test("bm25Ingest stream: exactly-once posting ingest across a restart, " +
+      "served scores equal a full rebuild of the admitted corpus") {
+    val dir = tmpDir("docs-bm25-src")
+    val t1 = s"planted0 planted1 ${doc(10)}"
+    val file1 = Seq(
+      (0L, ts(0), t1),
+      (1L, ts(1), s"planted0 ${doc(12)}"),
+      (2L, ts(2), s"planted1 planted1 ${doc(8)}"),
+      // exact within-batch dup: the admit step keeps the min id only
+      (100L, ts(3), t1))
+    file1.toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val t0 = System.currentTimeMillis() - 120000
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => assert(f.setLastModified(t0)))
+    Seq((10L, ts(4), s"planted0 planted2 ${doc(9)}"),
+        (11L, ts(5), s"planted2 ${doc(7)}"))
+      .toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .filter(_.lastModified() > t0).foreach(f => assert(f.setLastModified(t0 + 30000)))
+    val root = tmpDir("docs-bm25-out")
+    val idx = s"$root/idx"; val ckpt = s"$root/ckpt"
+    val q = DocStream.bm25Ingest(DocStream.read(spark, dir), idx, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val queries = Seq((1L, Seq("planted0", "planted1")), (2L, Seq("planted2")))
+    def served() = graft.ops.TextRank.bm25TopKIndexed(
+      graft.ops.TextRank.readPostingIndex(spark, idx), queries, k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def rebuilt(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextRank.bm25TopK(df, queries, "doc_id", "text", k = 5)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    def admitted() = spark.read.parquet(dir)
+      .filter(col("doc_id") =!= 100L).select(col("doc_id"), col("text"))
+    // TextRankSpec parity extended to the STREAMED index: served scores
+    // equal the full-corpus recompute over the admitted docs, bit for bit
+    val s1 = served()
+    assert(s1 === rebuilt(admitted()))
+    assert(!s1.exists(_._3 == 100L),
+      "the within-batch exact dup must not be posted")
+    assert(s1.exists(_._3 == 0L), "its min-id representative must be")
+    // crash-replay: foreachBatch re-delivers a batch after a failure —
+    // the committed marker makes it a no-op (postings/sentinels do not
+    // double, served scores unchanged)
+    val before = graft.ops.TextRank.readPostingIndex(spark, idx).count()
+    graft.ops.TextRank.postingIngestBatch(
+      file1.toDF("doc_id", "ts", "text"), 0L, idx)
+    assert(graft.ops.TextRank.readPostingIndex(spark, idx).count() === before)
+    assert(served() === s1)
+    // restart from the same checkpoint with one more file: processed
+    // batches are not re-ingested, the new batch appends exactly once,
+    // and the served view equals a full rebuild of the grown corpus
+    Seq((20L, ts(6), s"planted1 planted2 ${doc(6)}"))
+      .toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q2 = DocStream.bm25Ingest(DocStream.read(spark, dir), idx, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(served() === rebuilt(admitted()))
+  }
+
 }
