@@ -1519,7 +1519,15 @@ object DedupQueries {
     * AFTER the df ≤ MaxDf mask, which caps per-hash fan-out at MaxDf²
     * pairs — the same bounded-block argument as the capped ER join
     * (q205). */
-  def q250Winnowing(spark: SparkSession, dir: String): DataFrame = {
+  def q250Winnowing(spark: SparkSession, dir: String): DataFrame =
+    winnowReport(spark, dir, WinK, WinW)
+
+  /** The (k, w)-parameterized q250 overlap report — one body for every
+    * certified operating point, so a new point is a parameter choice,
+    * not a reimplementation (the autoBits precedent applied to span
+    * fingerprints). */
+  private def winnowReport(spark: SparkSession, dir: String, k: Int,
+      w: Int): DataFrame = {
     val d = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("text"))
     // fingerprints: distinct per-window minima (kernel output is already
@@ -1527,7 +1535,7 @@ object DedupQueries {
     // sides read it (fingerprint-sized: ~2/(w+1) of the gram stream)
     val sel = d.select(col("doc_id"),
         explode(graft.functions.TextFunctions.winnow_fingerprints(
-          col("text"), WinK, WinW)).as("h"))
+          col("text"), k, w)).as("h"))
       .localCheckpoint()
     val masked = sel.join(
       sel.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -1543,12 +1551,12 @@ object DedupQueries {
       .limit(50)
   }
 
-  /** The q250/q253 shared oracle CTEs ending in `sel(doc_id, h)` (the
-    * per-doc distinct winnowing fingerprints) and `mask(h)` (the
-    * boilerplate hashes with df > [[WinMaxDf]]). */
-  private def winnowSelMaskCtes: String = {
+  /** The q250/q253/q255 shared oracle CTEs ending in `sel(doc_id, h)`
+    * (the per-doc distinct winnowing fingerprints at the given gram
+    * width `k` and window `w`) and `mask(h)` (the boilerplate hashes
+    * with df > [[WinMaxDf]]). */
+  private def winnowSelMaskCtes(k: Int = WinK, w: Int = WinW): String = {
     import OracleFragments.hex8Sql
-    val k = WinK; val w = WinW
     s"""toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |g0 AS (
@@ -1572,7 +1580,7 @@ object DedupQueries {
   }
 
   val q250WinnowingSql: String =
-    s"""WITH $winnowSelMaskCtes,
+    s"""WITH ${winnowSelMaskCtes()},
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
        |  FROM sel a
@@ -1630,7 +1638,7 @@ object DedupQueries {
   }
 
   val q253WinnowIngestSql: String =
-    s"""WITH $winnowSelMaskCtes,
+    s"""WITH ${winnowSelMaskCtes()},
        |split AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS v FROM documents)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(COUNT(*) AS BIGINT) AS n_shared
@@ -1639,4 +1647,36 @@ object DedupQueries {
        |WHERE a.h NOT IN (SELECT h FROM mask)
        |  AND b.doc_id >= (SELECT v FROM split)
        |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin
+
+  /** q255 winnow window — the second certified operating point beside
+    * q250/q253's w = 4 (same gram width k = 4). */
+  private val WinW8 = 8
+
+  /** q255: the q250 overlap report at the SECOND winnowing operating
+    * point — same k = 4 gram width, window w = 8. This certifies the
+    * (k, w) trade the MOSS paper documents as a RULE rather than a
+    * single tuned point (the autoBits precedent applied to span
+    * fingerprints): widening the window thins the fingerprint density
+    * from 2/(w+1) = 2/5 to 2/9 of the gram stream (~2.2× less state to
+    * shuffle, store, and join) while weakening the detection guarantee
+    * from "any shared run ≥ k+w−1 = 7 tokens yields a shared
+    * fingerprint" to runs ≥ 11 tokens — the dial a 100 TB corpus turns
+    * when fingerprint volume, not recall on short overlaps, is the
+    * binding constraint. Identical engine body and oracle CTEs as q250,
+    * parameterized by (k, w) — so both operating points are certified
+    * through the same construction, and the density/guarantee rule is
+    * what the pair of green gates proves. */
+  def q255WinnowingW8(spark: SparkSession, dir: String): DataFrame =
+    winnowReport(spark, dir, WinK, WinW8)
+
+  val q255WinnowingW8Sql: String =
+    s"""WITH ${winnowSelMaskCtes(WinK, WinW8)},
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+       |  FROM sel a
+       |  JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  WHERE a.h NOT IN (SELECT h FROM mask)
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+       |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+       |FROM pairs ORDER BY n_shared DESC, id_a, id_b LIMIT 50""".stripMargin
 }
