@@ -20,7 +20,9 @@ THRESH=${1:-1.0}
 PHASES=${2:-growth}
 LOG=QUIET_WINDOW_r18.log
 SQL=/tmp/gv_full_r18/oracle_sql.json
-GROWTH_GATES=q210_rec_mrr,q205_er_clusters
+# q210/q205: the two open r17 weaks; q250/q255: the winnowing pair, giving
+# the new w=8 gate its 10x line WITH its w=4 control in the same run
+GROWTH_GATES=q210_rec_mrr,q205_er_clusters,q250_winnowing,q255_winnowing_w8
 
 load1() { cut -d' ' -f1 /proc/loadavg; }
 stamp() { echo "[$(date +%H:%M:%S) load=$(load1)] $*" | tee -a "$LOG"; }
