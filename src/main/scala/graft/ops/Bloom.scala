@@ -127,7 +127,43 @@ object Bloom {
   private[graft] val sqlBuilders: Seq[(String,
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
-    "graft_bloom_agg" -> (es => new BloomFilterAggregate(es(0), es(1), es(2))),
+    "graft_bloom_agg" -> { es =>
+      // CLAMP GUARD (the same no-silent-degradation discipline as the
+      // contains builder below): `BloomFilterAggregate` clamps its
+      // item/bit arguments to the session's runtime-bloom maxima AT
+      // EXECUTION — an under-sized filter stays correct (no false
+      // negatives) but its fpp quietly degrades toward 1 and the
+      // pruning it exists for evaporates. The Scala build
+      // ([[buildFilterBytes]]) raises the confs around an eager build;
+      // the SQL surface cannot do that on the caller's behalf, so a
+      // request beyond the current clamps fails loudly with the fix
+      // spelled out instead of degrading.
+      def folded(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Option[Long] =
+        if (!e.foldable) None
+        else scala.util.Try(e.eval()).toOption.collect {
+          case l: java.lang.Long => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+        }
+      val conf = org.apache.spark.sql.SparkSession.active.conf
+      val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+      val bitsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+      def guard(requested: Option[Long], what: String, confKey: String): Unit =
+        requested.foreach { n =>
+          val max = conf.get(confKey).toLong
+          if (n > max) throw new org.apache.spark.sql.AnalysisException(
+            s"graft_bloom_agg: requested $n $what exceeds $confKey = $max " +
+              "— BloomFilterAggregate would silently clamp and under-size " +
+              "the filter (fpp degrades toward 1). Raise the conf, or " +
+              "build via graft.ops.Bloom.buildFilter, which raises it " +
+              "around an eager build and restores it",
+            None, None, None, None, Map.empty[String, String],
+            Array.empty[org.apache.spark.QueryContext])
+        }
+      guard(folded(es(1)), "items", itemsConf)
+      guard(folded(es(2)), "bits", bitsConf)
+      new BloomFilterAggregate(es(0), es(1), es(2))
+    },
     "graft_bloom_contains" -> { es =>
       if (!es(0).foldable) throw new org.apache.spark.sql.AnalysisException(
         "graft_bloom_contains requires a foldable (constant) bloom-filter " +

@@ -83,6 +83,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("foldable"),
       s"expected the foldable-filter rejection, got: ${e.getMessage}")
+    // the aggregate surface fails loudly when the requested size exceeds
+    // the session clamps BloomFilterAggregate would silently apply at
+    // execution (under-sizing the filter and degrading fpp toward 1)
+    val clampItems = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_bloom_agg(xxhash64(id), 100000000L, 960L) " +
+        "FROM bloom_keys").collect()
+    }
+    assert(clampItems.getMessage.contains("maxNumItems"),
+      s"expected the items clamp rejection, got: ${clampItems.getMessage}")
+    val clampBits = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_bloom_agg(xxhash64(id), 100L, 100000000000L) " +
+        "FROM bloom_keys").collect()
+    }
+    assert(clampBits.getMessage.contains("maxNumBits"),
+      s"expected the bits clamp rejection, got: ${clampBits.getMessage}")
   }
 
   test("extensions class registers all native function builders") {

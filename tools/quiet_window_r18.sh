@@ -81,10 +81,17 @@ phase_bench() {
   stamp "bench: $(python3 -c "import json;d=json.load(open('BENCH_quiet_r18.json'));print(f\"{d['value']:.2f}s ratio={d.get('ratio')} load={d['load1_start']}->{d['load1_end']}\")")"
 }
 
+# End-load bounds (recalibrated after the r18 runs): a saturating
+# local[32] phase drives load1 to 5-17 BY ITSELF by phase end (the log
+# shows it decaying 16 -> 0.8 within the next 3-minute quiet wait, which
+# no co-tenant does), so tight end bounds mostly trigger retries of
+# already-clean runs. Start load + cross-attempt agreement are the real
+# cleanliness signals; the end bound only needs to catch a co-tenant
+# STORM (load far above what our own run can produce).
 case ",$PHASES," in *,growth,*)
-  run_phase growth_sf01 2.0 phase_growth_sf01
-  run_phase growth_sf1  2.0 phase_growth_sf1 ;; esac
-case ",$PHASES," in *,oracle,*) run_phase oracle 4.0 phase_oracle ;; esac
-case ",$PHASES," in *,bench,*)  run_phase bench  5.0 phase_bench  ;; esac
+  run_phase growth_sf01 6.0  phase_growth_sf01
+  run_phase growth_sf1  18.0 phase_growth_sf1 ;; esac
+case ",$PHASES," in *,oracle,*) run_phase oracle 6.0 phase_oracle ;; esac
+case ",$PHASES," in *,bench,*)  run_phase bench  6.0 phase_bench  ;; esac
 
 stamp "all phases complete"
