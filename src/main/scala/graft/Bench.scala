@@ -5,9 +5,30 @@ import graft.queries.Registry
 
 /** Benchmark main: times the headline gated queries on
   * `SPARK_GRAFT_SF_DIR`, printing one JSON line the driver collects into
-  * `BENCH_r{N}.json`. Each query is fully executed (count over the final
-  * plan); a warm-up pass primes the JVM/codegen so the measured numbers
-  * reflect steady-state execution, not JIT.
+  * `BENCH_r{N}.json`. Each query is fully executed (noop sink over the
+  * final plan); a warm-up pass primes the JVM/codegen so the measured
+  * numbers reflect steady-state execution, not JIT.
+  *
+  * Timeout-safety (r18 lesson — the driver bench DNF'd at rc=124 with
+  * nothing parseable): the run now (a) rewrites `BENCH_partial.json`
+  * atomically after EVERY query so even a SIGKILL leaves a parseable
+  * cumulative artifact on disk, and (b) registers a shutdown hook that
+  * prints the cumulative line (marked `"truncated":true`) to stdout when
+  * the JVM dies before the final line — `timeout`'s SIGTERM therefore
+  * still yields exactly one parseable JSON line in the driver's capture.
+  * In normal completion only the final (untruncated) line ever reaches
+  * stdout, so a driver parsing either the first or the last JSON line
+  * gets the same, correct, artifact.
+  *
+  * Wall-time budget (same lesson): r17's warm-up + 5 fixed passes fit the
+  * driver budget at 19:31; r18's +25% ambient load did not. Passes are
+  * now QUERY-MAJOR and adaptive — 3 timed runs per query, extended to at
+  * most 5 only while the observed spread (max/min − 1) exceeds 5% — which
+  * cuts steady wall time by ~2 full registry passes while keeping the
+  * median robust exactly where it needs to be (the noisy queries get the
+  * extra passes; the 95% with tight spread don't pay for them). The
+  * DuckDB oracle side (tools/oracle_bench.py) is min-of-3 query-major, so
+  * a query-major median here is the conservative side of the comparison.
   */
 object Bench {
   /** 1-minute load average — recorded at start and end of the run so a
@@ -23,11 +44,55 @@ object Bench {
       s.split(" ")(0).toDouble
     } catch { case _: Throwable => -1.0 }
 
+  /** full JSON string escape — exception messages carry newlines, and a
+    * control char would split the single machine-readable bench line */
+  private def jstr(s: String) = "\"" + s.flatMap {
+    case '\\' => "\\\\"
+    case '"' => "\\\""
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Oracle pairing stamp (r18 verdict item 2): the committed
+    * BENCH_quiet_r18.json carried ratio=1.0021 computed against an oracle
+    * file that was later replaced (true committed-pairing ratio 1.326) —
+    * a bare ratio is not self-consistent. The bench line now embeds the
+    * oracle file's total AND its mtime + content hash, all read at emit
+    * time, so any artifact's ratio can be re-verified against the exact
+    * oracle bytes it was computed from, and a swapped oracle file is
+    * detectable from the JSONs alone. */
+  private def oracleStamp(sfDir: String, total: Double): String = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_ORACLE_JSON", "ORACLE_BENCH.json")
+    try {
+      val p = java.nio.file.Paths.get(path)
+      val bytes = java.nio.file.Files.readAllBytes(p)
+      val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      val sfRe = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
+      val totRe = "\"total_s\"\\s*:\\s*([0-9.eE+-]+)".r
+      (sfRe.findFirstMatchIn(text).map(_.group(1)),
+       totRe.findFirstMatchIn(text).map(_.group(1).toDouble)) match {
+        case (Some(sf), Some(t))
+            if new java.io.File(sf).getName == new java.io.File(sfDir).getName && t > 0 =>
+          val mtime = java.nio.file.Files.getLastModifiedTime(p).toMillis
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(bytes).take(8).map(b => f"$b%02x").mkString
+          f""","oracle_total_s":$t%s,"oracle_file":${jstr(path)},""" +
+            f""""oracle_mtime_ms":$mtime%d,"oracle_sha256_16":"$sha%s",""" +
+            f""""ratio":${total / t}%.4f"""
+        case _ => ""
+      }
+    } catch { case _: java.io.IOException => "" }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val loadStart = load1()
     val spark = GraftSession.tunedLocal("graft-bench", sfDir, cpus)
+    // WARN spam (WindowExec single-partition notices on grid-sized
+    // windows, locally-checkpointed-RDD unpersist notes) dominated the
+    // r18 driver capture; the bench line is the artifact, not the log
+    spark.sparkContext.setLogLevel("ERROR")
 
     // SPARK_GRAFT_ONLY: comma-separated gate names — builder-side subset
     // timing (before/after on one gate); the driver's env-free run
@@ -35,6 +100,76 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val headline = Registry.all.filter(_.bench)
       .filter(g => only.forall(_.contains(g.name)))
+
+    // cumulative state for incremental emission; guarded by `lock` because
+    // the shutdown hook reads it from another thread
+    val lock = new Object
+    val done = scala.collection.mutable.LinkedHashMap
+      .empty[String, Either[String, Double]]
+    @volatile var finalPrinted = false
+
+    /** Serialize the cumulative state to one bench JSON line. */
+    def renderLine(truncated: Boolean): String = {
+      val snap = lock.synchronized { done.toVector }
+      val qs = snap.collect { case (k, Right(v)) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val errs = snap.collect { case (k, Left(e)) => "\"" + k + "\":" + jstr(e) }
+        .mkString("{", ",", "}")
+      val total = snap.collect { case (_, Right(v)) => v }.sum
+      // SUBSET HONESTY: an SPARK_GRAFT_ONLY run times a slice of the
+      // registry, so its sum is NOT the headline total and a ratio against
+      // the FULL-registry oracle total would be fiction — the subset line
+      // carries an explicit "only" field, nulls "value", and suppresses
+      // the oracle fields entirely. The same logic nulls the total of a
+      // TRUNCATED full run: a partial sum is a subset sum, whatever cut it
+      // short, and must never be graded as the headline number.
+      val partial = only.isDefined || truncated
+      val oracleFields = if (partial) "" else oracleStamp(sfDir, total)
+      val loadFields =
+        f""","load1_start":$loadStart%.2f,"load1_end":${load1()}%.2f"""
+      val onlyFields = only.fold("") { names =>
+        s""","only":${jstr(names.toSeq.sorted.mkString(","))}"""
+      }
+      val subsetField =
+        if (partial) s""","subset_sum":$total,"n_timed":${snap.size},"n_headline":${headline.size}"""
+        else ""
+      val truncField = s""","truncated":$truncated"""
+      val totalField = if (partial) "null" else total.toString
+      s"""{"metric":"total","value":$totalField,"unit":"sec","queries":$qs,"errors":$errs$oracleFields$loadFields$onlyFields$subsetField$truncField,"sf":"$sfDir"}"""
+    }
+
+    /** Atomic rewrite of the on-disk partial after every query: even a
+      * SIGKILL (timeout -k, OOM killer) leaves a parseable cumulative
+      * artifact with an explicit truncated marker. Deleted on clean
+      * completion — its presence IS the DNF signal. */
+    val partialPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PARTIAL_JSON", "BENCH_partial.json"))
+    def writePartial(): Unit =
+      try {
+        val tmp = java.nio.file.Files.createTempFile(
+          partialPath.toAbsolutePath.getParent, ".bench", ".tmp")
+        java.nio.file.Files.write(tmp,
+          (renderLine(truncated = true) + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, partialPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      } catch { case _: java.io.IOException => () }
+
+    // timeout(1) delivers SIGTERM → JVM shutdown hooks run → the driver's
+    // capture still ends with one parseable (truncated) bench line
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      // under `lock`: either the main thread already printed the final
+      // line (flag set, hook is a no-op) or the hook prints the truncated
+      // one — never zero lines, never two
+      lock.synchronized {
+        if (!finalPrinted) {
+          println(renderLine(truncated = true))
+          System.out.flush()
+        }
+      }
+    }))
+
     // noop sink: full materialization of every output row — a bare count()
     // would let Catalyst prune the projections being measured
     def run(g: graft.queries.Gated, dir: String): Unit =
@@ -46,15 +181,13 @@ object Bench {
     headline.foreach { g =>
       try run(g, sfDir) catch { case _: Throwable => () }
     }
-    // five timed passes, report per-query MEDIAN: steady-state execution
-    // time robust to TWO load spikes (this box shows ±15% run-to-run
-    // variance; with 3 passes a query hit twice reported the spike —
-    // r6's q18 "regression" was exactly that. Median-of-5 = 3rd smallest,
-    // immune to a two-pass burst, and still an honest central estimate —
-    // unlike min, it never reports a lucky outlier).
-    // A query that throws is recorded as an error and EXCLUDED from the
-    // total — it must never bench as ~0s and silently inflate the round.
+
     def timeOnce(g: graft.queries.Gated): Either[String, Double] = {
+      // leftover persisted intermediates (q47's curation barriers, q57's
+      // history generations, q65's decode cache) would otherwise hand
+      // their cache to the next run via canonical-plan matching — the
+      // median must time cold-cache steady state, not cache hits
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
         run(g, sfDir)
@@ -64,77 +197,43 @@ object Bench {
           Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       }
     }
-    // queries that persist() intermediates (curation, SCD2 chains) would
-    // otherwise hand their cache from one pass to the next via canonical-
-    // plan matching — the median would then time cache hits, not the query
-    val passes = (1 to 5).map { _ =>
-      headline.map { g =>
-        // leftover persisted intermediates from the PREVIOUS query (q47's
-        // curation barriers, q57's history generations, q65's decode
-        // cache) otherwise stack up across the pass and tax later queries
-        // with eviction churn — measured 2x inflation on mid-pass queries
-        spark.catalog.clearCache()
-        g.name -> timeOnce(g)
-      }.toMap
-    }
-    val results = headline.map { g =>
-      val runs = passes.map(_(g.name))
+
+    // Adaptive per-query passes: 3 runs; while max/min − 1 > 5% and fewer
+    // than 5 runs taken, add a run (a load spike shows up as spread, and
+    // the extra runs recover the median the spike would otherwise bias).
+    // Lower median on an even count: length/2 would pick the MAX of the
+    // two middle samples and bias the query upward. A run that throws is
+    // recorded as an error and EXCLUDED from the total — it must never
+    // bench as ~0s and silently inflate the round.
+    headline.foreach { g =>
+      val runs = scala.collection.mutable.Buffer.empty[Either[String, Double]]
+      while (runs.size < 3) runs += timeOnce(g)
+      def spreadHigh: Boolean = {
+        val ts = runs.collect { case Right(v) => v }
+        ts.nonEmpty && ts.min > 0 && (ts.max / ts.min - 1.0) > 0.05
+      }
+      while (runs.size < 5 && (spreadHigh || runs.forall(_.isLeft)))
+        runs += timeOnce(g)
       val times = runs.collect { case Right(v) => v }.sorted
-      // lower median: with an even count of surviving passes (one pass
-      // errored), length/2 would pick the MAX of the two middle-less
-      // samples and bias the query upward
-      g.name -> (if (times.isEmpty) runs.head
-                 else Right(times((times.length - 1) / 2)))
+      val med =
+        if (times.isEmpty) runs.head
+        else Right(times((times.length - 1) / 2))
+      lock.synchronized { done(g.name) = med }
+      writePartial()
     }
-    // full JSON string escape — exception messages carry newlines, and a
-    // control char would split the single machine-readable bench line
-    def jstr(s: String) = "\"" + s.flatMap {
-      case '\\' => "\\\\"
-      case '"' => "\\\""
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val qs = results.collect { case (k, Right(v)) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, Left(e)) => "\"" + k + "\":" + jstr(e) }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, Right(v)) => v }.sum
-    // self-report the oracle comparison when tools/oracle_bench.py has
-    // produced the DuckDB side for THIS corpus (same parquet, same SQL):
-    // the bench line then carries the gate ratio directly instead of
-    // requiring a cross-reference against scaling notes.
-    // SUBSET HONESTY: an SPARK_GRAFT_ONLY run times a slice of the
-    // registry, so its sum is NOT the headline total and a ratio against
-    // the FULL-registry oracle total would be fiction — the subset line
-    // carries an explicit "only" field, nulls "value", and suppresses the
-    // oracle fields entirely, so it can never be mistaken for (or graded
-    // as) a full-registry measurement. Per-query times stay: they are the
-    // actual payload of a subset run (before/after and growth diffs).
-    val oracleFields = if (only.isDefined) "" else {
-      val path = sys.env.getOrElse("SPARK_GRAFT_ORACLE_JSON", "ORACLE_BENCH.json")
-      try {
-        val text = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
-        val sfRe = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
-        val totRe = "\"total_s\"\\s*:\\s*([0-9.eE+-]+)".r
-        (sfRe.findFirstMatchIn(text).map(_.group(1)),
-         totRe.findFirstMatchIn(text).map(_.group(1).toDouble)) match {
-          case (Some(sf), Some(t))
-              if new java.io.File(sf).getName == new java.io.File(sfDir).getName && t > 0 =>
-            f""","oracle_total_s":$t%s,"ratio":${total / t}%.4f"""
-          case _ => ""
-        }
-      } catch { case _: java.io.IOException => "" }
+
+    val line = renderLine(truncated = false)
+    lock.synchronized {
+      finalPrinted = true
+      println(line)
+      System.out.flush()
     }
-    val loadFields =
-      f""","load1_start":$loadStart%.2f,"load1_end":${load1()}%.2f"""
-    val onlyFields = only.fold("") { names =>
-      s""","only":${jstr(names.toSeq.sorted.mkString(","))},"subset_sum":$total"""
-    }
-    val totalField = if (only.isDefined) "null" else total.toString
-    println(s"""{"metric":"total","value":$totalField,"unit":"sec","queries":$qs,"errors":$errs$oracleFields$loadFields$onlyFields,"sf":"$sfDir"}""")
-    if (results.exists(_._2.isLeft)) System.err.println(
-      "BENCH ERRORS: " + results.collect { case (k, Left(e)) => s"$k -> $e" }.mkString("; "))
+    try java.nio.file.Files.deleteIfExists(partialPath): Unit
+    catch { case _: java.io.IOException => () }
+    val errors = lock.synchronized {
+      done.toVector.collect { case (k, Left(e)) => s"$k -> $e" } }
+    if (errors.nonEmpty)
+      System.err.println("BENCH ERRORS: " + errors.mkString("; "))
     spark.stop()
   }
 }

@@ -46,8 +46,13 @@ object Artifacts {
 
   /** `<tmpdir>/graft_artifacts/<prefix>_<len-xor-rotated-mtime>` for the
     * file or directory at `srcPath`. Also records the provenance sidecar
-    * (best-effort, write-once) so [[sweep]] can later tell whether the
-    * key is still live. */
+    * (best-effort) so [[sweep]] can later tell whether the key is still
+    * live. The sidecar ACCUMULATES every observed source (one per line):
+    * two distinct sources with identical (length, mtime) and the same
+    * prefix legitimately share one keyed dir, and the dir must stay live
+    * while ANY of them still fingerprints to the key — a write-once
+    * sidecar naming only the first source would let sweep reclaim a dir
+    * still serving the second. */
   def path(spark: SparkSession, srcPath: String, prefix: String): String = {
     val tag = currentTag(spark, srcPath).getOrElse(
       throw new java.io.FileNotFoundException(
@@ -55,14 +60,19 @@ object Artifacts {
     val dir = s"$root/${prefix}_$tag"
     try {
       val meta = new java.io.File(dir + SrcSuffix)
-      if (!meta.exists()) {
+      val existing =
+        if (meta.exists())
+          new String(java.nio.file.Files.readAllBytes(meta.toPath),
+            StandardCharsets.UTF_8).linesIterator.filter(_.nonEmpty).toVector
+        else Vector.empty
+      if (!existing.contains(srcPath)) {
         new java.io.File(root).mkdirs()
         // temp-then-rename publish: a concurrent session reading the
-        // sidecar never sees a half-written source path
+        // sidecar never sees a half-written source list
         val tmp = java.io.File.createTempFile(".src", ".tmp",
           new java.io.File(root))
         java.nio.file.Files.write(tmp.toPath,
-          srcPath.getBytes(StandardCharsets.UTF_8))
+          (existing :+ srcPath).mkString("\n").getBytes(StandardCharsets.UTF_8))
         if (!tmp.renameTo(meta)) tmp.delete(): Unit
       }
     } catch { case _: java.io.IOException => () } // hygiene, never blocks
@@ -89,13 +99,26 @@ object Artifacts {
     val deleted = scala.collection.mutable.Buffer.empty[String]
     entries.filter(_.isDirectory).foreach { d =>
       val meta = new java.io.File(d.getPath + SrcSuffix)
-      val dead =
-        if (meta.exists()) {
-          val src = new String(
-            java.nio.file.Files.readAllBytes(meta.toPath),
-            StandardCharsets.UTF_8)
-          currentTag(spark, src).forall(tag => !d.getName.endsWith("_" + tag))
-        } else deleteUnknown
+      // the sidecar read is best-effort: one deleted or unreadable sidecar
+      // mid-sweep (single-writer discipline violated, or a racing cleanup)
+      // must skip THAT entry, not abort the whole sweep — mirror the
+      // write-side discipline in [[path]]. An unreadable sidecar is
+      // indistinguishable from "no provenance", so the dir is treated as
+      // unknown (kept unless deleteUnknown).
+      val srcs: Option[Vector[String]] =
+        if (!meta.exists()) None
+        else
+          try Some(new String(java.nio.file.Files.readAllBytes(meta.toPath),
+            StandardCharsets.UTF_8).linesIterator.filter(_.nonEmpty).toVector)
+          catch { case _: java.io.IOException => None }
+      val dead = srcs match {
+        // dead only when EVERY recorded source is gone or re-fingerprints
+        // to a different key — any one live source keeps the dir. An
+        // empty (truncated) sidecar proves nothing: treat as unknown.
+        case Some(list) if list.nonEmpty => list.forall(src =>
+          currentTag(spark, src).forall(tag => !d.getName.endsWith("_" + tag)))
+        case _ => deleteUnknown
+      }
       if (dead) {
         deleteRecursively(d)
         meta.delete()

@@ -71,13 +71,25 @@ object BatchIndex {
     * from scratch and loses nothing. Single-writer, like append. Without
     * periodic compaction a long-lived ingest loop accretes one file set
     * per batch and every serve pays the listing/footer tax. */
-  def compact(spark: SparkSession, path: String, targetFiles: Int = 8): Unit = {
+  def compact(spark: SparkSession, path: String, targetFiles: Int = 8): Unit =
+    compactWith(spark, path, targetFiles)(identity)
+
+  /** [[compact]] with a REWRITE hook: `transform` maps the committed view
+    * to the rows the compacted index should hold — the GC seam for
+    * indexes whose rows can become dead-by-construction (e.g. the winnow
+    * index's over-df hashes, [[Dedup.compactWinnowIndex]]). The transform
+    * must be SERVE-EQUIVALENT for every consumer of the index (same
+    * answers from the compacted view), which is the caller's contract to
+    * prove — the protocol here only guarantees the swap is atomic and
+    * crash-healed like any compaction. */
+  def compactWith(spark: SparkSession, path: String, targetFiles: Int = 8)(
+      transform: DataFrame => DataFrame): Unit = {
     val fs = hFs(spark, path)
     recoverCompaction(fs, path)
     val tmp = hPath(path + ".compact_tmp")
     val old = hPath(path + ".compact_old")
     fs.delete(tmp, true); fs.delete(old, true)
-    readCommitted(spark, path)
+    transform(readCommitted(spark, path))
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     val keep = fs.listStatus(hPath(path)).map(_.getPath.getName)

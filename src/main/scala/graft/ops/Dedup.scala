@@ -669,9 +669,18 @@ object Dedup {
       index: DataFrame, maxDf: Int, minShared: Int): DataFrame = {
     val all = index.select(col("id"), col("h"), lit(false).as("isNew"))
       .unionByName(newFp.select(col("id"), col("h"), lit(true).as("isNew")))
-    val mask = all.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // TOMBSTONE-AWARE df: [[compactWinnowIndex]] replaces an over-df
+    // hash's posting rows with one (id = -df, h) row — the encoding is
+    // lossless for df (a tombstone counts as the df it absorbed; real
+    // rows count 1), so the cumulative mask is IDENTICAL before and
+    // after GC and its monotonicity argument carries over unchanged.
+    val mask = all.groupBy(col("h"))
+      .agg(sum(when(col("id") < 0, -col("id")).otherwise(1L)).as("df"))
       .filter(col("df") > maxDf).select(col("h"))
-    val b = all.join(mask, Seq("h"), "left_anti")
+    // tombstones are masked by construction (encoded df > maxDf) and are
+    // additionally excluded as endpoints here, so no synthetic id can
+    // ever reach a candidate pair even if a caller raises maxDf
+    val b = all.filter(col("id") >= 0).join(mask, Seq("h"), "left_anti")
     val a = b.filter(col("isNew")).select(col("h"), col("id").as("ia"))
     a.join(b.select(col("h"), col("id").as("ib"), col("isNew")), Seq("h"))
       // batch-vs-index pairs appear once (a is always the batch side);
@@ -683,6 +692,44 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** MASK-AWARE GC of a winnowing fingerprint index (r18 verdict item 7):
+    * the cumulative MOSS mask (df > `maxDf`) identifies hashes that can
+    * never again produce a candidate — yet their posting rows were
+    * re-scanned by every subsequent ingest's mask aggregate and candidate
+    * join. This compaction replaces each over-df hash's rows with ONE
+    * tombstone row `(id = -df, h)`:
+    *
+    *  - df is preserved EXACTLY (the tombstone encodes the count it
+    *    absorbed; [[winnowCandidatesFromFp]]'s mask aggregate counts it
+    *    back), so the mask after GC equals the mask before GC for every
+    *    future batch — the recall-preservation contract DedupSpec pins is
+    *    untouched, and the mask stays monotone across the GC boundary;
+    *  - candidate endpoints lose nothing: an over-df hash's rows were
+    *    already excluded by the mask in every future ingest, and
+    *    tombstone ids (negative — disjoint from real doc ids by the
+    *    monotone-ingest contract) are explicitly filtered from the
+    *    endpoint side;
+    *  - the swap rides [[BatchIndex.compactWith]] (atomic two-rename,
+    *    crash-healed), markers and meta preserved.
+    *
+    * Run it with the SAME `maxDf` as the ingest loop: GC at a LARGER
+    * maxDf than later calls is still exact (the tombstoned hashes stay
+    * over any smaller threshold), but RAISING maxDf after a GC would
+    * unmask hashes whose ids are gone — don't. Row reduction at a
+    * boilerplate-heavy corpus is df-distribution-dependent; the spec
+    * asserts the mechanism (identical candidates, strictly fewer index
+    * rows). */
+  def compactWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxDf: Int, targetFiles: Int = 8): Unit =
+    BatchIndex.compactWith(spark, path, targetFiles) { idx =>
+      val dfs = idx.groupBy(col("h"))
+        .agg(sum(when(col("id") < 0, -col("id")).otherwise(1L)).as("df"))
+      val over = dfs.filter(col("df") > maxDf)
+      idx.join(over.select(col("h")), Seq("h"), "left_anti")
+        .select(col("id"), col("h"))
+        .unionByName(over.select((-col("df")).cast("long").as("id"), col("h")))
+    }
 
   /** One EXACTLY-ONCE winnowing-ingest step (the [[ingestBatch]] contract
     * on the span-fingerprint index — `foreachBatch` wires this per
@@ -728,7 +775,11 @@ object Dedup {
       BatchIndex.appendBatch(newFp, indexPath, batchId, winnowIndexMeta(k, w))
       if (compactAbove > 0 &&
           BatchIndex.committedFileCount(spark, indexPath) > compactAbove)
-        BatchIndex.compact(spark, indexPath)
+        // mask-aware: the periodic compaction ALSO tombstones over-df
+        // hashes (this loop's own maxDf — the contract compactWinnowIndex
+        // documents), so a boilerplate-heavy stream's dead posting rows
+        // stop taxing every later ingest
+        compactWinnowIndex(spark, indexPath, maxDf)
     } finally { newFp.unpersist(); () }
   }
 

@@ -154,18 +154,22 @@ final class AsOfEnrichProcessor
       : Iterator[AsOfStream.Enriched] = {
     val wmUs = timerValues.getCurrentWatermarkInMs() * 1000
     val allDims = dims.get().toList
-    val (ripe, wait) = pending.get().toList.partition(_._1 <= wmUs)
-    if (ripe.isEmpty) return Iterator.empty
-    pending.clear()
-    wait.foreach(pending.appendValue)
-    // dim compaction: versions at/below the watermark serve every future
-    // lookup through their latest member only — one survivor replaces the
-    // prefix (total order (ts, tie, payload) keeps replays deterministic)
+    // dim compaction FIRST — before the no-ripe-facts early return — so
+    // EVERY timer firing enforces the O(pending + in-flight + 1) state
+    // bound, not just emission paths (a key whose timers fire without ripe
+    // facts must not retain its full dim prefix until the next emission):
+    // versions at/below the watermark serve every future lookup through
+    // their latest member only — one survivor replaces the prefix (total
+    // order (ts, tie, payload) keeps replays deterministic)
     val (old, live) = allDims.partition(_._1 <= wmUs)
     if (old.nonEmpty) {
       dims.clear()
       (old.max :: live).foreach(dims.appendValue)
     }
+    val (ripe, wait) = pending.get().toList.partition(_._1 <= wmUs)
+    if (ripe.isEmpty) return Iterator.empty
+    pending.clear()
+    wait.foreach(pending.appendValue)
     // deterministic emission order; lookup = latest version <= fact ts
     ripe.sorted.iterator.map { case (tsUs, fact) =>
       val prior = allDims.filter(_._1 <= tsUs)

@@ -95,6 +95,134 @@ object DocStream {
       }
       .start()
 
+  /** Streaming CURATION ingest (r19 — the q244 funnel shape as ONE
+    * `foreachBatch` loop, the composition a 100 TB continuous-ingest
+    * pipeline actually runs): per micro-batch, quality gate → MinHash
+    * dedup admit → winnowing span candidates → BM25 posting index, all
+    * downstream stages consuming the SAME admit decision, with one
+    * per-batch funnel row (docs in / past-quality / admitted) recorded
+    * exactly-once beside the indexes. See [[curateBatch]] for the
+    * stage-by-stage contract. */
+  def curateIngest(docs: DataFrame, root: String, checkpoint: String,
+      minQuality: Double = 0.0, threshold: Double = 0.6, numHashes: Int = 8,
+      shingleWidth: Int = 3, k: Int = 4, w: Int = 4, maxDf: Int = 50,
+      minShared: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        curateBatch(batch, id, root, minQuality, threshold, numHashes,
+          shingleWidth, k, w, maxDf, minShared)
+      }
+      .start()
+
+  /** One COMPOSED curation-ingest step — the per-stage exactly-once
+    * contracts ([[graft.ops.Dedup.ingestBatch]],
+    * [[graft.ops.Dedup.winnowIngestBatch]],
+    * [[graft.ops.TextRank.postingIngestBatch]]) chained under ONE admit
+    * decision, with artifact layout under `root`:
+    *
+    *   1. quality gate: docs with
+    *      [[graft.ops.TextOps.qualityScore]] >= `minQuality` (scored
+    *      ONCE on a persisted frame; the funnel counts ride that
+    *      materialization as an `Observation` — the q244 observed-
+    *      metrics discipline, zero extra passes over the batch);
+    *   2. dedup admit: `Dedup.ingestBatch` over the gated docs — the
+    *      batch's near-dups of (committed index ∪ earlier-in-batch)
+    *      drop; survivors land at `<root>/admitted/batch=<id>` and
+    *      their signatures commit to `<root>/mh_idx`. This is THE admit
+    *      decision: every later stage consumes the admitted sink, so
+    *      the three indexes can never disagree about membership;
+    *   3. span candidates: `winnowIngestBatch` over the ADMITTED docs →
+    *      pairs at `<root>/span_cand/batch=<id>`, fingerprints to
+    *      `<root>/win_idx`;
+    *   4. retrieval: `postingIngestBatch` over the ADMITTED docs →
+    *      postings + corpus-stats sentinel to `<root>/bm25_idx`;
+    *   5. funnel: one (batch_id, n_in, n_gated, n_admitted) row appends
+    *      to `<root>/funnel` — marker committed LAST, so ITS presence
+    *      proves the whole composed step completed.
+    *
+    * Exactly-once ACROSS the composition: a replay (same batchId)
+    * short-circuits on the funnel marker; a crash at ANY interior point
+    * re-runs the step, where each stage either short-circuits on its own
+    * marker or heals its partial write (per-batch sink overwrites are
+    * idempotent, index staging replaces rather than doubles), and the
+    * admit decision is deterministic given (batch, committed mh index) —
+    * so the retried composition converges to the identical state
+    * (DocStreamSpec kills the loop between stages and pins it).
+    *
+    * 100 TB shape: per-ingest cost ∝ batch at every stage (signatures,
+    * fingerprints, postings are per-doc projections; candidates probe
+    * the committed indexes, never scan them; the funnel row is one
+    * observation + one metadata count), and serving reads only committed
+    * views — the funnel composes the certified per-stage shapes without
+    * adding a single corpus-proportional pass. */
+  def curateBatch(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long, root: String, minQuality: Double = 0.0,
+      threshold: Double = 0.6, numHashes: Int = 8, shingleWidth: Int = 3,
+      k: Int = 4, w: Int = 4, maxDf: Int = 50, minShared: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    val funnelPath = s"$root/funnel"
+    if (graft.ops.BatchIndex.isCommitted(spark, funnelPath, batchId)) return
+    val en = graft.ops.TextOps.langProfiles.head._2
+    val scored = batch
+      .filter(col("text").isNotNull)
+      .withColumn("__q", graft.ops.TextOps.qualityScore(col("text"), en))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val obs = org.apache.spark.sql.Observation()
+      scored.observe(obs, count(lit(1)).as("n_in"),
+        count(when(col("__q") >= minQuality, 1)).as("n_gated")).count()
+      val gated = scored.filter(col("__q") >= lit(minQuality)).drop("__q")
+      graft.ops.Dedup.ingestBatch(gated, batchId, s"$root/mh_idx",
+        s"$root/admitted", threshold, "doc_id", "text", numHashes,
+        shingleWidth)
+      // explicit schema: a fully-deduped (or fully-gated-out) batch writes
+      // an EMPTY admitted sink, whose parquet dir may carry no footer to
+      // infer from — the read must not depend on survivors existing
+      val admitted = spark.read.schema(gated.schema)
+        .parquet(s"$root/admitted/batch=$batchId")
+      graft.ops.Dedup.winnowIngestBatch(admitted, batchId, s"$root/win_idx",
+        s"$root/span_cand", "doc_id", "text", k, w, maxDf, minShared)
+      graft.ops.TextRank.postingIngestBatch(admitted, batchId,
+        s"$root/bm25_idx", "doc_id", "text")
+      // funnel row: the quality counts ride the scored materialization
+      // above (already delivered by the time the stages finish — a 5 s
+      // await bounds the pathological listener-bus case, falling back to
+      // a direct aggregate, the q244 discipline); n_admitted is a
+      // metadata-only count over the just-written per-batch sink
+      val (nIn, nGated) =
+        try {
+          val m = scala.concurrent.Await.result(obs.future,
+            scala.concurrent.duration.Duration(5, "s"))
+          (m.getLong(0), m.getLong(1))
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            val r = scored.agg(count(lit(1)),
+              count(when(col("__q") >= minQuality, 1))).head
+            (r.getLong(0), r.getLong(1))
+        }
+      val nAdmitted = admitted.count()
+      val funnelRow = spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(batchId, nIn, nGated, nAdmitted)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("batch_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_in",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_gated",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_admitted",
+            org.apache.spark.sql.types.LongType))))
+      graft.ops.BatchIndex.appendBatch(funnelRow, funnelPath, batchId,
+        s"curation_funnel minQuality=$minQuality threshold=$threshold")
+    } finally { scored.unpersist(); () }
+  }
+
+  /** Committed per-batch funnel rows of a [[curateIngest]] loop. */
+  def curationFunnel(spark: SparkSession, root: String): DataFrame =
+    graft.ops.BatchIndex.readCommitted(spark, s"$root/funnel")
+
   /** Exact streaming dedup: drop any doc whose exact content (md5) was
     * already seen within the watermark — the streaming form of
     * `Dedup.exact`, state bounded by the watermark. */

@@ -637,4 +637,66 @@ class DedupSpec extends SparkSpec {
     assert((after -- before).isEmpty,
       s"loan must unpersist its fingerprint cache, leaked ids: ${after -- before}")
   }
+
+  test("compactWinnowIndex: over-df hashes tombstone to one row — " +
+      "candidates identical, index strictly smaller, df mask preserved") {
+    // boiler appears in 4 docs (df > maxDf=3 → masked, the GC target);
+    // rare appears in 2 (df 2 ≤ maxDf → live, must survive GC untouched)
+    val boiler = (0 until 30).map(i => s"gb$i").mkString(" ")
+    val rare = (0 until 30).map(i => s"gr$i").mkString(" ")
+    def filler(tag: String) = (0 until 20).map(i => s"$tag$i").mkString(" ")
+    val batch0 = Seq(
+      (1L, s"$boiler $rare"),
+      (2L, s"$boiler $rare ${filler("gx")}"),
+      (3L, s"$boiler ${filler("gy")}"),
+      (4L, s"$boiler ${filler("gz")}")).toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_winnow_gc").toString
+    val idx = s"$root/idx"; val cand = s"$root/cand"
+    Dedup.winnowIngestBatch(batch0, 0L, idx, cand, maxDf = 3, minShared = 2)
+    // freeze the PRE-GC index locally (compaction replaces the files)
+    val preRows = Dedup.readWinnowIndex(spark, idx)
+      .select("id", "h").as[(Long, Long)].collect().toSeq
+    val preIdx = preRows.toDF("id", "h")
+    val probe = Seq((10L, s"$boiler $rare ${filler("gw")}"))
+      .toDF("doc_id", "text")
+    val candPre = Dedup.winnowCandidatesIncremental(probe, "doc_id", "text",
+      preIdx, maxDf = 3, minShared = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    Dedup.compactWinnowIndex(spark, idx, maxDf = 3)
+    val postIdx = Dedup.readWinnowIndex(spark, idx)
+    val postRows = postIdx.select("id", "h").as[(Long, Long)].collect().toSeq
+    // strictly smaller: each over-df hash had 3-4 rows, now exactly one
+    assert(postRows.size < preRows.size,
+      s"GC must shrink the index: ${preRows.size} -> ${postRows.size}")
+    // tombstones encode the absorbed df EXACTLY (lossless mask)
+    val preDf = preRows.groupBy(_._2).view.mapValues(_.size).toMap
+    val tombs = postRows.filter(_._1 < 0)
+    assert(tombs.nonEmpty, "over-df hashes must leave tombstones")
+    tombs.foreach { case (negDf, h) =>
+      assert(-negDf === preDf(h), s"tombstone for $h encodes ${-negDf}, " +
+        s"pre-GC df was ${preDf(h)}") }
+    // under-df rows survive verbatim; no over-df posting row remains
+    val overH = preDf.filter(_._2 > 3).keySet
+    assert(postRows.filter(_._1 >= 0).forall(r => !overH.contains(r._2)),
+      "no posting row of a masked hash may survive GC")
+    assert(postRows.filter(_._1 >= 0).toSet === preRows.filter(
+      r => !overH.contains(r._2)).toSet, "live rows must survive unchanged")
+    // serve equivalence: the probe batch emits IDENTICAL candidates
+    // against the GC'd index (rare-span pairs live, boiler masked — now
+    // via the tombstone's encoded df instead of its rows)
+    val candPost = Dedup.winnowCandidatesIncremental(probe, "doc_id", "text",
+      postIdx, maxDf = 3, minShared = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(candPost === candPre, s"GC changed candidates: pre=$candPre post=$candPost")
+    assert(candPre.contains((1L, 10L)) && candPre.contains((2L, 10L)),
+      "rare-span pairs must exist for the equality to be a real check")
+    assert(candPost.forall(p => p._1 >= 0 && p._2 >= 0),
+      "tombstone ids must never surface as candidate endpoints")
+    // and the ingest loop keeps running on the compacted index
+    Dedup.winnowIngestBatch(probe, 1L, idx, cand, maxDf = 3, minShared = 2)
+    val emitted = spark.read.parquet(s"$cand/batch=1")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(emitted === candPre)
+  }
 }

@@ -530,4 +530,129 @@ class DocStreamSpec extends SparkSpec {
     assert(served() === rebuilt(admitted()))
   }
 
+  test("curateIngest: composed funnel — one admit decision drives all " +
+      "three indexes, exactly-once across restart and a mid-composition " +
+      "crash, admit set equals the batch stage composition") {
+    val dir = tmpDir("docs-curate-src")
+    val span = doc(12)
+    // quality gate: doc(40) scores 0.75 (length/ttr/chars-per-token bands
+    // pass, no stopwords), a 3-token doc scores 0.5 — minQuality 0.7
+    // separates them deterministically. Dedup victims are EXACT copies
+    // (est_jaccard 1.0 ≥ threshold 0.6) of ADMITTED originals only, so
+    // the streamed keep-first equals the one-shot batch composition (no
+    // transitive chains across batch boundaries). Docs 1/3/13 share a
+    // 12-token span (≥ k+w−1 → guaranteed winnow fingerprints).
+    val d0 = doc(40); val d2 = doc(40)
+    val file1 = Seq(
+      (0L, ts(0), d0),
+      (1L, ts(1), s"${doc(10)} $span ${doc(8)}"),
+      (2L, ts(2), d2),
+      (3L, ts(3), s"$span ${doc(15)}"),
+      (4L, ts(4), doc(40)),
+      (5L, ts(5), doc(40)),
+      (6L, ts(6), "just three tokens"), // gated: quality 0.5
+      (7L, ts(7), d0)) // exact dup of doc 0 — dedup drops, in-batch
+    file1.toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val t0 = System.currentTimeMillis() - 120000
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => assert(f.setLastModified(t0)))
+    val d11 = doc(40)
+    Seq((10L, ts(8), d2), // exact dup of doc 2 — dedup drops, CROSS-batch
+        (11L, ts(9), d11),
+        (12L, ts(10), "more filler words"), // gated
+        (13L, ts(11), s"$span ${doc(5)} ${doc(14)}"))
+      .toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .filter(_.lastModified() > t0).foreach(f => assert(f.setLastModified(t0 + 30000)))
+    val root = tmpDir("docs-curate-out")
+    val ckpt = s"$root/ckpt"
+    def ingest() = DocStream.curateIngest(DocStream.read(spark, dir),
+      root, ckpt, minQuality = 0.7)
+    val q = ingest()
+    try q.processAllAvailable() finally q.stop()
+    def admittedIds() = spark.read.parquet(s"$root/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admittedIds() === Set(0L, 1L, 2L, 3L, 4L, 5L, 11L, 13L),
+      s"got ${admittedIds()}")
+    // restart from the same checkpoint: processed batches are not re-run,
+    // the new batch's dup drops against the committed index
+    Seq((20L, ts(12), d11), (21L, ts(13), doc(40)))
+      .toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q2 = ingest()
+    try q2.processAllAvailable() finally q2.stop()
+    val admitSet = admittedIds()
+    assert(admitSet === Set(0L, 1L, 2L, 3L, 4L, 5L, 11L, 13L, 21L))
+    // ONE admit decision: every index holds exactly the admitted docs
+    assert(graft.ops.Dedup.readSignatureIndex(spark, s"$root/mh_idx")
+      .select("id").distinct().as[Long].collect().toSet === admitSet)
+    assert(graft.ops.TextRank.readPostingIndex(spark, s"$root/bm25_idx")
+      .filter(col("term").isNotNull)
+      .select("doc_id").distinct().as[Long].collect().toSet === admitSet)
+    assert(graft.ops.Dedup.readWinnowIndex(spark, s"$root/win_idx")
+      .select("id").distinct().as[Long].collect().toSet
+      // winnow index covers admitted docs that HAVE fingerprints (≥ k
+      // tokens — all of ours do)
+      === admitSet)
+    // per-batch funnel rows, exactly-once: (in, past-quality, admitted)
+    val funnel = DocStream.curationFunnel(spark, root)
+      .select("batch_id", "n_in", "n_gated", "n_admitted")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(funnel === Set((0L, 8L, 7L, 6L), (1L, 4L, 3L, 2L),
+      (2L, 2L, 2L, 1L)), s"got $funnel")
+    // span candidates equal the full recompute over the ADMITTED corpus
+    // (no hash crosses maxDf here — the winnowIngest equality regime)
+    def cands() = spark.read.parquet(s"$root/span_cand")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cands() === Set((1L, 3L), (1L, 13L), (3L, 13L)), s"got ${cands()}")
+    // BM25 serves from the composed index with full-rebuild parity
+    val queries = Seq((1L, span.split(" ").distinct.take(2).toSeq))
+    def served() = graft.ops.TextRank.bm25TopKIndexed(
+      graft.ops.TextRank.readPostingIndex(spark, s"$root/bm25_idx"),
+      queries, k = 5).as[(Long, Long, Long, Long)].collect().toSet
+    val adm = spark.read.parquet(s"$root/admitted")
+      .select(col("doc_id"), col("text"))
+    assert(served() === graft.ops.TextRank.bm25TopK(adm, queries,
+      "doc_id", "text", k = 5).as[(Long, Long, Long, Long)].collect().toSet)
+    // batch-composition parity (the q244 stage rules over the same
+    // delivery): quality gate over everything delivered, then the same
+    // keep-first dedup as ONE batch — identical admit set
+    val broot = tmpDir("docs-curate-batch-equiv")
+    val en = graft.ops.TextOps.langProfiles.head._2
+    graft.ops.Dedup.ingestBatch(
+      spark.read.parquet(dir)
+        .filter(graft.ops.TextOps.qualityScore(col("text"), en) >= 0.7)
+        .select(col("doc_id"), col("text")),
+      0L, s"$broot/idx", s"$broot/adm", 0.6)
+    assert(spark.read.parquet(s"$broot/adm")
+      .select("doc_id").as[Long].collect().toSet === admitSet)
+    // replay of a COMMITTED batch is a no-op end to end
+    val idxCounts = Seq(s"$root/mh_idx", s"$root/win_idx", s"$root/bm25_idx")
+    def stateSig() = (admittedIds(), funnelRows(), cands(),
+      idxCounts.map(p => graft.ops.BatchIndex.committedFileCount(spark, p)))
+    def funnelRows() = DocStream.curationFunnel(spark, root).count()
+    val before = stateSig()
+    DocStream.curateBatch(file1.toDF("doc_id", "ts", "text"), 0L, root,
+      minQuality = 0.7)
+    assert(stateSig() === before)
+    // mid-composition CRASH: stage 2 (dedup admit) completed for batch 3,
+    // then the loop died before winnow/bm25/funnel — the retry must
+    // complete the remaining stages exactly once and agree on the admit
+    val b3 = Seq((30L, ts(14), d11), (31L, ts(15), doc(40)))
+      .toDF("doc_id", "ts", "text")
+    graft.ops.Dedup.ingestBatch(b3, 3L, s"$root/mh_idx", s"$root/admitted",
+      0.6, "doc_id", "text")
+    DocStream.curateBatch(b3, 3L, root, minQuality = 0.7)
+    assert(admittedIds() === admitSet + 31L)
+    assert(DocStream.curationFunnel(spark, root)
+      .filter(col("batch_id") === 3L)
+      .select("n_in", "n_gated", "n_admitted")
+      .as[(Long, Long, Long)].collect().toSeq === Seq((2L, 2L, 1L)))
+    assert(graft.ops.TextRank.readPostingIndex(spark, s"$root/bm25_idx")
+      .filter(col("term").isNotNull)
+      .select("doc_id").distinct().as[Long].collect().toSet === admitSet + 31L)
+  }
+
 }
