@@ -32,7 +32,12 @@ import org.apache.spark.sql.streaming.OutputMode
   *    their latest member (every future fact is younger than the
   *    watermark), so one survivor replaces the prefix — state is
   *    O(pending facts + in-flight dim versions + 1) per key, bounded
-  *    regardless of stream length.
+  *    regardless of stream length. Compaction runs on EVERY firing (even
+  *    one with no ripe facts), and dim arrival itself arms a compaction
+  *    timer just past the watermark, so the bound holds for dims-heavy
+  *    and dims-ONLY keys too — not only on emission paths (r18 advice +
+  *    r19; AsOfStreamSpec pins the fact-less key's state staying at one
+  *    survivor).
   *
   * Exactly-once across restarts: state, timers, and the fact buffer live
   * in the checkpointed store; emissions are a deterministic function of
@@ -133,10 +138,13 @@ final class AsOfEnrichProcessor
       : Iterator[AsOfStream.Enriched] = {
     val wmMs = timerValues.getCurrentWatermarkInMs()
     val newTimers = scala.collection.mutable.SortedSet.empty[Long]
+    var dimArrived = false
     rows.foreach { r =>
       val tsUs = micros(r.ts)
-      if (r.isDim) dims.appendValue((tsUs, r.tie, r.payload))
-      else {
+      if (r.isDim) {
+        dims.appendValue((tsUs, r.tie, r.payload))
+        dimArrived = true
+      } else {
         pending.appendValue((tsUs, r.payload))
         // timers are millisecond-resolution: round the fact's micros UP so
         // the firing watermark is at or past the fact, and keep strictly
@@ -145,6 +153,15 @@ final class AsOfEnrichProcessor
         newTimers += math.max((tsUs + 999) / 1000, wmMs + 1)
       }
     }
+    // dims-ONLY traffic must still compact (r19): timers otherwise exist
+    // only per fact, so a key that receives dim updates but no facts
+    // would keep its entire version history — the documented
+    // O(pending + in-flight + 1) bound requires a compaction opportunity
+    // per dim batch. One timer just past the current watermark does it;
+    // handleExpiredTimer compacts before (and regardless of) emission.
+    // Duplicate registration across batches at an unmoved watermark is
+    // harmless (same key+timestamp slot).
+    if (dimArrived) newTimers += wmMs + 1
     newTimers.foreach(getHandle.registerTimer)
     Iterator.empty
   }

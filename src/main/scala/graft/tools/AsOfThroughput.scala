@@ -44,9 +44,33 @@ object AsOfThroughput {
   private val BaseMs = 1718000000000L // fixed epoch anchor: deterministic delivery
   private val BatchSpanMs = 10L * 60 * 1000 // one micro-batch = 10 min of event time
 
+  /** One parquet FILE per logical micro-batch, staged then renamed to a
+    * generation-ordered name with strictly increasing mtimes — both
+    * matter: FileStreamSource's `maxFilesPerTrigger=1` makes files the
+    * trigger unit, and it orders pending files by mtime, so a multi-file
+    * append (or uuid-named parts with tied mtimes) would deliver rows
+    * out of generation order and the watermark would drop the stragglers
+    * as late (the first cut of this tool lost 60% of its facts exactly
+    * that way). */
   private def writeBatches(spark: SparkSession, dir: String, nBatches: Int,
       perBatch: Int, dim: Boolean): Long = {
     import spark.implicits._
+    new java.io.File(dir).mkdirs()
+    val staging = java.nio.file.Files.createTempDirectory("asof_tp_stage").toString
+    val t0 = System.currentTimeMillis() - (nBatches + 4) * 2000L
+    def emitFile(rows: Seq[(Long, java.sql.Timestamp, String)], idx: Int): Unit = {
+      val df =
+        if (dim) rows.toDF("key", "ts", "dim")
+          .withColumn("tie", lit(0L))
+          .select("key", "ts", "tie", "dim")
+        else rows.toDF("key", "ts", "fact")
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val target = new java.io.File(dir, f"b$idx%05d.parquet")
+      require(part.renameTo(target), s"failed to place $target")
+      require(target.setLastModified(t0 + idx * 2000L))
+    }
     var written = 0L
     (0 until nBatches).foreach { b =>
       val rows = (0 until perBatch).map { i =>
@@ -55,29 +79,13 @@ object AsOfThroughput {
           BaseMs + b * BatchSpanMs + (i.toLong * BatchSpanMs / perBatch))
         (key.toLong, ts, s"p${b}_$i")
       }
-      val df =
-        if (dim) rows.toDF("key", "ts", "dim")
-          .withColumn("tie", lit(0L))
-          .select("key", "ts", "tie", "dim")
-        else rows.toDF("key", "ts", "fact")
-      df.coalesce(1).write.mode("append").parquet(dir)
+      emitFile(rows, b)
       written += perBatch
     }
     // flush batch: one far-future row per side drains every timer (the
     // watermark must pass the last real fact for its lookup to be final)
     val flushTs = new java.sql.Timestamp(BaseMs + (nBatches + 10) * BatchSpanMs)
-    val flush = Seq((Keys.toLong + 1, flushTs, "flush"))
-    (if (dim) flush.toDF("key", "ts", "dim").withColumn("tie", lit(0L))
-        .select("key", "ts", "tie", "dim")
-     else flush.toDF("key", "ts", "fact"))
-      .coalesce(1).write.mode("append").parquet(dir)
-    // pin strictly increasing mtimes so FileStreamSource delivers in
-    // generation order (one file per trigger)
-    val files = new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    val t0 = System.currentTimeMillis() - (files.length + 2) * 2000L
-    files.zipWithIndex.foreach { case (f, i) =>
-      require(f.setLastModified(t0 + i * 2000L)) }
+    emitFile(Seq((Keys.toLong + 1, flushTs, "flush")), nBatches)
     written + 1
   }
 
@@ -122,6 +130,12 @@ object AsOfThroughput {
       spark.streams.removeListener(listener)
     }
     val wall = (System.nanoTime() - t0) / 1e9
+    // every real fact must have been enriched and emitted (only the flush
+    // fact stays pending) — a lossy delivery (out-of-order files dropped
+    // as late) would silently understate the work and overstate rows/s
+    require(emitted.get() == nFacts - 1,
+      s"expected ${nFacts - 1} enriched facts, got ${emitted.get()} — " +
+        "delivery lost rows to the watermark")
     (nFacts + nDims, emitted.get(), wall, maxState.get())
   }
 

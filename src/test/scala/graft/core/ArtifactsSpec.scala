@@ -55,4 +55,66 @@ class ArtifactsSpec extends SparkSpec {
       assert(!unknown.exists())
     } finally if (unknown.exists()) unknown.delete(): Unit
   }
+
+  test("two sources sharing one fingerprint key keep the dir live while " +
+      "EITHER lives (sidecar accumulates sources)") {
+    // identical content + identical mtime → identical (length, mtime)
+    // fingerprint → same keyed dir for the same prefix
+    val dir = tmpDir("artifacts_twin_src")
+    val a = new java.io.File(dir, "a.parquet")
+    val b = new java.io.File(dir, "b.parquet")
+    java.nio.file.Files.write(a.toPath, "same-bytes".getBytes)
+    java.nio.file.Files.write(b.toPath, "same-bytes".getBytes)
+    assert(a.setLastModified(1700000000000L) && b.setLastModified(1700000000000L))
+    val pa = Artifacts.path(spark, a.getPath, "spec_twin")
+    val pb = Artifacts.path(spark, b.getPath, "spec_twin")
+    assert(pa === pb, "identical fingerprints must share one keyed dir")
+    new java.io.File(pa).mkdirs()
+    val sidecar = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(pa + ".src")))
+    assert(sidecar.contains(a.getPath) && sidecar.contains(b.getPath),
+      s"sidecar must record BOTH sources: $sidecar")
+    // delete the FIRST-recorded source: the dir must stay live — b still
+    // fingerprints to this key (the r18 write-once sidecar named only a,
+    // and sweep would have reclaimed a dir b was still serving)
+    assert(a.delete())
+    val deleted = Artifacts.sweep(spark)
+    assert(!deleted.contains(pa) && new java.io.File(pa).exists(),
+      s"dir still live for $b must survive the sweep")
+    // delete b too: now every recorded source is gone — dead
+    assert(b.delete())
+    assert(Artifacts.sweep(spark).contains(pa))
+    assert(!new java.io.File(pa).exists())
+  }
+
+  test("sweep survives an unreadable sidecar mid-walk: the entry is " +
+      "skipped as unknown, the rest of the sweep completes") {
+    val src = mkSource("readable.parquet")
+    val pLive = Artifacts.path(spark, src.getPath, "spec_robust")
+    new java.io.File(pLive).mkdirs()
+    // a dir whose sidecar is a DIRECTORY (readAllBytes throws IOException)
+    // stands in for any unreadable sidecar
+    val root = s"${sys.props("java.io.tmpdir")}/graft_artifacts"
+    val broken = new java.io.File(s"$root/spec_robust_broken_feed")
+    broken.mkdirs()
+    val brokenSidecar = new java.io.File(broken.getPath + ".src")
+    brokenSidecar.mkdirs()
+    // plus a genuinely dead dir the sweep must STILL reclaim after
+    // hitting the broken one
+    val dead = mkSource("dead.parquet")
+    val pDead = Artifacts.path(spark, dead.getPath, "spec_robust_dead")
+    new java.io.File(pDead).mkdirs()
+    assert(dead.delete())
+    try {
+      val deleted = Artifacts.sweep(spark)
+      assert(deleted.contains(pDead),
+        "an unreadable sidecar must not abort the sweep of other entries")
+      assert(!deleted.contains(broken.getPath) && broken.exists(),
+        "the unreadable entry is treated as unknown, not deleted")
+      assert(new java.io.File(pLive).exists(), "live entry untouched")
+    } finally {
+      if (brokenSidecar.exists()) brokenSidecar.delete(): Unit
+      if (broken.exists()) broken.delete(): Unit
+    }
+  }
 }

@@ -150,4 +150,68 @@ class AsOfStreamSpec extends SparkSpec {
           s"(got ${got.size}, expected ${expected.size})")
     }
   }
+
+  test("dims-ONLY key compacts without any fact: state stays at one " +
+      "survivor, and a later fact is served by it") {
+    withRocksDb {
+      // key 7 receives FIVE dim versions and no fact; key 99's facts
+      // drive the watermark past them. Before r19, timers existed only
+      // per fact, so key 7's prefix could never compact — the dim-arrival
+      // compaction timer (plus compaction on no-ripe firings, the r18
+      // advice) is what this pins via the state-store row count.
+      val srcF = tmpDir("asof-dimonly-facts"); val srcD = tmpDir("asof-dimonly-dims")
+      factsDf(Seq((99L, ts(30), "w30")))
+        .coalesce(1).write.mode("overwrite").parquet(srcF)
+      dimsDf((0 until 5).map(i => (7L, ts(i), 1L, s"d$i")) :+
+          (99L, ts(29), 1L, "k99d"))
+        .coalesce(1).write.mode("overwrite").parquet(srcD)
+      val t0 = System.currentTimeMillis() - 120000
+      Seq(srcF, srcD).foreach(d =>
+        new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet"))
+          .foreach(f => assert(f.setLastModified(t0))))
+      // second fact file: wm reaches minute 60 - 20 = 40 > every key-7 dim
+      factsDf(Seq((99L, ts(60), "w60")))
+        .coalesce(1).write.mode("append").parquet(srcF)
+      new java.io.File(srcF).listFiles().filter(_.getName.endsWith(".parquet"))
+        .filter(_.lastModified() > t0).foreach(f => assert(f.setLastModified(t0 + 30000)))
+      val ckpt = tmpDir("asof-dimonly-ckpt"); val out = tmpDir("asof-dimonly-out")
+      def readSrc(dir: String, ddl: String) = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      def start() = AsOfStream.enrichPrior(spark,
+          readSrc(srcF, "key LONG, ts TIMESTAMP, fact STRING"),
+          readSrc(srcD, "key LONG, ts TIMESTAMP, tie LONG, dim STRING"),
+          watermarkDelay = "20 minutes")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          b.write.mode("overwrite").parquet(s"$out/batch=$id"): Unit
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      val finalState =
+        try {
+          q1.processAllAvailable()
+          q1.recentProgress.flatMap(_.stateOperators)
+            .map(_.numRowsTotal).lastOption.getOrElse(-1L)
+        } finally q1.stop()
+      // post-compaction state: key 7 = ONE survivor (d4), key 99 = one
+      // survivor + the still-pending w60 fact ≈ 3 rows. The pre-r19 code
+      // keeps all five key-7 versions (≈ 7 rows) — the bound separates
+      // the regimes with margin for store-internal accounting.
+      assert(finalState >= 0 && finalState <= 4,
+        s"dims-only key did not compact: $finalState state rows")
+      // continuation from the checkpoint: a key-7 fact arrives and must
+      // be served by the compacted survivor — compaction is invisible to
+      // semantics
+      factsDf(Seq((7L, ts(45), "f45"), (99L, ts(99), "flush")))
+        .coalesce(1).write.mode("append").parquet(srcF)
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val got = spark.read.parquet(out)
+        .select(col("key"), col("fact"), col("dim"))
+        .as[(Long, String, String)].collect().toSet
+      assert(got.contains((7L, "f45", "d4")),
+        s"fact not served by the compacted survivor: $got")
+    }
+  }
 }
