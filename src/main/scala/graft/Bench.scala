@@ -174,12 +174,30 @@ object Bench {
     // would let Catalyst prune the projections being measured
     def run(g: graft.queries.Gated, dir: String): Unit =
       g.df(spark, dir).write.mode("overwrite").format("noop").save()
+    /** Drop EVERY block a previous run left in the executor store: the
+      * catalog cache (persist) AND the localCheckpoint RDDs, which
+      * `clearCache()` does not see — they only die when the ContextCleaner
+      * gets around to their GC'd references. Measured (r19): under the
+      * query-major pass order all 3 samples of the early-registry gates
+      * landed in the post-warm-up window while ~256 gates' checkpoint
+      * blocks still occupied unified memory, and the squeezed execution
+      * side spilled — q8_rolling_mean timed 7.82 s in the full run vs
+      * 0.88 s isolated (q9 1.68 vs 0.17, q12 1.26 vs 0.22). Explicit
+      * blocking unpersist makes every sample start from the same empty
+      * block store, which is what "cold-cache steady state" meant. */
+    def quiesce(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
     // warm-up: one discarded pass on the TARGET sf — primes JIT, codegen
     // cache, parquet footer cache, and one-time artifacts (q35's trained
     // IVF centroids), so timed passes measure steady-state serving, not
-    // first-touch setup
+    // first-touch setup. Quiesce between gates: without it the block
+    // store carries the whole registry's persists by the end of the pass.
     headline.foreach { g =>
       try run(g, sfDir) catch { case _: Throwable => () }
+      quiesce()
     }
 
     def timeOnce(g: graft.queries.Gated): Either[String, Double] = {
@@ -187,7 +205,7 @@ object Bench {
       // history generations, q65's decode cache) would otherwise hand
       // their cache to the next run via canonical-plan matching — the
       // median must time cold-cache steady state, not cache hits
-      spark.catalog.clearCache()
+      quiesce()
       val t0 = System.nanoTime()
       try {
         run(g, sfDir)
