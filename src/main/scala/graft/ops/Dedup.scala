@@ -967,6 +967,13 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(lvl)
+    // The eager count LOOKS redundant (the labels0 checkpoint job scans
+    // sym and would materialize the persist in the same pass) but an r19
+    // A/B that removed it measured every CC gate SLOWER (q62 1.30→1.62,
+    // q88 1.36→1.59, q148 1.33→1.47 at sf0.1): fusing the cache write
+    // into the checkpoint job makes one stage write cache blocks AND
+    // checkpoint blocks together, and the contention costs more than the
+    // extra driver round-trip saves. Keep the dedicated materialization.
     sym.count()
     // each generation goes through an EAGER checkpoint, not persist:
     // generation n+1's plan references generation n three times (1-hop

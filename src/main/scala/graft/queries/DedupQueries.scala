@@ -610,7 +610,10 @@ object DedupQueries {
     * 3-shingle sets. The oracle replays candidates AND the exact set
     * intersection. */
   def q119Containment(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // spread: both the signature kernel (2 md5/shingle) and the exact
+    // containment verify re-shingle from this frame — on the single-row-
+    // group corpus both ran on ONE scan task (profiled r19: 1.2 s serial)
+    val d = Tables.spread(Tables.documents(spark, dir))
     val cand = Dedup.minhashCandidates(d, "doc_id", "text")
       .filter(col("est_jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"))
@@ -651,7 +654,10 @@ object DedupQueries {
     * content. The source count is small by nature, so the pair join is a
     * few hundred rows however big the corpus. */
   def q121SourceMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // spread: the signature kernel (2 md5/shingle over every doc) runs
+    // before the first exchange and was serial on the single-row-group
+    // scan (r19)
+    val d = Tables.spread(Tables.documents(spark, dir))
     val sigs = Dedup.minhashSignatures(
         d.select(col("source"), col("text")), "source", "text")
       .groupBy(col("id"), col("seed")).agg(min(col("mh")).as("mh"))

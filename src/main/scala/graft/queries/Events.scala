@@ -353,6 +353,10 @@ object Events {
   private def cappedItemPairs(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val e = Tables.events(spark, dir)
+    // NO spread before the JSON kernel, by measurement (r19 A/B: spread
+    // cost q134/q143/q149 +0.04–0.08 s each): the get_json_object parse
+    // is light enough that the extra props-column exchange loses to the
+    // serial scan at this corpus size
     val ui = e.select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("long").as("item"))
       .groupBy(col("user_id"), col("item")).agg(count(lit(1)).as("cnt"))
@@ -366,9 +370,23 @@ object Events {
     // barrier costs more than the plan reuse it buys
     val capped = ui.withColumn("rn", row_number().over(wCap))
       .filter(col("rn") <= 20).select(col("user_id"), col("item"))
-    val inter = capped.select(col("user_id"), col("item").as("item_a"))
-      .join(capped.select(col("user_id"), col("item").as("item_b")), Seq("user_id"))
-      .filter(col("item_a") < col("item_b"))
+    // pair generation IN-ROW instead of the capped⋈capped self-join:
+    // the per-user item set is ≤ 20 DISTINCT items (the cap), so the
+    // sorted array fits a row and all C(n,2) ordered pairs explode from
+    // one nested transform — the groupBy(user_id) reuses the cap
+    // window's partitioning (no exchange), and the join's per-partition
+    // hash build + 2× probe of the capped table disappears. Identical
+    // pair multiset: items are distinct per user and the array is
+    // sorted, so (item_a < item_b) enumerates each unordered pair once,
+    // exactly like the self-join's filter.
+    val pairs = capped.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("item"))).as("items"))
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        transform(slice(col("items"), i + lit(2),
+          greatest(size(col("items")) - i - 1, lit(0))),
+          y => struct(x.as("item_a"), y.as("item_b")))))).as("p"))
+    val inter = pairs
+      .select(col("p.item_a"), col("p.item_b"))
       .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("inter"))
     (capped, inter)
   }

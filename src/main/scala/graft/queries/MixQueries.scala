@@ -1451,7 +1451,11 @@ object MixQueries {
         greatest(col("sa"), col("sb")).as("split_b"))
       .groupBy(col("split_a"), col("split_b"))
       .agg(count(lit(1)).as("n_neardup_pairs"))
-    val grams = d.join(labeled, Seq("doc_id"))
+    // spread the corpus side of the gram audit: labeled is tiny, so the
+    // join broadcasts it and the 5-gram shingle + md5 kernel (the gate's
+    // heaviest per-row work) would otherwise run on the single scan task
+    // (r19 profile)
+    val grams = Tables.spread(d).join(labeled, Seq("doc_id"))
       .select(col("split"),
         explode(graft.functions.TextFunctions.distinct_shingles(col("text"), 5))
           .as("g"))

@@ -708,8 +708,14 @@ object Stats {
   def q201PoissonBootstrap(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nB = 20
-    val e = Tables.events(spark, dir).select(col("event_id"),
-      col("event_type"), round(col("value") * lit(1e6)).cast("long").as("v6"))
+    // spread BEFORE the B-fold explode: the replicate weights are one
+    // md5 per (event, b) — 20× the corpus rows of hash kernel — and the
+    // single-row-group scan would otherwise run all of it on ONE task
+    // (profiled r19: the rep checkpoint job was 1.7 s serial vs ~0.15 s
+    // spread; at real scale the scan has a task per row group and spread
+    // is the identity)
+    val e = Tables.spread(Tables.events(spark, dir).select(col("event_id"),
+      col("event_type"), round(col("value") * lit(1e6)).cast("long").as("v6")))
     val h = graft.ops.TrainingMix.hex13(
       concat(col("event_id").cast("string"), lit(":"), col("b").cast("string")))
     val w = poissonCumFp52.zipWithIndex

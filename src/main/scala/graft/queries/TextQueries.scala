@@ -387,6 +387,9 @@ object TextQueries {
     * contributions rounded to longs before the exact integer sum), so
     * ranks hash-compare with no float tolerance. */
   def q77TextRank(spark: SparkSession, dir: String): DataFrame =
+    // NO spread, by measurement (r19 A/B 1.25 → 1.39 s with it): the
+    // gate's time is the 5 vocabulary-sized PageRank iterations, not the
+    // pair explode — the extra exchange of the text column buys nothing
     graft.ops.TextRank.textRankKeywords(
       Tables.documents(spark, dir), "doc_id", "text", k = 20)
 
@@ -747,7 +750,9 @@ object TextQueries {
     * gram-shuffle shape, prunable the same Bloom way at 100 TB); bucket
     * rollups run on the per-bucket distinct table. */
   def q122NoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // spread: the shingle kernel fills the persisted table and was
+    // serial on the single-row-group scan (r19)
+    val d = Tables.spread(Tables.documents(spark, dir))
     val dsh = d.select(col("doc_id"),
         explode(graft.functions.TextFunctions.distinct_shingles(col("text"), 3)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1105,7 +1110,9 @@ object TextQueries {
     * Singleton grams dominate (q79 measurement: ~91%) and prune the same
     * Bloom way at 100 TB. */
   def q169Boilerplate(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // spread: the shingle kernel fills the persisted table and was
+    // serial on the single-row-group scan (r19)
+    val d = Tables.spread(Tables.documents(spark, dir))
     val dsh = d.select(col("source"), col("doc_id"),
         explode(graft.functions.TextFunctions.distinct_shingles(col("text"), 3)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
