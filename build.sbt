@@ -30,4 +30,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // back-to-back in one JVM and an 8g heap showed cross-query GC
   // interference (queries timing 2-3x their standalone wall time)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 256 gates compile ~180 MB of JIT'd code in one JVM (measured via
+  // jcmd Compiler.codecache mid-bench); the 240 MB default saturates
+  // around gate ~150 and the resulting flush/recompile storms land on
+  // whichever gate is running — r19 measured q218_good_turing at 1.62 s
+  // in a full default-cache run vs 0.30 s with headroom (same code,
+  // 5x), moving to a different random gate per run. 512 MB is virtual
+  // reservation, committed lazily — no cost when unused.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -14,9 +14,10 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS \
+exec java $ADD_OPENS ${SPARK_GRAFT_JVM_EXTRA:-} \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
+  -XX:ReservedCodeCacheSize=512m \
   -Xmx"${SPARK_DRIVER_MEM:-24g}" \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   "$CLS" "$@"
