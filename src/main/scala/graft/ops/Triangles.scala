@@ -30,7 +30,8 @@ object Triangles {
 
   /** Closed wedges `(src, w1, w2)` — one row per triangle, enumerated at
     * the triangle's lowest-(deg, id) vertex via degree orientation. */
-  private def closedWedges(edges: DataFrame, deg: DataFrame): DataFrame = {
+  private def closedWedges(edges: DataFrame, deg: DataFrame,
+      barrierOriented: Boolean = false): DataFrame = {
     // attach endpoint degrees, then orient low-(deg, id) → high-(deg, id);
     // ddeg rides along so wedge endpoints can be ordered by the SAME total
     // order the orientation used (otherwise the closing edge lookup misses)
@@ -38,10 +39,24 @@ object Triangles {
       .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
     val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = withDeg.select(
+    // optional barrier: the oriented edge table is read THREE times below
+    // (both wedge sides and the closing-edge probe), and the degree-attach
+    // subtree (2 joins + the degree aggregate) is NOT exchange-reusable
+    // across those reads — r19 measured the un-barriered q149 final job
+    // at 34 Exchanges with zero ReusedExchange. Materializing the
+    // graph-sized oriented table once replaces three executions of that
+    // subtree with one job + three cheap rescans. Worth it when the
+    // caller enumerates repeatedly over a checkpointed edge set
+    // (trussPeel: q149 2.10 → 1.63 s at sf0.1); a net LOSS for the
+    // one-shot nodeTriangles (q143 1.10 → 1.16 s), whose single job
+    // amortizes the triple execution better than an extra barrier job.
+    val orientedRaw = withDeg.select(
       when(fwd, col("u")).otherwise(col("v")).as("src"),
       when(fwd, col("v")).otherwise(col("u")).as("dst"),
       when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
+    val oriented =
+      if (barrierOriented) Lineage.barrier(orientedRaw, reliable = false)
+      else orientedRaw
     // wedges at each center's out-neighborhood (out-degree ≤ O(√m) by the
     // orientation), endpoints canonically ordered by (ddeg, dst)
     val a = oriented.select(col("src"), col("dst").as("w1"), col("ddeg").as("d1"))
@@ -85,10 +100,11 @@ object Triangles {
   /** Per-edge triangle support (edges in ≥1 triangle only): each closed
     * wedge charges its three edges, re-canonicalized to (min, max) id
     * order. Same oriented enumeration as [[nodeTriangles]]. */
-  def edgeSupport(edges: DataFrame): DataFrame = {
+  def edgeSupport(edges: DataFrame,
+      barrierOriented: Boolean = false): DataFrame = {
     def canon(x: Column, y: Column) =
       struct(least(x, y).as("u"), greatest(x, y).as("v"))
-    closedWedges(edges, degrees(edges))
+    closedWedges(edges, degrees(edges), barrierOriented)
       .select(explode(array(
         canon(col("src"), col("w1")),
         canon(col("src"), col("w2")),
@@ -122,10 +138,12 @@ object Triangles {
     // 1.7 s on the q149 gate at sf0.1. localCheckpoint stores executor-
     // local blocks; the edge set is graph-sized, never corpus-sized.
     var cur = edges.localCheckpoint()
-    var sup = edgeSupport(cur).filter(col("support") >= minSupport)
+    var sup = edgeSupport(cur, barrierOriented = true)
+      .filter(col("support") >= minSupport)
     (2 to rounds).foreach { _ =>
       cur = sup.select(col("u"), col("v")).localCheckpoint()
-      sup = edgeSupport(cur).filter(col("support") >= minSupport)
+      sup = edgeSupport(cur, barrierOriented = true)
+        .filter(col("support") >= minSupport)
     }
     sup
   }
