@@ -56,6 +56,23 @@ class TrianglesSpec extends SparkSpec {
     assert(Triangles.trussPeel(k4, minSupport = 2L, rounds = 2).count() === 6L)
   }
 
+  test("edge support: oriented-table barrier is a pure materialization " +
+      "(identical support multiset with and without it)") {
+    // r19 optimization pins: trussPeel enumerates with barrierOriented=true
+    // (one job materializing the oriented table instead of three inline
+    // executions); the support table must be IDENTICAL either way, on a
+    // graph mixing a clique, a shared-edge pair, a pendant, and an
+    // isolated triangle
+    val g = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (6L, 7L),
+      (10L, 11L), (10L, 12L), (11L, 12L))).toDF("u", "v")
+    def sup(b: Boolean) = Triangles.edgeSupport(g, barrierOriented = b)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .sorted.toSeq
+    assert(sup(true) === sup(false))
+    assert(sup(true).nonEmpty)
+  }
+
   test("two triangles sharing an edge") {
     // (1,2,3) and (2,3,4): shared edge (2,3)
     val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
